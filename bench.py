@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the registry's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end via the `noop` sink (full plan, no
+collect/write overhead). A warmup pass on sf0.001 first touches every
+code path so JVM/codegen warmup isn't billed to the measured run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from datalakehouse_spark.registry import REGISTRY  # noqa: E402
+from datalakehouse_spark.session import get_spark  # noqa: E402
+
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark("datalakehouse_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = list(REGISTRY)
+    for name in names:  # warmup at tiny scale
+        try:
+            _run(REGISTRY[name].fn(spark, WARMUP_DIR))
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in names:
+        t0 = time.perf_counter()
+        _run(REGISTRY[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_total0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "registry_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

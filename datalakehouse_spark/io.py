@@ -1,0 +1,72 @@
+"""Fixture / table loaders.
+
+The driver fixtures live at /root/testdata/sf{0.001,0.01,0.1}/<name>.parquet
+(TESTDATA.md).  ``events.parquet`` stores its ``ts`` column as parquet
+TIMESTAMP(NANOS), which Spark cannot read natively
+([PARQUET_TYPE_ILLEGAL]); with ``spark.sql.legacy.parquet.nanosAsLong``
+the physical int64 comes through as a plain long which we decode here.
+
+All loads go through :func:`load_table` so every query in the registry
+sees one canonical schema:
+
+- ``events.ts``     -> TimestampType, truncated ns -> µs (same truncation
+  DuckDB applies when it coerces TIMESTAMP_NS to its µs TIMESTAMP).
+- ``events.ts_ns``  -> the raw int64 nanoseconds (kept for epoch math).
+
+Everything else is read as-is; parquet ms-timestamps surface as
+timestamp_ntz, which matches DuckDB's timezone-naive TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _ensure_session_contract(spark: SparkSession) -> None:
+    """Runtime-settable confs the engine relies on, applied idempotently.
+
+    The correctness driver hands us ITS session; these are SQL confs, so
+    they can be set per-session without restarting the JVM.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_contract(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # int64 ns -> µs-precision timestamp; `div` floors on the positive
+        # epoch range, matching DuckDB's ns->µs coercion.
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views for the SQL surface."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

@@ -1,0 +1,520 @@
+"""Query registry — the correctness surface.
+
+Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions) is
+registered here as a named query: a ``(spark, sf_dir) -> DataFrame``
+callable plus, where SQL-expressible, a DuckDB oracle string the driver
+hash-compares against at sf=0.01.
+
+Determinism contract (applies to every entry):
+- identical column names on both sides (explicit aliases);
+- no raw timestamps in outputs (epoch seconds / DATE instead — the
+  fixture's ns timestamps surface at different precisions in the two
+  engines);
+- money-like SUM/AVG go through DECIMAL (order-independent, exact) and
+  convert to double once — see functions/numeric.py;
+- DuckDB integer SUMs are cast to BIGINT (DuckDB widens to HUGEINT,
+  Spark to BIGINT);
+- every ranked/paginated query has a total order (unique tiebreaker).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakehouse_spark.io import load_table
+from datalakehouse_spark.functions.hashing import device_bucket, device_bucket_duckdb_expr
+from datalakehouse_spark.functions.numeric import davg, davg_duckdb, dsum, dsum_duckdb
+from datalakehouse_spark.pipelines.risk_score import (
+    risk_score_daily,
+    risk_score_daily_oracle_sql,
+)
+from datalakehouse_spark.operators import relational as R
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    sql: Optional[str]  # None => non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: Optional[str], doc: str = ""):
+    def deco(fn: QueryFn):
+        REGISTRY[name] = QuerySpec(fn=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Reference surface: flagship risk pipeline (SURVEY.md §3.2)
+# --------------------------------------------------------------------------
+
+
+@register("risk_score_daily", risk_score_daily_oracle_sql(), "flagship 6-CTE risk pipeline")
+def q_risk_score_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return risk_score_daily(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Ingest/ETL normalization (SURVEY.md §2.1 S1/S3, §2.8 F1-F5)
+# --------------------------------------------------------------------------
+
+_INGEST_SQL = f"""
+SELECT event_id AS correlation_id,
+       CAST(user_id AS VARCHAR) AS device_id,
+       event_type AS report_type,
+       value AS speed_kmh,
+       epoch_ns(ts) // 1000000000 AS received_epoch_s,
+       {device_bucket_duckdb_expr("CAST(user_id AS VARCHAR)")} AS device_id_bucket,
+       CAST(ts AS DATE) AS received_day
+FROM events
+WHERE event_type IN ('click', 'purchase', 'view')
+"""
+
+
+@register("ingest_normalize", _INGEST_SQL, "streaming-insert transform, batch-shaped")
+def q_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_type").isin("click", "purchase", "view")).select(
+        F.col("event_id").alias("correlation_id"),
+        F.col("user_id").cast("string").alias("device_id"),
+        F.col("event_type").alias("report_type"),
+        F.col("value").alias("speed_kmh"),
+        F.expr("ts_ns div 1000000000").alias("received_epoch_s"),
+        device_bucket(F.col("user_id").cast("string")).alias("device_id_bucket"),
+        F.to_date("ts").alias("received_day"),
+    )
+
+
+_BUCKET_SQL = f"""
+SELECT {device_bucket_duckdb_expr("CAST(user_id AS VARCHAR)")} AS device_id_bucket,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+@register("bucket_distribution", _BUCKET_SQL, "java-hashCode bucket parity en masse")
+def q_bucket_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(device_bucket(F.col("user_id").cast("string")).alias("device_id_bucket"))
+        .groupBy("device_id_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Serving-layer page + count (SURVEY.md §2.12, §2.6 O1/O2/O5)
+# --------------------------------------------------------------------------
+
+# events span 2024-01-01..2024-01-30 at every SF; user 7 exists at every SF
+_PAGE_DEVICE = 7
+_PAGE_T0 = "2024-01-05 00:00:00"
+_PAGE_T1 = "2024-01-20 00:00:00"
+_PAGE_LIMIT, _PAGE_OFFSET = 50, 10
+
+_SERVING_PAGE_SQL = f"""
+SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS epoch_s, value
+FROM events
+WHERE user_id = {_PAGE_DEVICE}
+  AND ts >= TIMESTAMP '{_PAGE_T0}' AND ts < TIMESTAMP '{_PAGE_T1}'
+ORDER BY user_id ASC, ts DESC, event_id ASC
+OFFSET {_PAGE_OFFSET} LIMIT {_PAGE_LIMIT}
+"""
+
+
+@register("serving_page", _SERVING_PAGE_SQL, "REST page query: filter+sort+offset/limit")
+def q_serving_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pred = (
+        (F.col("user_id") == _PAGE_DEVICE)
+        & (F.col("ts") >= F.lit(_PAGE_T0).cast("timestamp"))
+        & (F.col("ts") < F.lit(_PAGE_T1).cast("timestamp"))
+    )
+    return (
+        ev.where(pred)
+        .orderBy(F.col("user_id").asc(), F.col("ts").desc(), F.col("event_id").asc())
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts_ns div 1000000000").alias("epoch_s"),
+            "value",
+        )
+        .offset(_PAGE_OFFSET)
+        .limit(_PAGE_LIMIT)
+    )
+
+
+_SERVING_COUNT_SQL = f"""
+SELECT COUNT(*) AS total FROM events
+WHERE user_id = {_PAGE_DEVICE}
+  AND ts >= TIMESTAMP '{_PAGE_T0}' AND ts < TIMESTAMP '{_PAGE_T1}'
+"""
+
+
+@register("serving_count", _SERVING_COUNT_SQL, "pagination COUNT twin")
+def q_serving_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pred = (
+        (F.col("user_id") == _PAGE_DEVICE)
+        & (F.col("ts") >= F.lit(_PAGE_T0).cast("timestamp"))
+        & (F.col("ts") < F.lit(_PAGE_T1).cast("timestamp"))
+    )
+    return ev.where(pred).agg(F.count(F.lit(1)).alias("total"))
+
+
+# --------------------------------------------------------------------------
+# Aggregation family over the star schema (SURVEY.md §2.4 + engine surface)
+# --------------------------------------------------------------------------
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_duckdb("l_quantity")} AS sum_qty,
+       {dsum_duckdb("l_extendedprice")} AS sum_base_price,
+       {dsum_duckdb("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+       {dsum_duckdb("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 8)} AS sum_charge,
+       {davg_duckdb("l_quantity")} AS avg_qty,
+       {davg_duckdb("l_extendedprice")} AS avg_price,
+       {davg_duckdb("l_discount", 4)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", _Q1_SQL, "TPC-H Q1 shape: wide hash aggregate")
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 8).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q3_SQL = f"""
+SELECT l_orderkey,
+       {dsum_duckdb("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_SQL, "3-way join + agg + top-k")
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    joined = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name, {dsum_duckdb("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+
+@register("q5_regional_revenue", _Q5_SQL, "5-way star join, broadcast dims")
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family (SURVEY.md §2.3)
+# --------------------------------------------------------------------------
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 200000)
+"""
+
+
+@register("join_semi", _SEMI_SQL, "left-semi join (EXISTS)")
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 250000)
+"""
+
+
+@register("join_anti", _ANTI_SQL, "left-anti join (NOT EXISTS)")
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_OUTER_SQL = f"""
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       {dsum_duckdb("o_totalprice")} AS total_spend
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@register("join_outer_agg", _OUTER_SQL, "left outer join + per-key aggregate")
+def q_join_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT o_orderkey, COUNT(*) AS n_shipped_30d
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate
+ AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderkey
+"""
+
+
+@register("range_join_window", _RANGE_JOIN_SQL, "equi+range join (point-in-interval)")
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # equi conjunct keeps this a hash join; range predicate is post-join —
+    # never a nested-loop cross product (operators/relational.py)
+    joined = R.range_join(
+        li,
+        orders,
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+    )
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipped_30d"))
+
+
+# --------------------------------------------------------------------------
+# Windows / latest-per-key / top-k (SURVEY.md §2.5, §2.6)
+# --------------------------------------------------------------------------
+
+_LATEST_SQL = """
+SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS epoch_s, value
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+@register("latest_per_key", _LATEST_SQL, "latest row per device (window rank)")
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return R.latest_per_key(ev, ["user_id"], "ts", tiebreak="event_id").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000000000").alias("epoch_s"),
+        "value",
+    )
+
+
+_TOPK_SQL = """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id ASC LIMIT 20
+"""
+
+
+@register("topk_global", _TOPK_SQL, "global top-k -> TakeOrderedAndProject")
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return R.top_k(ev, [F.col("value").desc(), F.col("event_id").asc()], 20).select(
+        "event_id", "user_id", "value"
+    )
+
+
+_TOPK_GROUP_SQL = """
+SELECT user_id, event_id, value FROM (
+    SELECT user_id, event_id, value, row_number() OVER (
+        PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+    FROM events
+) WHERE rn <= 3
+"""
+
+
+@register("topk_per_group", _TOPK_GROUP_SQL, "top-k per key (window rank)")
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return R.top_k_per_group(
+        ev, ["user_id"], [F.col("value").desc(), F.col("event_id").asc()], 3
+    ).select("user_id", "event_id", "value")
+
+
+# --------------------------------------------------------------------------
+# Set ops / distinct / grouping sets (SURVEY.md §2.7, §2.4 note)
+# --------------------------------------------------------------------------
+
+_UNION_SQL = """
+SELECT report_type, COUNT(*) AS n FROM (
+    SELECT event_type AS report_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_type FROM events WHERE event_type = 'view'
+    UNION ALL
+    SELECT event_type FROM events WHERE event_type = 'error'
+) GROUP BY report_type
+"""
+
+
+@register("union_vendor_split", _UNION_SQL, "per-vendor split -> unified view (unionByName)")
+def q_union_vendor_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        ev.where(F.col("event_type") == t).select(F.col("event_type").alias("report_type"))
+        for t in ("click", "view", "error")
+    ]
+    return R.union_by_name(*parts).groupBy("report_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+_DISTINCT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY 1
+"""
+
+
+@register("distinct_daily", _DISTINCT_SQL, "multi countDistinct per day")
+def q_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       COUNT(*) AS n, {dsum_duckdb("value")} AS sum_value
+FROM events GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+"""
+
+
+@register("rollup_daily", _ROLLUP_SQL, "ROLLUP grouping sets")
+def q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    return ev.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Retention (SURVEY.md §2.10 M1 — the SELECT dual of the DELETE)
+# --------------------------------------------------------------------------
+
+_RETENTION_CUTOFF = "2024-10-01"
+
+_RETENTION_SQL = f"""
+SELECT COUNT(*) AS kept,
+       {dsum_duckdb("value")} AS kept_value
+FROM events WHERE CAST(ts AS DATE) >= DATE '{_RETENTION_CUTOFF}'
+"""
+
+
+@register("retention_filter", _RETENTION_SQL, "retention DELETE remainder (fixed cutoff)")
+def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.to_date("ts") >= F.lit(_RETENTION_CUTOFF))
+        .agg(F.count(F.lit(1)).alias("kept"), dsum("value").alias("kept_value"))
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
