@@ -1,0 +1,214 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, trading recall for cost — all shuffle-lean by construction:
+
+- exact: hash-groupBy on the raw text. One shuffle on a 64-bit-ish key.
+- exact_normalized: same after whitespace/case canonicalization.
+- MinHash + LSH: shingle -> K minhashes -> band buckets -> candidate
+  pairs inside buckets only -> exact-Jaccard verify. The shuffle is on
+  (band_id, band_hash), whose cardinality is bounded by the corpus —
+  never the O(n²) pair space.
+- SimHash: one 32-bit signature per doc; near-dups collide on rotated
+  prefix buckets (Hamming-ball probing is a follow-up).
+
+Determinism: all hash functions derive from the java-hashCode
+polynomial (functions/hashing.py), so every stage has a DuckDB-SQL twin
+and reruns are reproducible — a requirement when a 100 TB dedup job
+resumes after preemption.
+
+MinHash math: h_i(s) = (a_i * u(s) + b_i) mod p, p = 2^31-1 (prime),
+u(s) = unsigned java hash of the shingle; (a_i, b_i) are fixed odd
+constants derived from i. Signature_i = min over shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datalakehouse_spark.functions.hashing import java_hashcode
+
+MERSENNE_P = (1 << 31) - 1
+N_PERM_DEFAULT = 12
+BAND_SIZE_DEFAULT = 3  # 12 perms / 3 => 4 bands; jaccard ~0.5+ collides
+
+
+def normalize_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct k-word shingles (array<string>) of the normalized text.
+
+    Built-ins only: split -> transform over a sequence of start
+    offsets -> slice+join -> array_distinct.
+    """
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingle_at = lambda i: F.array_join(F.slice(toks, i, k), " ")  # noqa: E731
+    return F.array_distinct(F.transform(starts, shingle_at))
+
+
+def _perm_consts(i: int) -> tuple[int, int]:
+    # fixed, odd, well-spread constants; same values in the SQL twin
+    a = 2 * i + 1
+    return (1_000_003 * a) % MERSENNE_P, (7_000_003 * (i + 1)) % MERSENNE_P
+
+
+def _unsigned_hash(shingle: Column) -> Column:
+    h = java_hashcode(shingle).cast("bigint")
+    return F.when(h < 0, h + (1 << 32)).otherwise(h)
+
+
+def minhash_signature(col: Column | str, n_perm: int = N_PERM_DEFAULT) -> list[Column]:
+    """K minhash values as separate columns (mh0..mh{K-1})."""
+    shingles = word_shingles(col)
+    # reduce mod p BEFORE the affine map: keeps a*h < 2^62 (ANSI-safe,
+    # no bigint overflow) and is congruent mod p.
+    hashes = F.transform(shingles, lambda s: _unsigned_hash(s) % F.lit(MERSENNE_P))
+    out = []
+    for i in range(n_perm):
+        a, b = _perm_consts(i)
+        out.append(
+            F.array_min(
+                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
+            ).alias(f"mh{i}")
+        )
+    return out
+
+
+def exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups with >1 identical text: (keep_id, n_copies)."""
+    return (
+        df.groupBy(F.col(text_col).alias("dup_text"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .select("keep_id", "n_copies")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of every exact-duplicate group."""
+    keep = df.groupBy(F.col(text_col).alias("_t")).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def dedup_exact_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    keyed = df.withColumn("_norm", normalize_text(text_col))
+    keep = keyed.groupBy("_norm").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, on=id_col, how="left_semi").drop("_norm")
+
+
+def minhash_signatures_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_perm: int = N_PERM_DEFAULT
+) -> DataFrame:
+    return df.select(F.col(id_col), *minhash_signature(text_col, n_perm))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = N_PERM_DEFAULT,
+    band_size: int = BAND_SIZE_DEFAULT,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands.
+
+    Scale: explode to (doc, band, band_key) — n_docs × n_bands rows —
+    then a self-equi-join on (band, band_key). The join key is the LSH
+    bucket, so the shuffle moves each doc n_bands times, never the pair
+    space. Hot buckets (boilerplate-heavy corpora) are the skew risk:
+    AQE skew-join handles moderate cases; salting + bucket-size caps is
+    the documented mitigation for degenerate ones.
+    """
+    sigs = minhash_signatures_df(df, text_col, id_col, n_perm)
+    n_bands = n_perm // band_size
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs (verify stage)."""
+    sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates -> verify -> filter."""
+    cands = lsh_candidate_pairs(df, text_col, id_col)
+    return jaccard_pairs(df, cands, text_col, id_col).where(F.col("jaccard") >= threshold)
+
+
+def simhash32(col: Column | str) -> Column:
+    """32-bit SimHash over whitespace tokens.
+
+    bit_j(sig) = 1 iff sum over tokens of (+1 if bit_j(hash(tok)) else -1)
+    is positive. Tokens hash via the java polynomial (unsigned).
+    Composed from built-ins: token array -> per-bit conditional sums via
+    aggregate -> recombine. 32 aggregate passes over the token array
+    stay JVM-side; for the 64/128-bit production variant the same shape
+    applies (or a pandas_udf when register pressure matters).
+    """
+    toks = F.split(normalize_text(col), " ")
+    hashes = F.transform(toks, _unsigned_hash)
+    sig = F.lit(0).cast("bigint")
+    for j in range(32):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j) % 2 == 1, 1).otherwise(-1),
+        )
+        sig = sig + F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(0)
+    return sig

