@@ -133,13 +133,28 @@ OFFSET {_PAGE_OFFSET} LIMIT {_PAGE_LIMIT}
 """
 
 
+def _ns_bounds(t0: str, t1: str) -> tuple[int, int]:
+    """UTC wall-clock strings -> int64 ns bounds on the physical column.
+
+    Filtering on raw ts_ns (not the derived timestamp) lets the
+    predicate push down to the parquet scan — at 100 TB that's row-group
+    skipping on min/max stats instead of a full decode."""
+    import datetime as dt
+
+    as_ns = lambda s: int(  # noqa: E731
+        dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S").replace(tzinfo=dt.timezone.utc).timestamp()
+    ) * 1_000_000_000
+    return as_ns(t0), as_ns(t1)
+
+
 @register("serving_page", _SERVING_PAGE_SQL, "REST page query: filter+sort+offset/limit")
 def q_serving_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    ns0, ns1 = _ns_bounds(_PAGE_T0, _PAGE_T1)
     pred = (
         (F.col("user_id") == _PAGE_DEVICE)
-        & (F.col("ts") >= F.lit(_PAGE_T0).cast("timestamp"))
-        & (F.col("ts") < F.lit(_PAGE_T1).cast("timestamp"))
+        & (F.col("ts_ns") >= F.lit(ns0))
+        & (F.col("ts_ns") < F.lit(ns1))
     )
     return (
         ev.where(pred)
@@ -165,10 +180,11 @@ WHERE user_id = {_PAGE_DEVICE}
 @register("serving_count", _SERVING_COUNT_SQL, "pagination COUNT twin")
 def q_serving_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    ns0, ns1 = _ns_bounds(_PAGE_T0, _PAGE_T1)
     pred = (
         (F.col("user_id") == _PAGE_DEVICE)
-        & (F.col("ts") >= F.lit(_PAGE_T0).cast("timestamp"))
-        & (F.col("ts") < F.lit(_PAGE_T1).cast("timestamp"))
+        & (F.col("ts_ns") >= F.lit(ns0))
+        & (F.col("ts_ns") < F.lit(ns1))
     )
     return ev.where(pred).agg(F.count(F.lit(1)).alias("total"))
 
@@ -506,8 +522,11 @@ FROM events WHERE CAST(ts AS DATE) >= DATE '{_RETENTION_CUTOFF}'
 @register("retention_filter", _RETENTION_SQL, "retention DELETE remainder (fixed cutoff)")
 def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # date cutoff expressed on the physical ns column (UTC midnight) so
+    # the retention predicate reaches the scan
+    ns0, _ = _ns_bounds(f"{_RETENTION_CUTOFF} 00:00:00", f"{_RETENTION_CUTOFF} 00:00:00")
     return (
-        ev.where(F.to_date("ts") >= F.lit(_RETENTION_CUTOFF))
+        ev.where(F.col("ts_ns") >= F.lit(ns0))
         .agg(F.count(F.lit(1)).alias("kept"), dsum("value").alias("kept_value"))
     )
 

@@ -43,10 +43,16 @@ class ManagedTable:
         spark: SparkSession,
         path: str,
         partition_by: Sequence[str] = (),
+        cluster_by: Sequence[str] = (),
     ) -> None:
+        """``cluster_by``: write-time sort order within each file — the
+        reference's ``'write.order-by' = 'device_id, gps_epoch'``
+        (create.sql:56; O4/X6). Sorted files give min/max row-group
+        skipping on those columns at read time."""
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by)
+        self.cluster_by = list(cluster_by)
         # partition-scoped overwrite: INSERT OVERWRITE replaces only the
         # partitions present in the written data
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -65,6 +71,8 @@ class ManagedTable:
     # -- write --------------------------------------------------------------
 
     def _writer(self, df: DataFrame, mode: str):
+        if self.cluster_by:
+            df = df.sortWithinPartitions(*self.cluster_by)
         w = df.write.mode(mode)
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)

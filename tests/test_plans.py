@@ -1,0 +1,101 @@
+"""Physical-plan assertions — the 100 TB posture, regression-guarded.
+
+These tests pin the plan *shape*, not timings: filters reach the parquet
+scan (row-group skipping at scale), scans prune columns, dimension joins
+broadcast, global top-k compiles to TakeOrderedAndProject (per-partition
+heaps, no full sort), and aggregates keep a single shuffle with map-side
+partials.
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+
+from datalakehouse_spark.registry import REGISTRY, _load_extensions
+
+_load_extensions()
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_serving_page_pushdown_and_pruning(spark):
+    plan = plan_of(REGISTRY["serving_page"].fn(spark, SF))
+    assert "EqualTo(user_id,7)" in plan, "device predicate must reach the scan"
+    assert re.search(r"GreaterThanOrEqual\(ts,\d+\)", plan), "ns range must reach the scan"
+    assert "TakeOrderedAndProject" in plan, "page query must not global-sort"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "props" not in m.group(1), "unprojected columns must be pruned"
+
+
+def test_q1_single_shuffle_pushdown(spark):
+    plan = plan_of(REGISTRY["q1_pricing_summary"].fn(spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_comment" not in m.group(1)
+    assert "l_orderkey" not in m.group(1), "column pruning: only agg inputs read"
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = plan_of(REGISTRY["q3_shipping_priority"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, "customer+orders must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_star_join_broadcasts(spark):
+    plan = plan_of(REGISTRY["q5_regional_revenue"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 4, "all dims must broadcast"
+
+
+def test_topk_global_is_take_ordered(spark):
+    plan = plan_of(REGISTRY["topk_global"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "TakeOrdered" in plan
+
+
+def test_risk_pushes_in_list(spark):
+    plan = plan_of(REGISTRY["risk_score_daily"].fn(spark, SF))
+    assert "In(event_type" in plan, "IN-list must reach the scan"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "props" not in m.group(1) and "event_id" not in m.group(1)
+
+
+def test_minhash_partial_aggregation(spark):
+    """The signature aggregate must have map-side partials (two
+    HashAggregate nodes around one Exchange)."""
+    plan = plan_of(REGISTRY["minhash_signatures"].fn(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_min" in plan
+
+
+def test_range_join_is_hash_join_not_bnlj(spark):
+    plan = plan_of(REGISTRY["range_join_window"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, "equi conjunct must keep a hash join"
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_no_python_udfs_in_core_queries(spark):
+    """Hot-path queries stay JVM-side (no BatchEvalPython/ArrowEvalPython)."""
+    for name in (
+        "risk_score_daily",
+        "ingest_normalize",
+        "q1_pricing_summary",
+        "minhash_signatures",
+        "simhash_docs",
+        "knn_brute_force",
+        "text_stats",
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"

@@ -90,3 +90,19 @@ def test_analyze_stats(spark, table):
     stats = table.analyze()
     assert stats["rows"] == 9
     assert len(stats["partitions"]) == 3
+
+
+def test_clustered_write_orders_within_files(spark, tmp_path):
+    """O4/X6: cluster_by columns are sorted within each written file."""
+    t = ManagedTable(
+        spark, str(tmp_path / "c"), partition_by=["report_date"], cluster_by=["device_id"]
+    )
+    t.create(_risk_rows(spark, days=[1]))
+    import pyarrow.parquet as pq
+    import os
+
+    for root, _d, files in os.walk(t.path):
+        for f in files:
+            if f.endswith(".parquet"):
+                col = pq.read_table(os.path.join(root, f)).column("device_id").to_pylist()
+                assert col == sorted(col)
