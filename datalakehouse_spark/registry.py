@@ -542,6 +542,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _load_extensions() -> None:
-    """Import part-2 registrations (idempotent; avoids a circular import
-    at module load)."""
+    """Import part-2/3 registrations (idempotent; avoids a circular
+    import at module load)."""
     import datalakehouse_spark.registry_ext  # noqa: F401
+    import datalakehouse_spark.registry_ext2  # noqa: F401

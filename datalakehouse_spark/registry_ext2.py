@@ -1,0 +1,341 @@
+"""Registry part 3: subquery family, SQL-API surface, JSON, array math,
+window analytics, and the remaining dedup tiers.
+
+Everything follows the part-1/2 determinism contract (registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalakehouse_spark.io import load_table, register_views
+from datalakehouse_spark.functions.numeric import dsum, dsum_duckdb
+from datalakehouse_spark.operators import similarity as S
+from datalakehouse_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Subquery family (engine surface: Trino/Spark SQL users, SURVEY.md §2.3 note)
+# ---------------------------------------------------------------------------
+
+_CORRELATED_SQL = f"""
+SELECT l_partkey,
+       {dsum_duckdb("l_extendedprice")} AS small_qty_revenue,
+       COUNT(*) AS n_small
+FROM lineitem l1
+WHERE l_quantity < (
+    SELECT 0.5 * AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY l_partkey
+"""
+
+
+@register("correlated_avg_filter", _CORRELATED_SQL, "TPC-H Q17 shape: correlated scalar subquery")
+def q_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # decorrelated form: compute per-part threshold once, broadcast-join
+    # back — the plan Catalyst produces for the correlated SQL, written
+    # explicitly (one extra scan, no per-row subquery execution)
+    thresh = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("threshold")
+    )
+    return (
+        li.join(F.broadcast(thresh), F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("threshold"))
+        .groupBy("l_partkey")
+        .agg(
+            dsum("l_extendedprice").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+_SCALAR_SUB_SQL = """
+WITH a AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_p
+           FROM orders)
+SELECT o_orderkey, o_totalprice,
+       round(o_totalprice / (SELECT avg_p FROM a), 6) AS price_ratio
+FROM orders
+WHERE o_totalprice > 1.8 * (SELECT avg_p FROM a)
+"""
+
+
+@register("scalar_subquery_ratio", _SCALAR_SUB_SQL, "uncorrelated scalar subquery")
+def q_scalar_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # AVG of doubles is order-dependent in the last ulps; compute it
+    # deterministically via the decimal path on both sides? The oracle
+    # AVG runs sequentially; Spark's parallel AVG could differ by 1 ulp.
+    # Use the exact decimal average to make both sides identical.
+    row = orders.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    avg = float(row.s) / row.n  # double(exact sum)/count — same op as the oracle
+    return (
+        orders.where(F.col("o_totalprice") > 1.8 * F.lit(avg))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("o_totalprice") / F.lit(avg), 6).alias("price_ratio"),
+        )
+    )
+
+
+_HAVING_SQL = f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {dsum_duckdb("o_totalprice")} AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+"""
+
+
+@register("groupby_having", _HAVING_SQL, "aggregate + HAVING filter")
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("spend"))
+        .where(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-API surface: the same engine through spark.sql over registered views
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = f"""
+SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n, {dsum_duckdb("o_totalprice")} AS spend
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+"""
+
+
+@register("grouping_sets_sql", _GROUPING_SETS_SQL, "GROUPING SETS via the SQL API")
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """
+    )
+
+
+_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("set_intersect", _INTERSECT_SQL, "INTERSECT set operation")
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
+_EXCEPT_SQL = """
+SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'error'
+"""
+
+
+@register("set_except", _EXCEPT_SQL, "EXCEPT set operation")
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    viewers = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    erroring = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    return viewers.subtract(erroring)  # EXCEPT (distinct) semantics
+
+
+# ---------------------------------------------------------------------------
+# String predicates + JSON extraction (F: schema-on-read surface)
+# ---------------------------------------------------------------------------
+
+_STRING_PRED_SQL = """
+SELECT doc_id, source FROM documents
+WHERE source LIKE 'src1%' AND text LIKE '%the%' AND NOT source LIKE '%9'
+"""
+
+
+@register("string_predicates", _STRING_PRED_SQL, "LIKE / prefix / negation predicates")
+def q_string_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(
+        F.col("source").like("src1%")
+        & F.col("text").like("%the%")
+        & ~F.col("source").like("%9")
+    ).select("doc_id", "source")
+
+
+_JSON_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       COUNT(*) OVER (PARTITION BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)
+           AS k_mod_bucket_size
+FROM events
+"""
+
+
+@register("json_extract_props", _JSON_SQL, "schema-on-read JSON extraction (from_json twin)")
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    parsed = ev.select("event_id", k.alias("k"))
+    w = Window.partitionBy(F.col("k") % 10)
+    return parsed.withColumn("k_mod_bucket_size", F.count(F.lit(1)).over(w))
+
+
+# ---------------------------------------------------------------------------
+# Window analytics: lead/lag deltas, ntile, percent_rank
+# ---------------------------------------------------------------------------
+
+_LEADLAG_SQL = """
+SELECT user_id, event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       lead(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("leadlag_gaps", _LEADLAG_SQL, "lag/lead inter-event deltas")
+def q_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("ts_ns div 1000")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+_NTILE_SQL = """
+SELECT o_orderkey, o_totalprice,
+       ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_quartile,
+       round(percent_rank() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC), 9) AS pr
+FROM orders
+"""
+
+
+@register("ntile_percent_rank", _NTILE_SQL, "ntile + percent_rank analytics")
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wd = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    wa = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(wd).alias("price_quartile"),
+        F.round(F.percent_rank().over(wa), 9).alias("pr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Remaining dedup tiers: char-n-gram Jaccard + embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_CHAR_NGRAM_SQL = """
+WITH g AS (
+    SELECT doc_id,
+           list_distinct([substr(t, i, 5)
+                          FOR i IN range(1, greatest(length(t) - 4, 1) + 1)]) AS grams
+    FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+          FROM documents WHERE doc_id % 25 = 0)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))
+             / greatest(len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams)), 1),
+             6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+      / greatest(len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams)), 1) >= 0.2
+"""
+
+
+@register(
+    "char_ngram_jaccard",
+    _CHAR_NGRAM_SQL,
+    "character-5-gram Jaccard near-dup (subsampled all-pairs verify tier)",
+)
+def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs on a 4% id-sample — the exact-verify tier; candidate
+    generation at scale comes from MinHash-LSH (near_dup_pairs)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - 4, F.lit(1))),
+            lambda i: norm.substr(i, F.lit(5)),
+        )
+    )
+    g = docs.select("doc_id", grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.greatest(F.size("ga") + F.size("gb") - inter, F.lit(1))
+    jac = inter / union
+    return pairs.where(jac >= 0.2).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH s AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+              FOR i IN range(1, 65)]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+              FOR i IN range(1, 65)]), (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+              FOR i IN range(1, 65)]), (x, y) -> x + y))), 9) AS cosine_sim
+FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+              FOR i IN range(1, 65)]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+              FOR i IN range(1, 65)]), (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             [CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+              FOR i IN range(1, 65)]), (x, y) -> x + y))), 9) >= 0.1
+"""
+
+
+@register(
+    "embedding_near_dup",
+    _EMB_NEAR_DUP_SQL,
+    "embedding-cosine near-dup: label-blocked pairwise on an id-sample",
+)
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("blk"), S._dvec("embedding").alias("va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("blk"), S._dvec("embedding").alias("vb")
+    )
+    pairs = a.join(b, ["blk"]).where(F.col("id_a") < F.col("id_b"))
+    sim = F.round(S.cosine(F.col("va"), F.col("vb")), 9)
+    return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
+        F.col("cosine_sim") >= 0.1
+    )
