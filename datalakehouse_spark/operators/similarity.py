@@ -134,6 +134,42 @@ def _cosine_pandas(v: pd.Series, q: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane normals in [-1, 1),
+    derived from md5 — reproducible across runs and languages."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"plane{p}_{d}".encode()).digest()
+            row.append((int.from_bytes(h[:4], "big") % 2000) / 1000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_lsh_bucket(
+    vec_col: Column | str, n_planes: int = 8, dim: int = 64
+) -> Column:
+    """Random-hyperplane (SimHash-for-vectors) LSH bucket id in
+    [0, 2^n_planes).
+
+    Vectors whose cosine is high agree on most hyperplane signs, so they
+    collide; at scale, ANN = partition the corpus by bucket (plus a few
+    neighboring probes) and brute-force within buckets. Plane constants
+    are deterministic literals — no fitting step, no state to persist.
+    """
+    v = _dvec(vec_col)
+    planes = _plane_weights(n_planes, dim)
+    bucket = F.lit(0)
+    for p, w in enumerate(planes):
+        wcol = F.array(*[F.lit(x) for x in w])
+        bit = F.when(dot(v, wcol) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
 def pairwise_topk(
     embeddings: DataFrame,
     k: int = 3,

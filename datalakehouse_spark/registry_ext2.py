@@ -339,3 +339,102 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
         F.col("cosine_sim") >= 0.1
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN via random-hyperplane LSH (oracle-matched) + stateful streaming
+# ---------------------------------------------------------------------------
+
+
+def _plane_sql(w: list[float]) -> str:
+    lits = ", ".join(repr(x) for x in w)
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[CAST(e.embedding[i] AS DOUBLE) * ([{lits}])[i] "
+        "FOR i IN range(1, 65)]), (x, y) -> x + y)"
+    )
+
+
+def _ann_lsh_sql() -> str:
+    from datalakehouse_spark.operators.similarity import _plane_weights
+
+    planes = _plane_weights(8, 64)
+    bucket = " + ".join(
+        f"(CASE WHEN {_plane_sql(w)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(planes)
+    )
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) "
+        "FOR i IN range(1, 65)]), (x, y) -> x + y)"
+    )
+    norm_e = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) "
+        "FOR i IN range(1, 65)]), (x, y) -> x + y))"
+    )
+    norm_q = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) "
+        "FOR i IN range(1, 65)]), (x, y) -> x + y))"
+    )
+    return f"""
+WITH b AS (SELECT e.vec_id, e.embedding, {bucket} AS bucket FROM embeddings e),
+qb AS (SELECT bucket AS qbucket, embedding FROM b WHERE vec_id = 0)
+SELECT e.vec_id, round({dot} / ({norm_e} * {norm_q}), 9) AS cosine_sim
+FROM b e CROSS JOIN (SELECT embedding FROM qb) q
+WHERE e.bucket = (SELECT qbucket FROM qb) AND e.vec_id <> 0
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 5
+"""
+
+
+@register(
+    "ann_lsh_search",
+    _ann_lsh_sql(),
+    "ANN: random-hyperplane LSH bucket probe -> exact rank within bucket",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakehouse_spark.operators.similarity import (
+        _dvec,
+        cosine,
+        hyperplane_lsh_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.withColumn("bucket", hyperplane_lsh_bucket("embedding"))
+    qrow = b.where(F.col("vec_id") == 0).select("bucket", "embedding").first()
+    qvec = F.array(*[F.lit(float(x)).cast("double") for x in qrow.embedding])
+    return (
+        b.where((F.col("bucket") == qrow.bucket) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.round(cosine(_dvec("embedding"), qvec), 9).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+@register(
+    "stateful_running_totals",
+    None,  # micro-batch-dependent float accumulation -> rows-only check
+    "applyInPandasWithState per-key running totals (custom stateful op)",
+)
+def q_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from datalakehouse_spark.streaming.jobs import events_stream
+    from datalakehouse_spark.streaming.reliability import running_totals_stateful
+
+    name = "rt_" + uuid.uuid4().hex[:10]
+    q = (
+        running_totals_stateful(events_stream(spark, sf_dir).select("user_id", "value"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -154,6 +154,20 @@ class ManagedTable:
         shutil.rmtree(self.path)
         os.rename(tmp, self.path)
 
+    def vacuum(self) -> list[str]:
+        """M3/M4 analog for the parquet backend: remove orphaned
+        temp/staging directories left by interrupted rewrites. With an
+        Iceberg/Delta catalog this call maps to ``remove_orphan_files``
+        + ``expire_snapshots`` / ``VACUUM`` (cleanup.sql:19-31)."""
+        removed = []
+        parent = os.path.dirname(self.path.rstrip("/"))
+        base = os.path.basename(self.path.rstrip("/"))
+        for entry in os.scandir(parent):
+            if entry.is_dir() and entry.name.startswith(base + ".tmp_"):
+                shutil.rmtree(entry.path)
+                removed.append(entry.path)
+        return removed
+
     def file_count(self) -> int:
         n = 0
         for root, _dirs, files in os.walk(self.path):
