@@ -145,6 +145,24 @@ def asof_join(
     return carried.where(F.col("_side") == 1).select(*out_cols, *picked)
 
 
+def salted_count(df: DataFrame, keys: Sequence[str], n_salts: int = 16) -> DataFrame:
+    """Skew-resistant count: two-stage aggregation through a salt.
+
+    Stage 1 groups on (key, salt) — a hot key's rows spread over
+    ``n_salts`` reducers; stage 2 sums the partials on the key alone.
+    Same result as a plain groupBy().count(); use when one key holds a
+    double-digit percent of the data and AQE skew handling isn't enough
+    (AQE splits skewed *joins*, not aggregations — though partial
+    aggregation already absorbs most agg skew; salting matters for
+    high-cardinality payload aggs like collect_list).
+    """
+    salt = (F.spark_partition_id() % n_salts).alias("_salt")
+    partial = df.select(*keys, salt).groupBy(*keys, "_salt").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return partial.groupBy(*keys).agg(F.sum("_c").alias("n"))
+
+
 def sessionize(
     df: DataFrame, key: str, ts_col: str, gap_minutes: int = 30
 ) -> DataFrame:

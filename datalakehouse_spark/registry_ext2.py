@@ -438,3 +438,103 @@ def q_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Lateral/explode surface, histograms, calendar rollups, array aggregation,
+# salted skew-resistant aggregation
+# ---------------------------------------------------------------------------
+
+_WORDCOUNT_SQL = """
+SELECT t AS token, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t FROM documents)
+GROUP BY t
+ORDER BY n DESC, token ASC
+LIMIT 25
+"""
+
+
+@register("explode_wordcount_topk", _WORDCOUNT_SQL, "explode (lateral view) + count + top-k")
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(25)
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bucket, COUNT(*) AS n
+FROM events GROUP BY event_type, CAST(floor(value / 25.0) AS BIGINT)
+"""
+
+
+@register("value_histogram", _HISTOGRAM_SQL, "fixed-width histogram buckets")
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 25.0).cast("bigint")
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+_MONTHLY_SQL = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       {dsum_duckdb("o_totalprice")} AS revenue
+FROM orders GROUP BY 1, 2
+"""
+
+
+@register("monthly_revenue", _MONTHLY_SQL, "calendar (month) rollup")
+def q_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+_ARRAY_AGG_SQL = """
+SELECT user_id,
+       list_sort(list_distinct(list(event_type))) AS types_seen,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+@register("array_agg_types", _ARRAY_AGG_SQL, "collect_set -> sorted array aggregation")
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types_seen"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+_SALTED_SQL = """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "salted_agg_counts",
+    _SALTED_SQL,
+    "skew-resistant two-stage salted aggregation == plain groupBy result",
+)
+def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakehouse_spark.operators.relational import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, ["event_type"])
