@@ -7,6 +7,14 @@ non-reproducible).  For money-like fixed-point columns the engine sums in
 DECIMAL — exact, associative, order-independent — and converts once at
 the end.  This is also the faithful TPC-H semantic (the spec types these
 columns DECIMAL(15,2)).
+
+Scale choice caveat: the final decimal->double conversions must agree
+across engines. Spark converts via BigDecimal (correctly rounded);
+DuckDB divides double(unscaled_int)/double(10^scale), which
+double-rounds once the unscaled value exceeds 2^53.  Keep
+``sum_magnitude × 10^scale < 2^53`` (scale<=4 for ~1e9-magnitude sums)
+and both paths produce the identical double — verified by a 1-ulp
+sum_charge mismatch at sf0.1 before this constraint.
 """
 
 from __future__ import annotations

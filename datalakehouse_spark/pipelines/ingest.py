@@ -22,6 +22,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datalakehouse_spark.functions.hashing import device_bucket
 from datalakehouse_spark.functions.temporal import local_date
@@ -64,10 +65,29 @@ def dlq_split(raw: DataFrame, schema, json_col: str = "props") -> tuple[DataFram
     parse failure; the NULL branch becomes the DLQ with
     current_timestamp()/current_date() stamping (ST5).
     """
-    parsed = raw.withColumn("_parsed", F.from_json(F.col(json_col), schema))
-    good = parsed.where(F.col("_parsed").isNotNull()).select("*", "_parsed.*").drop("_parsed")
+    # Spark's PERMISSIVE from_json yields an all-null struct (not NULL)
+    # for malformed input, so a bare isNull() test misses bad records;
+    # route parse failures into an explicit corrupt-record column.
+    # copy: StructType.add mutates in place, and callers reuse schemas
+    schema_with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    parsed = raw.withColumn(
+        "_parsed",
+        F.from_json(
+            F.col(json_col),
+            schema_with_corrupt,
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    bad = F.col("_parsed").isNull() | F.col("_parsed._corrupt").isNotNull()
+    good = (
+        parsed.where(~bad)
+        .select("*", "_parsed.*")
+        .drop("_parsed", "_corrupt")
+    )
     dlq = (
-        parsed.where(F.col("_parsed").isNull())
+        parsed.where(bad)
         .drop("_parsed")
         .withColumn("created_at", F.current_timestamp())
         .withColumn("created_day", F.current_date())

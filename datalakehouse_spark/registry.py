@@ -197,8 +197,8 @@ _Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        {dsum_duckdb("l_quantity")} AS sum_qty,
        {dsum_duckdb("l_extendedprice")} AS sum_base_price,
-       {dsum_duckdb("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
-       {dsum_duckdb("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 8)} AS sum_charge,
+       {dsum_duckdb("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+       {dsum_duckdb("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
        {davg_duckdb("l_quantity")} AS avg_qty,
        {davg_duckdb("l_extendedprice")} AS avg_price,
        {davg_duckdb("l_discount", 4)} AS avg_disc,
@@ -220,8 +220,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price, 6).alias("sum_disc_price"),
-            dsum(charge, 8).alias("sum_charge"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount", 4).alias("avg_disc"),

@@ -109,21 +109,16 @@ def run_ingest_to_table(
     ev = events_stream(spark, sf_dir)
 
     def sink(batch: DataFrame, epoch_id: int) -> None:
-        parsed = batch.withColumn("_p", F.from_json("props", PROPS_SCHEMA))
-        good = parsed.where(F.col("_p").isNotNull()).drop("_p")
+        from datalakehouse_spark.pipelines.ingest import dlq_split
+
+        good, dlq = dlq_split(batch, PROPS_SCHEMA, json_col="props")
+        good = good.drop("k")  # parsed props field not part of the fact shape
         normalize_events(good).withColumn("ingest_epoch", F.lit(epoch_id)).write.mode(
             "append"
         ).partitionBy("received_day").parquet(out_path)
         if dlq_path:
             # DLQ: raw payload verbatim + processing-time stamps (ST4/ST5)
-            (
-                parsed.where(F.col("_p").isNull())
-                .drop("_p")
-                .withColumn("created_at", F.current_timestamp())
-                .withColumn("created_day", F.current_date())
-                .write.mode("append")
-                .parquet(dlq_path)
-            )
+            dlq.write.mode("append").parquet(dlq_path)
 
     q = (
         ev.writeStream.foreachBatch(sink)
