@@ -106,6 +106,10 @@ def minhash_signatures_df(
     (doc, shingle) with map-side MIN combining, so network bytes are
     n_docs × K longs regardless of document length.
     """
+    # small corpora arrive as one parquet file = one partition; spread
+    # the shingle construction across cores (no-op cost at real scale
+    # where the scan already has many splits)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     exploded = df.select(
         F.col(id_col), F.explode(word_shingles(text_col)).alias("_shingle")
     ).withColumn("_h", md5_hash60("_shingle") % F.lit(MERSENNE_P))
@@ -175,7 +179,9 @@ def jaccard_pairs(
     k: int = 3,
 ) -> DataFrame:
     """Exact k-shingle Jaccard for candidate pairs (verify stage)."""
-    sh = df.select(F.col(id_col), word_shingles(text_col, k).alias("sh"))
+    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col), word_shingles(text_col, k).alias("sh")
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -209,6 +215,7 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     columns (all codegen'd, map-side partials) -> recombine bits. Same
     two-stage plan at any scale; the shuffle carries 32 longs per doc.
     """
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     tok = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("_t")
     ).withColumn("_h32", md5_hash60("_t") % F.lit(1 << 32))

@@ -274,7 +274,11 @@ WHERE len(list_intersect(a.grams, b.grams)) * 1.0
 def q_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs on a 4% id-sample — the exact-verify tier; candidate
     generation at scale comes from MinHash-LSH (near_dup_pairs)."""
-    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 25 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
     grams = F.array_distinct(
         F.transform(
@@ -568,3 +572,99 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     scale, q = quantize_int8("embedding")
     return emb.select("vec_id", F.round(scale, 9).alias("scale"), q.alias("q"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic statistics: exact percentiles, exact-sum stddev, z-score
+# feature normalization (ML data-prep surface)
+# ---------------------------------------------------------------------------
+
+_MEDIAN_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 9) AS p50,
+       round(quantile_cont(value, 0.9), 9) AS p90,
+       round(quantile_cont(value, 0.99), 9) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@register("exact_percentiles", _MEDIAN_SQL, "exact interpolated percentiles per group")
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 9).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 9).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 9).alias("p99"),
+    )
+
+
+# Deterministic stddev: value has 2 decimals -> value^2 has exactly 4;
+# sum both in DECIMAL (exact, order-free), then one double formula.
+# Same construction on both engines => bit-identical statistics.
+_STATS_SQL = """
+WITH s AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sx2
+    FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round(sx / n, 9) AS mean,
+       round(sqrt((sx2 - sx * sx / n) / (n - 1)), 9) AS stddev
+FROM s
+"""
+
+
+@register("value_stats_exact", _STATS_SQL, "order-independent mean/stddev via exact sums")
+def q_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,4)")).cast("double").alias("sx2"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 9).alias("mean"),
+        F.round(
+            F.sqrt((F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)),
+            9,
+        ).alias("stddev"),
+    )
+
+
+_ZSCORE_SQL = """
+WITH s AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(value * value AS DECIMAL(18,4))) AS DOUBLE) AS sx2
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id,
+       round((e.value - s.sx / s.n)
+             / sqrt((s.sx2 - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS z
+FROM events e JOIN s ON e.event_type = s.event_type
+"""
+
+
+@register(
+    "zscore_normalize",
+    _ZSCORE_SQL,
+    "per-group z-score feature normalization (broadcast group stats)",
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,4)")).cast("double").alias("sx2"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt((F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+    return (
+        ev.join(F.broadcast(s), ev.event_type == s.et)
+        .select("event_id", F.round((F.col("value") - mean) / std, 6).alias("z"))
+    )
