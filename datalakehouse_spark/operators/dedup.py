@@ -106,6 +106,9 @@ def minhash_signatures_df(
     (doc, shingle) with map-side MIN combining, so network bytes are
     n_docs × K longs regardless of document length.
     """
+    # null-text docs carry no signal for dedup — drop instead of
+    # emitting NULL signatures that would bucket together
+    df = df.where(F.col(text_col).isNotNull())
     # small corpora arrive as one parquet file = one partition; spread
     # the shingle construction across cores (no-op cost at real scale
     # where the scan already has many splits)
@@ -215,6 +218,7 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     columns (all codegen'd, map-side partials) -> recombine bits. Same
     two-stage plan at any scale; the shuffle carries 32 longs per doc.
     """
+    df = df.where(F.col(text_col).isNotNull())
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     tok = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("_t")

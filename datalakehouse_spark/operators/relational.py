@@ -145,6 +145,45 @@ def asof_join(
     return carried.where(F.col("_side") == 1).select(*out_cols, *picked)
 
 
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    ts_col: str,
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 without MERGE (catalog-free):
+
+    1. close out current rows whose key appears in the updates
+       (set valid_to = new row's ts, is_current = false);
+    2. append the update rows as new current versions.
+
+    Emulation via broadcast semi/anti joins + union — the guide's
+    documented pattern when MERGE INTO isn't available; with Delta or
+    Iceberg this compiles to one MERGE statement.  ``updates`` must hold
+    one row per key (pre-deduplicate with latest_per_key otherwise).
+    """
+    upd_keys = updates.select(F.col(key), F.col(ts_col).alias("_new_ts"))
+    closed = (
+        dim.join(F.broadcast(upd_keys), on=key, how="inner")
+        .where(F.col(current_col))
+        .withColumn(end_col, F.col("_new_ts"))
+        .withColumn(current_col, F.lit(False))
+        .drop("_new_ts")
+    )
+    untouched_current = dim.join(
+        F.broadcast(upd_keys.select(key)), on=key, how="left_anti"
+    ).where(F.col(current_col))
+    history = dim.where(~F.col(current_col))
+    fresh = (
+        updates.withColumn(end_col, F.lit(None).cast(dim.schema[end_col].dataType))
+        .withColumn(current_col, F.lit(True))
+        .select(*dim.columns)
+    )
+    return history.unionByName(closed).unionByName(untouched_current).unionByName(fresh)
+
+
 def salted_count(df: DataFrame, keys: Sequence[str], n_salts: int = 16) -> DataFrame:
     """Skew-resistant count: two-stage aggregation through a salt.
 
