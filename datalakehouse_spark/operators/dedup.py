@@ -131,6 +131,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_perm: int = N_PERM_DEFAULT,
     band_size: int = BAND_SIZE_DEFAULT,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands.
 
@@ -159,6 +160,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        # degenerate-bucket guard: boilerplate-heavy corpora put huge
+        # fractions of docs into one band bucket, turning the self-join
+        # quadratic. Capping drops those buckets (their members still
+        # pair up through their other, more selective bands).
+        sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bs"))
+        bands = (
+            bands.join(sizes, ["band", "key"])
+            .where(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
     left = bands.alias("l")
     right = bands.alias("r")
     pairs = (
