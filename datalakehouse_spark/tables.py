@@ -44,15 +44,22 @@ class ManagedTable:
         path: str,
         partition_by: Sequence[str] = (),
         cluster_by: Sequence[str] = (),
+        bloom_filter_cols: Sequence[str] = (),
     ) -> None:
         """``cluster_by``: write-time sort order within each file — the
         reference's ``'write.order-by' = 'device_id, gps_epoch'``
         (create.sql:56; O4/X6). Sorted files give min/max row-group
-        skipping on those columns at read time."""
+        skipping on those columns at read time.
+
+        ``bloom_filter_cols``: parquet bloom filters for point lookups
+        on high-cardinality columns — the reference enables them on
+        device_id / gps_epoch / correlation_id with a 256 KiB cap
+        (create.sql:60-63; X4)."""
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by)
         self.cluster_by = list(cluster_by)
+        self.bloom_filter_cols = list(bloom_filter_cols)
         # partition-scoped overwrite: INSERT OVERWRITE replaces only the
         # partitions present in the written data
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -74,6 +81,10 @@ class ManagedTable:
         if self.cluster_by:
             df = df.sortWithinPartitions(*self.cluster_by)
         w = df.write.mode(mode)
+        for col in self.bloom_filter_cols:
+            w = w.option(f"parquet.bloom.filter.enabled#{col}", "true").option(
+                f"parquet.bloom.filter.max.bytes#{col}", str(262144)
+            )
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         return w

@@ -106,3 +106,36 @@ def test_clustered_write_orders_within_files(spark, tmp_path):
             if f.endswith(".parquet"):
                 col = pq.read_table(os.path.join(root, f)).column("device_id").to_pylist()
                 assert col == sorted(col)
+
+
+def test_bloom_filters_written(spark, tmp_path):
+    """X4: parquet bloom filters land in the file footers for the
+    configured point-lookup columns."""
+    t = ManagedTable(
+        spark,
+        str(tmp_path / "bf"),
+        cluster_by=["device_id"],
+        bloom_filter_cols=["device_id"],
+    )
+    import os
+
+    def total_bytes(table):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _d, files in os.walk(table.path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    # this pyarrow build doesn't expose bloom offsets; observe the
+    # filters through the footprint instead: same rows with blooms
+    # enabled must be strictly larger than without (needs enough
+    # distinct values for a non-trivial filter)
+    rows = spark.range(50000).selectExpr(
+        "cast(id as string) as device_id", "id as v"
+    ).coalesce(1)
+    t.create(rows)
+    plain = ManagedTable(spark, str(tmp_path / "plain"), cluster_by=["device_id"])
+    plain.create(rows)
+    assert total_bytes(t) > total_bytes(plain) * 1.2, "bloom filters not written"
+    assert t.read().count() == plain.read().count()
