@@ -60,7 +60,10 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "datalakehouse_spark_pkg.zip")
+    # pid-suffixed: concurrent test/driver processes must not race on one file
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"datalakehouse_spark_pkg_{os.getpid()}.zip"
+    )
     with zipfile.ZipFile(zpath, "w") as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for f in files:

@@ -255,8 +255,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp_ntz")
     )
+    # broadcast only the true dimension (customer); the orders side grows
+    # with the fact table, so its join strategy is left to AQE — broadcast
+    # at test scale, sort-merge at 100 TB
     joined = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)),
+        orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(

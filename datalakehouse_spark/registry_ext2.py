@@ -668,3 +668,62 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(s), ev.event_type == s.et)
         .select("event_id", F.round((F.col("value") - mean) / std, 6).alias("z"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive predicate pushdown (Q19 shape) + min-per-group join-back (Q2)
+# ---------------------------------------------------------------------------
+
+_DISJUNCTIVE_SQL = f"""
+SELECT COUNT(*) AS n, {dsum_duckdb("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+"""
+
+
+@register("disjunctive_predicates", _DISJUNCTIVE_SQL, "TPC-H Q19 shape: OR-of-ANDs join filter")
+def q_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 30))
+    )
+    return j.where(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
+
+
+_MIN_JOINBACK_SQL = """
+WITH mn AS (
+    SELECT l_partkey AS pk, MIN(l_extendedprice) AS min_price
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, l_suppkey, l_extendedprice AS min_price_row
+FROM lineitem JOIN mn ON l_partkey = mn.pk AND l_extendedprice = mn.min_price
+"""
+
+
+@register(
+    "min_per_group_joinback",
+    _MIN_JOINBACK_SQL,
+    "TPC-H Q2 shape: per-group MIN joined back to recover the full row",
+)
+def q_min_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    mn = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        li.join(
+            mn,
+            (F.col("l_partkey") == F.col("pk"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select("l_partkey", "l_suppkey", F.col("l_extendedprice").alias("min_price_row"))
+    )
