@@ -727,3 +727,40 @@ def q_min_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", "l_suppkey", F.col("l_extendedprice").alias("min_price_row"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Risk-table serving endpoint (main.py:311-374: the second REST endpoint)
+# ---------------------------------------------------------------------------
+
+_RISK_PAGE_SQL = None  # assembled below from the risk CTE
+
+
+def _risk_page_sql() -> str:
+    from datalakehouse_spark.pipelines.risk_score import risk_score_daily_oracle_sql
+
+    return f"""
+WITH risk AS ({risk_score_daily_oracle_sql()})
+SELECT device_id, report_date, score, level, total_reports
+FROM risk
+WHERE device_id = '7'
+ORDER BY device_id ASC, report_date DESC
+LIMIT 10
+"""
+
+
+@register(
+    "risk_serving_page",
+    _risk_page_sql(),
+    "GET /risk_score_daily page: filter + sort + limit over the risk table",
+)
+def q_risk_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakehouse_spark.pipelines.risk_score import risk_score_daily
+
+    risk = risk_score_daily(load_table(spark, sf_dir, "events"))
+    return (
+        risk.where(F.col("device_id") == "7")
+        .orderBy(F.col("device_id").asc(), F.col("report_date").desc())
+        .select("device_id", "report_date", "score", "level", "total_reports")
+        .limit(10)
+    )

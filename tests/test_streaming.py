@@ -89,3 +89,23 @@ def test_session_window_stream_runs(spark):
     rows = spark.sql("SELECT * FROM sesswin").collect()
     assert len(rows) > 0
     assert all(r.n_events > 0 for r in rows)
+
+
+def test_streaming_risk_upsert_matches_batch(spark, tmp_path):
+    """The streaming keyed-upsert sink converges to the batch pipeline's
+    table state (Flink PK-upsert parity, SURVEY §4 (c))."""
+    from datalakehouse_spark.io import load_table
+    from datalakehouse_spark.pipelines.risk_score import risk_score_daily
+    from datalakehouse_spark.streaming.jobs import run_streaming_risk_upsert
+
+    def norm(rows):
+        return sorted(sorted(r.asDict().items()) for r in rows)
+
+    path, ckpt = str(tmp_path / "risk"), str(tmp_path / "ckpt")
+    run_streaming_risk_upsert(spark, SF, path, ckpt)
+    got = norm(spark.read.parquet(path).collect())
+    want = norm(risk_score_daily(load_table(spark, SF, "events")).collect())
+    assert got == want
+    # replay with same checkpoint: no input -> state unchanged (idempotent)
+    run_streaming_risk_upsert(spark, SF, path, ckpt)
+    assert norm(spark.read.parquet(path).collect()) == want
