@@ -822,3 +822,73 @@ def q_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap filling (sequence explode + zero-fill) and UNPIVOT
+# ---------------------------------------------------------------------------
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+    SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+    FROM events WHERE user_id < 5 GROUP BY user_id
+),
+calendar AS (
+    SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+    FROM bounds
+),
+daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+    FROM events WHERE user_id < 5 GROUP BY 1, 2
+)
+SELECT c.user_id, c.day, COALESCE(d.n, 0) AS n_events
+FROM calendar c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+"""
+
+
+@register(
+    "gapfill_daily_counts",
+    _GAPFILL_SQL,
+    "time-series gap fill: per-key calendar spine (sequence+explode) left-joined to facts",
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    bounds = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    calendar = bounds.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        calendar.join(daily, ["user_id", "day"], "left")
+        .select("user_id", "day", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )
+
+
+_UNPIVOT_SQL = """
+WITH p AS (
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1
+)
+SELECT day, 'click' AS metric, click AS n FROM p
+UNION ALL
+SELECT day, 'view' AS metric, view AS n FROM p
+"""
+
+
+@register("unpivot_daily", _UNPIVOT_SQL, "UNPIVOT (wide -> long) via the melt API")
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "view"])
+        .agg(F.count(F.lit(1)))
+        .select("day", F.coalesce("click", F.lit(0)).alias("click"),
+                F.coalesce("view", F.lit(0)).alias("view"))
+    )
+    return wide.unpivot("day", ["click", "view"], "metric", "n")

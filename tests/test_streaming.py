@@ -109,3 +109,67 @@ def test_streaming_risk_upsert_matches_batch(spark, tmp_path):
     # replay with same checkpoint: no input -> state unchanged (idempotent)
     run_streaming_risk_upsert(spark, SF, path, ckpt)
     assert norm(spark.read.parquet(path).collect()) == want
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST7 semantics check: rows later than the watermark bound are
+    excluded from already-finalized append-mode windows."""
+    import os
+    from pyspark.sql import functions as F
+    from datalakehouse_spark.streaming.jobs import EVENTS_WIRE_SCHEMA
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    base = 1_704_067_200_000_000_000  # 2024-01-01T00:00Z in ns
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, EVENTS_WIRE_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+
+    # Watermark guarantee being tested: once a window is FINALIZED and
+    # emitted (append mode), later-arriving rows for it are discarded —
+    # not the stronger "all late rows drop", which Spark explicitly does
+    # not promise while state is still live.
+    # batch 1: hour-0 and hour-6 events -> watermark advances to 5h
+    write_batch("b1", [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + 6 * 3600 * 10**9, 1, "click", 1.0, "{}"),
+    ])
+    # batch 2: on-time row; end of this batch emits the hour-0 window
+    write_batch("b2", [
+        (4, base + 6 * 3600 * 10**9 + 1800 * 10**9, 1, "click", 1.0, "{}"),
+    ])
+    # batch 3: a row for hour 0 arriving AFTER that window was emitted
+    write_batch("b3", [
+        (3, base + 60 * 10**9, 1, "click", 1.0, "{}"),
+        (5, base + 7 * 3600 * 10**9, 1, "click", 1.0, "{}"),
+    ])
+
+    stream = (
+        spark.readStream.schema(EVENTS_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*/")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("latewin")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM latewin").collect()
+    hour0 = [r for r in rows if r.start.hour == 0]
+    # exactly one emission for hour 0, with only the on-time row — the
+    # post-finalization late row (event_id=3) was discarded, and no
+    # duplicate/updated window appeared in the append output
+    assert len(hour0) == 1 and hour0[0].n == 1
