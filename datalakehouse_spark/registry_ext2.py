@@ -892,3 +892,47 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("view", F.lit(0)).alias("view"))
     )
     return wide.unpivot("day", ["click", "view"], "metric", "n")
+
+
+_HEATMAP_SQL = """
+SELECT isodow(ts) - 1 AS weekday, EXTRACT(hour FROM ts) AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("hourly_heatmap", _HEATMAP_SQL, "weekday x hour activity heatmap (calendar funcs)")
+def q_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Spark weekday(): 0=Monday == DuckDB isodow-1
+    return ev.groupBy(
+        F.weekday("ts").cast("bigint").alias("weekday"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+
+
+_NULL_AGG_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(NULLIF(value, 0.0)) AS n_nonzero,
+       CAST(COALESCE(SUM(CAST(NULLIF(value, 0.0) AS DECIMAL(18,2))), 0) AS DOUBLE)
+           AS sum_nonzero,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+FROM events GROUP BY event_type
+"""
+
+
+@register("null_semantics_agg", _NULL_AGG_SQL, "NULL-skipping aggregate semantics (NULLIF/COALESCE)")
+def q_null_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    nz = F.nullif(F.col("value"), F.lit(0.0))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nz).alias("n_nonzero"),
+        F.coalesce(F.sum(nz.cast("decimal(18,2)")), F.lit(0)).cast("double").alias("sum_nonzero"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
