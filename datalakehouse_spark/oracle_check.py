@@ -60,10 +60,93 @@ class CompareResult:
     oracle_rows: int
     detail: str = ""
     mismatches: list = field(default_factory=list)
+    #: driver-faithful pandas canonicalization check (dtype kinds + sorted
+    #: stringified values).  None = not run (e.g. schema mismatch short-circuit).
+    pandas_match: bool | None = None
 
     @property
     def ok(self) -> bool:
-        return self.row_match and self.schema_match and self.value_match
+        return (
+            self.row_match
+            and self.schema_match
+            and self.value_match
+            and self.pandas_match is not False
+        )
+
+
+def _pandas_canon(df):
+    """Mimic the driver's canonicalization: sorted columns, sorted rows.
+
+    Raises (like the driver) on unhashable cells such as list-valued
+    columns — array outputs must be restructured to scalars.
+    """
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def _norm_pd_col(col):
+    """Normalize engine-specific pandas materializations that the driver's
+    hash treats as equal: Spark hands back DATE as object-of-``dt.date``
+    while DuckDB hands back datetime64; both engines may surface DECIMAL
+    as object-of-``Decimal``.  Logical dtype divergence (int vs float —
+    the HUGEINT class) is deliberately NOT normalized."""
+    import decimal
+
+    import pandas as pd
+
+    if col.dtype.kind == "M":
+        return col.astype("datetime64[ns]")
+    if col.dtype.kind == "O":
+        sample = col.dropna()
+        if len(sample):
+            v = sample.iloc[0]
+            if isinstance(v, (dt.date, dt.datetime)) and not isinstance(v, dt.datetime):
+                return pd.to_datetime(col)
+            if isinstance(v, dt.datetime):
+                return pd.to_datetime(col).astype("datetime64[ns]")
+            if isinstance(v, decimal.Decimal):
+                # render with repr of float for cross-engine string parity
+                return col.map(lambda x: float(x) if x is not None else None).astype("float64")
+    return col
+
+
+def _pandas_compare(spark_pd, oracle_pd) -> tuple[bool, str]:
+    """Driver-faithful comparison of the two pandas frames.
+
+    The driver materializes DuckDB results via ``.df()`` and Spark results
+    via Arrow; dtype divergence (e.g. DuckDB HUGEINT -> float64 vs Spark
+    int64) changes the hashed values even when the logical values agree.
+    We therefore compare per-column dtype *kind* and the stringified
+    canonical cells, which is at least as strict as the driver's hash.
+    """
+    try:
+        # canon FIRST on the raw frames — the driver sorts before any
+        # normalization, so an unsortable column (list cells) must crash
+        # here exactly like it crashes the driver.
+        s = _pandas_canon(spark_pd)
+        o = _pandas_canon(oracle_pd)
+    except TypeError as e:  # unhashable cell (list/array column)
+        return False, f"canonicalization crash (driver would err): {e}"
+    if list(s.columns) != list(o.columns):
+        return False, f"pandas columns {list(s.columns)} != {list(o.columns)}"
+    s = s.apply(_norm_pd_col)
+    o = o.apply(_norm_pd_col)
+    for c in s.columns:
+        sk, ok_ = s[c].dtype.kind, o[c].dtype.kind
+        # treat int/uint as one kind; everything else must agree exactly
+        norm = lambda k: "i" if k in "iu" else k
+        if norm(sk) != norm(ok_):
+            return False, f"dtype kind mismatch on '{c}': spark={s[c].dtype} oracle={o[c].dtype}"
+    s_str = s.astype(str).to_numpy().tolist()
+    o_str = o.astype(str).to_numpy().tolist()
+    if s_str != o_str:
+        bad = next(
+            (i for i, (a, b) in enumerate(zip(s_str, o_str)) if a != b), None
+        )
+        return False, f"pandas value mismatch at canon row {bad}"
+    return True, ""
 
 
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -78,12 +161,14 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def compare_query(spark, sf_dir: str, name: str, fn, sql: str) -> CompareResult:
     sdf = fn(spark, sf_dir)
     spark_cols = list(sdf.columns)
-    spark_rows = sdf.collect()
+    spark_pd = sdf.toPandas()  # driver-faithful materialization (dtype check)
+    spark_rows = [tuple(r) for r in sdf.collect()]
 
     con = duckdb_connection(sf_dir)
     cur = con.execute(sql)
     oracle_cols = [d[0] for d in cur.description]
     oracle_rows = cur.fetchall()
+    oracle_pd = con.execute(sql).df()
     con.close()
 
     res = CompareResult(
@@ -97,7 +182,7 @@ def compare_query(spark, sf_dir: str, name: str, fn, sql: str) -> CompareResult:
     if not res.schema_match:
         res.detail = f"columns spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
         return res
-    s_norm = _norm_rows(spark_cols, [tuple(r) for r in spark_rows])
+    s_norm = _norm_rows(spark_cols, spark_rows)
     o_norm = _norm_rows(oracle_cols, oracle_rows)
     res.value_match = s_norm == o_norm
     if not res.value_match:
@@ -105,6 +190,9 @@ def compare_query(spark, sf_dir: str, name: str, fn, sql: str) -> CompareResult:
         diff_o = [r for r in o_norm if r not in set(s_norm)][:5]
         res.mismatches = [("spark_only", diff_s), ("oracle_only", diff_o)]
         res.detail = f"first spark-only={diff_s} oracle-only={diff_o}"
+    res.pandas_match, pd_detail = _pandas_compare(spark_pd, oracle_pd)
+    if not res.pandas_match and pd_detail:
+        res.detail = (res.detail + "; " if res.detail else "") + pd_detail
     return res
 
 

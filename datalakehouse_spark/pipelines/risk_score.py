@@ -113,8 +113,8 @@ WITH base AS (
 ), agg AS (
     SELECT device_id, report_date,
            COUNT(*) AS total_reports,
-           SUM(CASE WHEN speed_kmh > {overspeed_kmh} THEN 1 ELSE 0 END) AS overspeed_reports,
-           SUM(CASE WHEN local_hour >= {NIGHT_START} OR local_hour < {NIGHT_END} THEN 1 ELSE 0 END) AS night_reports
+           CAST(SUM(CASE WHEN speed_kmh > {overspeed_kmh} THEN 1 ELSE 0 END) AS BIGINT) AS overspeed_reports,
+           CAST(SUM(CASE WHEN local_hour >= {NIGHT_START} OR local_hour < {NIGHT_END} THEN 1 ELSE 0 END) AS BIGINT) AS night_reports
     FROM base GROUP BY device_id, report_date
 ), scored AS (
     SELECT *,

@@ -60,9 +60,6 @@ class ManagedTable:
         self.partition_by = list(partition_by)
         self.cluster_by = list(cluster_by)
         self.bloom_filter_cols = list(bloom_filter_cols)
-        # partition-scoped overwrite: INSERT OVERWRITE replaces only the
-        # partitions present in the written data
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # -- read ---------------------------------------------------------------
 
@@ -79,8 +76,17 @@ class ManagedTable:
 
     def _writer(self, df: DataFrame, mode: str):
         if self.cluster_by:
-            df = df.sortWithinPartitions(*self.cluster_by)
+            # prefix with the partition columns: FileFormatWriter inserts
+            # its own (non-stable) sort on partition columns when the
+            # incoming order doesn't start with them, which would destroy
+            # the cluster_by order inside each written file.
+            df = df.sortWithinPartitions(*self.partition_by, *self.cluster_by)
         w = df.write.mode(mode)
+        # partition-scoped overwrite: INSERT OVERWRITE replaces only the
+        # partitions present in the written data.  Set per-write so the
+        # shared session's overwrite semantics are never mutated.
+        if mode == "overwrite":
+            w = w.option("partitionOverwriteMode", "dynamic")
         for col in self.bloom_filter_cols:
             w = w.option(f"parquet.bloom.filter.enabled#{col}", "true").option(
                 f"parquet.bloom.filter.max.bytes#{col}", str(262144)
@@ -121,35 +127,50 @@ class ManagedTable:
 
     def delete_where(self, predicate) -> None:
         """Retention DELETE (M1): rewrite only partitions containing
-        matching rows, keeping the non-matching remainder."""
+        matching rows, keeping the non-matching remainder.
+
+        SQL DELETE semantics: only rows where the predicate is TRUE are
+        deleted — rows where it evaluates NULL are KEPT (Spark's
+        ``where(~pred)`` would silently drop them, so the remainder
+        keeps rows where ``NOT coalesce(pred, false)``).
+        """
         if not self.exists:
             return
         target = self.read()
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        pred_true = F.coalesce(pred, F.lit(False))
         if self.partition_by:
-            touched = target.where(pred).select(*self.partition_by).distinct()
+            touched = target.where(pred_true).select(*self.partition_by).distinct()
             scoped = target.join(F.broadcast(touched), self.partition_by, "left_semi")
-            remainder = scoped.where(~pred)
+            remainder = scoped.where(~pred_true)
+            # Collect the partition bookkeeping BEFORE the overwrite: both
+            # DataFrames hold the pre-write file listing, and any job run
+            # on them after dynamic overwrite has replaced those files
+            # fails with FILE_NOT_EXIST.  Both collects are
+            # small-by-construction (distinct partition tuples only).
+            touched_rows = [tuple(r) for r in touched.collect()]
+            surviving = {
+                tuple(r)
+                for r in remainder.select(*self.partition_by).distinct().collect()
+            }
+            self._writer(remainder, "overwrite").parquet(self.path)
             # dynamic overwrite replaces only touched partitions; if a
             # partition empties entirely, drop its directory explicitly
-            self._writer(remainder, "overwrite").parquet(self.path)
-            self._drop_empty_partitions(touched, remainder)
+            for vals in touched_rows:
+                if vals in surviving:
+                    continue
+                sub = "/".join(
+                    f"{k}={v}" for k, v in zip(self.partition_by, vals)
+                )
+                p = os.path.join(self.path, sub)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
         else:
-            remainder = target.where(~pred)
+            remainder = target.where(~pred_true)
             tmp = self.path + ".tmp_delete"
             remainder.write.mode("overwrite").parquet(tmp)
             shutil.rmtree(self.path)
             os.rename(tmp, self.path)
-
-    def _drop_empty_partitions(self, touched: DataFrame, remainder: DataFrame) -> None:
-        gone = touched.join(
-            remainder.select(*self.partition_by).distinct(), self.partition_by, "left_anti"
-        ).collect()
-        for row in gone:
-            sub = "/".join(f"{k}={row[k]}" for k in self.partition_by)
-            p = os.path.join(self.path, sub)
-            if os.path.exists(p):
-                shutil.rmtree(p)
 
     def compact(self, target_partitions: int = 1) -> None:
         """Small-file compaction (M2): rewrite each table partition's
@@ -158,10 +179,10 @@ class ManagedTable:
         (256 MiB fact / 128 MiB raw per create.sql:54,160)."""
         df = self.read().coalesce(target_partitions)
         tmp = self.path + ".tmp_compact"
-        w = df.write.mode("overwrite")
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
-        w.parquet(tmp)
+        # route through _writer so compaction preserves the cluster_by
+        # sort order and parquet bloom-filter options — the reference's
+        # rewrite_data_files keeps 'write.order-by' and bloom settings.
+        self._writer(df, "overwrite").parquet(tmp)
         shutil.rmtree(self.path)
         os.rename(tmp, self.path)
 

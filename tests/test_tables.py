@@ -77,6 +77,78 @@ def test_delete_untouched_partitions_not_rewritten(spark, table):
         assert os.path.exists(f), "untouched partition was rewritten"
 
 
+def test_delete_row_level_predicate_partial_partition(spark, table):
+    """Row-level (non-partition-aligned) predicate: the touched
+    partition is partially rewritten — the post-write bookkeeping must
+    not re-run jobs on pre-write file listings (FILE_NOT_EXIST)."""
+    table.delete_where(
+        (F.col("report_date") == dt.date(2024, 1, 2)) & (F.col("device_id") == "dev1")
+    )
+    out = table.read()
+    assert out.count() == 8
+    day2 = out.where(F.col("report_date") == dt.date(2024, 1, 2))
+    assert sorted(r.device_id for r in day2.collect()) == ["dev0", "dev2"]
+
+
+def test_delete_row_level_predicate_empties_partition(spark, table):
+    """Row-level predicate that deletes an entire partition's rows must
+    also drop the now-empty partition directory."""
+    table.delete_where(
+        (F.col("report_date") == dt.date(2024, 1, 2)) & (F.col("score") >= 0.0)
+    )
+    out = table.read()
+    assert out.count() == 6
+    assert dt.date(2024, 1, 2) not in {r[0] for r in out.select("report_date").collect()}
+
+
+def test_delete_null_predicate_rows_kept(spark, tmp_path):
+    """SQL DELETE semantics: predicate-NULL rows are kept, not deleted."""
+    t = ManagedTable(spark, str(tmp_path / "nullpred"), partition_by=["report_date"])
+    df = _risk_rows(spark, days=[1]).withColumn(
+        "score", F.when(F.col("device_id") == "dev1", None).otherwise(F.col("score"))
+    )
+    t.create(df)
+    t.delete_where(F.col("score") < 100.0)  # NULL for dev1 -> keep
+    assert [r.device_id for r in t.read().collect()] == ["dev1"]
+
+    # unpartitioned branch, same semantics
+    t2 = ManagedTable(spark, str(tmp_path / "nullpred2"))
+    t2.create(df)
+    t2.delete_where(F.col("score") < 100.0)
+    assert [r.device_id for r in t2.read().collect()] == ["dev1"]
+
+
+def test_session_overwrite_mode_not_mutated(spark, tmp_path):
+    """Constructing/writing a ManagedTable must not flip the shared
+    session's partitionOverwriteMode (hidden side effect)."""
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    t = ManagedTable(spark, str(tmp_path / "conf"), partition_by=["report_date"])
+    t.create(_risk_rows(spark, days=[1, 2]))
+    t.merge_upsert(_risk_rows(spark, days=[2], score=5.0), keys=["device_id", "report_date"])
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC") == before
+
+
+def test_compact_preserves_clustering_and_blooms(spark, tmp_path):
+    """M2: compaction must keep cluster_by sort order (min/max skipping)
+    rather than silently discarding the table's write options."""
+    t = ManagedTable(
+        spark, str(tmp_path / "ck"), partition_by=["report_date"], cluster_by=["device_id"]
+    )
+    t.create(_risk_rows(spark, days=[1]))
+    for _ in range(3):
+        t.append(_risk_rows(spark, days=[1]))
+    t.compact()
+    import os
+
+    import pyarrow.parquet as pq
+
+    for root, _d, files in os.walk(t.path):
+        for f in files:
+            if f.endswith(".parquet"):
+                col = pq.read_table(os.path.join(root, f)).column("device_id").to_pylist()
+                assert col == sorted(col), "cluster_by ordering lost in compaction"
+
+
 def test_compact_reduces_files(spark, table):
     for _ in range(3):
         table.append(_risk_rows(spark, days=[1]))
