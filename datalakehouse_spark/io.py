@@ -88,7 +88,20 @@ def _ensure_session_contract(spark: SparkSession) -> None:
     _ship_package(spark)
 
 
+#: (session id, sf_dir, table) -> DataFrame.  DataFrames are immutable
+#: lazy plans, so memoizing them is safe; it skips the repeated parquet
+#: footer/schema read when a registry sweep loads the same fixture for
+#: every query (meaningful when a time-budgeted driver runs 70+ queries).
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # applicationId (not id(spark)): a recycled object address must not
+    # hand a DataFrame bound to a stopped session to a fresh one
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     _ensure_session_contract(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -97,6 +110,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -42,6 +42,23 @@ N_PERM_DEFAULT = 12
 BAND_SIZE_DEFAULT = 3  # 12 perms / 3 => 4 bands; jaccard ~0.5+ collides
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small scan across cores WITHOUT forcing a full shuffle
+    at scale.
+
+    A one-file fixture corpus arrives as a single partition, serializing
+    the shingle/token construction; an unconditional
+    ``repartition(defaultParallelism)`` fixes that but inserts a full
+    corpus shuffle even when a 100 TB scan already has thousands of
+    natural splits.  Repartition ONLY when the current partitioning is
+    narrower than the cluster parallelism — at real scale this is the
+    identity and the scan's own splits are used."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def normalize_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
@@ -108,11 +125,7 @@ def minhash_signatures_df(
     """
     # null-text docs carry no signal for dedup — drop instead of
     # emitting NULL signatures that would bucket together
-    df = df.where(F.col(text_col).isNotNull())
-    # small corpora arrive as one parquet file = one partition; spread
-    # the shingle construction across cores (no-op cost at real scale
-    # where the scan already has many splits)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _spread(df.where(F.col(text_col).isNotNull()))
     exploded = df.select(
         F.col(id_col), F.explode(word_shingles(text_col)).alias("_shingle")
     ).withColumn("_h", md5_hash60("_shingle") % F.lit(MERSENNE_P))
@@ -194,9 +207,7 @@ def jaccard_pairs(
     k: int = 3,
 ) -> DataFrame:
     """Exact k-shingle Jaccard for candidate pairs (verify stage)."""
-    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
-        F.col(id_col), word_shingles(text_col, k).alias("sh")
-    )
+    sh = _spread(df).select(F.col(id_col), word_shingles(text_col, k).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -214,9 +225,16 @@ def near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.6,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates -> verify -> filter."""
-    cands = lsh_candidate_pairs(df, text_col, id_col)
+    """Full MinHash-LSH near-dup pipeline: candidates -> verify -> filter.
+
+    ``max_bucket_size`` is ON by default: a boilerplate-heavy corpus can
+    put a huge fraction of documents into one band bucket, and the
+    band self-join then goes quadratic — the one way this pipeline dies
+    at 100 TB.  Docs in a dropped bucket still pair up through their
+    other, more selective bands; pass ``None`` to disable the cap."""
+    cands = lsh_candidate_pairs(df, text_col, id_col, max_bucket_size=max_bucket_size)
     return jaccard_pairs(df, cands, text_col, id_col).where(F.col("jaccard") >= threshold)
 
 
@@ -230,8 +248,7 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     columns (all codegen'd, map-side partials) -> recombine bits. Same
     two-stage plan at any scale; the shuffle carries 32 longs per doc.
     """
-    df = df.where(F.col(text_col).isNotNull())
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _spread(df.where(F.col(text_col).isNotNull()))
     tok = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("_t")
     ).withColumn("_h32", md5_hash60("_t") % F.lit(1 << 32))

@@ -534,14 +534,65 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Names the round-1 driver never produced a correctness row for (its
+#: check stopped around 50 queries) plus the entries it flagged red.
+#: They are emitted FIRST so a time-budgeted driver pass covers them
+#: before re-confirming the long-green majority.
+_DRIVER_PRIORITY = [
+    # round-1 unchecked (no CORRECTNESS_r01 row)
+    "ntile_percent_rank",
+    "char_ngram_jaccard",
+    "embedding_near_dup",
+    "ann_lsh_search",
+    "stateful_running_totals",
+    "explode_wordcount_topk",
+    "value_histogram",
+    "monthly_revenue",
+    "array_agg_types",
+    "salted_agg_counts",
+    "quantize_embeddings_int8",
+    "exact_percentiles",
+    "value_stats_exact",
+    "zscore_normalize",
+    "disjunctive_predicates",
+    "min_per_group_joinback",
+    "risk_serving_page",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "gapfill_daily_counts",
+    "unpivot_daily",
+    "hourly_heatmap",
+    "null_semantics_agg",
+    # round-1 red or err entries (fixed this round — verify first)
+    "risk_score_daily",
+    "merge_upsert_risk",
+    "ivf_search",
+    "approx_stats",
+]
+
+
+def _ordered_names() -> list[str]:
+    seen: set[str] = set()
+    out: list[str] = []
+    for n in [p for p in _DRIVER_PRIORITY if p in REGISTRY] + list(REGISTRY):
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
+
+
 def queries() -> dict[str, QueryFn]:
     _load_extensions()
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_extensions()
-    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+    return {
+        name: REGISTRY[name].sql
+        for name in _ordered_names()
+        if REGISTRY[name].sql is not None
+    }
 
 
 def _load_extensions() -> None:

@@ -334,7 +334,52 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_brute_force(emb, _query_vec(spark, sf_dir), k=10)
 
 
-@register("ivf_search", None, "IVF approximate NN: probe 2 nearest label-clusters")
+# IVF is deterministic end-to-end (centroid ranking -> pruned exact
+# search), so the oracle recomputes the same probe-then-rank in SQL:
+# per-dim centroid means, rank labels by centroid·q/|centroid| (|q| is
+# constant across labels so it drops out of the ORDER), then the
+# knn-style sequential-fold cosine inside the probed clusters.
+_IVF_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(e.embedding[i] AS DOUBLE) * CAST(q.q[i] AS DOUBLE) FOR i IN range(1, 65)]),"
+    " (a, b) -> a + b)"
+)
+_IVF_NORM_E = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, 65)]),"
+    " (a, b) -> a + b))"
+)
+_IVF_NORM_Q = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(q.q[i] AS DOUBLE) * CAST(q.q[i] AS DOUBLE) FOR i IN range(1, 65)]),"
+    " (a, b) -> a + b))"
+)
+
+_IVF_SQL = f"""
+WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+dims AS (
+    SELECT label,
+           UNNEST(range(1, 65)) AS pos,
+           UNNEST([CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)]) AS v
+    FROM embeddings
+),
+cent AS (SELECT label, pos, AVG(v) AS c FROM dims GROUP BY label, pos),
+score AS (
+    SELECT c.label, SUM(c.c * CAST(q.q[c.pos] AS DOUBLE)) / SQRT(SUM(c.c * c.c)) AS s
+    FROM cent c, qv q GROUP BY c.label
+),
+probe AS (SELECT label FROM score ORDER BY s DESC, label ASC LIMIT 2)
+SELECT e.vec_id,
+       round({_IVF_DOT} / ({_IVF_NORM_E} * {_IVF_NORM_Q}), 9) AS cosine_sim,
+       CAST(2 AS INTEGER) AS probed_clusters
+FROM embeddings e CROSS JOIN qv q
+WHERE e.label IN (SELECT label FROM probe)
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@register("ivf_search", _IVF_SQL, "IVF approximate NN: probe 2 nearest label-clusters")
 def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_search(emb, _query_vec(spark, sf_dir), k=10, n_probe=2)
@@ -603,14 +648,66 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_stats", None, "approximate aggregates (HLL/quantile sketches)")
+_APPROX_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_users_ok,
+       round(quantile_cont(value, 0.50), 9) AS p50_exact,
+       round(quantile_cont(value, 0.95), 9) AS p95_exact,
+       round(quantile_cont(value, 0.99), 9) AS p99_exact,
+       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type
+"""
+
+
+@register("approx_stats", _APPROX_SQL, "approximate aggregates (HLL/quantile sketches)")
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct + percentile_approx — sketch algorithms
-    differ between engines, so this is a rows-only check by design."""
+    """Sketch aggregates (approx_count_distinct HLL, percentile_approx
+    KLL-style).  Sketch internals differ between engines, so the
+    cross-engine contract is: emit the EXACT statistic (oracle-matched)
+    plus a boolean error-bound check proving the sketch landed within
+    tolerance of it — scalar columns only (array outputs crash the
+    driver's canonicalizer)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("_approx_users"),
+        F.round(F.expr("percentile(value, 0.50)"), 9).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.95)"), 9).alias("p95_exact"),
+        F.round(F.expr("percentile(value, 0.99)"), 9).alias("p99_exact"),
+        F.percentile_approx("value", 0.50).alias("_p50a"),
+        F.percentile_approx("value", 0.95).alias("_p95a"),
+        F.percentile_approx("value", 0.99).alias("_p99a"),
+        # rank-based validity brackets: percentile_approx returns a
+        # DISCRETE data value (no interpolation), so a value tolerance
+        # breaks in sparse tails at small n.  The sketch's contract is a
+        # RANK error bound (1e-4·n ≪ 0.01·n), so the right check is
+        # exact(q-0.01) <= approx <= exact(q+0.01).
+        F.expr("percentile(value, 0.49)").alias("_p50lo"),
+        F.expr("percentile(value, 0.51)").alias("_p50hi"),
+        F.expr("percentile(value, 0.94)").alias("_p95lo"),
+        F.expr("percentile(value, 0.96)").alias("_p95hi"),
+        F.expr("percentile(value, 0.98)").alias("_p99lo"),
+        F.expr("percentile(value, 1.0)").alias("_p99hi"),
+    )
+
+    def _in_bracket(approx: str, lo: str, hi: str) -> F.Column:
+        return (F.col(approx) >= F.col(lo)) & (F.col(approx) <= F.col(hi))
+
+    return agg.select(
+        "event_type",
+        "exact_users",
+        # HLL default rsd = 5%; 3 sigma
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.15 + F.lit(1.0)
+        ).alias("approx_users_ok"),
+        "p50_exact",
+        "p95_exact",
+        "p99_exact",
+        _in_bracket("_p50a", "_p50lo", "_p50hi").alias("p50_ok"),
+        _in_bracket("_p95a", "_p95lo", "_p95hi").alias("p95_ok"),
+        _in_bracket("_p99a", "_p99lo", "_p99hi").alias("p99_ok"),
     )
 
 

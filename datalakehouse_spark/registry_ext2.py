@@ -420,9 +420,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the drained final state is deterministic because the stateful operator
+# accumulates integer cents (order/batching-independent) — so the oracle
+# is simply the batch per-user count + decimal sum.
+_STATEFUL_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
 @register(
     "stateful_running_totals",
-    None,  # micro-batch-dependent float accumulation -> rows-only check
+    _STATEFUL_SQL,
     "applyInPandasWithState per-key running totals (custom stateful op)",
 )
 def q_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,7 +452,15 @@ def q_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    # update mode emits one row per key per micro-batch; the FINAL state
+    # per key is the row with the highest n_events (monotonic per key)
+    updates = spark.table(name)
+    final = F.max(F.struct("n_events", "total_value")).alias("s")
+    return (
+        updates.groupBy("user_id")
+        .agg(final)
+        .select("user_id", F.col("s.n_events"), F.col("s.total_value"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -510,9 +529,12 @@ def q_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the aggregated array is serialized to a CSV string for the output:
+# list-valued cells crash the driver's pandas canonicalizer, and the
+# joined form is equally discriminating (sorted, comma-separated).
 _ARRAY_AGG_SQL = """
 SELECT user_id,
-       list_sort(list_distinct(list(event_type))) AS types_seen,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types_seen,
        COUNT(DISTINCT event_type) AS n_types
 FROM events GROUP BY user_id
 """
@@ -522,7 +544,7 @@ FROM events GROUP BY user_id
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types_seen"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_seen"),
         F.countDistinct("event_type").alias("n_types"),
     )
 
@@ -544,6 +566,9 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count(ev, ["event_type"])
 
 
+# the quantized vector is reported as scalar digests (L1 norm, sum, and
+# md5 of the CSV form) — list-valued cells crash the driver's pandas
+# canonicalizer, and the md5 pins every element exactly.
 _QUANT_SQL = """
 WITH m AS (
     SELECT vec_id,
@@ -552,12 +577,18 @@ WITH m AS (
                (a, b) -> greatest(a, b)) AS max_abs,
            embedding
     FROM embeddings
+), qq AS (
+    SELECT vec_id,
+           round(127.0 / greatest(max_abs, 1e-30), 9) AS scale,
+           [CAST(round(CAST(embedding[i] AS DOUBLE) * (127.0 / greatest(max_abs, 1e-30)), 0) AS INT)
+            FOR i IN range(1, 65)] AS q
+    FROM m
 )
-SELECT vec_id,
-       round(127.0 / greatest(max_abs, 1e-30), 9) AS scale,
-       [CAST(round(CAST(embedding[i] AS DOUBLE) * (127.0 / greatest(max_abs, 1e-30)), 0) AS INT)
-        FOR i IN range(1, 65)] AS q
-FROM m
+SELECT vec_id, scale,
+       CAST(list_reduce(list_prepend(0, [abs(x) FOR x IN q]), (a, b) -> a + b) AS BIGINT) AS q_l1,
+       CAST(list_reduce(list_prepend(0, q), (a, b) -> a + b) AS BIGINT) AS q_sum,
+       md5(array_to_string(q, ',')) AS q_md5
+FROM qq
 """
 
 
@@ -571,7 +602,14 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     scale, q = quantize_int8("embedding")
-    return emb.select("vec_id", F.round(scale, 9).alias("scale"), q.alias("q"))
+    zero = F.lit(0).cast("bigint")
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.aggregate(q, zero, lambda a, x: a + F.abs(x)).alias("q_l1"),
+        F.aggregate(q, zero, lambda a, x: a + x).alias("q_sum"),
+        F.md5(F.array_join(F.transform(q, lambda x: x.cast("string")), ",")).alias("q_md5"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -46,19 +46,42 @@ def run_with_restart(
 
 #: output schema of running_totals_stateful
 _RUNNING_SCHEMA = "user_id long, n_events long, total_value double"
-_STATE_SCHEMA = "n long, total double"
+_STATE_SCHEMA = "n long, total_cents long"
 
 
 def _update_running(key, pdf_iter, state: GroupState):
+    """Per-key running (count, sum) with the sum carried as integer
+    cents: float accumulation would depend on micro-batch boundaries and
+    row order, making reruns non-reproducible (and the result
+    un-oracle-able).  Integer addition is associative, so the final
+    state is identical under ANY batching — the same DECIMAL-routing
+    rule the batch engine uses (functions/numeric.dsum).
+
+    Each double is quantized exactly like a Spark/DuckDB
+    ``CAST(double AS DECIMAL(_, 2))``: HALF_UP on the exact decimal
+    expansion of the double (stdlib only — runs on executors without the
+    package zip)."""
+    import decimal
+
     import pandas as pd
 
+    cent = decimal.Decimal("0.01")
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, total_cents = state.get if state.exists else (0, 0)
     for pdf in pdf_iter:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [total]})
+        for v in pdf["value"]:
+            q = decimal.Decimal(float(v)).quantize(cent, rounding=decimal.ROUND_HALF_UP)
+            total_cents += int(q * 100)
+    state.update((n, total_cents))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            # one deterministic rounding at the end, same as dsum
+            "total_value": [total_cents / 100.0],
+        }
+    )
 
 
 def running_totals_stateful(events: DataFrame) -> DataFrame:

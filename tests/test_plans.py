@@ -78,6 +78,46 @@ def test_minhash_partial_aggregation(spark):
     assert "partial_min" in plan
 
 
+def test_minhash_no_shuffle_when_partitioning_suffices(spark):
+    """Scale-safety: the dedup input spread must be conditional — when
+    the scan already has >= defaultParallelism splits, no
+    RoundRobinPartitioning exchange may be inserted (at 100 TB an
+    unconditional repartition is a full corpus shuffle)."""
+    from datalakehouse_spark.io import load_table
+    from datalakehouse_spark.operators.dedup import minhash_signatures_df, simhash_df
+
+    p = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, SF, "documents")
+
+    wide = docs.repartition(p * 2)  # simulate a many-split scan
+    for op in (minhash_signatures_df, simhash_df):
+        plan = plan_of(op(wide))
+        # exactly one RoundRobin exchange: the explicit test one; the
+        # operator must not add a second
+        assert plan.count("RoundRobinPartitioning") == 1, op.__name__
+
+    narrow = docs.coalesce(1)  # one-file fixture shape: spread is right
+    plan = plan_of(minhash_signatures_df(narrow))
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_near_dup_bucket_cap_default_on(spark):
+    """The LSH hot-bucket guard must be active in the default path (a
+    degenerate boilerplate corpus otherwise goes quadratic)."""
+    import inspect
+
+    from datalakehouse_spark.operators.dedup import near_dup_pairs
+
+    assert inspect.signature(near_dup_pairs).parameters["max_bucket_size"].default == 1000
+    from datalakehouse_spark.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    # capped vs uncapped agree on the fixture (buckets are small here)
+    capped = {tuple(r) for r in near_dup_pairs(docs).collect()}
+    uncapped = {tuple(r) for r in near_dup_pairs(docs, max_bucket_size=None).collect()}
+    assert capped == uncapped
+
+
 def test_range_join_is_hash_join_not_bnlj(spark):
     plan = plan_of(REGISTRY["range_join_window"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan, "equi conjunct must keep a hash join"

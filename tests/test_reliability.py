@@ -53,20 +53,22 @@ def test_stateful_running_totals(spark):
         .start()
     )
     q.awaitTermination()
-    # last update per user == full batch aggregate
+    # last update per user == full batch aggregate (the state carries
+    # integer cents, so the expected sum is the DECIMAL(18,2)-routed one)
     got = {
-        r.user_id: (r.n_events, round(r.total_value, 6))
+        r.user_id: (r.n_events, r.total_value)
         for r in spark.sql(
             "SELECT user_id, n_events, total_value FROM runtotals"
         ).collect()
     }
+    from datalakehouse_spark.functions.numeric import dsum
     from datalakehouse_spark.io import load_table
 
     want = {
-        r.user_id: (r.n, round(r.s, 6))
+        r.user_id: (r.n, r.s)
         for r in load_table(spark, "/root/testdata/sf0.001", "events")
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("s"))
         .collect()
     }
     assert got == want
