@@ -563,6 +563,9 @@ _DRIVER_PRIORITY = [
     "unpivot_daily",
     "hourly_heatmap",
     "null_semantics_agg",
+    # new this round
+    "streaming_windowed_append",
+    "time_travel_read",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

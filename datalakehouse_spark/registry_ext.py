@@ -621,6 +621,54 @@ def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Append-mode twin: the scale-safe production shape.  Complete mode
+# retains every window in state forever; append + watermark evicts a
+# window's state once the watermark passes its end, so state size is
+# bounded by the lateness horizon regardless of stream length.  The
+# drained result is exactly the windows FINALIZED at the final
+# watermark (= max event time, ms-truncated, minus the 2h bound) —
+# deterministic, so the oracle applies the same cutoff.
+_STREAM_APPEND_SQL = """
+WITH wm AS (
+    SELECT (epoch_us(MAX(ts)) // 1000) - 7200000 AS wm_ms FROM events
+)
+SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_epoch_s,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+HAVING (window_epoch_s + 3600) * 1000 <= (SELECT wm_ms FROM wm)
+"""
+
+
+@register(
+    "streaming_windowed_append",
+    _STREAM_APPEND_SQL,
+    "watermark + append-mode windowed agg (bounded state; finalized windows only)",
+)
+def q_streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from datalakehouse_spark.streaming.jobs import events_stream, windowed_counts_stream
+
+    name = "wina_" + uuid.uuid4().hex[:10]
+    q = (
+        windowed_counts_stream(events_stream(spark, sf_dir))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_epoch_s"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal: binary payload accounting (decode kernels live in tests)
 # ---------------------------------------------------------------------------

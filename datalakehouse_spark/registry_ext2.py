@@ -974,3 +974,56 @@ def q_null_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(nz.cast("decimal(18,2)")), F.lit(0)).cast("double").alias("sum_nonzero"),
         F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned table: time travel (the Nessie/Iceberg snapshot capability,
+# reference create.sql:1-13 — parquet-backend analog in versioned.py)
+# ---------------------------------------------------------------------------
+
+_TT_SQL = f"""
+SELECT user_id, CAST(ts AS DATE) AS day,
+       COUNT(*) AS n,
+       {dsum_duckdb("value")} AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) <= DATE '2024-01-15'
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "time_travel_read",
+    _TT_SQL,
+    "versioned table: commit v1, upsert v2, read the v1 snapshot back",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a per-(user, day) aggregate as commit v1, MERGE a
+    recomputed overlap (doubled metric, days 10-20) as commit v2, then
+    time-travel-read version 1 — which must equal the original
+    aggregate even though the CURRENT version differs on days 10-15.
+    The oracle recomputes v1 directly, so a broken snapshot (v2 data
+    leaking into the v1 read) hash-mismatches."""
+    import tempfile
+
+    from datalakehouse_spark.versioned import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    v1 = (
+        ev.where(day <= F.lit("2024-01-15"))
+        .groupBy("user_id", day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
+    )
+    v2_overlap = (
+        ev.where(day.between(F.lit("2024-01-10"), F.lit("2024-01-20")))
+        .groupBy("user_id", day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value") * 2).alias("sum_value"),
+        )
+    )
+    path = tempfile.mkdtemp(prefix="time_travel_")
+    t = VersionedTable(spark, path + "/t", partition_by=["day"])
+    t.create(v1)
+    t.merge_upsert(v2_overlap, keys=["user_id", "day"])
+    return t.read(version=1).select("user_id", "day", "n", "sum_value")

@@ -1,0 +1,110 @@
+"""VersionedTable: commit log, time travel, rollback, snapshot GC,
+manifest-level partition pruning (the Nessie/Iceberg capability analog,
+reference create.sql:1-13, cleanup.sql:19-31)."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalakehouse_spark.versioned import VersionedTable
+
+
+def _rows(spark, days, score=10.0):
+    rows = [
+        (f"dev{d}", dt.date(2024, 1, day), score)
+        for d in range(3)
+        for day in days
+    ]
+    return spark.createDataFrame(rows, "device_id string, report_date date, score double")
+
+
+@pytest.fixture()
+def vt(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "vt"), partition_by=["report_date"])
+    t.create(_rows(spark, days=[1, 2]))
+    return t
+
+
+def _state(df):
+    return sorted(map(tuple, df.select("device_id", "report_date", "score").collect()))
+
+
+def test_create_and_read_latest(spark, vt):
+    assert vt.current_version() == 1
+    assert vt.read().count() == 6
+
+
+def test_append_creates_new_version_keeps_old_readable(spark, vt):
+    vt.append(_rows(spark, days=[3]))
+    assert vt.current_version() == 2
+    assert vt.read().count() == 9
+    assert vt.read(version=1).count() == 6  # time travel
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, vt):
+    v1_files = {e["path"] for e in vt._load_manifest(1)["files"]}
+    vt.merge_upsert(_rows(spark, days=[2], score=99.0), keys=["device_id", "report_date"])
+    v2 = vt._load_manifest(2)["files"]
+    day1_files = {e["path"] for e in v2 if e["partition"]["report_date"] == "2024-01-01"}
+    # day-1 files are carried over verbatim (copy-on-write: untouched
+    # partitions share immutable files across versions)
+    assert day1_files and day1_files <= v1_files
+    got = vt.read().where(F.col("report_date") == dt.date(2024, 1, 2)).select("score")
+    assert {r.score for r in got.collect()} == {99.0}
+    # v1 still shows the pre-upsert state
+    old = vt.read(version=1).where(F.col("report_date") == dt.date(2024, 1, 2))
+    assert {r.score for r in old.select("score").collect()} == {10.0}
+
+
+def test_delete_where_versioned_null_semantics(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "d"), partition_by=["report_date"])
+    df = _rows(spark, days=[1]).withColumn(
+        "score", F.when(F.col("device_id") == "dev1", None).otherwise(F.col("score"))
+    )
+    t.create(df)
+    t.delete_where(F.col("score") < 100.0)
+    # predicate-NULL row kept; v1 unchanged
+    assert [r.device_id for r in t.read().collect()] == ["dev1"]
+    assert t.read(version=1).count() == 3
+
+
+def test_rollback_is_a_new_commit(spark, vt):
+    vt.merge_upsert(_rows(spark, days=[2], score=99.0), keys=["device_id", "report_date"])
+    before = _state(vt.read(version=1))
+    vt.rollback(1)
+    assert vt.current_version() == 3
+    assert _state(vt.read()) == before
+    # history preserved: v2 still readable after rollback
+    assert {r.score for r in vt.read(version=2).where(
+        F.col("report_date") == dt.date(2024, 1, 2)).select("score").collect()} == {99.0}
+
+
+def test_expire_versions_gc_unreferenced_files(spark, vt):
+    vt.merge_upsert(_rows(spark, days=[1], score=50.0), keys=["device_id", "report_date"])
+    vt.merge_upsert(_rows(spark, days=[1], score=60.0), keys=["device_id", "report_date"])
+    removed = vt.expire_versions(keep_last=1)
+    assert removed["versions"] == [1, 2]
+    # v1/v2-only files are gone from disk, latest still reads fine
+    assert removed["files"]
+    for rel in removed["files"]:
+        assert not os.path.exists(os.path.join(vt.data_dir, rel))
+    assert vt.read().count() == 6
+    with pytest.raises(ValueError):
+        vt.read(version=1)
+
+
+def test_manifest_partition_pruning_file_list(spark, vt):
+    pruned = vt.read(partition_filter={"report_date": ["2024-01-02"]})
+    assert pruned.count() == 3
+    # the pruning happened on the file list, not in a Spark filter:
+    # only day-2 files appear in the scan
+    files = [f for f in pruned.inputFiles()]
+    assert files and all("report_date=2024-01-02" in f for f in files)
+
+
+def test_commit_is_atomic_no_partial_manifests(spark, vt):
+    # no .tmp manifests left behind by commits
+    leftovers = [f for f in os.listdir(vt.log_dir) if ".tmp" in f]
+    assert leftovers == []
