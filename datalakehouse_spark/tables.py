@@ -45,6 +45,7 @@ class ManagedTable:
         partition_by: Sequence[str] = (),
         cluster_by: Sequence[str] = (),
         bloom_filter_cols: Sequence[str] = (),
+        catalog_table: str | None = None,
     ) -> None:
         """``cluster_by``: write-time sort order within each file — the
         reference's ``'write.order-by' = 'device_id, gps_epoch'``
@@ -60,6 +61,21 @@ class ManagedTable:
         self.partition_by = list(partition_by)
         self.cluster_by = list(cluster_by)
         self.bloom_filter_cols = list(bloom_filter_cols)
+        # catalog backend auto-detection: when `catalog_table` names a
+        # table in a configured Iceberg/Delta catalog, DML routes
+        # through single-statement transactional SQL (catalog_dml.py);
+        # otherwise the parquet backend below is used.
+        self.catalog_table = catalog_table
+        self._catalog: "CatalogDML | None" = None
+        if catalog_table is not None:
+            from datalakehouse_spark.catalog_dml import (
+                CatalogDML,
+                detect_catalog_dialect,
+            )
+
+            dialect = detect_catalog_dialect(spark, catalog_table)
+            if dialect is not None:
+                self._catalog = CatalogDML(spark, catalog_table, dialect)
 
     # -- read ---------------------------------------------------------------
 
@@ -112,6 +128,9 @@ class ManagedTable:
         on the merge keys only; untouched partitions are never read or
         written. With a catalog this is one ``MERGE INTO`` statement.
         """
+        if self._catalog is not None:
+            self._catalog.merge_upsert(source, keys)
+            return
         if not self.exists:
             self.create(source)
             return
@@ -134,6 +153,9 @@ class ManagedTable:
         ``where(~pred)`` would silently drop them, so the remainder
         keeps rows where ``NOT coalesce(pred, false)``).
         """
+        if self._catalog is not None and isinstance(predicate, str):
+            self._catalog.delete_where(predicate)
+            return
         if not self.exists:
             return
         target = self.read()
@@ -177,6 +199,9 @@ class ManagedTable:
         files down to ``target_partitions`` files. Catalog backend:
         ``rewrite_data_files`` / ``OPTIMIZE`` with a size threshold
         (256 MiB fact / 128 MiB raw per create.sql:54,160)."""
+        if self._catalog is not None:
+            self._catalog.compact(target_file_size_bytes=256 * 1024 * 1024)
+            return
         df = self.read().coalesce(target_partitions)
         tmp = self.path + ".tmp_compact"
         # route through _writer so compaction preserves the cluster_by
@@ -191,6 +216,9 @@ class ManagedTable:
         temp/staging directories left by interrupted rewrites. With an
         Iceberg/Delta catalog this call maps to ``remove_orphan_files``
         + ``expire_snapshots`` / ``VACUUM`` (cleanup.sql:19-31)."""
+        if self._catalog is not None:
+            self._catalog.vacuum()
+            return []
         removed = []
         parent = os.path.dirname(self.path.rstrip("/"))
         base = os.path.basename(self.path.rstrip("/"))
@@ -206,9 +234,27 @@ class ManagedTable:
             n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
-    def analyze(self) -> dict:
-        """M5 ANALYZE analog: row count + per-partition row counts (the
-        stats a CBO would use; with a catalog: ``ANALYZE TABLE``)."""
+    def analyze(self, register_as: str | None = None) -> dict:
+        """M5: feed the planner statistics.
+
+        - catalog backend: one ``ANALYZE TABLE`` — the catalog persists
+          rowCount/sizeInBytes for the CBO.
+        - parquet backend: with ``register_as``, the path is registered
+          as a session-catalog parquet table and ANALYZEd, so joins
+          planned THROUGH that table name get CBO row counts in this
+          session (verified in tests via DESC EXTENDED statistics);
+          the dict of partition-level counts is returned either way.
+        """
+        if self._catalog is not None:
+            self._catalog.analyze()
+            # stats live in the catalog; nothing to recount locally
+            return {"table": self.catalog_table, "analyzed": True}
+        if register_as is not None:
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {register_as} "
+                f"USING parquet LOCATION '{self.path}'"
+            )
+            self.spark.sql(f"ANALYZE TABLE {register_as} COMPUTE STATISTICS")
         df = self.read()
         stats = {"rows": df.count()}
         if self.partition_by:
