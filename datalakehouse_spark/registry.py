@@ -566,6 +566,8 @@ _DRIVER_PRIORITY = [
     # new this round
     "streaming_windowed_append",
     "time_travel_read",
+    "version_incremental_read",
+    "streaming_dedup",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

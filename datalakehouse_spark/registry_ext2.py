@@ -1027,3 +1027,82 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.create(v1)
     t.merge_upsert(v2_overlap, keys=["user_id", "day"])
     return t.read(version=1).select("user_id", "day", "n", "sum_value")
+
+
+_INCR_SQL = f"""
+SELECT user_id, CAST(ts AS DATE) AS day,
+       COUNT(*) AS n,
+       {dsum_duckdb("value")} AS sum_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-16' AND DATE '2024-01-25'
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "version_incremental_read",
+    _INCR_SQL,
+    "versioned table: CDC-style incremental scan of files added between commits",
+)
+def q_version_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit days <=15 as v1, append days 16-25 as v2, incrementally
+    read v1->v2: only the appended files are scanned (file-level
+    manifest diff, the Iceberg incremental append scan), so the result
+    is exactly the day-16..25 delta."""
+    import tempfile
+
+    from datalakehouse_spark.versioned import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    agg = lambda df: df.groupBy("user_id", day.alias("day")).agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
+    )
+    path = tempfile.mkdtemp(prefix="version_incr_")
+    t = VersionedTable(spark, path + "/t", partition_by=["day"])
+    v1 = t.create(agg(ev.where(day <= F.lit("2024-01-15"))))
+    v2 = t.append(agg(ev.where(day.between(F.lit("2024-01-16"), F.lit("2024-01-25")))))
+    return t.incremental_read(v1, v2).select("user_id", "day", "n", "sum_value")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n_first
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY user_id, event_type
+"""
+
+
+@register(
+    "streaming_dedup",
+    _STREAM_DEDUP_SQL,
+    "streaming dropDuplicates: first occurrence per key across micro-batches",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup surface: dropDuplicates on
+    (user_id, event_type) across the whole stream (state carries the
+    seen-key set; production bounds it with
+    dropDuplicatesWithinWatermark, tested in test_dedup_edge).  Emitting
+    only the key columns makes the drained result independent of WHICH
+    physical row arrived first — each distinct key appears exactly
+    once."""
+    import uuid
+
+    from datalakehouse_spark.streaming.jobs import events_stream
+
+    name = "sdedup_" + uuid.uuid4().hex[:10]
+    q = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )

@@ -21,6 +21,13 @@ table state per version:
   file list; ``expire_versions()`` is snapshot GC (the
   ``expire_snapshots`` / ``remove_orphan_files`` procedures,
   cleanup.sql:19-31).
+- Branches are named refs onto the commit DAG (``_log/refs.json``):
+  ``create_branch`` points a new name at any version, writes carry a
+  ``branch=`` and advance only that ref, ``merge_branch`` fast-forwards
+  — the Nessie "experiment on a branch, promote when good" workflow.
+- ``incremental_read(from_v, to_v)`` scans only files ADDED between two
+  versions (Iceberg incremental append scan): the CDC-style feed a
+  downstream consumer uses to process just the delta.
 
 Scale posture: the manifest records partition values PER FILE, so
 partition pruning happens driver-side on the file list before Spark
@@ -63,11 +70,16 @@ class VersionedTable:
 
     # -- commit log ---------------------------------------------------------
 
+    DEFAULT_BRANCH = "main"
+
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.log_dir, f"v{version:05d}.json")
 
-    def current_version(self) -> int:
-        """Latest committed version (0 = empty table, no commits)."""
+    def _refs_path(self) -> str:
+        return os.path.join(self.log_dir, "refs.json")
+
+    def _latest_version(self) -> int:
+        """Highest allocated version number across ALL branches."""
         if not os.path.isdir(self.log_dir):
             return 0
         versions = [
@@ -76,6 +88,26 @@ class VersionedTable:
             if f.startswith("v") and f.endswith(".json")
         ]
         return max(versions, default=0)
+
+    def refs(self) -> dict[str, int]:
+        """branch name -> head version."""
+        p = self._refs_path()
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        latest = self._latest_version()
+        return {self.DEFAULT_BRANCH: latest} if latest else {}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        os.makedirs(self.log_dir, exist_ok=True)
+        tmp = self._refs_path() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(refs, fh)
+        os.rename(tmp, self._refs_path())
+
+    def current_version(self, branch: str = DEFAULT_BRANCH) -> int:
+        """Head version of ``branch`` (0 = no commits)."""
+        return self.refs().get(branch, 0)
 
     def _load_manifest(self, version: int) -> dict:
         p = self._manifest_path(version)
@@ -86,37 +118,90 @@ class VersionedTable:
         with open(p) as fh:
             return json.load(fh)
 
-    def _commit(self, operation: str, files: list[dict], parent: int) -> int:
-        """Write the manifest for the next version; the rename is the
-        atomic commit point."""
-        version = parent + 1
+    def _commit(
+        self,
+        operation: str,
+        files: list[dict],
+        parent: int,
+        branch: str = DEFAULT_BRANCH,
+    ) -> int:
+        """Write the manifest for the next version and advance the
+        branch ref; the manifest rename is the atomic commit point.
+        Version numbers are table-global; ``parent`` pointers form the
+        commit DAG the branches live on."""
+        version = self._latest_version() + 1
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
         manifest = {
             "version": version,
             "parent": parent,
+            "branch": branch,
             "operation": operation,
             "files": files,
         }
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
         os.rename(tmp, self._manifest_path(version))
+        refs = self.refs()
+        refs[branch] = version
+        self._write_refs(refs)
         return version
 
-    def history(self) -> list[dict]:
-        """Commit log, oldest first (version/operation/parent/n_files)."""
+    def _ancestry(self, version: int) -> list[int]:
+        """Parent chain from ``version`` down to the root (or to the
+        oldest un-expired manifest), newest first."""
+        chain = []
+        v = version
+        while v and os.path.exists(self._manifest_path(v)):
+            chain.append(v)
+            v = self._load_manifest(v)["parent"]
+        return chain
+
+    def history(self, branch: str = DEFAULT_BRANCH) -> list[dict]:
+        """Commit log of ``branch``, oldest first."""
         out = []
-        for v in range(1, self.current_version() + 1):
+        for v in reversed(self._ancestry(self.current_version(branch))):
             m = self._load_manifest(v)
             out.append(
                 {
                     "version": m["version"],
                     "parent": m["parent"],
+                    "branch": m.get("branch", self.DEFAULT_BRANCH),
                     "operation": m["operation"],
                     "n_files": len(m["files"]),
                 }
             )
         return out
+
+    # -- branches (the Nessie capability) -----------------------------------
+
+    def create_branch(self, name: str, from_version: int | None = None) -> int:
+        """Point a new branch at ``from_version`` (default: main head).
+        Zero data is copied — a branch is a ref into the commit DAG."""
+        refs = self.refs()
+        if name in refs:
+            raise ValueError(f"branch {name!r} already exists")
+        base = self.current_version() if from_version is None else from_version
+        self._load_manifest(base)  # must exist
+        refs[name] = base
+        self._write_refs(refs)
+        return base
+
+    def merge_branch(self, name: str, into: str = DEFAULT_BRANCH) -> int:
+        """Fast-forward ``into`` to ``name``'s head (promote the
+        experiment).  Requires ``into``'s head to be an ancestor of the
+        branch head — diverged branches need a real merge commit, which
+        is the catalog's (Nessie's) job, not this analog's."""
+        refs = self.refs()
+        head, target = refs[name], refs.get(into, 0)
+        if target and target not in self._ancestry(head):
+            raise ValueError(
+                f"{into!r} (v{target}) has diverged from {name!r} (v{head}); "
+                "fast-forward merge impossible"
+            )
+        refs[into] = head
+        self._write_refs(refs)
+        return head
 
     # -- write path ---------------------------------------------------------
 
@@ -156,23 +241,29 @@ class VersionedTable:
         shutil.rmtree(stage)
         return entries
 
-    def create(self, df: DataFrame) -> int:
+    def create(self, df: DataFrame, branch: str = DEFAULT_BRANCH) -> int:
         """First commit (or full replacement as a new version)."""
-        return self._commit("create", self._write_new_files(df), self.current_version())
+        return self._commit(
+            "create", self._write_new_files(df), self.current_version(branch), branch
+        )
 
-    def append(self, df: DataFrame) -> int:
-        cur = self.current_version()
+    def append(self, df: DataFrame, branch: str = DEFAULT_BRANCH) -> int:
+        cur = self.current_version(branch)
         prev = self._load_manifest(cur)["files"] if cur else []
-        return self._commit("append", prev + self._write_new_files(df), cur)
+        return self._commit(
+            "append", prev + self._write_new_files(df), cur, branch
+        )
 
-    def merge_upsert(self, source: DataFrame, keys: Sequence[str]) -> int:
+    def merge_upsert(
+        self, source: DataFrame, keys: Sequence[str], branch: str = DEFAULT_BRANCH
+    ) -> int:
         """Copy-on-write MERGE: rewrite only the partitions the source
         touches; untouched partitions keep their existing (immutable)
         files in the new manifest — the reason an upsert of one day
         costs one day, not the table, at 100 TB."""
-        cur = self.current_version()
+        cur = self.current_version(branch)
         if cur == 0:
-            return self.create(source)
+            return self.create(source, branch)
         prev = self._load_manifest(cur)["files"]
         if self.partition_by:
             touched_vals = {
@@ -196,12 +287,14 @@ class VersionedTable:
             merged = kept_rows.unionByName(source.select(*kept_rows.columns))
         else:
             merged = source
-        return self._commit("merge_upsert", kept_files + self._write_new_files(merged), cur)
+        return self._commit(
+            "merge_upsert", kept_files + self._write_new_files(merged), cur, branch
+        )
 
-    def delete_where(self, predicate) -> int:
+    def delete_where(self, predicate, branch: str = DEFAULT_BRANCH) -> int:
         """Copy-on-write DELETE with SQL semantics (predicate-NULL rows
         are kept); files in untouched partitions carry over untouched."""
-        cur = self.current_version()
+        cur = self.current_version(branch)
         if cur == 0:
             return 0
         prev = self._load_manifest(cur)["files"]
@@ -231,13 +324,15 @@ class VersionedTable:
         if touched_files:
             remainder = self._read_files(touched_files).where(~pred_true)
             new_files = self._write_new_files(remainder)
-        return self._commit("delete", kept_files + new_files, cur)
+        return self._commit("delete", kept_files + new_files, cur, branch)
 
-    def rollback(self, version: int) -> int:
+    def rollback(self, version: int, branch: str = DEFAULT_BRANCH) -> int:
         """Re-point the table at an older version's file list (Iceberg
         rollback semantics: a NEW commit, history is never rewritten)."""
         files = self._load_manifest(version)["files"]
-        return self._commit(f"rollback_to_v{version}", files, self.current_version())
+        return self._commit(
+            f"rollback_to_v{version}", files, self.current_version(branch), branch
+        )
 
     # -- read path ----------------------------------------------------------
 
@@ -251,14 +346,15 @@ class VersionedTable:
         self,
         version: int | None = None,
         partition_filter: dict[str, Sequence[str]] | None = None,
+        ref: str = DEFAULT_BRANCH,
     ) -> DataFrame:
-        """Table state at ``version`` (default: latest).
+        """Table state at ``version`` (default: head of ``ref``).
 
         ``partition_filter`` ({col: allowed values}) prunes the FILE
         LIST from the manifest before Spark plans the scan — the
         manifest-level pruning that replaces directory listing at
         scale."""
-        v = self.current_version() if version is None else version
+        v = self.current_version(ref) if version is None else version
         entries = self._load_manifest(v)["files"]
         if partition_filter:
             allowed = {k: {str(x) for x in vs} for k, vs in partition_filter.items()}
@@ -269,19 +365,38 @@ class VersionedTable:
             ]
         return self._read_files(entries)
 
+    def incremental_read(self, from_version: int, to_version: int) -> DataFrame:
+        """Rows in files ADDED between two versions (Iceberg incremental
+        append scan): the CDC-style delta feed.  File-level, driver-side
+        set difference on the manifests — no data comparison; correct
+        whenever the interval contains only append/create commits (an
+        upsert's rewritten files surface as their partition's full new
+        contents, which is also what Iceberg's changelog emits for COW)."""
+        before = {e["path"] for e in self._load_manifest(from_version)["files"]}
+        added = [
+            e
+            for e in self._load_manifest(to_version)["files"]
+            if e["path"] not in before
+        ]
+        return self._read_files(added)
+
     # -- maintenance --------------------------------------------------------
 
     def expire_versions(self, keep_last: int = 1) -> dict:
-        """Snapshot GC: drop manifests older than the newest
-        ``keep_last`` versions, then delete data files referenced by no
-        surviving manifest (expire_snapshots + remove_orphan_files)."""
-        cur = self.current_version()
-        cutoff = max(cur - keep_last + 1, 1)
+        """Snapshot GC: keep the newest ``keep_last`` commits of every
+        branch (walking each branch's parent chain), drop all other
+        manifests, then delete data files referenced by no surviving
+        manifest (expire_snapshots + remove_orphan_files)."""
+        keep_versions: set[int] = set()
+        for head in self.refs().values():
+            keep_versions.update(self._ancestry(head)[:keep_last])
         kept_refs: set[str] = set()
-        for v in range(cutoff, cur + 1):
+        for v in keep_versions:
             kept_refs.update(e["path"] for e in self._load_manifest(v)["files"])
         removed_manifests = []
-        for v in range(1, cutoff):
+        for v in range(1, self._latest_version() + 1):
+            if v in keep_versions:
+                continue
             p = self._manifest_path(v)
             if os.path.exists(p):
                 os.remove(p)

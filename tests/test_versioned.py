@@ -108,3 +108,65 @@ def test_commit_is_atomic_no_partial_manifests(spark, vt):
     # no .tmp manifests left behind by commits
     leftovers = [f for f in os.listdir(vt.log_dir) if ".tmp" in f]
     assert leftovers == []
+
+
+def test_branch_write_isolated_from_main(spark, vt):
+    """Nessie workflow: experiment on a branch; main is untouched."""
+    vt.create_branch("exp")
+    vt.merge_upsert(
+        _rows(spark, days=[2], score=77.0), keys=["device_id", "report_date"], branch="exp"
+    )
+    # branch sees the change, main does not
+    exp_scores = {
+        r.score
+        for r in vt.read(ref="exp")
+        .where(F.col("report_date") == dt.date(2024, 1, 2))
+        .collect()
+    }
+    main_scores = {
+        r.score
+        for r in vt.read()
+        .where(F.col("report_date") == dt.date(2024, 1, 2))
+        .collect()
+    }
+    assert exp_scores == {77.0} and main_scores == {10.0}
+
+
+def test_branch_merge_fast_forward(spark, vt):
+    vt.create_branch("exp")
+    vt.append(_rows(spark, days=[5]), branch="exp")
+    vt.merge_branch("exp")
+    assert vt.read().count() == 9  # main promoted to the branch head
+    assert vt.current_version() == vt.current_version("exp")
+
+
+def test_branch_merge_refuses_diverged(spark, vt):
+    vt.create_branch("exp")
+    vt.append(_rows(spark, days=[5]), branch="exp")
+    vt.append(_rows(spark, days=[6]))  # main moves too -> diverged
+    with pytest.raises(ValueError, match="diverged"):
+        vt.merge_branch("exp")
+
+
+def test_incremental_read_returns_only_the_delta(spark, vt):
+    v1 = vt.current_version()
+    vt.append(_rows(spark, days=[3, 4], score=20.0))
+    delta = vt.incremental_read(v1, vt.current_version())
+    assert delta.count() == 6
+    assert {r.report_date for r in delta.select("report_date").collect()} == {
+        dt.date(2024, 1, 3),
+        dt.date(2024, 1, 4),
+    }
+
+
+def test_expire_keeps_all_branch_heads(spark, vt):
+    vt.create_branch("exp")
+    vt.merge_upsert(
+        _rows(spark, days=[1], score=50.0), keys=["device_id", "report_date"], branch="exp"
+    )
+    vt.merge_upsert(_rows(spark, days=[2], score=60.0), keys=["device_id", "report_date"])
+    removed = vt.expire_versions(keep_last=1)
+    assert 2 not in removed["versions"] and 3 not in removed["versions"]
+    # both heads still read fine after GC
+    assert vt.read().count() == 6
+    assert vt.read(ref="exp").count() == 6
