@@ -178,9 +178,16 @@ def lsh_candidate_pairs(
         # fractions of docs into one band bucket, turning the self-join
         # quadratic. Capping drops those buckets (their members still
         # pair up through their other, more selective bands).
-        sizes = bands.groupBy("band", "key").agg(F.count(F.lit(1)).alias("_bs"))
+        # Implemented as a count window over the SAME (band, key)
+        # partitioning the self-join shuffles on — one extra pass over
+        # already-shuffled rows, no second evaluation of the signature
+        # pipeline (a groupBy+join-back formulation recomputed the
+        # minhash stage per join side: measured 2x at sf0.1).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "key")
         bands = (
-            bands.join(sizes, ["band", "key"])
+            bands.withColumn("_bs", F.count(F.lit(1)).over(w))
             .where(F.col("_bs") <= max_bucket_size)
             .drop("_bs")
         )

@@ -150,6 +150,45 @@ def quantize_int8(vec_col: Column | str) -> tuple[Column, Column]:
     return scale, q
 
 
+def quantize_int8_df(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Staged int8 quantization: (id, scale, q).
+
+    Same math as :func:`quantize_int8`, but each intermediate (double
+    vector, max_abs, scale) is materialized through its own projection.
+    Higher-order array functions are interpreted per element, and the
+    one-expression form re-evaluates the scale fold inside the per-
+    element lambda — O(dim²) interpreted ops per row, measured 2.6x
+    slower at sf0.1.  Staging keeps it O(dim): CollapseProject does not
+    inline an alias that a later non-cheap expression uses repeatedly.
+    """
+    staged = (
+        df.select(F.col(id_col), _dvec(vec_col).alias("_v"))
+        .select(
+            id_col,
+            "_v",
+            F.aggregate(
+                F.transform("_v", lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda a, x: F.greatest(a, x),
+            ).alias("_max_abs"),
+        )
+        .select(
+            id_col,
+            "_v",
+            (F.lit(127.0) / F.greatest(F.col("_max_abs"), F.lit(1e-30))).alias("_scale"),
+        )
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_scale").alias("scale"),
+        F.transform(
+            "_v", lambda x: F.round(x * F.col("_scale"), 0).cast("int")
+        ).alias("q"),
+    )
+
+
 def _plane_weights(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplane normals in [-1, 1),
     derived from md5 — reproducible across runs and languages."""

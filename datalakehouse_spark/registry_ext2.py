@@ -598,17 +598,17 @@ FROM qq
     "int8 scalar quantization of embedding vectors (4x storage cut)",
 )
 def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datalakehouse_spark.operators.similarity import quantize_int8
+    from datalakehouse_spark.operators.similarity import quantize_int8_df
 
     emb = load_table(spark, sf_dir, "embeddings")
-    scale, q = quantize_int8("embedding")
+    staged = quantize_int8_df(emb)  # q materialized once, reused 3x below
     zero = F.lit(0).cast("bigint")
-    return emb.select(
+    return staged.select(
         "vec_id",
-        F.round(scale, 9).alias("scale"),
-        F.aggregate(q, zero, lambda a, x: a + F.abs(x)).alias("q_l1"),
-        F.aggregate(q, zero, lambda a, x: a + x).alias("q_sum"),
-        F.md5(F.array_join(F.transform(q, lambda x: x.cast("string")), ",")).alias("q_md5"),
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("q", zero, lambda a, x: a + F.abs(x)).alias("q_l1"),
+        F.aggregate("q", zero, lambda a, x: a + x).alias("q_sum"),
+        F.md5(F.array_join(F.transform("q", lambda x: x.cast("string")), ",")).alias("q_md5"),
     )
 
 
