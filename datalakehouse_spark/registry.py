@@ -568,6 +568,11 @@ _DRIVER_PRIORITY = [
     "time_travel_read",
     "version_incremental_read",
     "streaming_dedup",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "pairwise_topk_blocked",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

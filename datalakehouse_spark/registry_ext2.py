@@ -1106,3 +1106,184 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n_first"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes q6/q10/q14/q18 (engine SQL surface breadth) + blocked
+# pairwise top-k neighbors (the all-pairs similarity operator, registry-
+# exposed; SURVEY.md §2.3 note on Trino/Spark SQL users)
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", _Q6_SQL, "TPC-H Q6: filter + single conditional revenue sum")
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), scale=4).alias("revenue"))
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+           AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", _Q10_SQL, "TPC-H Q10: 4-way join, agg, top-20 by revenue")
+def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        cust.join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            orders.where(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            li.where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=4).alias(
+                "revenue"
+            ),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_Q14_SQL = """
+SELECT round(
+    100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+    6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+"""
+
+
+@register("q14_promo_effect", _Q14_SQL, "TPC-H Q14: conditional ratio over a join")
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    joined = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(100.0 * dsum(promo, scale=4) / dsum(rev, scale=4), 6).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+_Q18_SQL = """
+WITH big AS (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(l_quantity) > 300
+)
+SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_day, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_custkey, o_orderkey, order_day, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+@register("q18_large_orders", _Q18_SQL, "TPC-H Q18: HAVING subquery semi-join + re-aggregate")
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_q"))
+        .where(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li.join(big, "l_orderkey", "left_semi"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_day"),
+            "o_totalprice",
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def _pairwise_sql() -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
+        "FOR i IN range(1, 65)]), (x, y) -> x + y)"
+    )
+    norm = lambda t: (  # noqa: E731
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE) "
+        "FOR i IN range(1, 65)]), (x, y) -> x + y))"
+    )
+    return f"""
+WITH p AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({dot} / ({norm('a')} * {norm('b')}), 9) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM p
+QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY cosine_sim DESC, id_b ASC) <= 3
+"""
+
+
+@register(
+    "pairwise_topk_blocked",
+    _pairwise_sql(),
+    "blocked all-pairs top-k neighbors (equi-join on block key, never O(n^2) global)",
+)
+def q_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pairwise_topk(emb, k=3)
