@@ -573,6 +573,7 @@ _DRIVER_PRIORITY = [
     "q14_promo_effect",
     "q18_large_orders",
     "pairwise_topk_blocked",
+    "scd2_customer_history",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

@@ -1287,3 +1287,58 @@ QUALIFY row_number() OVER (PARTITION BY id_a ORDER BY cosine_sim DESC, id_b ASC)
 def q_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.pairwise_topk(emb, k=3)
+
+
+_SCD2_SQL = """
+WITH upd AS (
+    SELECT o_custkey AS c_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS attr
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+    GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_acctbal AS attr,
+       DATE '1995-01-01' AS valid_from, DATE '1996-07-01' AS valid_to,
+       FALSE AS is_current
+FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+UNION ALL
+SELECT c.c_custkey, c.c_acctbal, DATE '1995-01-01', CAST(NULL AS DATE), TRUE
+FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM upd)
+UNION ALL
+SELECT c_custkey, attr, DATE '1996-07-01', CAST(NULL AS DATE), TRUE FROM upd
+"""
+
+
+@register(
+    "scd2_customer_history",
+    _SCD2_SQL,
+    "SCD type-2 apply: close out changed keys, append new current versions",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension versioning without MERGE (operators/relational.scd2_apply):
+    v0 = every customer current since 1995-01-01; updates = customers
+    with 1996-H1 orders get a recomputed attribute effective
+    1996-07-01.  Emits closed-out rows, untouched current rows, and the
+    fresh versions — the reference's upsert-history pattern on a
+    catalog-free backend."""
+    from datalakehouse_spark.operators.relational import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("attr"),
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01"))
+        )
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(dsum("o_totalprice").alias("attr"))
+        .withColumn("valid_from", F.lit("1996-07-01").cast("date"))
+    )
+    return scd2_apply(dim, updates, key="c_custkey", ts_col="valid_from")

@@ -139,3 +139,33 @@ def test_no_python_udfs_in_core_queries(spark):
     ):
         plan = plan_of(REGISTRY[name].fn(spark, SF))
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_bucketed_join_no_shuffle(spark):
+    """Co-located join (100 TB posture): two tables bucketed by the join
+    key into the same bucket count join WITHOUT any Exchange — the
+    pre-partitioning that replaces the per-query fact-to-fact shuffle
+    at scale (SURVEY/SCALE bucketing story)."""
+    from pyspark.sql import functions as F
+
+    a, b = "bucketed_join_a", "bucketed_join_b"
+    try:
+        for t in (a, b):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            (
+                spark.range(20000)
+                .select(F.col("id"), (F.col("id") % 512).alias("key"))
+                .write.bucketBy(8, "key")
+                .saveAsTable(t)
+            )
+        joined = (
+            spark.table(a)
+            .hint("merge")  # force SMJ so tiny test tables don't broadcast
+            .join(spark.table(b), "key")
+        )
+        plan = plan_of(joined)
+        assert "Exchange" not in plan, "bucketed join must not shuffle either side"
+        assert "SortMergeJoin" in plan
+    finally:
+        for t in (a, b):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
