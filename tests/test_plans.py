@@ -169,3 +169,15 @@ def test_bucketed_join_no_shuffle(spark):
     finally:
         for t in (a, b):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_q10_broadcast_and_topk(spark):
+    plan = plan_of(REGISTRY["q10_returned_items"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, "nation (at least) must broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan, "top-20 must not global-sort"
+
+
+def test_q18_having_subquery_is_semi_join(spark):
+    plan = plan_of(REGISTRY["q18_large_orders"].fn(spark, SF))
+    assert "LeftSemi" in plan, "HAVING-subquery filter must stay a semi-join"
