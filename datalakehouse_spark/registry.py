@@ -574,6 +574,9 @@ _DRIVER_PRIORITY = [
     "q18_large_orders",
     "pairwise_topk_blocked",
     "scd2_customer_history",
+    "corpus_prep_pipeline",
+    "stratified_sample",
+    "dataset_split_counts",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

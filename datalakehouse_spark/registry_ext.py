@@ -781,3 +781,65 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("view"), F.lit(0)).alias("n_view"),
         F.coalesce(F.col("purchase"), F.lit(0)).alias("n_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed training-data prep: langid -> quality filter -> normalized
+# dedup -> per-source accounting, one pipeline end-to-end (the shape a
+# 100 TB corpus-prep job actually runs; every stage reuses the
+# oracle-matched operators above)
+# ---------------------------------------------------------------------------
+
+_CORPUS_PREP_SQL = f"""
+WITH n AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+q AS (
+    SELECT doc_id, round(
+          0.3 * (CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 THEN 1.0 ELSE 0.2 END)
+        + 0.3 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+        + 0.3 * least({_ratio_sql("en")} * 4, 1.0)
+        + 0.1 * (1.0 - least(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                             / greatest(length(text), 1) * 5, 1.0)), 6) AS quality_score
+    FROM n
+),
+l AS (
+    SELECT doc_id,
+           {_ratio_sql("de")} AS r_de, {_ratio_sql("en")} AS r_en,
+           {_ratio_sql("es")} AS r_es, {_ratio_sql("fr")} AS r_fr
+    FROM n
+),
+kept AS (
+    SELECT n.doc_id, n.source, n.text
+    FROM n JOIN q ON n.doc_id = q.doc_id JOIN l ON n.doc_id = l.doc_id
+    WHERE q.quality_score >= 0.6
+      AND greatest(r_de, r_en, r_es, r_fr) > 0.05
+      AND r_en = greatest(r_de, r_en, r_es, r_fr)
+),
+dedup AS (
+    SELECT * FROM kept WHERE doc_id IN (
+        SELECT min(doc_id) FROM (SELECT doc_id, {_NORM} AS nt FROM kept) GROUP BY nt)
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{TS.TOKEN_PATTERN}'))) AS BIGINT)
+           AS total_tokens
+FROM dedup GROUP BY source
+"""
+
+
+@register(
+    "corpus_prep_pipeline",
+    _CORPUS_PREP_SQL,
+    "composed corpus prep: en-langid + quality>=0.6 filter -> normalized dedup -> per-source token accounting",
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakehouse_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TS.quality_score(docs).withColumn("lang_pred", TS.langid("text"))
+    kept = scored.where(
+        (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6)
+    ).select("doc_id", "source", "text")
+    deduped = D.dedup_exact_normalized(kept)
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TS.token_count("text").cast("bigint")).cast("bigint").alias("total_tokens"),
+    )

@@ -1342,3 +1342,69 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("valid_from", F.lit("1996-07-01").cast("date"))
     )
     return scd2_apply(dim, updates, key="c_custkey", ts_col="valid_from")
+
+
+# ---------------------------------------------------------------------------
+# Reproducible sampling / dataset splits (training-data ops): hash-based,
+# so the sample is deterministic across engines, reruns, partitionings,
+# and cluster sizes — never rand()/sample(), which no oracle can match
+# ---------------------------------------------------------------------------
+
+_SAMPLE_HASH = (
+    "('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100"
+)
+
+_STRAT_SAMPLE_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE {_SAMPLE_HASH} < 20
+"""
+
+
+def _sample_bucket() -> F.Column:
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    key = F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))
+    return md5_hash60(key) % 100
+
+
+@register(
+    "stratified_sample",
+    _STRAT_SAMPLE_SQL,
+    "deterministic 20% hash-sample per stratum (reproducible, engine-independent)",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.where(_sample_bucket() < 20).select("doc_id", "source")
+
+
+from datalakehouse_spark.operators.textstats import TOKEN_PATTERN as _TOKEN_PATTERN
+
+_SPLIT_SQL = f"""
+WITH b AS (SELECT doc_id, source, text, {_SAMPLE_HASH} AS bucket FROM documents)
+SELECT source,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END
+           AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '{_TOKEN_PATTERN}'))) AS BIGINT)
+           AS total_tokens
+FROM b GROUP BY source, split
+"""
+
+
+@register(
+    "dataset_split_counts",
+    _SPLIT_SQL,
+    "deterministic train/val/test split (80/10/10 hash buckets) with token accounting",
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakehouse_spark.operators import textstats as TS
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _sample_bucket()
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy("source", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(TS.token_count("text").cast("bigint")).cast("bigint").alias("total_tokens"),
+    )
