@@ -577,6 +577,7 @@ _DRIVER_PRIORITY = [
     "corpus_prep_pipeline",
     "stratified_sample",
     "dataset_split_counts",
+    "jsonl_ingest_roundtrip",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

@@ -1408,3 +1408,49 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(TS.token_count("text").cast("bigint")).cast("bigint").alias("total_tokens"),
     )
+
+
+_JSONL_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(ts_ns // 1000000000) AS BIGINT) AS sum_epoch_s
+FROM (SELECT event_type, value, epoch_ns(ts) AS ts_ns FROM events WHERE event_id % 7 = 0)
+GROUP BY event_type
+"""
+
+
+@register(
+    "jsonl_ingest_roundtrip",
+    _JSONL_SQL,
+    "JSON-lines source: serialize -> schema-on-read ingest == parquet-path result",
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's wire format is JSON (Kafka payloads,
+    create.sql:72-121).  Exercise the JSON file source end-to-end:
+    serialize a deterministic events subset to JSON lines, read it back
+    through an explicit schema (schema-on-read, no inference job), and
+    aggregate — must equal the parquet-path computation exactly.
+    Timestamps travel as int64 ns (no tz formatting ambiguity)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
+    path = tempfile.mkdtemp(prefix="jsonl_src_") + "/events"
+    ev.select(
+        F.to_json(F.struct("event_id", "event_type", "value", "ts_ns")).alias("j")
+    ).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_ns", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+        F.sum(F.expr("ts_ns div 1000000000")).cast("bigint").alias("sum_epoch_s"),
+    )

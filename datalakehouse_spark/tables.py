@@ -91,6 +91,15 @@ class ManagedTable:
     # -- write --------------------------------------------------------------
 
     def _writer(self, df: DataFrame, mode: str):
+        if self.partition_by:
+            # co-locate each hive partition's rows in one task BEFORE the
+            # partitioned write: otherwise every task writes a sliver of
+            # every partition it holds — task_count × n_partitions small
+            # files (under the driver's 200 shuffle partitions, thousands
+            # of KB-sized files per write).  One file per partition value
+            # is the small-files discipline; a skewed giant partition
+            # would add a salt column here for write parallelism.
+            df = df.repartition(*self.partition_by)
         if self.cluster_by:
             # prefix with the partition columns: FileFormatWriter inserts
             # its own (non-stable) sort on partition columns when the

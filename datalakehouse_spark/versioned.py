@@ -213,7 +213,10 @@ class VersionedTable:
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex[:8]}")
         w = df.write.mode("overwrite")
         if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
+            # one data file per partition value per commit (small-files
+            # discipline + compact manifests); see tables._writer
+            df = df.repartition(*self.partition_by)
+            w = df.write.mode("overwrite").partitionBy(*self.partition_by)
         w.parquet(stage)
 
         entries: list[dict] = []

@@ -136,6 +136,11 @@ def test_no_python_udfs_in_core_queries(spark):
         "simhash_docs",
         "knn_brute_force",
         "text_stats",
+        "corpus_prep_pipeline",
+        "stratified_sample",
+        "dataset_split_counts",
+        "pairwise_topk_blocked",
+        "scd2_customer_history",
     ):
         plan = plan_of(REGISTRY[name].fn(spark, SF))
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
