@@ -578,6 +578,7 @@ _DRIVER_PRIORITY = [
     "stratified_sample",
     "dataset_split_counts",
     "jsonl_ingest_roundtrip",
+    "coordinate_parse_swap",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

@@ -1454,3 +1454,36 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sum_value"),
         F.sum(F.expr("ts_ns div 1000000000")).cast("bigint").alias("sum_epoch_s"),
     )
+
+
+_COORD_SQL = """
+SELECT event_id,
+       CAST(printf('%.4f', value / 5 - 20) AS DOUBLE)  AS latitude,
+       CAST(printf('%.4f', value - 120) AS DOUBLE)     AS longitude
+FROM events
+WHERE event_type = 'click'
+"""
+
+
+@register(
+    "coordinate_parse_swap",
+    _COORD_SQL,
+    "postgres-point '(lon,lat)' parse with component swap (F15/F16)",
+)
+def q_coordinate_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference backfill parses a Postgres point serialized as
+    '(lon,lat)' and swaps components (backfill_telematics.py:117-128).
+    Synthesize the wire string from the fixture deterministically, run
+    the engine's parse+swap, and let the oracle compute the parsed
+    doubles directly — a broken swap (lat/lon transposed) hash-fails."""
+    from datalakehouse_spark.functions.geo import parse_coordinates
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    wire = F.format_string(
+        "(%.4f,%.4f)", F.col("value") - 120, F.col("value") / 5 - 20
+    )
+    tagged = ev.select("event_id", wire.alias("_pt"))
+    lat, lon = parse_coordinates("_pt")
+    return tagged.select(
+        "event_id", lat.alias("latitude"), lon.alias("longitude")
+    )
