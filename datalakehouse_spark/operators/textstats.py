@@ -67,8 +67,15 @@ def langid(col: Column | str, min_ratio: float = 0.05) -> Column:
 
     Ties break by language-code order (deterministic — required for the
     oracle hash-compare and for reproducible pipeline runs).
+
+    Expression form (tokenizes once per language ratio) — prefer
+    :func:`langid_df` in pipelines, which stages the token array once.
     """
     scores = langid_scores(col)
+    return _argmax_lang(scores, min_ratio)
+
+
+def _argmax_lang(scores: dict[str, Column], min_ratio: float) -> Column:
     best_lang = F.lit("und")
     best_score = F.lit(float(min_ratio))
     # fold in reverse-alphabetical order so the earliest language wins ties
@@ -80,6 +87,28 @@ def langid(col: Column | str, min_ratio: float = 0.05) -> Column:
     return best_lang
 
 
+def langid_df(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "lang_pred",
+    min_ratio: float = 0.05,
+) -> DataFrame:
+    """Staged language ID: tokenize ONCE, derive every language's
+    stopword ratio from the materialized array, fold the argmax.
+    Identical semantics to :func:`langid`; O(langs) fewer splits."""
+    staged = df.withColumn("_toks", tokens(text_col))
+    scores = {
+        lang: _stopword_ratio_of(F.col("_toks"), lang) for lang in STOPWORDS
+    }
+    return staged.withColumn(out_col, _argmax_lang(scores, min_ratio)).drop("_toks")
+
+
+def _stopword_ratio_of(toks: Column, lang: str) -> Column:
+    """Stopword-hit ratio from an already-materialized token column."""
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach deterministic quality features:
 
@@ -87,14 +116,20 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     - mean_token_len
     - punct_ratio / digit_ratio / upper_ratio (per char)
     - stopword_ratio_en
+
+    The token array is STAGED through its own projection: four feature
+    columns consume it, and an inline ``tokens(text)`` expression would
+    re-run the split per column (higher-order lambdas are interpreted,
+    no common-subexpression elimination across columns).
     """
     c = F.col(text_col)
-    toks = tokens(text_col)
+    staged = df.withColumn("_toks", tokens(text_col))
+    toks = F.col("_toks")
     n_chars = F.length(c)
     safe_chars = F.greatest(n_chars, F.lit(1))
     n_tokens = F.size(toks)
-    return df.select(
-        "*",
+    return staged.select(
+        *df.columns,
         n_chars.alias("n_chars_obs"),
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
@@ -106,7 +141,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", "")) / safe_chars
         ).alias("punct_ratio"),
         (F.length(F.regexp_replace(c, r"[^0-9]", "")) / safe_chars).alias("digit_ratio"),
-        stopword_ratio(text_col, "en").alias("stopword_ratio_en"),
+        _stopword_ratio_of(toks, "en").alias("stopword_ratio_en"),
     )
 
 

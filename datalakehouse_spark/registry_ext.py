@@ -137,7 +137,7 @@ FROM r
 @register("langid_docs", _LANGID_SQL, "stopword-ratio language ID heuristic")
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TS.langid("text").alias("lang_pred"))
+    return TS.langid_df(docs).select("doc_id", "lang_pred")
 
 
 _TOKEN_COUNT_SQL = f"""
@@ -834,12 +834,24 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalakehouse_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = TS.quality_score(docs).withColumn("lang_pred", TS.langid("text"))
+    scored = TS.langid_df(TS.quality_score(docs))
     kept = scored.where(
         (F.col("lang_pred") == "en") & (F.col("quality_score") >= 0.6)
     ).select("doc_id", "source", "text")
-    deduped = D.dedup_exact_normalized(kept)
-    return deduped.groupBy("source").agg(
+    # dedup folded INTO the aggregation: min_by carries the min-doc_id
+    # representative's payload through one map-side-combinable pass —
+    # the semi-join formulation re-evaluates the (expensive) scoring
+    # pipeline on both join sides
+    pre = kept.select(
+        "doc_id",
+        "source",
+        TS.token_count("text").cast("bigint").alias("_tok"),
+        D.normalize_text("text").alias("_norm"),
+    )
+    rep = pre.groupBy("_norm").agg(
+        F.min_by(F.struct("source", "_tok"), F.col("doc_id")).alias("s")
+    )
+    return rep.groupBy(F.col("s.source").alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(TS.token_count("text").cast("bigint")).cast("bigint").alias("total_tokens"),
+        F.sum("s._tok").cast("bigint").alias("total_tokens"),
     )
