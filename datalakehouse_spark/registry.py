@@ -579,6 +579,7 @@ _DRIVER_PRIORITY = [
     "dataset_split_counts",
     "jsonl_ingest_roundtrip",
     "coordinate_parse_swap",
+    "null_safe_join",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

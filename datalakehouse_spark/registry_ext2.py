@@ -1487,3 +1487,48 @@ def q_coordinate_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.select(
         "event_id", lat.alias("latitude"), lon.alias("longitude")
     )
+
+
+_NULL_SAFE_JOIN_SQL = """
+WITH k AS (
+    SELECT CASE WHEN value < 25 THEN NULL ELSE user_id END AS join_key,
+           event_type, value
+    FROM events
+),
+agg AS (
+    SELECT join_key, COUNT(*) AS n_left,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_left
+    FROM k GROUP BY join_key
+),
+dim AS (SELECT join_key, COUNT(*) AS n_right FROM k WHERE event_type = 'click' GROUP BY join_key)
+SELECT a.join_key, a.n_left, a.sum_left, d.n_right
+FROM agg a JOIN dim d ON a.join_key IS NOT DISTINCT FROM d.join_key
+"""
+
+
+@register(
+    "null_safe_join",
+    _NULL_SAFE_JOIN_SQL,
+    "null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match NULL",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain equi-joins DROP null-key rows; the null-safe operator keeps
+    the NULL group as a joinable key — the semantics difference that
+    silently loses data in fact-to-dim joins over nullable keys."""
+    ev = load_table(spark, sf_dir, "events")
+    k = ev.select(
+        F.when(F.col("value") < 25, None).otherwise(F.col("user_id")).alias("join_key"),
+        "event_type",
+        "value",
+    )
+    agg = k.groupBy("join_key").agg(
+        F.count(F.lit(1)).alias("n_left"), dsum("value").alias("sum_left")
+    )
+    dim = (
+        k.where(F.col("event_type") == "click")
+        .groupBy(F.col("join_key").alias("_rk"))
+        .agg(F.count(F.lit(1)).alias("n_right"))
+    )
+    return agg.join(dim, F.col("join_key").eqNullSafe(F.col("_rk"))).select(
+        "join_key", "n_left", "sum_left", "n_right"
+    )
