@@ -170,3 +170,64 @@ def test_expire_keeps_all_branch_heads(spark, vt):
     # both heads still read fine after GC
     assert vt.read().count() == 6
     assert vt.read(ref="exp").count() == 6
+
+
+def test_versioned_model_based_random_ops(spark, tmp_path):
+    """Model-based check: a deterministic pseudo-random sequence of
+    create/append/upsert/delete/rollback must keep (a) the latest state
+    equal to a pure-python dict model and (b) EVERY historical version
+    equal to the model snapshot taken at its commit."""
+    import random
+
+    rng = random.Random(20260813)
+    t = VersionedTable(spark, str(tmp_path / "m"), partition_by=["report_date"])
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(d, dt.date(2024, 1, day), s) for d, day, s in rows],
+            "device_id string, report_date date, score double",
+        )
+
+    model: dict[tuple, float] = {}
+    snapshots: dict[int, dict] = {}
+
+    def key(d, day):
+        return (d, dt.date(2024, 1, day))
+
+    # v1: create
+    rows = [(f"dev{i}", 1 + i % 3, 1.0) for i in range(6)]
+    v = t.create(mk(rows))
+    model = {key(d, day): s for d, day, s in rows}
+    snapshots[v] = dict(model)
+
+    for step in range(8):
+        op = rng.choice(["append", "upsert", "delete", "rollback"])
+        if op == "append":
+            rows = [(f"new{step}_{i}", 1 + rng.randrange(5), float(step)) for i in range(3)]
+            v = t.append(mk(rows))
+            for d, day, s in rows:
+                model[key(d, day)] = s
+        elif op == "upsert":
+            rows = [(f"dev{i}", 1 + rng.randrange(3), 100.0 + step) for i in range(2)]
+            v = t.merge_upsert(mk(rows), keys=["device_id", "report_date"])
+            for d, day, s in rows:
+                model[key(d, day)] = s
+        elif op == "delete":
+            cut = rng.choice([50.0, 99.0])
+            v = t.delete_where(F.col("score") >= cut)
+            model = {k: s for k, s in model.items() if not (s >= cut)}
+        else:
+            target = rng.choice(sorted(snapshots))
+            v = t.rollback(target)
+            model = dict(snapshots[target])
+        snapshots[v] = dict(model)
+
+    def read_state(version=None):
+        return {
+            (r.device_id, r.report_date): r.score
+            for r in t.read(version=version).collect()
+        }
+
+    assert read_state() == model
+    for v, snap in snapshots.items():
+        assert read_state(version=v) == snap, f"version {v} drifted from its snapshot"
