@@ -580,6 +580,7 @@ _DRIVER_PRIORITY = [
     "jsonl_ingest_roundtrip",
     "coordinate_parse_swap",
     "null_safe_join",
+    "streaming_session_windows",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

@@ -1532,3 +1532,59 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(dim, F.col("join_key").eqNullSafe(F.col("_rk"))).select(
         "join_key", "n_left", "sum_left", "n_right"
     )
+
+
+# streaming session windows (ST7): drained append output = sessions whose
+# window end (last event + gap) is past the final watermark.  The oracle
+# rebuilds the identical sessions with lag/cumsum islands and applies the
+# same finalization cutoff.
+_STREAM_SESSION_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+brk AS (
+    SELECT user_id, ts_us,
+           CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                  OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                     > 1800000000 THEN 1 ELSE 0 END AS is_new
+    FROM e
+),
+sid AS (
+    SELECT user_id, ts_us,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM brk
+),
+sess AS (
+    SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS last_us, COUNT(*) AS n_events
+    FROM sid GROUP BY user_id, session_id
+),
+wm AS (SELECT ((MAX(ts_us) // 1000) - 7200000) * 1000 AS wm_us FROM e)
+SELECT user_id, start_us // 1000000 AS session_start_s, n_events
+FROM sess WHERE last_us + 1800000000 <= (SELECT wm_us FROM wm)
+"""
+
+
+@register(
+    "streaming_session_windows",
+    _STREAM_SESSION_SQL,
+    "streaming session_window + watermark: drained finalized sessions == batch islands",
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from datalakehouse_spark.streaming.jobs import events_stream, session_window_stream
+
+    name = "sess_" + uuid.uuid4().hex[:10]
+    q = (
+        session_window_stream(events_stream(spark, sf_dir), gap="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_timestamp("session_start").cast("bigint").alias("session_start_s"),
+        "n_events",
+    )
