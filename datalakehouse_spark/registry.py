@@ -581,6 +581,7 @@ _DRIVER_PRIORITY = [
     "coordinate_parse_swap",
     "null_safe_join",
     "streaming_session_windows",
+    "event_sequences",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

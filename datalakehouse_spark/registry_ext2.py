@@ -1588,3 +1588,35 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("session_start").cast("bigint").alias("session_start_s"),
         "n_events",
     )
+
+
+_EVENT_SEQ_SQL = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY epoch_ns(ts), event_id) AS seq,
+       COUNT(*) AS n_events
+FROM events
+WHERE user_id % 10 = 3
+GROUP BY user_id
+"""
+
+
+@register(
+    "event_sequences",
+    _EVENT_SEQ_SQL,
+    "ordered per-user event-type sequences (behavioral feature construction)",
+)
+def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered aggregation: collect (ts, event_id, type)
+    structs, array_sort gives the total order (event_id breaks ts
+    ties), then project the type sequence — the collect_list-ORDER BY
+    pattern Spark lacks natively, kept shuffle-lean (one groupBy)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 10 == 3)
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts_ns", "event_id", "event_type"))
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["event_type"]), ">"
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
