@@ -582,6 +582,8 @@ _DRIVER_PRIORITY = [
     "null_safe_join",
     "streaming_session_windows",
     "event_sequences",
+    "quantized_knn",
+    "streaming_stream_join",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",
