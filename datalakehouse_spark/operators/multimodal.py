@@ -100,6 +100,49 @@ def extract_features(
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "asset_id long, frame_idx int, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    stride: int = 4,
+    fake: bool = True,
+    max_records_per_batch: int = 256,
+) -> DataFrame:
+    """Frame-sampling pass: one asset row fans out to one row per
+    sampled frame (every ``stride``-th), the 1->N mapInPandas shape a
+    video pipeline uses.  The decoder is the deterministic fake (frame
+    count and per-frame fingerprint derived from the payload hash);
+    a real deployment swaps in ffmpeg keyframe extraction — the Spark
+    contract (Arrow batch iteration, fan-out schema, no driver
+    traffic) is identical."""
+    if not fake:
+        raise NotImplementedError(
+            "video decode libraries are not available in this container; "
+            "call with fake=True to exercise the pipeline"
+        )
+    df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, idxs, fps = [], [], []
+            for asset_id, payload in zip(pdf["asset_id"], pdf[payload_col]):
+                sha = hashlib.sha256(payload or b"").hexdigest()
+                n_frames = 1 + int(sha[2:4], 16) % 32
+                for i in range(0, n_frames, stride):
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    fps.append(hashlib.md5(f"{sha}:{i}".encode()).hexdigest())
+            yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_md5": fps})
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def synthesize_assets_from_documents(docs: DataFrame, n: int = 100) -> DataFrame:
     """Build a deterministic media_assets fixture by reusing document
     text bytes as payloads (the fixtures ship no binary column)."""

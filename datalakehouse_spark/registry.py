@@ -584,6 +584,7 @@ _DRIVER_PRIORITY = [
     "event_sequences",
     "quantized_knn",
     "streaming_stream_join",
+    "media_frame_sample",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

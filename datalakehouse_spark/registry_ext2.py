@@ -1741,3 +1741,36 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_FRAME_SQL = """
+WITH a AS (
+    SELECT doc_id AS asset_id, sha256(text) AS sha
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 100)
+),
+d AS (
+    SELECT asset_id, sha,
+           1 + CAST(('0x' || substr(sha, 3, 2)) AS BIGINT) % 32 AS n_frames
+    FROM a
+)
+SELECT asset_id,
+       CAST(UNNEST(range(0, n_frames, 4)) AS INT) AS frame_idx,
+       md5(sha || ':' || CAST(UNNEST(range(0, n_frames, 4)) AS VARCHAR)) AS frame_md5
+FROM d
+"""
+
+
+@register(
+    "media_frame_sample",
+    _FRAME_SQL,
+    "video frame sampling: 1 asset row -> N frame rows via mapInPandas (fake decoder)",
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakehouse_spark.operators.multimodal import (
+        sample_frames,
+        synthesize_assets_from_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = synthesize_assets_from_documents(docs, n=100)
+    return sample_frames(assets, stride=4, fake=True)
