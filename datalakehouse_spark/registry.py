@@ -585,6 +585,7 @@ _DRIVER_PRIORITY = [
     "quantized_knn",
     "streaming_stream_join",
     "media_frame_sample",
+    "knn_batch_queries",
     # round-1 red or err entries (fixed this round — verify first)
     "risk_score_daily",
     "merge_upsert_risk",

@@ -1774,3 +1774,69 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = synthesize_assets_from_documents(docs, n=100)
     return sample_frames(assets, stride=4, fake=True)
+
+
+_BATCH_KNN_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) FOR i IN range(1, 65)]),"
+    " (a, b) -> a + b)"
+)
+_BATCH_KNN_NE = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, 65)]),"
+    " (a, b) -> a + b))"
+)
+_BATCH_KNN_NQ = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) FOR i IN range(1, 65)]),"
+    " (a, b) -> a + b))"
+)
+
+_BATCH_KNN_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5)
+SELECT q.query_id, e.vec_id,
+       round({_BATCH_KNN_DOT} / ({_BATCH_KNN_NE} * {_BATCH_KNN_NQ}), 9) AS cosine_sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id >= 5
+QUALIFY row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY cosine_sim DESC, e.vec_id ASC) <= 5
+"""
+
+
+@register(
+    "knn_batch_queries",
+    _BATCH_KNN_SQL,
+    "batched exact kNN: broadcast query set, per-query top-5 (the serving shape)",
+)
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch similarity serving: a small query set is broadcast against
+    the corpus scan (one pass over the corpus regardless of query
+    count), scored with the deterministic sequential-fold cosine, and
+    ranked per query with a window — no per-query rescans, no driver
+    loops.  Norms are hoisted per side before the cross join."""
+    from pyspark.sql import Window
+
+    from datalakehouse_spark.operators.similarity import _dvec, dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") >= 5).select(
+        "vec_id", _dvec("embedding").alias("_v")
+    ).select("vec_id", "_v", norm(F.col("_v")).alias("_nv"))
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("_q")
+    ).select("query_id", "_q", norm(F.col("_q")).alias("_nq"))
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("_v"), F.col("_q")) / (F.col("_nv") * F.col("_nq")), 9
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
