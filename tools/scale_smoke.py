@@ -72,7 +72,10 @@ def synthesize(spark, mult: int) -> str:
         c = emb.select(
             (F.col("vec_id") + F.lit(i * n_e)).alias("vec_id"),
             "embedding",
-            "label",
+            # shift labels per copy: a growing corpus grows the NUMBER of
+            # clusters/blocks, not each block's size — keeps blocked ops'
+            # per-block cost fixed, which is the realistic growth mode
+            (F.col("label") + F.lit(i * 1000)).alias("label"),
         )
         ecopies = c if ecopies is None else ecopies.unionByName(c)
     ecopies.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
@@ -113,6 +116,22 @@ def measure(spark, sf_dir: str) -> dict:
     t = run(knn_brute_force(emb, q, k=10))
     out["knn_s"] = round(t, 2)
     out["knn_vecs_per_s"] = int(n_emb / t)
+
+    # banded-LSH near-dup (the quadratic-risk pipeline): flat docs/s =
+    # the band join + default hot-bucket cap hold as the corpus grows
+    from datalakehouse_spark.operators.dedup import near_dup_pairs
+
+    t = run(near_dup_pairs(docs))
+    out["near_dup_s"] = round(t, 2)
+    out["near_dup_docs_per_s"] = int(n_docs / t)
+
+    # blocked pairwise top-k: O(sum block^2), must scale with block
+    # structure rather than corpus^2
+    from datalakehouse_spark.operators.similarity import pairwise_topk
+
+    t = run(pairwise_topk(emb, k=3))
+    out["pairwise_s"] = round(t, 2)
+    out["pairwise_vecs_per_s"] = int(n_emb / t)
     return out
 
 
