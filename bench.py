@@ -54,20 +54,22 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         _run(REGISTRY[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
-    total = round(time.perf_counter() - t_total0, 4)
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "registry_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Compact separators keep the line short enough for tail-capture
+    # harnesses; the full map is also persisted to bench_out.json.
+    line = json.dumps(payload, separators=(",", ":"))
+    with open(os.path.join(REPO_ROOT, "bench_out.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ falling back to the parquet backend otherwise.
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
@@ -122,7 +123,10 @@ class CatalogDML:
         return (self.run or self.spark.sql)(sql)
 
     def merge_upsert(self, source: DataFrame, keys: Sequence[str]) -> None:
-        view = f"_merge_src_{abs(hash(self.table)) % 10**8}"
+        # per-call unique view name: a table-hash-derived constant would
+        # let two concurrent merges on one table (or a hash collision
+        # across tables) bind each other's source and race the drop
+        view = f"_merge_src_{uuid.uuid4().hex}"
         source.createOrReplaceTempView(view)
         try:
             self._exec(merge_upsert_sql(self.table, view, keys))

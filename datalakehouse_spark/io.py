@@ -92,7 +92,7 @@ def _ensure_session_contract(spark: SparkSession) -> None:
 #: lazy plans, so memoizing them is safe; it skips the repeated parquet
 #: footer/schema read when a registry sweep loads the same fixture for
 #: every query (meaningful when a time-budgeted driver runs 70+ queries).
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

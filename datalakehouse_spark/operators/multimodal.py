@@ -17,8 +17,15 @@ Scale notes:
   their metadata and PARTITION BY content-defined buckets so a decode
   pass is embarrassingly parallel.
 - ``mapInPandas`` streams Arrow batches — peak memory is one batch, not
-  one partition; set spark.sql.execution.arrow.maxRecordsPerBatch to
-  bound batch bytes when payloads are large (done in apply functions).
+  one partition.  The operators RE-CHUNK each incoming batch to
+  ``max_records_per_batch`` rows inside the pandas iterator, so
+  processing/output batch size is bounded without mutating the shared
+  session's ``spark.sql.execution.arrow.maxRecordsPerBatch`` (a
+  session-conf set here would leak into every later Arrow query, and a
+  set-then-restore never takes effect under lazy evaluation — the conf
+  is read at action time).  For very large payloads also set that conf
+  session-wide at deployment so the JVM->Python transfer batches are
+  small too.
 - never collect payloads to the driver.
 """
 
@@ -63,9 +70,6 @@ def extract_features(
             "image/audio decode libraries are not available in this "
             "container; call with fake=True to exercise the pipeline"
         )
-    df.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch)
-    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure (stdlib-only refs): safe to pickle to
@@ -78,7 +82,12 @@ def extract_features(
             h = hashlib.sha256(payload).digest()
             return h[0] / 255.0, 1 + h[1] % 32
 
-        for pdf in it:
+        def _chunks(frames):
+            for big in frames:
+                for s in range(0, max(len(big), 1), max_records_per_batch):
+                    yield big.iloc[s : s + max_records_per_batch]
+
+        for pdf in _chunks(it):
             lumas, frames, shas, sizes = [], [], [], []
             for payload in pdf[payload_col]:
                 luma, nframes = _fake_decode(payload)
@@ -122,14 +131,16 @@ def sample_frames(
             "video decode libraries are not available in this container; "
             "call with fake=True to exercise the pipeline"
         )
-    df.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch)
-    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        for pdf in it:
+        def _chunks(frames):
+            for big in frames:
+                for s in range(0, max(len(big), 1), max_records_per_batch):
+                    yield big.iloc[s : s + max_records_per_batch]
+
+        for pdf in _chunks(it):
             ids, idxs, fps = [], [], []
             for asset_id, payload in zip(pdf["asset_id"], pdf[payload_col]):
                 sha = hashlib.sha256(payload or b"").hexdigest()

@@ -534,63 +534,62 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Names the round-1 driver never produced a correctness row for (its
-#: check stopped around 50 queries) plus the entries it flagged red.
-#: They are emitted FIRST so a time-budgeted driver pass covers them
-#: before re-confirming the long-green majority.
+#: Driver coverage rotation (round 3): the ~50-query driver budget is
+#: pointed FIRST at the 45 entries whose only green CORRECTNESS row is
+#: round 1 (several were edited after that check), then at entries new
+#: this round, then the round-2-green majority.
 _DRIVER_PRIORITY = [
-    # round-1 unchecked (no CORRECTNESS_r01 row)
-    "ntile_percent_rank",
-    "char_ngram_jaccard",
-    "embedding_near_dup",
-    "ann_lsh_search",
-    "stateful_running_totals",
-    "explode_wordcount_topk",
-    "value_histogram",
-    "monthly_revenue",
-    "array_agg_types",
-    "salted_agg_counts",
-    "quantize_embeddings_int8",
-    "exact_percentiles",
-    "value_stats_exact",
-    "zscore_normalize",
-    "disjunctive_predicates",
-    "min_per_group_joinback",
-    "risk_serving_page",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "gapfill_daily_counts",
-    "unpivot_daily",
-    "hourly_heatmap",
-    "null_semantics_agg",
-    # new this round
-    "streaming_windowed_append",
-    "time_travel_read",
-    "version_incremental_read",
-    "streaming_dedup",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "pairwise_topk_blocked",
-    "scd2_customer_history",
-    "corpus_prep_pipeline",
-    "stratified_sample",
-    "dataset_split_counts",
-    "jsonl_ingest_roundtrip",
-    "coordinate_parse_swap",
-    "null_safe_join",
-    "streaming_session_windows",
-    "event_sequences",
-    "quantized_knn",
-    "streaming_stream_join",
-    "media_frame_sample",
-    "knn_batch_queries",
-    # round-1 red or err entries (fixed this round — verify first)
-    "risk_score_daily",
-    "merge_upsert_risk",
+    # stale driver signal: last green row is CORRECTNESS_r01
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "asof_join_orders",
+    "range_join_window",
+    "join_outer_agg",
+    "join_semi",
+    "join_anti",
+    "latest_per_key",
+    "running_windows",
+    "leadlag_gaps",
+    "sessionize_counts",
+    "topk_global",
+    "topk_per_group",
+    "serving_page",
+    "serving_count",
+    "retention_filter",
+    "distinct_daily",
+    "rollup_daily",
+    "cube_type_user",
+    "pivot_daily_types",
+    "grouping_sets_sql",
+    "groupby_having",
+    "union_vendor_split",
+    "set_intersect",
+    "set_except",
+    "json_extract_props",
+    "string_predicates",
+    "scalar_subquery_ratio",
+    "correlated_avg_filter",
+    "bucket_distribution",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "minhash_signatures",
+    "near_dup_pairs",
+    "simhash_docs",
+    "text_stats",
+    "quality_score_docs",
+    "langid_docs",
+    "token_count_by_source",
+    "doc_fingerprints",
+    "knn_brute_force",
+    "embedding_norms_by_label",
+    "multimodal_payloads",
+    # new in round 3
+    "simhash_near_dup_pairs",
+    "ann_multiprobe_search",
     "ivf_search",
-    "approx_stats",
+    "schema_evolution_read",
+    "compaction_partition_sweep",
 ]
 
 

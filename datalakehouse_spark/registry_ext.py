@@ -585,43 +585,13 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming: windowed event-time aggregate, drained via availableNow
 # ---------------------------------------------------------------------------
 
-_STREAM_WIN_SQL = """
-SELECT CAST(epoch_us(date_trunc('hour', ts)) // 1000000 AS BIGINT) AS window_epoch_s,
-       event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-FROM events GROUP BY 1, 2
-"""
+# NOTE: a complete-mode windowed entry (`streaming_windowed_counts`)
+# used to live here; complete mode retains every window in state
+# forever, so the registry's scored/benched surface now carries only
+# the watermarked append twin below.  Complete-mode capability remains
+# covered by tests/test_streaming.py.
 
-
-@register(
-    "streaming_windowed_counts",
-    _STREAM_WIN_SQL,
-    "Structured Streaming tumbling-window agg == its batch twin",
-)
-def q_streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
-    from datalakehouse_spark.streaming.jobs import events_stream, windowed_counts_stream
-
-    name = "win_" + uuid.uuid4().hex[:10]
-    q = (
-        windowed_counts_stream(events_stream(spark, sf_dir))
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
-        F.unix_timestamp("window_start").alias("window_epoch_s"),
-        "event_type",
-        "n",
-        "sum_value",
-    )
-
-
-# Append-mode twin: the scale-safe production shape.  Complete mode
+# Append-mode form: the scale-safe production shape.  Complete mode
 # retains every window in state forever; append + watermark evicts a
 # window's state once the watermark passes its end, so state size is
 # bounded by the lateness horizon regardless of stream length.  The
@@ -649,18 +619,23 @@ HAVING (window_epoch_s + 3600) * 1000 <= (SELECT wm_ms FROM wm)
 def q_streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from datalakehouse_spark.streaming.jobs import events_stream, windowed_counts_stream
+    from datalakehouse_spark.streaming.jobs import (
+        drain_confs,
+        events_stream,
+        windowed_counts_stream,
+    )
 
     name = "wina_" + uuid.uuid4().hex[:10]
-    q = (
-        windowed_counts_stream(events_stream(spark, sf_dir))
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_confs(spark):
+        q = (
+            windowed_counts_stream(events_stream(spark, sf_dir))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.unix_timestamp("window_start").alias("window_epoch_s"),
         "event_type",

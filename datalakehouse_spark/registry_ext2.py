@@ -439,19 +439,20 @@ FROM events GROUP BY user_id
 def q_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from datalakehouse_spark.streaming.jobs import events_stream
+    from datalakehouse_spark.streaming.jobs import drain_confs, events_stream
     from datalakehouse_spark.streaming.reliability import running_totals_stateful
 
     name = "rt_" + uuid.uuid4().hex[:10]
-    q = (
-        running_totals_stateful(events_stream(spark, sf_dir).select("user_id", "value"))
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_confs(spark):
+        q = (
+            running_totals_stateful(events_stream(spark, sf_dir).select("user_id", "value"))
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update mode emits one row per key per micro-batch; the FINAL state
     # per key is the row with the highest n_events (monotonic per key)
     updates = spark.table(name)
@@ -1087,20 +1088,21 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     once."""
     import uuid
 
-    from datalakehouse_spark.streaming.jobs import events_stream
+    from datalakehouse_spark.streaming.jobs import drain_confs, events_stream
 
     name = "sdedup_" + uuid.uuid4().hex[:10]
-    q = (
-        events_stream(spark, sf_dir)
-        .select("user_id", "event_type")
-        .dropDuplicates(["user_id", "event_type"])
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_confs(spark):
+        q = (
+            events_stream(spark, sf_dir)
+            .select("user_id", "event_type")
+            .dropDuplicates(["user_id", "event_type"])
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id", "event_type")
@@ -1571,18 +1573,23 @@ FROM sess WHERE last_us + 1800000000 <= (SELECT wm_us FROM wm)
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from datalakehouse_spark.streaming.jobs import events_stream, session_window_stream
+    from datalakehouse_spark.streaming.jobs import (
+        drain_confs,
+        events_stream,
+        session_window_stream,
+    )
 
     name = "sess_" + uuid.uuid4().hex[:10]
-    q = (
-        session_window_stream(events_stream(spark, sf_dir), gap="30 minutes")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_confs(spark):
+        q = (
+            session_window_stream(events_stream(spark, sf_dir), gap="30 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         "user_id",
         F.unix_timestamp("session_start").cast("bigint").alias("session_start_s"),
@@ -1707,7 +1714,7 @@ JOIN (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type =
 def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    from datalakehouse_spark.streaming.jobs import events_stream
+    from datalakehouse_spark.streaming.jobs import drain_confs, events_stream
 
     src = events_stream(spark, sf_dir)
     clicks = (
@@ -1731,15 +1738,16 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
     )
     name = "ssj_" + uuid.uuid4().hex[:10]
-    q = (
-        joined.select("user_id", "click_id", "purchase_id")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_confs(spark):
+        q = (
+            joined.select("user_id", "click_id", "purchase_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

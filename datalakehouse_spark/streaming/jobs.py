@@ -21,6 +21,8 @@ idempotent commits per epoch; with an Iceberg/Delta catalog the same
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -43,6 +45,37 @@ EVENTS_WIRE_SCHEMA = T.StructType(
 #: Declared schema for the JSON payload carried in `props` (the
 #: from_json/DLQ split contract, ST4).
 PROPS_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+@contextmanager
+def drain_confs(spark: SparkSession, shuffle_partitions: int = 8):
+    """Bounded-overhead session confs for ``availableNow`` drains.
+
+    Stateful streaming operators create one state-store instance per
+    shuffle partition per operator; a vanilla session's 200 partitions
+    means 200+ tiny state stores for a fixture-sized drain — pure
+    overhead locally, and an explicit knob (not a default) on a real
+    cluster where state volume dictates the partition count.
+
+    Save-restore is SOUND here (unlike for lazy batch plans): streaming
+    confs are read when the query STARTS, and a drain runs start →
+    awaitTermination entirely inside the ``with`` block, so the
+    restored value never affects the running query and nothing leaks
+    into the shared session afterwards.
+    """
+    key = "spark.sql.shuffle.partitions"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(shuffle_partitions))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

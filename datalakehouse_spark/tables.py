@@ -162,7 +162,16 @@ class ManagedTable:
         ``where(~pred)`` would silently drop them, so the remainder
         keeps rows where ``NOT coalesce(pred, false)``).
         """
-        if self._catalog is not None and isinstance(predicate, str):
+        if self._catalog is not None:
+            if not isinstance(predicate, str):
+                # Falling through to the parquet path would delete from
+                # self.path, which is empty/stale when the data lives in
+                # the catalog — a silent no-op. Require SQL text here.
+                raise TypeError(
+                    "delete_where on a catalog-backed table requires a SQL "
+                    "predicate string (Column predicates cannot be rendered "
+                    "to catalog DELETE statements)"
+                )
             self._catalog.delete_where(predicate)
             return
         if not self.exists:
@@ -203,22 +212,106 @@ class ManagedTable:
             shutil.rmtree(self.path)
             os.rename(tmp, self.path)
 
-    def compact(self, target_partitions: int = 1) -> None:
-        """Small-file compaction (M2): rewrite each table partition's
-        files down to ``target_partitions`` files. Catalog backend:
-        ``rewrite_data_files`` / ``OPTIMIZE`` with a size threshold
-        (256 MiB fact / 128 MiB raw per create.sql:54,160)."""
+    def partition_file_stats(self) -> list[dict]:
+        """Per-partition file count and byte size from a directory walk
+        — the parquet analog of the manifest-level file stats Iceberg's
+        ``rewrite_data_files`` plans from. Partition values are decoded
+        from their hive-escaped directory form (NULL ->
+        ``__HIVE_DEFAULT_PARTITION__`` handled)."""
+        from datalakehouse_spark.versioned import _decode_hive_value
+
+        stats: list[dict] = []
+        for root, _dirs, files in os.walk(self.path):
+            pq = [f for f in files if f.endswith(".parquet")]
+            if not pq:
+                continue
+            rel = os.path.relpath(root, self.path)
+            partition: dict[str, str | None] = {}
+            if rel != ".":
+                for piece in rel.split(os.sep):
+                    if "=" in piece:
+                        k, v = piece.split("=", 1)
+                        partition[k] = _decode_hive_value(v)
+            stats.append(
+                {
+                    "dir": root,
+                    "partition": partition,
+                    "file_count": len(pq),
+                    "bytes": sum(
+                        os.path.getsize(os.path.join(root, f)) for f in pq
+                    ),
+                }
+            )
+        return stats
+
+    def compact(
+        self,
+        target_partitions: int = 1,
+        min_files: int = 2,
+        where: dict[str, Sequence] | None = None,
+    ) -> dict:
+        """Small-file compaction (M2), partition-scoped like the
+        reference's per-day sweep (cleanup.sql:12-17 and the whole of
+        cleanup_migration.sql iterate ``WHERE received_day = d``):
+
+        - **catalog backend**: one ``rewrite_data_files`` / ``OPTIMIZE``
+          with a size threshold (256 MiB fact / 128 MiB raw per
+          create.sql:54,160).
+        - **partitioned parquet backend**: only partitions whose file
+          count reaches ``min_files`` (and that match ``where``,
+          a {col: allowed-values} filter, when given) are read and
+          rewritten, via the same dynamic partition overwrite the DML
+          paths use; every other partition's files are left
+          byte-for-byte untouched — at 100 TB a few small-file days
+          cost a few days, never a table scan. Partitioned tables
+          compact to ONE file per partition value (the ``_writer``
+          small-files discipline); ``target_partitions`` applies to
+          unpartitioned tables only.
+        - **unpartitioned parquet backend**: full rewrite down to
+          ``target_partitions`` files.
+
+        Compaction routes through ``_writer`` so it preserves the
+        cluster_by sort order and parquet bloom-filter options — the
+        reference's ``rewrite_data_files`` keeps ``'write.order-by'``
+        and bloom settings. Returns a report of what was rewritten.
+        """
         if self._catalog is not None:
             self._catalog.compact(target_file_size_bytes=256 * 1024 * 1024)
-            return
-        df = self.read().coalesce(target_partitions)
-        tmp = self.path + ".tmp_compact"
-        # route through _writer so compaction preserves the cluster_by
-        # sort order and parquet bloom-filter options — the reference's
-        # rewrite_data_files keeps 'write.order-by' and bloom settings.
-        self._writer(df, "overwrite").parquet(tmp)
-        shutil.rmtree(self.path)
-        os.rename(tmp, self.path)
+            return {"backend": "catalog", "compacted": None, "skipped": 0}
+        if not self.partition_by:
+            df = self.read().coalesce(target_partitions)
+            tmp = self.path + ".tmp_compact"
+            self._writer(df, "overwrite").parquet(tmp)
+            shutil.rmtree(self.path)
+            os.rename(tmp, self.path)
+            return {"backend": "parquet", "compacted": [{}], "skipped": 0}
+        allowed = None
+        if where:
+            allowed = {
+                k: {None if x is None else str(x) for x in vs}
+                for k, vs in where.items()
+            }
+        todo, skipped = [], 0
+        for s in self.partition_file_stats():
+            in_scope = allowed is None or all(
+                s["partition"].get(k) in vs for k, vs in allowed.items()
+            )
+            if in_scope and s["file_count"] >= min_files:
+                todo.append(s)
+            else:
+                skipped += 1
+        if todo:
+            # one job over just the breaching partitions; dynamic
+            # overwrite commits replace only those partition dirs
+            df = self.spark.read.option("basePath", self.path).parquet(
+                *[s["dir"] for s in todo]
+            )
+            self._writer(df, "overwrite").parquet(self.path)
+        return {
+            "backend": "parquet",
+            "compacted": [s["partition"] for s in todo],
+            "skipped": skipped,
+        }
 
     def vacuum(self) -> list[str]:
         """M3/M4 analog for the parquet backend: remove orphaned

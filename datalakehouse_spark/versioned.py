@@ -45,12 +45,39 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Directory name Spark/Hive writes for a NULL partition value.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_HIVE_HEX = re.compile(r"%([0-9A-Fa-f]{2})")
+
+
+def _decode_hive_value(v: str) -> str | None:
+    """Invert Spark's hive-style partition-path escaping.
+
+    Spark escapes special characters (space, ':', '%', '=', control
+    chars, ... — ExternalCatalogUtils.escapePathName) as %XX in
+    partition directory names and writes NULL values as
+    ``__HIVE_DEFAULT_PARTITION__``.  Manifest entries store the DECODED
+    value (None for NULL) so that comparisons against row values are
+    exact instead of string-vs-escaped-string."""
+    if v == _HIVE_NULL:
+        return None
+    return _HIVE_HEX.sub(lambda m: chr(int(m.group(1), 16)), v)
+
+
+def _canon_value(v) -> str | None:
+    """Canonical comparison form of a partition value taken from a Row
+    (or user filter): None stays None, everything else is its string
+    form — the same thing ``_decode_hive_value`` yields for the value's
+    partition directory."""
+    return None if v is None else str(v)
 
 
 class VersionedTable:
@@ -211,6 +238,17 @@ class VersionedTable:
         commit-unique names (Spark part-file names already embed a job
         uuid; the stage prefix adds belt-and-braces uniqueness)."""
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex[:8]}")
+        if self.partition_by:
+            # a rewrite scoped to the NULL partition reads back its
+            # partition column as VOID (all directory values are the
+            # NULL sentinel); VOID cannot be a partition column on
+            # write — cast to string, which round-trips to the same
+            # __HIVE_DEFAULT_PARTITION__ directory
+            from pyspark.sql.types import NullType
+
+            for c in self.partition_by:
+                if isinstance(df.schema[c].dataType, NullType):
+                    df = df.withColumn(c, F.col(c).cast("string"))
         w = df.write.mode("overwrite")
         if self.partition_by:
             # one data file per partition value per commit (small-files
@@ -223,12 +261,12 @@ class VersionedTable:
         os.makedirs(self.data_dir, exist_ok=True)
         for root, _dirs, files in os.walk(stage):
             rel_dir = os.path.relpath(root, stage)
-            partition: dict[str, str] = {}
+            partition: dict[str, str | None] = {}
             if rel_dir != ".":
                 for piece in rel_dir.split(os.sep):
                     if "=" in piece:
                         k, v = piece.split("=", 1)
-                        partition[k] = v
+                        partition[k] = _decode_hive_value(v)
             for f in files:
                 if not f.endswith(".parquet"):
                     continue
@@ -270,7 +308,7 @@ class VersionedTable:
         prev = self._load_manifest(cur)["files"]
         if self.partition_by:
             touched_vals = {
-                tuple(str(r[k]) for k in self.partition_by)
+                tuple(_canon_value(r[k]) for k in self.partition_by)
                 for r in source.select(*self.partition_by).distinct().collect()
             }
 
@@ -305,7 +343,7 @@ class VersionedTable:
         pred_true = F.coalesce(pred, F.lit(False))
         if self.partition_by:
             touched_vals = {
-                tuple(str(r[k]) for k in self.partition_by)
+                tuple(_canon_value(r[k]) for k in self.partition_by)
                 for r in self._read_files(prev)
                 .where(pred_true)
                 .select(*self.partition_by)
@@ -360,7 +398,10 @@ class VersionedTable:
         v = self.current_version(ref) if version is None else version
         entries = self._load_manifest(v)["files"]
         if partition_filter:
-            allowed = {k: {str(x) for x in vs} for k, vs in partition_filter.items()}
+            allowed = {
+                k: {_canon_value(x) for x in vs}
+                for k, vs in partition_filter.items()
+            }
             entries = [
                 e
                 for e in entries

@@ -158,6 +158,69 @@ def test_compact_reduces_files(spark, table):
     assert table.read().count() == 18  # 9 original + 9 appended
 
 
+def test_compact_is_partition_scoped(spark, table):
+    """M2 (cleanup.sql:12-17): only partitions breaching the small-file
+    threshold are rewritten; every other partition's files are
+    byte-for-byte untouched (same paths, same bytes)."""
+    import os
+
+    for _ in range(3):
+        table.append(_risk_rows(spark, days=[1]))
+
+    def _snapshot(day):
+        snap = {}
+        for root, _d, fs in os.walk(table.path):
+            if f"report_date=2024-01-0{day}" not in root:
+                continue
+            for f in fs:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    with open(p, "rb") as fh:
+                        snap[p] = fh.read()
+        return snap
+
+    day2_before, day3_before = _snapshot(2), _snapshot(3)
+    report = table.compact()
+    assert report["backend"] == "parquet"
+    assert [p["report_date"] for p in report["compacted"]] == ["2024-01-01"]
+    assert report["skipped"] == 2
+    assert _snapshot(2) == day2_before, "untouched partition rewritten"
+    assert _snapshot(3) == day3_before, "untouched partition rewritten"
+    assert table.read().count() == 18
+
+
+def test_compact_where_scopes_the_sweep(spark, table):
+    """compact(where=...) restricts the sweep to named partitions even
+    when others also breach the threshold."""
+    for _ in range(2):
+        table.append(_risk_rows(spark, days=[1, 2]))
+    report = table.compact(where={"report_date": [dt.date(2024, 1, 2)]})
+    assert [p["report_date"] for p in report["compacted"]] == ["2024-01-02"]
+    # day 1 still has its small files; a second unscoped sweep gets it
+    report2 = table.compact()
+    assert [p["report_date"] for p in report2["compacted"]] == ["2024-01-01"]
+    assert table.read().count() == 21  # 9 + 2x6 appended
+
+
+def test_partition_file_stats(spark, table):
+    table.append(_risk_rows(spark, days=[1]))
+    stats = {s["partition"]["report_date"]: s for s in table.partition_file_stats()}
+    assert stats["2024-01-01"]["file_count"] == 2
+    assert stats["2024-01-02"]["file_count"] == 1
+    assert all(s["bytes"] > 0 for s in stats.values())
+
+
+def test_delete_where_catalog_requires_sql_text(spark, tmp_path):
+    """A Column predicate on a catalog-backed table must raise, not
+    silently no-op against the (empty) parquet path."""
+    from datalakehouse_spark.catalog_dml import CatalogDML
+
+    t = ManagedTable(spark, str(tmp_path / "cat"), partition_by=["report_date"])
+    t._catalog = CatalogDML(spark, "lake.db.risk", "iceberg")
+    with pytest.raises(TypeError, match="SQL predicate string"):
+        t.delete_where(F.col("report_date") < F.lit(dt.date(2024, 1, 2)))
+
+
 def test_analyze_stats(spark, table):
     stats = table.analyze()
     assert stats["rows"] == 9

@@ -70,6 +70,42 @@ def test_delete_where_versioned_null_semantics(spark, tmp_path):
     assert t.read(version=1).count() == 3
 
 
+def test_upsert_null_and_escaped_partition_values(spark, tmp_path):
+    """Hive writes NULL partition values as __HIVE_DEFAULT_PARTITION__
+    and escapes specials (':', space) as %XX; touched-partition
+    detection must canonicalize both sides or a merge duplicates keys
+    in the new version (stale rows kept AND new rows inserted)."""
+    t = VersionedTable(spark, str(tmp_path / "np"), partition_by=["label"])
+    df = spark.createDataFrame(
+        [(1, None, 10.0), (2, "a:b c", 10.0), (3, "plain", 10.0)],
+        "id long, label string, score double",
+    )
+    t.create(df)
+    # manifest stores decoded values: None and the literal string
+    labels = {e["partition"]["label"] for e in t._load_manifest(1)["files"]}
+    assert labels == {None, "a:b c", "plain"}
+    src = spark.createDataFrame(
+        [(1, None, 99.0), (2, "a:b c", 99.0)], "id long, label string, score double"
+    )
+    t.merge_upsert(src, keys=["id"])
+    out = sorted(map(tuple, t.read().select("id", "score").collect()))
+    assert out == [(1, 99.0), (2, 99.0), (3, 10.0)]  # no duplicate keys
+
+    t.delete_where(F.col("label").isNull())
+    assert sorted(r.id for r in t.read().collect()) == [2, 3]
+
+
+def test_read_partition_filter_null_and_escaped(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "pf"), partition_by=["label"])
+    t.create(
+        spark.createDataFrame(
+            [(1, None), (2, "a:b c"), (3, "plain")], "id long, label string"
+        )
+    )
+    assert {r.id for r in t.read(partition_filter={"label": ["a:b c"]}).collect()} == {2}
+    assert {r.id for r in t.read(partition_filter={"label": [None]}).collect()} == {1}
+
+
 def test_rollback_is_a_new_commit(spark, vt):
     vt.merge_upsert(_rows(spark, days=[2], score=99.0), keys=["device_id", "report_date"])
     before = _state(vt.read(version=1))
