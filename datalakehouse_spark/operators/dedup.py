@@ -8,8 +8,9 @@ Four tiers, trading recall for cost — all shuffle-lean by construction:
   pairs inside buckets only -> exact-Jaccard verify. The shuffle is on
   (band_id, band_hash), whose cardinality is bounded by the corpus —
   never the O(n²) pair space.
-- SimHash: one 32-bit signature per doc; near-dups collide on rotated
-  prefix buckets (Hamming-ball probing is a follow-up).
+- SimHash: one 32-bit signature per doc; near-dup PAIRING via block
+  buckets (pigeonhole: distance <= n_blocks-1 implies an exact match on
+  some block) + popcount verify — simhash_near_dup_pairs.
 
 Determinism: all hash functions derive from the java-hashCode
 polynomial (functions/hashing.py), so every stage has a DuckDB-SQL twin
@@ -274,3 +275,81 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         )
         sig = term if sig is None else sig + term
     return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_blocks: int = 4,
+    max_hamming: int | None = None,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """SimHash near-dup PAIRING: (id_a, id_b, hamming) for every pair
+    within ``max_hamming`` bits (default n_blocks-1 = 3).
+
+    Mechanism (the block-bucket form of rotated-prefix probing): split
+    the 32-bit signature into ``n_blocks`` equal blocks.  By pigeonhole,
+    any pair within Hamming distance n_blocks-1 agrees EXACTLY on at
+    least one block, so candidates = pairs sharing a (block_id,
+    block_value) bucket — a self-equi-join on the bucket key, never the
+    O(n²) pair space — then one integer popcount on the XOR verifies
+    the exact distance.  Because candidate recall is exhaustive at
+    max_hamming <= n_blocks-1, the RESULT equals the full quadratic
+    scan's (the oracle computes that directly).
+
+    Scale posture mirrors ``lsh_candidate_pairs``: the shuffle moves
+    each doc n_blocks times on the bucket key; ``max_bucket_size``
+    (default-on) drops degenerate buckets — a 32-bit/4-block config has
+    only 256 bucket values per block, so a production corpus should
+    widen to a 64-bit signature with 16-bit blocks (same plan, more
+    selective buckets).
+    """
+    if max_hamming is None:
+        max_hamming = n_blocks - 1
+    sigs = simhash_df(df, text_col, id_col)
+    block_bits = 32 // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.block", "bk.key")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("block", "key")
+        blocks = (
+            blocks.withColumn("_bs", F.count(F.lit(1)).over(w))
+            .where(F.col("_bs") <= max_bucket_size)
+            .drop("_bs")
+        )
+    a = blocks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "block", "key"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "block", "key"
+    )
+    cands = (
+        a.join(b, ["block", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        cands.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

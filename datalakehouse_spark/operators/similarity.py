@@ -89,6 +89,75 @@ def centroids_by_label(
     )
 
 
+def _sq_dist_to_literal(v: Column, centroid: list[float]) -> Column:
+    """Sequential-fold squared L2 distance to a literal centroid —
+    deterministic accumulation order, O(dim) per row."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Deterministic Lloyd k-means as DataFrame ops.
+
+    - init: cluster = md5-prefix-hash(id) % k — seeded, reproducible
+      across engines (the DuckDB oracle replays the identical
+      iterations), no sampling step.
+    - iterate ``iters`` times: per-cluster per-dim mean (posexplode →
+      avg → reassemble), then reassign every vector to the argmin
+      squared-L2 centroid.  Centroids are k×dim doubles — collected to
+      the driver and embedded as LITERALS, so reassignment is one
+      narrow whole-stage-codegen projection per iteration (k folds of
+      dim each, the inherent k·dim assignment flops), never a join or
+      shuffle on the corpus.
+    - shuffle per iteration = the centroid aggregate only: map-side
+      partial avg, k×dim rows on the wire.  Ties break toward the
+      lower cluster id (struct-min ordering) in both engines.
+
+    Returns (assignment DataFrame ``(id, cluster)``, final centroid
+    list).  Empty clusters simply drop out (standard Lloyd behavior).
+    """
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    base = embeddings.select(F.col(id_col), _dvec(vec_col).alias("_v"))
+    assign = base.withColumn(
+        "cluster", (md5_hash60(F.col(id_col).cast("string")) % k).cast("int")
+    )
+    cent_rows: list[tuple[int, list[float]]] = []
+    for _ in range(iters):
+        exploded = assign.select("cluster", F.posexplode("_v").alias("pos", "v"))
+        per_dim = exploded.groupBy("cluster", "pos").agg(F.avg("v").alias("c"))
+        cents = (
+            per_dim.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("cluster", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+        )
+        # k rows × dim doubles — tiny by construction, safe to collect
+        cent_rows = sorted(
+            (r.cluster, list(r.centroid)) for r in cents.collect()
+        )
+        best = F.least(
+            *[
+                F.struct(
+                    _sq_dist_to_literal(F.col("_v"), cvec).alias("d"),
+                    F.lit(cid).alias("c"),
+                )
+                for cid, cvec in cent_rows
+            ]
+        )
+        assign = base.withColumn("cluster", best["c"])
+    return assign.select(id_col, "cluster"), cent_rows
+
+
 def ivf_search(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -96,25 +165,51 @@ def ivf_search(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    label_col: str = "label",
+    n_clusters: int = 8,
+    kmeans_iters: int = 2,
 ) -> DataFrame:
-    """IVF approximate search: rank centroids, exact-search the n_probe
-    nearest clusters only.
+    """IVF approximate search: true k-means coarse quantizer (seeded
+    deterministic Lloyd iterations, :func:`kmeans_clusters`), rank
+    centroids against the query, exact-search the n_probe nearest
+    clusters only.
 
-    The cluster filter is a broadcast IN-list, so the scan prunes to the
-    probed clusters (at scale: partition the table by cluster id and the
-    filter becomes partition pruning).
+    The cluster filter is a broadcast semi-join IN-list; at 100 TB the
+    corpus is PARTITIONED by cluster id (the assignment is a one-off
+    build job, amortized across queries) and the filter becomes
+    partition pruning — a query touches n_probe/n_clusters of the data.
     """
-    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
-    cents = centroids_by_label(embeddings, label_col, vec_col)
-    probe = [
-        r[0]
-        for r in cents.select(label_col, cosine(F.col("centroid"), q).alias("s"))
-        .orderBy(F.col("s").desc(), F.col(label_col).asc())
-        .limit(n_probe)
-        .collect()
-    ]
-    pruned = embeddings.where(F.col(label_col).isin(probe))
+    _, cent_rows = kmeans_clusters(
+        embeddings, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    # centroid ranking is k rows of plain doubles — pure driver-side
+    # math with the same sequential accumulation order as the SQL twin
+    def _seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    qv = [float(x) for x in query_vec]
+    ranked = sorted(
+        (
+            (-(_seq_dot(c, qv) / (_seq_dot(c, c) ** 0.5)), cid)
+            for cid, c in cent_rows
+        ),
+    )
+    probe = [cid for _, cid in ranked[:n_probe]]
+    # the final assignment is a LITERAL-centroid argmin expression, so
+    # pruning is a narrow filter — no join; with the corpus partitioned
+    # by a persisted cluster column this is partition pruning instead
+    best = F.least(
+        *[
+            F.struct(
+                _sq_dist_to_literal(_dvec(vec_col), cvec).alias("d"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, cvec in cent_rows
+        ]
+    )
+    pruned = embeddings.where(best["c"].isin(probe))
     return knn_brute_force(pruned, query_vec, k, id_col, vec_col).withColumn(
         "probed_clusters", F.lit(len(probe))
     )
@@ -223,6 +318,27 @@ def hyperplane_lsh_bucket(
         bit = F.when(dot(v, wcol) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("int")
+
+
+def hamming_ball_probes(bucket: int, n_planes: int = 8, radius: int = 1) -> list[int]:
+    """Deterministic multi-probe set for hyperplane LSH: the query's
+    bucket plus every bucket within Hamming distance ``radius`` of it
+    (sign flips of individual planes).
+
+    A vector near a hyperplane lands on either side with ~equal
+    probability, so true neighbors often differ from the query in
+    exactly one plane bit — single-bucket probing has a recall cliff.
+    radius=1 probes n_planes+1 buckets (9 of 256 at the defaults):
+    ~28× fewer candidates than a full scan with most of the lost
+    recall recovered.  The probe set is a pure function of the bucket —
+    fixed, ordered, engine-reproducible (the oracle enumerates the same
+    XOR flips)."""
+    probes = {bucket}
+    frontier = {bucket}
+    for _ in range(radius):
+        frontier = {b ^ (1 << p) for b in frontier for p in range(n_planes)}
+        probes |= frontier
+    return sorted(probes)
 
 
 def pairwise_topk(

@@ -622,3 +622,4 @@ def _load_extensions() -> None:
     import at module load)."""
     import datalakehouse_spark.registry_ext  # noqa: F401
     import datalakehouse_spark.registry_ext2  # noqa: F401
+    import datalakehouse_spark.registry_ext3  # noqa: F401

@@ -294,6 +294,31 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_df(docs)
 
 
+# The block-bucket candidate generation is exhaustive at
+# max_hamming <= n_blocks-1 (pigeonhole: <=3 differing bits across 4
+# blocks leave >=1 block identical), so the engine's bucketed result
+# EQUALS the full quadratic scan — which is what the oracle computes
+# (feasible at oracle scale; the engine never materializes the pair
+# space).
+_SIMHASH_PAIRS_SQL = f"""
+WITH sigs AS ({_simhash_sql()})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register(
+    "simhash_near_dup_pairs",
+    _SIMHASH_PAIRS_SQL,
+    "SimHash near-dup pairing: block buckets -> popcount verify (Hamming <= 3)",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -334,11 +359,13 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_brute_force(emb, _query_vec(spark, sf_dir), k=10)
 
 
-# IVF is deterministic end-to-end (centroid ranking -> pruned exact
-# search), so the oracle recomputes the same probe-then-rank in SQL:
-# per-dim centroid means, rank labels by centroid·q/|centroid| (|q| is
-# constant across labels so it drops out of the ORDER), then the
-# knn-style sequential-fold cosine inside the probed clusters.
+# IVF is deterministic end-to-end (seeded Lloyd k-means -> centroid
+# ranking -> pruned exact search), so the oracle replays the IDENTICAL
+# iterations in SQL: md5-seeded init, per-cluster per-dim means,
+# argmin-squared-L2 reassignment (tie -> lower cluster id), rank the
+# final centroids by centroid·q/|centroid| (|q| is constant across
+# clusters so it drops out of the ORDER), then the knn-style
+# sequential-fold cosine inside the probed clusters.
 _IVF_DOT = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
     "[CAST(e.embedding[i] AS DOUBLE) * CAST(q.q[i] AS DOUBLE) FOR i IN range(1, 65)]),"
@@ -355,31 +382,63 @@ _IVF_NORM_Q = (
     " (a, b) -> a + b))"
 )
 
-_IVF_SQL = f"""
-WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
-dims AS (
-    SELECT label,
-           UNNEST(range(1, 65)) AS pos,
+
+def _ivf_kmeans_sql(k: int = 8, iters: int = 2, n_probe: int = 2) -> str:
+    """Oracle twin of operators.similarity.kmeans_clusters + ivf_search."""
+    sqdist = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) FOR i IN range(1, 65)]),"
+        " (x, y) -> x + y)"
+    )
+    parts = [
+        "WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),",
+        "a0 AS (SELECT vec_id, embedding, "
+        f"CAST({_md5h60('CAST(vec_id AS VARCHAR)')} % {k} AS INT) AS cluster "
+        "FROM embeddings)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", d{t} AS (
+    SELECT cluster, UNNEST(range(1, 65)) AS pos,
            UNNEST([CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)]) AS v
-    FROM embeddings
-),
-cent AS (SELECT label, pos, AVG(v) AS c FROM dims GROUP BY label, pos),
-score AS (
-    SELECT c.label, SUM(c.c * CAST(q.q[c.pos] AS DOUBLE)) / SQRT(SUM(c.c * c.c)) AS s
-    FROM cent c, qv q GROUP BY c.label
-),
-probe AS (SELECT label FROM score ORDER BY s DESC, label ASC LIMIT 2)
+    FROM a{t - 1}),
+cd{t} AS (SELECT cluster, pos, AVG(v) AS c FROM d{t} GROUP BY cluster, pos),
+cent{t} AS (SELECT cluster, list(c ORDER BY pos) AS centroid FROM cd{t} GROUP BY cluster),
+a{t} AS (
+    SELECT vec_id, embedding, s['c'] AS cluster FROM (
+        SELECT e.vec_id, e.embedding,
+               MIN({{'d': {sqdist}, 'c': c.cluster}}) AS s
+        FROM a0 e CROSS JOIN cent{t} c GROUP BY e.vec_id, e.embedding))"""
+        )
+    cdotq = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[c.centroid[i] * CAST(q.q[i] AS DOUBLE) FOR i IN range(1, 65)]), (x, y) -> x + y)"
+    )
+    cdotc = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[c.centroid[i] * c.centroid[i] FOR i IN range(1, 65)]), (x, y) -> x + y)"
+    )
+    parts.append(
+        f""", probe AS (
+    SELECT c.cluster FROM cent{iters} c CROSS JOIN qv q
+    ORDER BY {cdotq} / sqrt({cdotc}) DESC, c.cluster ASC LIMIT {n_probe})
 SELECT e.vec_id,
        round({_IVF_DOT} / ({_IVF_NORM_E} * {_IVF_NORM_Q}), 9) AS cosine_sim,
-       CAST(2 AS INTEGER) AS probed_clusters
-FROM embeddings e CROSS JOIN qv q
-WHERE e.label IN (SELECT label FROM probe)
+       CAST({n_probe} AS INTEGER) AS probed_clusters
+FROM a{iters} e CROSS JOIN qv q
+WHERE e.cluster IN (SELECT cluster FROM probe)
 ORDER BY cosine_sim DESC, e.vec_id ASC
-LIMIT 10
-"""
+LIMIT 10"""
+    )
+    return "\n".join(parts)
 
 
-@register("ivf_search", _IVF_SQL, "IVF approximate NN: probe 2 nearest label-clusters")
+@register(
+    "ivf_search",
+    _ivf_kmeans_sql(),
+    "IVF approximate NN: seeded Lloyd k-means quantizer, probe 2 nearest clusters",
+)
 def q_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.ivf_search(emb, _query_vec(spark, sf_dir), k=10, n_probe=2)

@@ -85,8 +85,17 @@ class ManagedTable:
             os.path.isdir(self.path) and any(os.scandir(self.path))
         )
 
-    def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+    def read(self, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` reconciles files written under evolved
+        schemas (add-column evolution, the Iceberg v2 capability the
+        reference advertises, README.md:13): old files surface NULL for
+        columns added later.  Off by default — schema merging footer-
+        reads every file, so it's an explicit opt-in like Spark's own
+        ``mergeSchema``."""
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(self.path)
 
     # -- write --------------------------------------------------------------
 

@@ -377,24 +377,32 @@ class VersionedTable:
 
     # -- read path ----------------------------------------------------------
 
-    def _read_files(self, entries: list[dict]) -> DataFrame:
+    def _read_files(
+        self, entries: list[dict], merge_schema: bool = False
+    ) -> DataFrame:
         if not entries:
             raise ValueError("empty file list (empty table version)")
         paths = [os.path.join(self.data_dir, e["path"]) for e in entries]
-        return self.spark.read.option("basePath", self.data_dir).parquet(*paths)
+        r = self.spark.read.option("basePath", self.data_dir)
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*paths)
 
     def read(
         self,
         version: int | None = None,
         partition_filter: dict[str, Sequence[str]] | None = None,
         ref: str = DEFAULT_BRANCH,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Table state at ``version`` (default: head of ``ref``).
 
         ``partition_filter`` ({col: allowed values}) prunes the FILE
         LIST from the manifest before Spark plans the scan — the
         manifest-level pruning that replaces directory listing at
-        scale."""
+        scale.  ``merge_schema=True`` reconciles commits written under
+        evolved schemas (add-column evolution): files from older
+        commits surface NULL for columns added later."""
         v = self.current_version(ref) if version is None else version
         entries = self._load_manifest(v)["files"]
         if partition_filter:
@@ -407,7 +415,7 @@ class VersionedTable:
                 for e in entries
                 if all(e["partition"].get(k) in vs for k, vs in allowed.items())
             ]
-        return self._read_files(entries)
+        return self._read_files(entries, merge_schema=merge_schema)
 
     def incremental_read(self, from_version: int, to_version: int) -> DataFrame:
         """Rows in files ADDED between two versions (Iceberg incremental

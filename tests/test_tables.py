@@ -221,6 +221,18 @@ def test_delete_where_catalog_requires_sql_text(spark, tmp_path):
         t.delete_where(F.col("report_date") < F.lit(dt.date(2024, 1, 2)))
 
 
+def test_schema_evolution_merge_read(spark, table):
+    """Add-column evolution: appended files carry the new column, v1
+    files surface NULL for it under merge_schema=True."""
+    evolved = _risk_rows(spark, days=[4]).withColumn("quality", F.lit(0.9))
+    table.append(evolved)
+    out = table.read(merge_schema=True)
+    assert "quality" in out.columns
+    assert out.count() == 12
+    assert out.where(F.col("quality").isNull()).count() == 9  # v1 rows
+    assert out.where(F.col("quality") == 0.9).count() == 3
+
+
 def test_analyze_stats(spark, table):
     stats = table.analyze()
     assert stats["rows"] == 9

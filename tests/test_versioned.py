@@ -106,6 +106,17 @@ def test_read_partition_filter_null_and_escaped(spark, tmp_path):
     assert {r.id for r in t.read(partition_filter={"label": [None]}).collect()} == {1}
 
 
+def test_versioned_schema_evolution_merge_read(spark, vt):
+    """Evolved append commits files with an added column; merged reads
+    reconcile, and time travel still reads the old schema verbatim."""
+    vt.append(_rows(spark, days=[3]).withColumn("quality", F.lit(1.5)))
+    out = vt.read(merge_schema=True)
+    assert "quality" in out.columns
+    assert out.where(F.col("quality").isNull()).count() == 6
+    assert out.where(F.col("quality") == 1.5).count() == 3
+    assert "quality" not in vt.read(version=1).columns
+
+
 def test_rollback_is_a_new_commit(spark, vt):
     vt.merge_upsert(_rows(spark, days=[2], score=99.0), keys=["device_id", "report_date"])
     before = _state(vt.read(version=1))
