@@ -129,21 +129,23 @@ def kmeans_clusters(
     from datalakehouse_spark.operators.dedup import md5_hash60
 
     base = embeddings.select(F.col(id_col), _dvec(vec_col).alias("_v"))
+    dim = len(base.select("_v").first()[0])
     assign = base.withColumn(
         "cluster", (md5_hash60(F.col(id_col).cast("string")) % k).cast("int")
     )
     cent_rows: list[tuple[int, list[float]]] = []
     for _ in range(iters):
-        exploded = assign.select("cluster", F.posexplode("_v").alias("pos", "v"))
-        per_dim = exploded.groupBy("cluster", "pos").agg(F.avg("v").alias("c"))
-        cents = (
-            per_dim.groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select("cluster", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+        # one flat hash aggregate with dim sum columns (all codegen'd,
+        # map-side partials; shuffle = k × (dim+1) doubles per task) —
+        # cheaper than posexplode (n×dim row blow-up) + reassembly
+        sums = assign.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(F.col("_v")[i]).alias(f"s{i}") for i in range(dim)],
         )
         # k rows × dim doubles — tiny by construction, safe to collect
         cent_rows = sorted(
-            (r.cluster, list(r.centroid)) for r in cents.collect()
+            (r["cluster"], [r[f"s{i}"] / r["_n"] for i in range(dim)])
+            for r in sums.collect()
         )
         best = F.least(
             *[
