@@ -134,7 +134,10 @@ def test_no_python_udfs_in_core_queries(spark):
         "q1_pricing_summary",
         "minhash_signatures",
         "simhash_docs",
+        "simhash_near_dup_pairs",
         "knn_brute_force",
+        "ivf_search",
+        "ann_multiprobe_search",
         "text_stats",
         "corpus_prep_pipeline",
         "stratified_sample",
@@ -144,6 +147,28 @@ def test_no_python_udfs_in_core_queries(spark):
     ):
         plan = plan_of(REGISTRY[name].fn(spark, SF))
         assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_simhash_pairs_is_bucket_equi_join(spark):
+    """The pairing self-join must shuffle on the (block, key) bucket —
+    an equi hash/merge join, never a nested-loop over the pair space."""
+    from datalakehouse_spark.io import load_table
+    from datalakehouse_spark.operators.dedup import simhash_near_dup_pairs
+
+    plan = plan_of(simhash_near_dup_pairs(load_table(spark, SF, "documents")))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_ivf_prune_is_narrow_filter(spark):
+    """IVF pruning is a literal-centroid argmin FILTER over the scan —
+    no join and no extra shuffle between scan and top-k."""
+    plan = plan_of(REGISTRY["ivf_search"].fn(spark, SF))
+    assert "Join" not in plan, "cluster pruning must not join the corpus"
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_bucketed_join_no_shuffle(spark):

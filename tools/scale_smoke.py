@@ -132,6 +132,22 @@ def measure(spark, sf_dir: str) -> dict:
     t = run(pairwise_topk(emb, k=3))
     out["pairwise_s"] = round(t, 2)
     out["pairwise_vecs_per_s"] = int(n_emb / t)
+
+    # SimHash block-bucket pairing: same quadratic risk class as the
+    # LSH tier; flat docs/s = bucket join + cap hold as corpus grows
+    from datalakehouse_spark.operators.dedup import simhash_near_dup_pairs
+
+    t = run(simhash_near_dup_pairs(docs))
+    out["simhash_pairs_s"] = round(t, 2)
+    out["simhash_pairs_docs_per_s"] = int(n_docs / t)
+
+    # k-means IVF: build cost is iters x (one corpus aggregate + one
+    # assignment projection) — linear in rows, constant in clusters
+    from datalakehouse_spark.operators.similarity import ivf_search
+
+    t = run(ivf_search(emb, q, k=10, n_probe=2))
+    out["ivf_s"] = round(t, 2)
+    out["ivf_vecs_per_s"] = int(n_emb / t)
     return out
 
 
@@ -160,6 +176,18 @@ def main() -> None:
             f"| {m}x | {r['rows_events']:,} | {r['risk_score_daily_s']} | "
             f"{r['risk_rows_per_s']:,} | {r['groupby_s']} | {r['minhash_s']} | "
             f"{r['minhash_docs_per_s']:,} | {r['knn_s']} | {r['knn_vecs_per_s']:,} |"
+        )
+    lines += [
+        "",
+        "| mult | near-dup s | docs/s | pairwise s | vecs/s | simhash-pairs s | docs/s | ivf s | vecs/s |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for m, r in results.items():
+        lines.append(
+            f"| {m}x | {r['near_dup_s']} | {r['near_dup_docs_per_s']:,} | "
+            f"{r['pairwise_s']} | {r['pairwise_vecs_per_s']:,} | "
+            f"{r['simhash_pairs_s']} | {r['simhash_pairs_docs_per_s']:,} | "
+            f"{r['ivf_s']} | {r['ivf_vecs_per_s']:,} |"
         )
     with open(os.path.join(REPO, "docs", "SCALING_RESULTS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
