@@ -91,8 +91,11 @@ def centroids_by_label(
 
 def _sq_dist_to_literal(v: Column, centroid: list[float]) -> Column:
     """Sequential-fold squared L2 distance to a literal centroid —
-    deterministic accumulation order, O(dim) per row."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
+    deterministic accumulation order, O(dim) per row.  The centroid is
+    ONE array literal node (not dim Literal nodes): with k centroids
+    per assignment expression, per-element literals made Catalyst
+    analysis time the dominant k-means cost at small scale."""
+    c = F.lit([float(x) for x in centroid])
     return F.aggregate(
         F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -122,6 +125,10 @@ def kmeans_clusters(
     - shuffle per iteration = the centroid aggregate only: map-side
       partial avg, k×dim rows on the wire.  Ties break toward the
       lower cluster id (struct-min ordering) in both engines.
+    - local-bench note: wall time is dominated by ONE-TIME whole-stage
+      codegen compilation of the dim-column aggregate (~1.4 s compile
+      vs 0.07 s execution on the fixture) — fixed driver overhead that
+      amortizes away at real scale.
 
     Returns (assignment DataFrame ``(id, cluster)``, final centroid
     list).  Empty clusters simply drop out (standard Lloyd behavior).
