@@ -1,17 +1,21 @@
 """Fixture / table loaders.
 
 The driver fixtures live at /root/testdata/sf{0.001,0.01,0.1}/<name>.parquet
-(TESTDATA.md).  ``events.parquet`` stores its ``ts`` column as parquet
-TIMESTAMP(NANOS), which Spark cannot read natively
-([PARQUET_TYPE_ILLEGAL]); with ``spark.sql.legacy.parquet.nanosAsLong``
-the physical int64 comes through as a plain long which we decode here.
+(TESTDATA.md).  Two generations of ``events.parquet`` exist:
+
+- TIMESTAMP(NANOS) stored as int64 — Spark cannot read it natively
+  ([PARQUET_TYPE_ILLEGAL]); with ``spark.sql.legacy.parquet.nanosAsLong``
+  the physical int64 comes through as a plain long which we decode.
+- TIMESTAMP(MICROS) (current testdata) — read directly as a timestamp.
 
 All loads go through :func:`load_table` so every query in the registry
-sees one canonical schema:
+sees ONE canonical schema regardless of generation:
 
-- ``events.ts``     -> TimestampType, truncated ns -> µs (same truncation
-  DuckDB applies when it coerces TIMESTAMP_NS to its µs TIMESTAMP).
-- ``events.ts_ns``  -> the raw int64 nanoseconds (kept for epoch math).
+- ``events.ts``     -> TimestampType (µs precision, session TZ = UTC).
+- ``events.ts_ns``  -> int64 epoch nanoseconds (kept for epoch math);
+  ``unix_micros(ts) * 1000`` on the µs generation == DuckDB's
+  ``epoch_ns(ts)`` on the same value, and equals the raw int64 of the
+  ns generation truncated to µs — so oracle parity holds either way.
 
 Everything else is read as-is; parquet ms-timestamps surface as
 timestamp_ntz, which matches DuckDB's timezone-naive TIMESTAMP.
@@ -103,15 +107,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     _ensure_session_contract(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        # int64 ns -> µs-precision timestamp; `div` floors on the positive
-        # epoch range, matching DuckDB's ns->µs coercion.
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = _read_events(spark, path) if name == "events" else spark.read.parquet(path)
     _TABLE_CACHE[key] = df
     return df
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read events with the canonical (ts TIMESTAMP, ts_ns LONG) contract.
+
+    For the µs generation we disable TIMESTAMP_NTZ inference *for this
+    read only* so ``ts`` surfaces as a session-UTC TIMESTAMP — the same
+    type the engine has always exposed — while remaining a PHYSICAL
+    column: range predicates on ``ts`` still reach the parquet scan
+    (row-group min/max skipping at 100 TB), which a derived/cast column
+    would forfeit.  Schema inference happens eagerly inside
+    ``spark.read.parquet``, so the conf flip is safely scoped.
+    """
+    ntz_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    try:
+        old = spark.conf.get(ntz_key)
+    except Exception:
+        old = None
+    spark.conf.set(ntz_key, "false")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if old is None:
+            spark.conf.unset(ntz_key)
+        else:
+            spark.conf.set(ntz_key, old)
+    if dict(df.dtypes).get("ts", "").startswith("timestamp"):
+        # µs-physical generation: derive the ns epoch used by epoch math.
+        return df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+    # legacy ns-int64 generation (nanosAsLong): int64 ns -> µs-precision
+    # timestamp; `div` floors on the positive epoch range, matching
+    # DuckDB's ns->µs coercion.
+    return df.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

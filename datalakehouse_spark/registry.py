@@ -134,11 +134,7 @@ OFFSET {_PAGE_OFFSET} LIMIT {_PAGE_LIMIT}
 
 
 def _ns_bounds(t0: str, t1: str) -> tuple[int, int]:
-    """UTC wall-clock strings -> int64 ns bounds on the physical column.
-
-    Filtering on raw ts_ns (not the derived timestamp) lets the
-    predicate push down to the parquet scan — at 100 TB that's row-group
-    skipping on min/max stats instead of a full decode."""
+    """UTC wall-clock strings -> int64 ns bounds."""
     import datetime as dt
 
     as_ns = lambda s: int(  # noqa: E731
@@ -147,14 +143,25 @@ def _ns_bounds(t0: str, t1: str) -> tuple[int, int]:
     return as_ns(t0), as_ns(t1)
 
 
+def _ts_lit(ns: int):
+    """ns epoch -> TIMESTAMP literal (constant-folded at optimization).
+
+    Filtering on the PHYSICAL ``ts`` column with a folded literal lets
+    the predicate push down to the parquet scan — at 100 TB that's
+    row-group skipping on min/max stats instead of a full decode.
+    ``timestamp_micros`` keeps the bound independent of the driver
+    process's local timezone (unlike a py-datetime literal)."""
+    return F.timestamp_micros(F.lit(ns // 1_000))
+
+
 @register("serving_page", _SERVING_PAGE_SQL, "REST page query: filter+sort+offset/limit")
 def q_serving_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ns0, ns1 = _ns_bounds(_PAGE_T0, _PAGE_T1)
     pred = (
         (F.col("user_id") == _PAGE_DEVICE)
-        & (F.col("ts_ns") >= F.lit(ns0))
-        & (F.col("ts_ns") < F.lit(ns1))
+        & (F.col("ts") >= _ts_lit(ns0))
+        & (F.col("ts") < _ts_lit(ns1))
     )
     return (
         ev.where(pred)
@@ -183,8 +190,8 @@ def q_serving_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns0, ns1 = _ns_bounds(_PAGE_T0, _PAGE_T1)
     pred = (
         (F.col("user_id") == _PAGE_DEVICE)
-        & (F.col("ts_ns") >= F.lit(ns0))
-        & (F.col("ts_ns") < F.lit(ns1))
+        & (F.col("ts") >= _ts_lit(ns0))
+        & (F.col("ts") < _ts_lit(ns1))
     )
     return ev.where(pred).agg(F.count(F.lit(1)).alias("total"))
 
@@ -525,29 +532,25 @@ FROM events WHERE CAST(ts AS DATE) >= DATE '{_RETENTION_CUTOFF}'
 @register("retention_filter", _RETENTION_SQL, "retention DELETE remainder (fixed cutoff)")
 def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # date cutoff expressed on the physical ns column (UTC midnight) so
+    # date cutoff expressed on the physical ts column (UTC midnight) so
     # the retention predicate reaches the scan
     ns0, _ = _ns_bounds(f"{_RETENTION_CUTOFF} 00:00:00", f"{_RETENTION_CUTOFF} 00:00:00")
     return (
-        ev.where(F.col("ts_ns") >= F.lit(ns0))
+        ev.where(F.col("ts") >= _ts_lit(ns0))
         .agg(F.count(F.lit(1)).alias("kept"), dsum("value").alias("kept_value"))
     )
 
 
-#: Driver coverage rotation (round 3): the ~50-query driver budget is
-#: pointed FIRST at the 45 entries whose only green CORRECTNESS row is
-#: round 1 (several were edited after that check), then at entries new
-#: this round, then the round-2-green majority.
+#: Driver coverage rotation (round 4): the ~50-query driver budget is
+#: pointed FIRST at the 22 entries red in CORRECTNESS_r03 (all failed on
+#: the fixture's events.ts dtype change, fixed in io.py this round),
+#: then at the events-backed entries r3 never sampled — their loader
+#: (load_table / events_stream) changed this round, so their last green
+#: row predates the code now running.
 _DRIVER_PRIORITY = [
-    # stale driver signal: last green row is CORRECTNESS_r01
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
+    # red in CORRECTNESS_r03 — events.ts decode, fixed this round
+    "risk_score_daily",
     "asof_join_orders",
-    "range_join_window",
-    "join_outer_agg",
-    "join_semi",
-    "join_anti",
     "latest_per_key",
     "running_windows",
     "leadlag_gaps",
@@ -561,35 +564,40 @@ _DRIVER_PRIORITY = [
     "rollup_daily",
     "cube_type_user",
     "pivot_daily_types",
-    "grouping_sets_sql",
-    "groupby_having",
     "union_vendor_split",
     "set_intersect",
     "set_except",
     "json_extract_props",
-    "string_predicates",
-    "scalar_subquery_ratio",
-    "correlated_avg_filter",
     "bucket_distribution",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "minhash_signatures",
-    "near_dup_pairs",
-    "simhash_docs",
-    "text_stats",
-    "quality_score_docs",
-    "langid_docs",
-    "token_count_by_source",
-    "doc_fingerprints",
-    "knn_brute_force",
-    "embedding_norms_by_label",
-    "multimodal_payloads",
-    # new in round 3
-    "simhash_near_dup_pairs",
-    "ann_multiprobe_search",
-    "ivf_search",
     "schema_evolution_read",
     "compaction_partition_sweep",
+    # events-backed, not in the r3 sample; loader changed this round
+    "ingest_normalize",
+    "streaming_windowed_append",
+    "streaming_session_windows",
+    "streaming_stream_join",
+    "streaming_dedup",
+    "stateful_running_totals",
+    "event_sequences",
+    "jsonl_ingest_roundtrip",
+    "merge_upsert_risk",
+    "risk_serving_page",
+    "time_travel_read",
+    "version_incremental_read",
+    "hourly_heatmap",
+    "gapfill_daily_counts",
+    "unpivot_daily",
+    "null_semantics_agg",
+    "null_safe_join",
+    "coordinate_parse_swap",
+    "approx_stats",
+    "value_histogram",
+    "value_stats_exact",
+    "exact_percentiles",
+    "zscore_normalize",
+    "salted_agg_counts",
+    "array_agg_types",
+    "dataset_split_counts",
 ]
 
 

@@ -21,6 +21,7 @@ idempotent commits per epoch; with an Iceberg/Delta catalog the same
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,8 +30,8 @@ from pyspark.sql import types as T
 
 from datalakehouse_spark.pipelines.ingest import normalize_events
 
-#: Wire schema of the events fixture's parquet files (ts as raw ns long,
-#: matching spark.sql.legacy.parquet.nanosAsLong).
+#: Wire schema of the legacy events fixture's parquet files (ts as raw
+#: ns long, matching spark.sql.legacy.parquet.nanosAsLong).
 EVENTS_WIRE_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -41,6 +42,46 @@ EVENTS_WIRE_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+#: Wire schema of the current events fixture (ts stored as parquet
+#: TIMESTAMP(MICROS); declaring TimestampType reads it as a session-UTC
+#: timestamp — the engine's canonical ts type).
+EVENTS_WIRE_SCHEMA_TS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _wire_ts_is_timestamp(path: str) -> bool:
+    """Sniff whether the events files store ts as a parquet timestamp
+    (current fixtures) or a raw int64 ns (legacy / test-written files).
+
+    A streaming source needs a DECLARED schema, so the generation must
+    be decided up front; one parquet footer read (driver-side, O(KB))
+    settles it.  Defaults to the current timestamp generation when no
+    file exists yet.
+    """
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    candidates: list[str] = []
+    for pat in (path, os.path.join(path, "*.parquet"), os.path.join(path, "**", "*.parquet")):
+        candidates.extend(sorted(globmod.glob(pat, recursive=True)))
+    for c in candidates:
+        if os.path.isdir(c):
+            continue
+        try:
+            return str(pq.read_schema(c).field("ts").type).startswith("timestamp")
+        except Exception:
+            continue
+    return True
 
 #: Declared schema for the JSON payload carried in `props` (the
 #: from_json/DLQ split contract, ST4).
@@ -80,17 +121,18 @@ def drain_confs(spark: SparkSession, shuffle_partitions: int = 8):
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source streaming twin of load_table(..., 'events')."""
-    import os
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source wants a directory/glob, and the fixture dir
     # holds every table -> glob the events file specifically
     path = sf_dir if sf_dir.endswith(".parquet") else os.path.join(sf_dir, "events*.parquet")
+    ts_native = _wire_ts_is_timestamp(path)
     raw = (
-        spark.readStream.schema(EVENTS_WIRE_SCHEMA)
+        spark.readStream.schema(EVENTS_WIRE_SCHEMA_TS if ts_native else EVENTS_WIRE_SCHEMA)
         .option("maxFilesPerTrigger", 1)  # bounded per-batch work (ST8 analog)
         .parquet(path)
     )
+    if ts_native:
+        return raw.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return raw.withColumn("ts_ns", F.col("ts")).withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )

@@ -30,7 +30,7 @@ def plan_of(df) -> str:
 def test_serving_page_pushdown_and_pruning(spark):
     plan = plan_of(REGISTRY["serving_page"].fn(spark, SF))
     assert "EqualTo(user_id,7)" in plan, "device predicate must reach the scan"
-    assert re.search(r"GreaterThanOrEqual\(ts,\d+\)", plan), "ns range must reach the scan"
+    assert re.search(r"GreaterThanOrEqual\(ts,", plan), "ts range must reach the scan"
     assert "TakeOrderedAndProject" in plan, "page query must not global-sort"
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "props" not in m.group(1), "unprojected columns must be pruned"
