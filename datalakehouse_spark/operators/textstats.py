@@ -173,3 +173,147 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
     return java_hashcode(normalized)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 training-data pipeline ops: chunking, repetition filters, TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into overlapping fixed-size
+    windows — the standard pre-training chunker (context-window packing
+    with overlap so no boundary context is lost).
+
+    Layout: chunk ``i`` covers tokens ``[i*stride, i*stride + window)``;
+    the chunk count ``1 + ceil(max(n - window, 0) / stride)`` covers
+    every token.  All integer math (no float ceil) so the DuckDB oracle
+    replays it exactly.
+
+    Scale posture: one narrow projection + a bounded ``sequence`` →
+    ``explode`` fan-out of ≤ n/stride+1 rows per doc, fused into the
+    scan — no shuffle, no Python.  At 100 TB the output partitioning
+    inherits the input's, which is what a downstream tokenizer wants.
+    """
+    assert 0 < stride <= window, "stride must be in (0, window]"
+    staged = df.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).withColumn("_n", F.size("_toks"))
+    with_count = staged.withColumn(
+        "_n_chunks",
+        F.lit(1)
+        + F.expr(f"(greatest(_n - {window}, 0) + {stride - 1}) div {stride}").cast("int"),
+    )
+    chunks = with_count.select(
+        F.col(id_col),
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.col("_n_chunks") - 1)).alias("chunk_idx"),
+    )
+    piece = F.expr(f"slice(_toks, chunk_idx * {stride} + 1, {window})")
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.length(F.concat_ws(" ", piece)).alias("chunk_chars"),
+    )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction and most-frequent-bigram fraction, plus the keep/reject
+    verdict at the published-filter-shaped thresholds (dup_token_frac
+    ≤ 0.30, top_bigram_frac ≤ 0.18).
+
+    Docs with fewer than two tokens have no bigram and drop out (the
+    fixture floor is 10 tokens); both engines share that contract.
+
+    Scale posture: explode keyed by (doc, bigram) → two hash aggregates
+    whose keys start with the doc id — partial aggregation map-side,
+    shuffle bounded by distinct bigrams per doc, never a self-join.
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("_toks")).select(
+        F.col(id_col),
+        F.size("_toks").alias("n_tokens"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct("_toks")) / F.size("_toks")
+        ).alias("dup_token_frac"),
+        F.expr(
+            "transform(sequence(1, size(_toks) - 1), i -> concat(_toks[i-1], ' ', _toks[i]))"
+        ).alias("_bigrams"),
+    )
+    exploded = base.select(
+        id_col, "n_tokens", "dup_token_frac", F.explode("_bigrams").alias("bg")
+    )
+    per_bigram = exploded.groupBy(id_col, "n_tokens", "dup_token_frac", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_bigram.groupBy(id_col, "n_tokens", "dup_token_frac").agg(
+        F.max("c").alias("top_bigram_n"), F.sum("c").cast("bigint").alias("n_bigrams")
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac",
+        "top_bigram_n",
+        "n_bigrams",
+        (F.col("top_bigram_n") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        (
+            (F.col("dup_token_frac") <= 0.30)
+            & ((F.col("top_bigram_n") / F.col("n_bigrams")) <= 0.18)
+        ).alias("keep"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    n_docs: int,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    The idf uses the RATIONAL form ``(N+1)/(df+1)`` instead of its log:
+    log is monotone, so the per-doc ranking is identical, and the
+    compared values stay plain double divisions that both engines
+    compute bit-identically (``ln`` is only ~1-ulp accurate and differs
+    between libm and the JVM — a cross-engine tie-break hazard).
+
+    ``n_docs`` is passed in by the caller (one count() job — a scalar,
+    same class as IVF's collected centroids).
+
+    Scale posture: tf aggregate keyed (doc, term); df aggregate keyed
+    (term) derived from tf's output (already deduped per doc, so
+    ``count(*)`` IS the document frequency — no countDistinct); the
+    df join shuffles on term.  Ranking is a bounded per-doc window.
+    """
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = ex.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df_docs"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df_docs",
+        (F.col("tf") * (F.lit(float(n_docs + 1)) / (F.col("df_docs") + F.lit(1)))).alias(
+            "tfidf"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df_docs", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )

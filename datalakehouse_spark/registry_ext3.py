@@ -128,3 +128,115 @@ def q_compaction_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 LLM-pipeline text ops: chunking, repetition filters, TF-IDF
+# ---------------------------------------------------------------------------
+
+from datalakehouse_spark.operators import textstats as TS  # noqa: E402
+
+#: DuckDB twin of textstats.tokens(): whitespace-normalize then split.
+_TOKS = "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+_DOC_CHUNKS_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n AS (
+    SELECT doc_id, toks,
+           1 + (greatest(len(toks) - {_CHUNK_W}, 0) + {_CHUNK_S - 1}) // {_CHUNK_S}
+               AS n_chunks
+    FROM t
+),
+c AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_idx FROM n)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                           chunk_idx * {_CHUNK_S} + {_CHUNK_W})) AS INT)
+           AS n_chunk_tokens,
+       CAST(length(array_to_string(
+                list_slice(toks, chunk_idx * {_CHUNK_S} + 1,
+                           chunk_idx * {_CHUNK_S} + {_CHUNK_W}), ' ')) AS INT)
+           AS chunk_chars
+FROM c
+"""
+
+
+@register(
+    "doc_chunks",
+    _DOC_CHUNKS_SQL,
+    "context-window chunking: overlapping token windows per doc",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.chunk_token_windows(docs, window=_CHUNK_W, stride=_CHUNK_S)
+
+
+_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           1.0 - len(list_distinct(toks)) / len(toks) AS dup_token_frac,
+           list_transform(range(2, len(toks) + 1),
+                          i -> toks[i-1] || ' ' || toks[i]) AS bigrams
+    FROM t
+),
+e AS (SELECT doc_id, n_tokens, dup_token_frac, unnest(bigrams) AS bg FROM b),
+pb AS (
+    SELECT doc_id, n_tokens, dup_token_frac, bg, COUNT(*) AS c
+    FROM e GROUP BY doc_id, n_tokens, dup_token_frac, bg
+),
+pd AS (
+    SELECT doc_id, n_tokens, dup_token_frac,
+           MAX(c) AS top_bigram_n, CAST(SUM(c) AS BIGINT) AS n_bigrams
+    FROM pb GROUP BY doc_id, n_tokens, dup_token_frac
+)
+SELECT doc_id, n_tokens, dup_token_frac, top_bigram_n, n_bigrams,
+       top_bigram_n / n_bigrams AS top_bigram_frac,
+       dup_token_frac <= 0.30 AND top_bigram_n / n_bigrams <= 0.18 AS keep
+FROM pd
+"""
+
+
+@register(
+    "repetition_quality",
+    _REPETITION_SQL,
+    "Gopher-style repetition filter: dup-token + top-bigram fractions",
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.repetition_features(docs)
+
+
+_TFIDF_SQL = f"""
+WITH ex AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM ex GROUP BY doc_id, term
+),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY term),
+sc AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+           tf.tf * (((SELECT COUNT(*) FROM documents) + 1.0) / (dfq.df_docs + 1))
+               AS tfidf
+    FROM tf JOIN dfq USING (term)
+),
+rk AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+    FROM sc
+)
+SELECT doc_id, term, tf, df_docs, tfidf, rnk FROM rk WHERE rnk <= 3
+"""
+
+
+@register(
+    "tfidf_top_terms",
+    _TFIDF_SQL,
+    "top-3 characteristic terms per doc by (rational-idf) TF-IDF",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.tfidf_top_terms(docs, n_docs=docs.count(), k=3)
