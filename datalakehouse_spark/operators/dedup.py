@@ -353,3 +353,84 @@ def simhash_near_dup_pairs(
         cands.select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Min-label propagation connected components over an undirected
+    pair list — the dedup-clustering step that turns near-dup PAIRS
+    into dedup GROUPS (transitive closure: A~B, B~C => one cluster).
+
+    Each iteration: every node takes the min label among itself and its
+    neighbors; converged when nothing changes.  The fixpoint (min node
+    id per component) is unique, so the result is deterministic no
+    matter the execution order.  Iterations = component diameter —
+    near-dup clusters are shallow (boilerplate families), so a handful.
+
+    Scale posture: per iteration one join keyed on node id + one
+    hash aggregate — the standard Pregel-style CC at 100 TB (the
+    large-star/small-star variant halves iterations on adversarial
+    chains; not needed for near-dup graphs).  ``localCheckpoint``
+    truncates lineage so iteration N doesn't re-derive iterations
+    1..N-1, and the convergence probe is a LIMIT 1 existence check,
+    not a full count.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .unionByName(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("nid"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = edges.join(labels, edges.s == labels.nid).select(
+            F.col("d").alias("nid"), "label"
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("nid")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "nid")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("nid").alias(id_col), "label")
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Near-dup dedup groups: MinHash-LSH pairs -> connected components.
+
+    Output one row per document: ``(doc_id, cluster, is_canonical)``
+    where ``cluster`` is the min doc id of the component and the
+    canonical doc (the one a dedup pass would KEEP) is that minimum.
+    Singletons are their own cluster.
+    """
+    prs = near_dup_pairs(df, text_col, id_col, threshold, max_bucket_size)
+    cc = connected_components(
+        df.select(id_col), prs, id_col=id_col, src_col="id_a", dst_col="id_b"
+    )
+    return cc.select(
+        F.col(id_col),
+        F.col("label").alias("cluster"),
+        (F.col("label") == F.col(id_col)).alias("is_canonical"),
+    )

@@ -103,6 +103,32 @@ def _sq_dist_to_literal(v: Column, centroid: list[float]) -> Column:
     )
 
 
+def _argmin_cluster(v: Column, cent_rows: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id as ONE nested-loop expression.
+
+    The k centroids ride in a single ``array<array<double>>`` literal
+    and the k distance folds are a ``transform`` over it — versus k
+    expanded ``struct(fold, id)`` nodes under ``least``, this keeps the
+    generated code size O(1) in k (the earlier shape made whole-stage
+    codegen *compilation* the dominant k-means wall cost).  Same math,
+    same doubles: ``array_position`` returns the FIRST minimum, and
+    ``cent_rows`` is sorted ascending by cluster id, so ties still
+    break toward the lower id — bit-identical to the struct-least form
+    (and the DuckDB oracle's ``list_position`` twin).
+    """
+    cents = F.lit([[float(x) for x in c] for _, c in cent_rows])
+    ids = F.lit([int(cid) for cid, _ in cent_rows])
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    return F.element_at(ids, F.array_position(dists, F.array_min(dists)).cast("int"))
+
+
 def kmeans_clusters(
     embeddings: DataFrame,
     k: int = 8,
@@ -135,8 +161,12 @@ def kmeans_clusters(
     """
     from datalakehouse_spark.operators.dedup import md5_hash60
 
-    base = embeddings.select(F.col(id_col), _dvec(vec_col).alias("_v"))
-    dim = len(base.select("_v").first()[0])
+    # carry the RAW vector and cast per-SCALAR at each use site: staging
+    # a transform-cast array ("_v") looks cheaper but project collapsing
+    # may inline the whole-array cast into every one of the dim sum
+    # expressions below — O(dim²) per row; scalar casts keep it O(dim)
+    base = embeddings.select(F.col(id_col), F.col(vec_col).alias("_raw"))
+    dim = len(base.select("_raw").first()[0])
     assign = base.withColumn(
         "cluster", (md5_hash60(F.col(id_col).cast("string")) % k).cast("int")
     )
@@ -147,23 +177,16 @@ def kmeans_clusters(
         # cheaper than posexplode (n×dim row blow-up) + reassembly
         sums = assign.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("_n"),
-            *[F.sum(F.col("_v")[i]).alias(f"s{i}") for i in range(dim)],
+            *[F.sum(F.col("_raw")[i].cast("double")).alias(f"s{i}") for i in range(dim)],
         )
         # k rows × dim doubles — tiny by construction, safe to collect
         cent_rows = sorted(
             (r["cluster"], [r[f"s{i}"] / r["_n"] for i in range(dim)])
             for r in sums.collect()
         )
-        best = F.least(
-            *[
-                F.struct(
-                    _sq_dist_to_literal(F.col("_v"), cvec).alias("d"),
-                    F.lit(cid).alias("c"),
-                )
-                for cid, cvec in cent_rows
-            ]
+        assign = base.withColumn(
+            "cluster", _argmin_cluster(_dvec(F.col("_raw")), cent_rows)
         )
-        assign = base.withColumn("cluster", best["c"])
     return assign.select(id_col, "cluster"), cent_rows
 
 
@@ -209,16 +232,7 @@ def ivf_search(
     # the final assignment is a LITERAL-centroid argmin expression, so
     # pruning is a narrow filter — no join; with the corpus partitioned
     # by a persisted cluster column this is partition pruning instead
-    best = F.least(
-        *[
-            F.struct(
-                _sq_dist_to_literal(_dvec(vec_col), cvec).alias("d"),
-                F.lit(cid).alias("c"),
-            )
-            for cid, cvec in cent_rows
-        ]
-    )
-    pruned = embeddings.where(best["c"].isin(probe))
+    pruned = embeddings.where(_argmin_cluster(_dvec(vec_col), cent_rows).isin(probe))
     return knn_brute_force(pruned, query_vec, k, id_col, vec_col).withColumn(
         "probed_clusters", F.lit(len(probe))
     )

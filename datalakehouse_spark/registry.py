@@ -571,6 +571,12 @@ _DRIVER_PRIORITY = [
     "bucket_distribution",
     "schema_evolution_read",
     "compaction_partition_sweep",
+    # new in round 4 — never driver-checked
+    "doc_chunks",
+    "repetition_quality",
+    "tfidf_top_terms",
+    "sequence_packing",
+    "dedup_clusters",
     # events-backed, not in the r3 sample; loader changed this round
     "ingest_normalize",
     "streaming_windowed_append",

@@ -240,3 +240,79 @@ SELECT doc_id, term, tf, df_docs, tfidf, rnk FROM rk WHERE rnk <= 3
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return TS.tfidf_top_terms(docs, n_docs=docs.count(), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 part 2: sequence packing + near-dup dedup clustering
+# ---------------------------------------------------------------------------
+
+from datalakehouse_spark.operators import dedup as D  # noqa: E402
+from datalakehouse_spark.registry_ext import _near_dup_sql  # noqa: E402
+
+_SEQ_LEN = 512
+
+_SEQ_PACK_SQL = f"""
+WITH t AS (
+    SELECT source, doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents
+),
+c AS (
+    SELECT source, doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+    FROM t
+)
+SELECT source, doc_id, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS tok_offset,
+       (cum - n_tokens) // {_SEQ_LEN} AS first_seq,
+       (cum - 1) // {_SEQ_LEN} AS last_seq,
+       (cum - 1) // {_SEQ_LEN} - (cum - n_tokens) // {_SEQ_LEN} + 1 AS n_seqs
+FROM c
+"""
+
+
+@register(
+    "sequence_packing",
+    _SEQ_PACK_SQL,
+    "pre-training sequence packing: per-stream token tape -> 512-token spans",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return TS.sequence_pack_assignments(docs, seq_len=_SEQ_LEN)
+
+
+def _dedup_clusters_sql() -> str:
+    """Transitive closure of the near-dup pair graph, as a recursive CTE.
+
+    The closure is O(sum of component size^2) rows — exact and fine at
+    oracle scale; the Spark side uses label propagation instead (linear
+    state), which converges to the same unique min-label fixpoint.
+    """
+    return f"""
+WITH RECURSIVE
+nd AS ({_near_dup_sql()}),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM nd
+    UNION ALL
+    SELECT id_b, id_a FROM nd
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT re.id, e.d FROM reach re JOIN edges e ON e.s = re.r
+)
+SELECT id AS doc_id,
+       CAST(MIN(r) AS BIGINT) AS cluster,
+       MIN(r) = id AS is_canonical
+FROM reach GROUP BY id
+"""
+
+
+@register(
+    "dedup_clusters",
+    _dedup_clusters_sql(),
+    "near-dup dedup groups: LSH pairs -> connected components (min-label)",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_clusters(docs)

@@ -105,3 +105,66 @@ def test_rocksdb_knob_scopes_and_restores(spark):
     with drain_confs(spark, state_store="rocksdb"):
         assert spark.conf.get(key) == ROCKSDB_PROVIDER
     assert spark.conf.get(key) == before
+
+
+def test_connected_components_transitivity(spark):
+    from datalakehouse_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    # chain 0-1-2-3 (diameter > 1 forces multiple propagation rounds),
+    # pair 5-6, singleton 4
+    pairs = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (6, 5)], "id_a long, id_b long"
+    )
+    got = {r.id: r.label for r in connected_components(nodes, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_groups_transitive_near_dups(spark):
+    from datalakehouse_spark.operators.dedup import dedup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " lambda"),          # near-dup of 0
+            (2, base + " lambda mu"),       # near-dup of 1 (and so of 0 transitively)
+            (3, "completely different text with other words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_clusters(docs).collect()}
+    assert rows[0].cluster == rows[1].cluster == rows[2].cluster == 0
+    assert rows[3].cluster == 3
+    assert rows[0].is_canonical and not rows[1].is_canonical
+    # one keeper per cluster
+    keepers = [r for r in rows.values() if r.is_canonical]
+    assert {r.doc_id for r in keepers} == {0, 3}
+
+
+def test_sequence_packing_boundary_math(spark):
+    from datalakehouse_spark.operators.textstats import sequence_pack_assignments
+
+    # one stream, 3 docs of 300/300/300 tokens, seq_len 512:
+    # doc0 [0,300) -> seq 0; doc1 [300,600) -> seqs 0-1; doc2 [600,900) -> 1
+    docs = spark.createDataFrame(
+        [(i, "web", " ".join(f"t{j}" for j in range(300))) for i in range(3)],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.doc_id: r for r in sequence_pack_assignments(docs, seq_len=512).collect()}
+    assert (rows[0].first_seq, rows[0].last_seq, rows[0].n_seqs) == (0, 0, 1)
+    assert (rows[1].first_seq, rows[1].last_seq, rows[1].n_seqs) == (0, 1, 2)
+    assert (rows[2].first_seq, rows[2].last_seq, rows[2].n_seqs) == (1, 1, 1)
+    assert rows[2].tok_offset == 600
+
+
+def test_sequence_packing_streams_independent(spark):
+    from datalakehouse_spark.operators.textstats import sequence_pack_assignments
+
+    docs = spark.createDataFrame(
+        [(0, "a", "x " * 20), (1, "b", "y " * 20)],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in sequence_pack_assignments(docs, seq_len=16).collect()}
+    # each stream starts its own tape at offset 0
+    assert rows["a"].tok_offset == 0 and rows["b"].tok_offset == 0
