@@ -381,9 +381,15 @@ def connected_components(
     1..N-1, and the convergence probe is a LIMIT 1 existence check,
     not a full count.
     """
+    # materialize the pair graph ONCE: `pairs` is typically the lazy
+    # near-dup pipeline (LSH bucket join + verify), and without a
+    # checkpoint every propagation round — and every convergence probe —
+    # would re-execute that whole pipeline (measured 3.4x the total cost
+    # at 16x corpus in tools/scale_smoke.py)
     edges = (
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .unionByName(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(id_col).alias("nid"), F.col(id_col).alias("label")

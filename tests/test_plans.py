@@ -211,3 +211,36 @@ def test_q10_broadcast_and_topk(spark):
 def test_q18_having_subquery_is_semi_join(spark):
     plan = plan_of(REGISTRY["q18_large_orders"].fn(spark, SF))
     assert "LeftSemi" in plan, "HAVING-subquery filter must stay a semi-join"
+
+
+def test_doc_chunks_is_narrow(spark):
+    """Chunking must stay a scan-fused projection + explode: zero
+    shuffles, so output partitioning inherits the scan's."""
+    plan = plan_of(REGISTRY["doc_chunks"].fn(spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the bounded explode fan-out
+    assert "EvalPython" not in plan
+
+
+def test_sequence_packing_single_stream_shuffle(spark):
+    """Packing shuffles once on the stream key (window partitioning) —
+    no global sort/total order."""
+    plan = plan_of(REGISTRY["sequence_packing"].fn(spark, SF))
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE read)
+    assert "rangepartitioning" not in plan.lower(), "no global total order"
+    assert "EvalPython" not in plan
+
+
+def test_repetition_quality_doc_keyed_aggs(spark):
+    """Both aggregates key on doc_id first: map-side partials, no
+    self-join of the corpus."""
+    plan = plan_of(REGISTRY["repetition_quality"].fn(spark, SF))
+    assert "Join" not in plan
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
+
+
+def test_tfidf_no_cartesian_and_bounded_topk(spark):
+    plan = plan_of(REGISTRY["tfidf_top_terms"].fn(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

@@ -148,6 +148,33 @@ def measure(spark, sf_dir: str) -> dict:
     t = run(ivf_search(emb, q, k=10, n_probe=2))
     out["ivf_s"] = round(t, 2)
     out["ivf_vecs_per_s"] = int(n_emb / t)
+
+    # round-4 pipeline ops: chunking/packing/repetition are narrow or
+    # doc-keyed (must hold docs/s); dedup clustering adds the iterative
+    # CC rounds on top of the banded-LSH pair graph
+    from datalakehouse_spark.operators.dedup import dedup_clusters
+    from datalakehouse_spark.operators.textstats import (
+        chunk_token_windows,
+        repetition_features,
+        sequence_pack_assignments,
+    )
+
+    t = run(chunk_token_windows(docs))
+    out["chunk_s"] = round(t, 2)
+    out["chunk_docs_per_s"] = int(n_docs / t)
+    t = run(repetition_features(docs))
+    out["repetition_s"] = round(t, 2)
+    out["repetition_docs_per_s"] = int(n_docs / t)
+    t = run(sequence_pack_assignments(docs))
+    out["seqpack_s"] = round(t, 2)
+    out["seqpack_docs_per_s"] = int(n_docs / t)
+    # time CONSTRUCTION + drain: the CC loop runs eagerly (localCheckpoint
+    # per round), so a write-only timer would miss all the actual work
+    t0 = time.perf_counter()
+    dedup_clusters(docs).write.format("noop").mode("overwrite").save()
+    t = time.perf_counter() - t0
+    out["dedup_clusters_s"] = round(t, 2)
+    out["dedup_clusters_docs_per_s"] = int(n_docs / t)
     return out
 
 
@@ -188,6 +215,18 @@ def main() -> None:
             f"{r['pairwise_s']} | {r['pairwise_vecs_per_s']:,} | "
             f"{r['simhash_pairs_s']} | {r['simhash_pairs_docs_per_s']:,} | "
             f"{r['ivf_s']} | {r['ivf_vecs_per_s']:,} |"
+        )
+    lines += [
+        "",
+        "| mult | chunk s | docs/s | repetition s | docs/s | seq-pack s | docs/s | dedup-clusters s | docs/s |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for m, r in results.items():
+        lines.append(
+            f"| {m}x | {r['chunk_s']} | {r['chunk_docs_per_s']:,} | "
+            f"{r['repetition_s']} | {r['repetition_docs_per_s']:,} | "
+            f"{r['seqpack_s']} | {r['seqpack_docs_per_s']:,} | "
+            f"{r['dedup_clusters_s']} | {r['dedup_clusters_docs_per_s']:,} |"
         )
     with open(os.path.join(REPO, "docs", "SCALING_RESULTS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
