@@ -577,6 +577,7 @@ _DRIVER_PRIORITY = [
     "tfidf_top_terms",
     "sequence_packing",
     "dedup_clusters",
+    "ann_recall_accounting",
     # events-backed, not in the r3 sample; loader changed this round
     "ingest_normalize",
     "streaming_windowed_append",

@@ -316,3 +316,92 @@ FROM reach GROUP BY id
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.dedup_clusters(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 part 3: ANN recall accounting (single-probe vs multi-probe)
+# ---------------------------------------------------------------------------
+
+def _ann_recall_sql() -> str:
+    from datalakehouse_spark.registry_ext2 import _ann_lsh_sql
+
+    # exact baseline: identical cosine expression/tiebreak as the ANN
+    # entries, over the corpus minus the query vector
+    exact = """
+SELECT e.vec_id,
+       round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           [CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)
+            FOR i IN range(1, 65)]), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           [CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+            FOR i IN range(1, 65)]), (x, y) -> x + y))
+          * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           [CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)
+            FOR i IN range(1, 65)]), (x, y) -> x + y))), 9) AS cosine_sim
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT 5
+"""
+    return f"""
+WITH exact AS ({exact}),
+single AS ({_ann_lsh_sql()}),
+multi AS ({_ann_lsh_sql(multiprobe=True)})
+SELECT 5 AS k,
+       CAST((SELECT COUNT(*) FROM single s JOIN exact x USING (vec_id)) AS BIGINT)
+           AS single_probe_hits,
+       CAST((SELECT COUNT(*) FROM multi m JOIN exact x USING (vec_id)) AS BIGINT)
+           AS multi_probe_hits
+"""
+
+
+@register(
+    "ann_recall_accounting",
+    _ann_recall_sql(),
+    "recall@5 of single- vs multi-probe LSH against the exact top-5",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the multi-probe recall win cross-engine: how many of
+    the exact top-5 neighbors each probe strategy retrieves.  The probe
+    sets and rankings are the same deterministic constructions as the
+    `ann_lsh_search` / `ann_multiprobe_search` entries, so this is the
+    recall ledger for the ANN surface, verified by the oracle."""
+    from pyspark.sql import functions as F
+
+    from datalakehouse_spark.operators.similarity import (
+        _dvec,
+        cosine,
+        hamming_ball_probes,
+        hyperplane_lsh_bucket,
+        knn_brute_force,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.withColumn("bucket", hyperplane_lsh_bucket("embedding"))
+    qrow = b.where(F.col("vec_id") == 0).select("bucket", "embedding").first()
+    corpus = b.where(F.col("vec_id") != 0)
+    qvec = F.array(*[F.lit(float(x)).cast("double") for x in qrow.embedding])
+
+    def _top5(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "vec_id",
+                F.round(cosine(_dvec("embedding"), qvec), 9).alias("cosine_sim"),
+            )
+            .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+            .limit(5)
+            .select("vec_id")
+        )
+
+    exact = _top5(corpus)
+    single = _top5(corpus.where(F.col("bucket") == qrow.bucket))
+    probes = hamming_ball_probes(qrow.bucket, n_planes=8, radius=1)
+    multi = _top5(corpus.where(F.col("bucket").isin(probes)))
+    sh = single.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("single_probe_hits")
+    )
+    mh = multi.join(exact, "vec_id").agg(F.count(F.lit(1)).alias("multi_probe_hits"))
+    return sh.crossJoin(mh).select(
+        F.lit(5).alias("k"), "single_probe_hits", "multi_probe_hits"
+    )
