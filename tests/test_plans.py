@@ -244,3 +244,40 @@ def test_tfidf_no_cartesian_and_bounded_topk(spark):
     plan = plan_of(REGISTRY["tfidf_top_terms"].fn(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_runtime_bloom_filter_join(spark):
+    """100 TB posture: a selective filter on one side of a fact-fact
+    shuffle join injects a runtime bloom filter on the other side's
+    scan (row-level skipping before the shuffle). The size thresholds
+    are tuned for real scans — at fixture scale they must be relaxed to
+    observe the mechanism (application side >= 10 GB by default, and
+    without ANALYZE column stats the creation side's size estimate is
+    conservative)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="bloom_join_")
+    spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+    ).write.mode("overwrite").parquet(d + "/a")
+    spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+    ).write.mode("overwrite").parquet(d + "/b")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1g",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, val in confs.items():
+            spark.conf.set(k, val)
+        a = spark.read.parquet(d + "/a")
+        b = spark.read.parquet(d + "/b")
+        plan = plan_of(a.join(b.where(F.col("w") == 3), "k"))
+        assert "might_contain" in plan, "runtime bloom filter must inject"
+    finally:
+        for k, val in saved.items():
+            spark.conf.set(k, val)
