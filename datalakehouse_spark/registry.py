@@ -578,6 +578,12 @@ _DRIVER_PRIORITY = [
     "sequence_packing",
     "dedup_clusters",
     "ann_recall_accounting",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_balance",
     # events-backed, not in the r3 sample; loader changed this round
     "ingest_normalize",
     "streaming_windowed_append",
