@@ -281,3 +281,33 @@ def test_runtime_bloom_filter_join(spark):
     finally:
         for k, val in saved.items():
             spark.conf.set(k, val)
+
+
+def test_q8_star_broadcasts_all_dims(spark):
+    plan = plan_of(REGISTRY["q8_market_share"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 5, "dims must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_preserved(spark):
+    """The priority filter sits in the LEFT join's ON clause — it must
+    not collapse the outer join into an inner one (customers with zero
+    qualifying orders must survive with count 0)."""
+    from pyspark.sql import functions as F
+
+    df = REGISTRY["q13_customer_distribution"].fn(spark, SF)
+    total_customers = df.agg(F.sum("custdist")).first()[0]
+    from datalakehouse_spark.io import load_table
+
+    assert total_customers == load_table(spark, SF, "customer").count()
+
+
+def test_q17_decorrelated_no_cartesian(spark):
+    plan = plan_of(REGISTRY["q17_small_quantity_revenue"].fn(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, "brand-filtered part side must broadcast"
+
+
+def test_q22_anti_join_shape(spark):
+    plan = plan_of(REGISTRY["q22_idle_balance"].fn(spark, SF))
+    assert "LeftAnti" in plan, "NOT EXISTS must stay an anti join"
