@@ -584,6 +584,7 @@ _DRIVER_PRIORITY = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q22_idle_balance",
+    "streaming_static_enrich",
     # events-backed, not in the r3 sample; loader changed this round
     "ingest_normalize",
     "streaming_windowed_append",

@@ -654,3 +654,52 @@ def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 part 5: stream-static broadcast enrichment (dimension join in
+# a streaming pipeline — stateless, append-mode; the production shape
+# for enriching an event stream with a slowly-changing dimension)
+# ---------------------------------------------------------------------------
+
+_STREAM_ENRICH_SQL = """
+SELECT event_id, user_id, c_mktsegment, value
+FROM events JOIN customer ON user_id = c_custkey
+WHERE event_type = 'purchase'
+"""
+
+
+@register(
+    "streaming_static_enrich",
+    _STREAM_ENRICH_SQL,
+    "stream-static broadcast dimension join == batch join",
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static inner join: the static side is planned as a
+    broadcast per micro-batch (re-read each trigger, so dimension
+    updates are picked up), the stream side never buffers state — no
+    watermark needed, append-safe.  At 100 TB of stream this is the
+    enrichment shape: dimension broadcast, fact untouched, zero
+    shuffle on the stream."""
+    import uuid
+
+    from datalakehouse_spark.streaming.jobs import drain_confs, events_stream
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_mktsegment", "value")
+    )
+    name = "sse_" + uuid.uuid4().hex[:10]
+    with drain_confs(spark):
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
