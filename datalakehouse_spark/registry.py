@@ -585,6 +585,8 @@ _DRIVER_PRIORITY = [
     "q19_disjunctive_revenue",
     "q22_idle_balance",
     "streaming_static_enrich",
+    "csv_ingest_roundtrip",
+    "orc_ingest_roundtrip",
     # events-backed, not in the r3 sample; loader changed this round
     "ingest_normalize",
     "streaming_windowed_append",

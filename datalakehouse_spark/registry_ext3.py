@@ -703,3 +703,83 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 part 6: source-format breadth — CSV and ORC roundtrips.
+# Same contract as jsonl_ingest_roundtrip: serialize a deterministic
+# events subset through the format, read back with an explicit schema
+# (schema-on-read, no inference job), aggregate — must equal the
+# parquet-path computation the oracle runs.
+# ---------------------------------------------------------------------------
+
+_FMT_ROUNDTRIP_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sum_expr} AS sum_value,
+       CAST(SUM(ts_ns // 1000000000) AS BIGINT) AS sum_epoch_s
+FROM (SELECT event_type, value, epoch_ns(ts) AS ts_ns FROM events
+      WHERE event_id % 5 = {rem})
+GROUP BY event_type
+"""
+
+
+def _fmt_subset(spark: SparkSession, sf_dir: str, rem: int) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 5 == rem)
+    return ev.select("event_id", "event_type", "value", "ts_ns")
+
+
+def _fmt_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sum_value"),
+        F.sum(F.expr("ts_ns div 1000000000")).cast("bigint").alias("sum_epoch_s"),
+    )
+
+
+@register(
+    "csv_ingest_roundtrip",
+    _FMT_ROUNDTRIP_SQL.format(sum_expr=dsum_duckdb("value"), rem=1),
+    "CSV source: serialize -> declared-schema ingest == parquet-path result",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV leg of the format matrix.  ``value`` doubles travel as
+    shortest-round-trip strings (Spark's CSV writer), which parse back
+    bit-identically; timestamps travel as int64 ns — no tz/format
+    ambiguity in either direction."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    path = tempfile.mkdtemp(prefix="csv_src_") + "/events"
+    _fmt_subset(spark, sf_dir, 1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts_ns", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(path)
+    return _fmt_agg(back)
+
+
+@register(
+    "orc_ingest_roundtrip",
+    _FMT_ROUNDTRIP_SQL.format(sum_expr=dsum_duckdb("value"), rem=2),
+    "ORC source/sink roundtrip == parquet-path result",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC leg: columnar alternative with native Spark support (typed,
+    no serialization ambiguity at all).  DuckDB has no ORC reader, so
+    the oracle verifies the AGGREGATE from the parquet view — what the
+    roundtrip must preserve."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="orc_src_") + "/events"
+    _fmt_subset(spark, sf_dir, 2).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return _fmt_agg(back)
