@@ -587,6 +587,7 @@ _DRIVER_PRIORITY = [
     "streaming_static_enrich",
     "csv_ingest_roundtrip",
     "orc_ingest_roundtrip",
+    "zorder_key_accounting",
     # events-backed, not in the r3 sample; loader changed this round
     "ingest_normalize",
     "streaming_windowed_append",

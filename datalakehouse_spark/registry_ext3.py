@@ -783,3 +783,48 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     _fmt_subset(spark, sf_dir, 2).write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return _fmt_agg(back)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 part 7: Z-order (Morton) key — cross-engine exact bit math
+# ---------------------------------------------------------------------------
+
+from datalakehouse_spark.functions.zorder import morton32, morton32_duckdb  # noqa: E402
+
+_ZORDER_SQL = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(zkey) AS min_zkey,
+       MAX(zkey) AS max_zkey,
+       CAST(SUM(zkey) AS BIGINT) AS sum_zkey
+FROM (
+    SELECT event_type,
+           {morton32_duckdb("user_id % 1024", "event_id % 1024", 10)} AS zkey
+    FROM events
+)
+GROUP BY event_type
+"""
+
+
+@register(
+    "zorder_key_accounting",
+    _ZORDER_SQL,
+    "Morton Z-order key bit math, aggregated per event_type",
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-ORDER clustering key as a verifiable computation: the
+    min/max/sum ledger over all rows proves both engines interleave
+    bits identically.  `ManagedTable(zorder_by=...)` uses the same
+    expression as its write-time sort key (see tests/test_tables.py
+    for the file-extent pruning effect)."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type",
+        morton32(F.col("user_id") % 1024, F.col("event_id") % 1024, bits=10).alias("zkey"),
+    )
+    return keyed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("zkey").alias("min_zkey"),
+        F.max("zkey").alias("max_zkey"),
+        F.sum("zkey").cast("bigint").alias("sum_zkey"),
+    )

@@ -46,20 +46,30 @@ class ManagedTable:
         cluster_by: Sequence[str] = (),
         bloom_filter_cols: Sequence[str] = (),
         catalog_table: str | None = None,
+        zorder_by: tuple[str, str] | None = None,
     ) -> None:
         """``cluster_by``: write-time sort order within each file — the
         reference's ``'write.order-by' = 'device_id, gps_epoch'``
         (create.sql:56; O4/X6). Sorted files give min/max row-group
         skipping on those columns at read time.
 
+        ``zorder_by``: Morton-interleave two int columns as the
+        write-time sort key instead (Iceberg/Delta Z-ORDER analog):
+        range predicates on EITHER column prune files, not just the
+        leading one.  Mutually exclusive with ``cluster_by``; the
+        caller buckets values into [0, 2^16) (functions/zorder.py).
+
         ``bloom_filter_cols``: parquet bloom filters for point lookups
         on high-cardinality columns — the reference enables them on
         device_id / gps_epoch / correlation_id with a 256 KiB cap
         (create.sql:60-63; X4)."""
+        if zorder_by is not None and cluster_by:
+            raise ValueError("zorder_by and cluster_by are mutually exclusive")
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by)
         self.cluster_by = list(cluster_by)
+        self.zorder_by = tuple(zorder_by) if zorder_by is not None else None
         self.bloom_filter_cols = list(bloom_filter_cols)
         # catalog backend auto-detection: when `catalog_table` names a
         # table in a configured Iceberg/Delta catalog, DML routes
@@ -115,6 +125,18 @@ class ManagedTable:
             # incoming order doesn't start with them, which would destroy
             # the cluster_by order inside each written file.
             df = df.sortWithinPartitions(*self.partition_by, *self.cluster_by)
+        elif self.zorder_by is not None:
+            from pyspark.sql import functions as F
+
+            from datalakehouse_spark.functions.zorder import morton32
+
+            a, b = self.zorder_by
+            zk = "_zorder_key"
+            df = (
+                df.withColumn(zk, morton32(a, b))
+                .sortWithinPartitions(*self.partition_by, zk)
+                .drop(zk)  # projection preserves per-partition order
+            )
         w = df.write.mode(mode)
         # partition-scoped overwrite: INSERT OVERWRITE replaces only the
         # partitions present in the written data.  Set per-write so the

@@ -286,3 +286,56 @@ def test_bloom_filters_written(spark, tmp_path):
     plain.create(rows)
     assert total_bytes(t) > total_bytes(plain) * 1.2, "bloom filters not written"
     assert t.read().count() == plain.read().count()
+
+
+def test_zorder_write_bounds_both_dimensions(spark, tmp_path):
+    """Z-ordered files must bound BOTH clustering columns: on a 256x256
+    grid split into 16 files, a linear (x,y) sort gives files spanning
+    the full y range, while the morton sort keeps every file inside a
+    quadrant — the multi-dimension pruning win."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datalakehouse_spark.tables import ManagedTable
+
+    grid = (
+        spark.range(256 * 256)
+        .select((F.col("id") % 256).alias("x"), (F.col("id") / 256).cast("long").alias("y"))
+        .coalesce(1)
+    )
+
+    def max_y_extent(path):
+        import glob as g
+
+        extents = []
+        for f in sorted(g.glob(str(path) + "/*.parquet")):
+            t = pq.read_table(f, columns=["y"])
+            ys = t.column("y").to_pylist()
+            extents.append(max(ys) - min(ys))
+        return max(extents), len(extents)
+
+    lin = str(tmp_path / "linear")
+    zod = str(tmp_path / "zordered")
+    # cap records per file so each sorted write splits into 16 files
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "4096")
+    try:
+        ManagedTable(spark, lin, cluster_by=["x", "y"]).create(grid)
+        ManagedTable(spark, zod, zorder_by=("x", "y")).create(grid)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    lin_ext, lin_files = max_y_extent(lin)
+    z_ext, z_files = max_y_extent(zod)
+    assert lin_files >= 8 and z_files >= 8
+    # linear sort: leading-x files span (almost) the whole y range
+    assert lin_ext >= 200
+    # z-order: every file stays inside a quadrant of y
+    assert z_ext <= 127, f"z-ordered y-extent {z_ext} must be quadrant-bounded"
+
+
+def test_zorder_cluster_by_mutually_exclusive(spark):
+    import pytest as _pytest
+
+    from datalakehouse_spark.tables import ManagedTable
+
+    with _pytest.raises(ValueError):
+        ManagedTable(spark, "/tmp/nope", cluster_by=["a"], zorder_by=("a", "b"))
