@@ -588,6 +588,7 @@ _DRIVER_PRIORITY = [
     "csv_ingest_roundtrip",
     "orc_ingest_roundtrip",
     "zorder_key_accounting",
+    "graph_pagerank",
     # events-backed, not in the r3 sample; loader changed this round
     "ingest_normalize",
     "streaming_windowed_append",

@@ -828,3 +828,66 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("zkey").alias("max_zkey"),
         F.sum("zkey").cast("bigint").alias("sum_zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 part 8: PageRank over the near-dup graph (fixed iterations)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS, _PR_DAMPING = 3, 0.85
+
+
+def _pagerank_sql() -> str:
+    """Iterated-CTE twin of operators.graph.pagerank: same float
+    literals (repr of the SAME python doubles the operator embeds),
+    same decimal contribution sum, same fixed iteration count."""
+    base = repr(float(1.0 - _PR_DAMPING))
+    damping = repr(float(_PR_DAMPING))
+    ctes = [
+        f"nd AS ({_near_dup_sql()})",
+        "edges AS (SELECT id_a AS s, id_b AS d FROM nd"
+        " UNION ALL SELECT id_b, id_a FROM nd)",
+        "degree AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY s)",
+        "base_nodes AS (SELECT doc_id AS nid FROM documents)",
+        "r0 AS (SELECT nid, CAST(1.0 AS DOUBLE) AS rank FROM base_nodes)",
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""r{k} AS (
+    SELECT b.nid, {base} + {damping} * COALESCE(s.csum, 0.0) AS rank
+    FROM base_nodes b
+    LEFT JOIN (
+        SELECT e.d AS nid,
+               CAST(SUM(CAST(p.rank / dg.deg AS DECIMAL(35,15))) AS DOUBLE) AS csum
+        FROM edges e
+        JOIN r{k - 1} p ON e.s = p.nid
+        JOIN degree dg ON dg.s = e.s
+        GROUP BY e.d
+    ) s ON s.nid = b.nid
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT nid AS doc_id, rank FROM r{_PR_ITERS}"
+    )
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_sql(),
+    "fixed-iteration PageRank over the near-dup graph (decimal-exact sums)",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakehouse_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    prs = D.near_dup_pairs(docs)
+    ranks = pagerank(
+        docs.select("doc_id"),
+        prs,
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+        iters=_PR_ITERS,
+        damping=_PR_DAMPING,
+    )
+    return ranks.select("doc_id", "rank")

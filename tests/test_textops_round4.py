@@ -168,3 +168,30 @@ def test_sequence_packing_streams_independent(spark):
     rows = {r.source: r for r in sequence_pack_assignments(docs, seq_len=16).collect()}
     # each stream starts its own tape at offset 0
     assert rows["a"].tok_offset == 0 and rows["b"].tok_offset == 0
+
+
+def test_pagerank_hand_computed(spark):
+    from datalakehouse_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id long")
+    # path graph 0-1-2: deg(0)=deg(2)=1, deg(1)=2
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    got = {
+        r.id: r.rank for r in pagerank(nodes, pairs, iters=1, damping=0.85).collect()
+    }
+    # one iteration from rank=1: r(0)=r(2)=0.15+0.85*(1/2); r(1)=0.15+0.85*(1+1)... wait
+    # contributions INTO 0: from 1 -> rank(1)/deg(1) = 1/2
+    # into 1: from 0 (1/1) + from 2 (1/1) = 2
+    # into 2: from 1 -> 1/2
+    base = 1.0 - 0.85
+    assert got[0] == got[2] == base + 0.85 * 0.5
+    assert got[1] == base + 0.85 * 2.0
+
+
+def test_pagerank_isolated_node_keeps_base(spark):
+    from datalakehouse_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(0,), (1,), (9,)], "id long")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    got = {r.id: r.rank for r in pagerank(nodes, pairs, iters=2).collect()}
+    assert got[9] == 1.0 - 0.85  # no in-edges: base rank after any iteration
