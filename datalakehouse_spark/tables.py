@@ -47,6 +47,7 @@ class ManagedTable:
         bloom_filter_cols: Sequence[str] = (),
         catalog_table: str | None = None,
         zorder_by: tuple[str, str] | None = None,
+        compression: str = "zstd",
     ) -> None:
         """``cluster_by``: write-time sort order within each file — the
         reference's ``'write.order-by' = 'device_id, gps_epoch'``
@@ -62,7 +63,12 @@ class ManagedTable:
         ``bloom_filter_cols``: parquet bloom filters for point lookups
         on high-cardinality columns — the reference enables them on
         device_id / gps_epoch / correlation_id with a 256 KiB cap
-        (create.sql:60-63; X4)."""
+        (create.sql:60-63; X4).
+
+        ``compression``: parquet codec; defaults to zstd, matching the
+        reference's table properties (create.sql:53-56,160 — ZSTD for
+        fact and raw tables; ddl.py emits the same for the catalog
+        backend)."""
         if zorder_by is not None and cluster_by:
             raise ValueError("zorder_by and cluster_by are mutually exclusive")
         self.spark = spark
@@ -71,6 +77,7 @@ class ManagedTable:
         self.cluster_by = list(cluster_by)
         self.zorder_by = tuple(zorder_by) if zorder_by is not None else None
         self.bloom_filter_cols = list(bloom_filter_cols)
+        self.compression = compression
         # catalog backend auto-detection: when `catalog_table` names a
         # table in a configured Iceberg/Delta catalog, DML routes
         # through single-statement transactional SQL (catalog_dml.py);
@@ -137,7 +144,7 @@ class ManagedTable:
                 .sortWithinPartitions(*self.partition_by, zk)
                 .drop(zk)  # projection preserves per-partition order
             )
-        w = df.write.mode(mode)
+        w = df.write.mode(mode).option("compression", self.compression)
         # partition-scoped overwrite: INSERT OVERWRITE replaces only the
         # partitions present in the written data.  Set per-write so the
         # shared session's overwrite semantics are never mutated.

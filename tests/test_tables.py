@@ -339,3 +339,24 @@ def test_zorder_cluster_by_mutually_exclusive(spark):
 
     with _pytest.raises(ValueError):
         ManagedTable(spark, "/tmp/nope", cluster_by=["a"], zorder_by=("a", "b"))
+
+
+def test_managed_table_writes_zstd(spark, tmp_path):
+    """Parquet codec parity with the reference's ZSTD table properties."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datalakehouse_spark.tables import ManagedTable
+
+    path = str(tmp_path / "zstd_t")
+    ManagedTable(spark, path).create(
+        spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    )
+    f = sorted(g.glob(path + "/*.parquet"))[0]
+    codecs = {
+        pq.ParquetFile(f).metadata.row_group(0).column(c).compression
+        for c in range(pq.ParquetFile(f).metadata.num_columns)
+    }
+    assert codecs == {"ZSTD"}
