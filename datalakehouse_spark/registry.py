@@ -589,6 +589,8 @@ _DRIVER_PRIORITY = [
     "orc_ingest_roundtrip",
     "zorder_key_accounting",
     "graph_pagerank",
+    "funnel_conversion",
+    "cohort_retention",
     # events-backed, not in the r3 sample; loader changed this round
     "ingest_normalize",
     "streaming_windowed_append",

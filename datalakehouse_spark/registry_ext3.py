@@ -891,3 +891,96 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=_PR_DAMPING,
     )
     return ranks.select("doc_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 part 9: product-analytics shapes — funnel + cohort retention
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN t_click >= t_view AND t_purchase >= t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+FROM per_user
+"""
+
+
+@register(
+    "funnel_conversion",
+    _FUNNEL_SQL,
+    "ordered view->click->purchase funnel via per-user first-touch times",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step counts from each user's FIRST occurrence of each
+    step (one hash aggregate — no sessionization state, no self-join;
+    NULL comparisons drop non-completers in both engines identically).
+
+    Scale: a single groupBy(user_id) with conditional-min partials,
+    then one global roll-up row — the cheapest correct funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    step2 = F.col("t_click") >= F.col("t_view")
+    step3 = step2 & (F.col("t_purchase") >= F.col("t_click"))
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.sum(F.when(step2, 1).otherwise(0)).alias("n_view_click"),
+        F.sum(F.when(step3, 1).otherwise(0)).alias("n_view_click_purchase"),
+    )
+
+
+_COHORT_SQL = """
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT e.user_id,
+           date_trunc('week', f.first_day) AS cohort_week,
+           CAST(floor(date_diff('day', f.first_day, CAST(e.ts AS DATE)) / 7.0)
+                AS BIGINT) AS week_offset
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register(
+    "cohort_retention",
+    _COHORT_SQL,
+    "weekly cohort retention: first-seen week x week-offset active users",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort analysis: each user's first-seen day defines the cohort
+    week; activity is bucketed by whole weeks since that first day.
+    Two aggregates + one equi join on user_id (the firsts side is
+    per-user — broadcastable at dimension scale, shuffle join at 100 TB
+    where it is fact-sized)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    activity = ev.join(firsts, "user_id").select(
+        "user_id",
+        F.date_trunc("week", F.col("first_day")).cast("date").alias("cohort_week"),
+        F.floor(F.datediff(F.to_date("ts"), F.col("first_day")) / 7.0)
+        .cast("bigint")
+        .alias("week_offset"),
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
