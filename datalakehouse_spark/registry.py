@@ -591,6 +591,7 @@ _DRIVER_PRIORITY = [
     "graph_pagerank",
     "funnel_conversion",
     "cohort_retention",
+    "profile_table",
     # events-backed, not in the r3 sample; loader changed this round
     "ingest_normalize",
     "streaming_windowed_append",

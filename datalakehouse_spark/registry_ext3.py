@@ -984,3 +984,54 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 part 10: data profiling (pipeline observability)
+# ---------------------------------------------------------------------------
+
+_PROFILE_SQL = """
+SELECT 'event_id' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(event_id) AS BIGINT) AS n_non_null,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(MIN(event_id) AS DOUBLE) AS min_val,
+       CAST(MAX(event_id) AS DOUBLE) AS max_val
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT), CAST(COUNT(user_id) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT), CAST(COUNT(value) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT),
+       MIN(value), MAX(value)
+FROM events
+"""
+
+
+@register(
+    "profile_table",
+    _PROFILE_SQL,
+    "per-column profile: rows / non-null / distinct / min / max",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling for pipeline observability (the exact twin of
+    what ANALYZE collects, surfaced as a query).  One pass per column
+    batch; at 100 TB swap COUNT(DISTINCT) for approx_count_distinct and
+    drop the union into a single multi-aggregate pass — here the exact
+    forms keep the oracle bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def prof(col: str):
+        return ev.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_non_null"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_val"),
+            F.max(col).cast("double").alias("max_val"),
+        )
+
+    return prof("event_id").unionByName(prof("user_id")).unionByName(prof("value"))
