@@ -213,8 +213,24 @@ def ivf_search(
     _, cent_rows = kmeans_clusters(
         embeddings, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
-    # centroid ranking is k rows of plain doubles — pure driver-side
-    # math with the same sequential accumulation order as the SQL twin
+    probe = rank_probes(cent_rows, query_vec, n_probe)
+    # the final assignment is a LITERAL-centroid argmin expression, so
+    # pruning is a narrow filter — no join; with the corpus partitioned
+    # by a persisted cluster column this is partition pruning instead
+    pruned = embeddings.where(_argmin_cluster(_dvec(vec_col), cent_rows).isin(probe))
+    return knn_brute_force(pruned, query_vec, k, id_col, vec_col).withColumn(
+        "probed_clusters", F.lit(len(probe))
+    )
+
+
+def rank_probes(
+    cent_rows: list[tuple[int, list[float]]], query_vec: list[float], n_probe: int
+) -> list[int]:
+    """Rank centroids against the query, return the n_probe nearest ids.
+
+    k rows of plain doubles — pure driver-side math with the same
+    sequential accumulation order as the SQL twin."""
+
     def _seq_dot(a, b):
         acc = 0.0
         for x, y in zip(a, b):
@@ -223,16 +239,59 @@ def ivf_search(
 
     qv = [float(x) for x in query_vec]
     ranked = sorted(
-        (
-            (-(_seq_dot(c, qv) / (_seq_dot(c, c) ** 0.5)), cid)
-            for cid, c in cent_rows
-        ),
+        (-(_seq_dot(c, qv) / (_seq_dot(c, c) ** 0.5)), cid) for cid, c in cent_rows
     )
-    probe = [cid for _, cid in ranked[:n_probe]]
-    # the final assignment is a LITERAL-centroid argmin expression, so
-    # pruning is a narrow filter — no join; with the corpus partitioned
-    # by a persisted cluster column this is partition pruning instead
-    pruned = embeddings.where(_argmin_cluster(_dvec(vec_col), cent_rows).isin(probe))
+    return [cid for _, cid in ranked[:n_probe]]
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    kmeans_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The build half of the IVF build/serve split: persist the corpus
+    PARTITIONED BY its k-means cluster id.  Returns the centroid list
+    (the serving side's tiny routing table — k×dim doubles, stored
+    wherever the query layer lives).
+
+    At 100 TB this is the one-off (or periodic) index build; every
+    subsequent query is partition PRUNING over this layout instead of
+    an argmin scan — see :func:`ivf_search_indexed`.
+    """
+    assign, cent_rows = kmeans_clusters(
+        embeddings, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    indexed = embeddings.join(assign, id_col)
+    # one file per cluster partition (fixture scale); a real build sizes
+    # files via maxRecordsPerFile and the table's compaction policy
+    indexed.repartition("cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+    return cent_rows
+
+
+def ivf_search_indexed(
+    spark,
+    index_path: str,
+    cent_rows: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The serve half: route the query to its n_probe nearest clusters
+    driver-side (k-row math), then scan ONLY those hive partitions —
+    the cluster IN-list is a partition filter, so n_probe/n_clusters of
+    the files are even opened (plan-asserted in tests/test_plans.py).
+    Results are identical to :func:`ivf_search` by construction (same
+    centroids, same assignment, same exact re-ranking).
+    """
+    probe = rank_probes(cent_rows, query_vec, n_probe)
+    pruned = spark.read.parquet(index_path).where(F.col("cluster").isin(probe))
     return knn_brute_force(pruned, query_vec, k, id_col, vec_col).withColumn(
         "probed_clusters", F.lit(len(probe))
     )

@@ -592,6 +592,7 @@ _DRIVER_PRIORITY = [
     "funnel_conversion",
     "cohort_retention",
     "profile_table",
+    "ivf_search_indexed",
     # events-backed, not in the r3 sample; loader changed this round
     "ingest_normalize",
     "streaming_windowed_append",

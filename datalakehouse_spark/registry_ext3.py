@@ -1035,3 +1035,36 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return prof("event_id").unionByName(prof("user_id")).unionByName(prof("value"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 part 11: IVF build/serve split — persisted cluster-partitioned
+# index, query = partition pruning (identical results to ivf_search)
+# ---------------------------------------------------------------------------
+
+from datalakehouse_spark.registry_ext import _ivf_kmeans_sql, _query_vec  # noqa: E402
+
+
+@register(
+    "ivf_search_indexed",
+    _ivf_kmeans_sql(),
+    "IVF over a persisted cluster-partitioned index: probe = partition pruning",
+)
+def q_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-once / serve-many IVF: write the corpus partitioned by its
+    k-means cluster, then answer the query by scanning only the n_probe
+    nearest clusters' partitions.  Same oracle as `ivf_search` — the
+    deterministic build makes the two paths value-identical; what this
+    entry adds is the LAYOUT (partition pruning instead of an argmin
+    filter over every row)."""
+    import tempfile
+
+    from datalakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search_indexed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
+    cent_rows = build_ivf_index(emb, path)
+    return ivf_search_indexed(spark, path, cent_rows, _query_vec(spark, sf_dir), k=10, n_probe=2)

@@ -311,3 +311,27 @@ def test_q17_decorrelated_no_cartesian(spark):
 def test_q22_anti_join_shape(spark):
     plan = plan_of(REGISTRY["q22_idle_balance"].fn(spark, SF))
     assert "LeftAnti" in plan, "NOT EXISTS must stay an anti join"
+
+
+def test_ivf_indexed_partition_pruning(spark, tmp_path):
+    """The build/serve split's payoff: the probe IN-list must land in
+    PartitionFilters (only n_probe cluster directories are even
+    listed), not a row-level Filter over the whole index."""
+    import re as _re
+
+    from datalakehouse_spark.io import load_table
+    from datalakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search_indexed,
+        rank_probes,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    cent_rows = build_ivf_index(emb, path)
+    q = list(emb.where("vec_id = 0").select("embedding").first()[0])
+    plan = plan_of(ivf_search_indexed(spark, path, cent_rows, q, n_probe=2))
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), f"probe must be a partition filter: {m}"
+    probes = rank_probes(cent_rows, q, 2)
+    assert len(probes) == 2
