@@ -593,6 +593,7 @@ _DRIVER_PRIORITY = [
     "cohort_retention",
     "profile_table",
     "ivf_search_indexed",
+    "weighted_sample_counts",
     # events-backed, not in the r3 sample; loader changed this round
     "ingest_normalize",
     "streaming_windowed_append",

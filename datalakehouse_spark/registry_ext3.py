@@ -1068,3 +1068,57 @@ def q_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
     cent_rows = build_ivf_index(emb, path)
     return ivf_search_indexed(spark, path, cent_rows, _query_vec(spark, sf_dir), k=10, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 part 12: quality-weighted deterministic sampling
+# ---------------------------------------------------------------------------
+
+_TWO_POW_60 = float(1 << 60)
+
+_WEIGHTED_SAMPLE_SQL = f"""
+WITH w AS (
+    SELECT doc_id, source,
+           least(n_chars / 400.0, 1.0) AS wgt,
+           CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) / {_TWO_POW_60!r} AS u
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN u < wgt THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM w GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "weighted_sample_counts",
+    _WEIGHTED_SAMPLE_SQL,
+    "deterministic quality-weighted Bernoulli sampling per source",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix downsampling: keep a doc with probability equal to
+    its weight (here a length-based quality proxy, capped at 1), using
+    a salted md5 hash as the uniform variate — deterministic across
+    engines, reruns, and partitionings, unlike rand()-based sampleBy.
+    At 100 TB this is a narrow scan-fused filter; changing the salt
+    redraws the sample without touching the data."""
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source",
+        F.least(F.col("n_chars") / 400.0, F.lit(1.0)).alias("wgt"),
+        (
+            md5_hash60(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+            / F.lit(_TWO_POW_60)
+        ).alias("u"),
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("u") < F.col("wgt"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
