@@ -8,9 +8,18 @@ Four tiers, trading recall for cost — all shuffle-lean by construction:
   pairs inside buckets only -> exact-Jaccard verify. The shuffle is on
   (band_id, band_hash), whose cardinality is bounded by the corpus —
   never the O(n²) pair space.
-- SimHash: one 32-bit signature per doc; near-dup PAIRING via block
-  buckets (pigeonhole: distance <= n_blocks-1 implies an exact match on
-  some block) + popcount verify — simhash_near_dup_pairs.
+- SimHash: one 64-bit signature per doc (32-bit available for
+  fixture-scale configs); near-dup PAIRING via block buckets
+  (pigeonhole: distance <= n_blocks-1 implies an exact match on some
+  block) + popcount verify — simhash_near_dup_pairs.
+
+Hot buckets: both pairing tiers salt over-cap buckets by default —
+members of a bucket larger than ``max_bucket_size`` are split into
+ceil(size/cap) salted sub-buckets (left side hashed to one salt, right
+side replicated across all salts), so every within-bucket pair is still
+produced but no single join task exceeds ~size×cap pairs.  Recall
+equals the uncapped join by construction; ``hot_bucket="drop"`` remains
+for corpora where bounding total work matters more than recall.
 
 Determinism: all hash functions derive from the java-hashCode
 polynomial (functions/hashing.py), so every stage has a DuckDB-SQL twin
@@ -139,6 +148,61 @@ def minhash_signatures_df(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def _bucketed_pair_sides(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket_size: int | None,
+    hot_bucket: str,
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Prepare (left, right, join_cols) for a within-bucket self-join
+    with hot-bucket handling.
+
+    ``hot_bucket="salt"`` (default): members of a bucket larger than
+    the cap are split into m = ceil(size/cap) salted sub-buckets — the
+    left side hashes each member to ONE salt, the right side replicates
+    each member to ALL m salts (the standard skew-join split).  Every
+    within-bucket pair is produced exactly once per bucket, so recall
+    EQUALS the uncapped join; the largest single join task is ~cap×size
+    pairs instead of size², and the replication factor is m on the
+    over-cap buckets only (m=1 — zero overhead — below the cap).
+
+    ``hot_bucket="drop"``: the round-3 behavior — over-cap buckets are
+    removed entirely, bounding TOTAL work at a documented recall cost
+    (members may still pair via their other bands/blocks).  For
+    corpora where a degenerate bucket's size² pair space is itself the
+    problem (100M identical boilerplate docs), drop is the right call;
+    salting keeps recall but cannot shrink the inherent pair count.
+
+    The bucket-size count is a window over the SAME partitioning the
+    self-join shuffles on — one extra pass over already-shuffled rows,
+    no second evaluation of the signature pipeline (a groupBy+join-back
+    formulation recomputed the minhash stage per join side: measured
+    2x at sf0.1).
+    """
+    if max_bucket_size is None:
+        return rows, rows, list(bucket_cols)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    counted = rows.withColumn("_bs", F.count(F.lit(1)).over(w))
+    if hot_bucket == "drop":
+        kept = counted.where(F.col("_bs") <= max_bucket_size).drop("_bs")
+        return kept, kept, list(bucket_cols)
+    if hot_bucket != "salt":
+        raise ValueError(f"hot_bucket must be 'salt' or 'drop', got {hot_bucket!r}")
+    m = F.greatest(
+        F.ceil(F.col("_bs") / F.lit(max_bucket_size)).cast("int"), F.lit(1)
+    )
+    left = counted.withColumn(
+        "_salt", (md5_hash60(F.col(id_col).cast("string")) % m).cast("int")
+    ).drop("_bs")
+    right = counted.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), m - F.lit(1)))
+    ).drop("_bs")
+    return left, right, list(bucket_cols) + ["_salt"]
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -146,6 +210,7 @@ def lsh_candidate_pairs(
     n_perm: int = N_PERM_DEFAULT,
     band_size: int = BAND_SIZE_DEFAULT,
     max_bucket_size: int | None = None,
+    hot_bucket: str = "salt",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs (id_a < id_b), deduplicated across bands.
 
@@ -153,8 +218,8 @@ def lsh_candidate_pairs(
     then a self-equi-join on (band, band_key). The join key is the LSH
     bucket, so the shuffle moves each doc n_bands times, never the pair
     space. Hot buckets (boilerplate-heavy corpora) are the skew risk:
-    AQE skew-join handles moderate cases; salting + bucket-size caps is
-    the documented mitigation for degenerate ones.
+    over-cap buckets are salted into bounded sub-joins by default —
+    see :func:`_bucketed_pair_sides` for the salt-vs-drop trade.
     """
     sigs = minhash_signatures_df(df, text_col, id_col, n_perm)
     n_bands = n_perm // band_size
@@ -174,37 +239,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
-    if max_bucket_size is not None:
-        # degenerate-bucket guard: boilerplate-heavy corpora put huge
-        # fractions of docs into one band bucket, turning the self-join
-        # quadratic. Capping drops those buckets (their members still
-        # pair up through their other, more selective bands).
-        # Implemented as a count window over the SAME (band, key)
-        # partitioning the self-join shuffles on — one extra pass over
-        # already-shuffled rows, no second evaluation of the signature
-        # pipeline (a groupBy+join-back formulation recomputed the
-        # minhash stage per join side: measured 2x at sf0.1).
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "key")
-        bands = (
-            bands.withColumn("_bs", F.count(F.lit(1)).over(w))
-            .where(F.col("_bs") <= max_bucket_size)
-            .drop("_bs")
-        )
-    left = bands.alias("l")
-    right = bands.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+    lhs, rhs, join_cols = _bucketed_pair_sides(
+        bands, ["band", "key"], id_col, max_bucket_size, hot_bucket
+    )
+    left = lhs.select(F.col(id_col).alias("id_a"), *join_cols)
+    right = rhs.select(F.col(id_col).alias("id_b"), *join_cols)
+    return (
+        left.join(right, join_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
-    return pairs
 
 
 def jaccard_pairs(
@@ -234,43 +279,79 @@ def near_dup_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.6,
     max_bucket_size: int | None = 1000,
+    hot_bucket: str = "salt",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates -> verify -> filter.
 
     ``max_bucket_size`` is ON by default: a boilerplate-heavy corpus can
-    put a huge fraction of documents into one band bucket, and the
-    band self-join then goes quadratic — the one way this pipeline dies
-    at 100 TB.  Docs in a dropped bucket still pair up through their
-    other, more selective bands; pass ``None`` to disable the cap."""
-    cands = lsh_candidate_pairs(df, text_col, id_col, max_bucket_size=max_bucket_size)
+    put a huge fraction of documents into one band bucket, and the band
+    self-join then goes quadratic in a SINGLE task — the one way this
+    pipeline dies at 100 TB.  Over-cap buckets are salted into bounded
+    sub-joins (recall == uncapped, no straggler task); pass
+    ``hot_bucket="drop"`` to bound total work instead, or
+    ``max_bucket_size=None`` to disable the guard."""
+    cands = lsh_candidate_pairs(
+        df, text_col, id_col, max_bucket_size=max_bucket_size, hot_bucket=hot_bucket
+    )
     return jaccard_pairs(df, cands, text_col, id_col).where(F.col("jaccard") >= threshold)
 
 
-def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash per document: (id, simhash).
+MIN_LONG = -(1 << 63)
+
+
+def simhash_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
+) -> DataFrame:
+    """SimHash per document: (id, simhash), 64-bit by default.
 
     bit_j(sig) = 1 iff sum over tokens of (+1 if bit_j(hash(tok)) else -1)
-    is positive; token hash = low 32 bits of the md5-prefix integer.
+    is positive; token bits 0-31 come from the md5-prefix integer
+    (hex chars 1-15), bits 32-63 from a second disjoint md5 slice
+    (hex chars 17-31) — both cross-engine-identical with DuckDB.
 
-    Shape: explode tokens -> one hash-aggregate with 32 conditional-sum
-    columns (all codegen'd, map-side partials) -> recombine bits. Same
-    two-stage plan at any scale; the shuffle carries 32 longs per doc.
+    The signature is a SIGNED bigint: bit 63 is encoded by adding
+    MIN_LONG (two's complement), which both engines compute with plain
+    integer arithmetic — no unsigned-64 type needed.  Hamming distance
+    stays bit_count(xor(a, b)) and block extraction stays
+    (sig >> shift) & mask; both are sign-agnostic.
+
+    Shape: explode tokens -> one hash-aggregate with n_bits
+    conditional-sum columns (all codegen'd, map-side partials) ->
+    recombine bits. Same two-stage plan at any scale; the shuffle
+    carries n_bits longs per doc.  ``n_bits=32`` keeps the round-4
+    fixture config (bit-identical to the old default).
     """
+    if n_bits not in (32, 64):
+        raise ValueError(f"n_bits must be 32 or 64, got {n_bits}")
     df = _spread(df.where(F.col(text_col).isNotNull()))
     tok = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(text_col), " ")).alias("_t")
-    ).withColumn("_h32", md5_hash60("_t") % F.lit(1 << 32))
+    ).withColumn("_md5", F.md5("_t"))
+    hcols = [
+        (F.conv(F.substring("_md5", 1, 15), 16, 10).cast("bigint") % F.lit(1 << 32)).alias(
+            "_h_lo"
+        )
+    ]
+    if n_bits == 64:
+        hcols.append(
+            (
+                F.conv(F.substring("_md5", 17, 15), 16, 10).cast("bigint")
+                % F.lit(1 << 32)
+            ).alias("_h_hi")
+        )
+    tok = tok.select(F.col(id_col), *hcols)
+
+    def _bit(j: int) -> Column:
+        src = F.col("_h_lo") if j < 32 else F.col("_h_hi")
+        return F.shiftright(src, j % 32) % 2 == 1
+
     votes = tok.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("_h32"), j) % 2 == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(32)
-        ]
+        *[F.sum(F.when(_bit(j), 1).otherwise(-1)).alias(f"v{j}") for j in range(n_bits)]
     )
     sig = None
-    for j in range(32):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+    for j in range(n_bits):
+        bitval = MIN_LONG if j == 63 else (1 << j)
+        term = F.when(F.col(f"v{j}") > 0, F.lit(bitval).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         sig = term if sig is None else sig + term
@@ -284,12 +365,14 @@ def simhash_near_dup_pairs(
     n_blocks: int = 4,
     max_hamming: int | None = None,
     max_bucket_size: int | None = 1000,
+    n_bits: int = 64,
+    hot_bucket: str = "salt",
 ) -> DataFrame:
     """SimHash near-dup PAIRING: (id_a, id_b, hamming) for every pair
     within ``max_hamming`` bits (default n_blocks-1 = 3).
 
     Mechanism (the block-bucket form of rotated-prefix probing): split
-    the 32-bit signature into ``n_blocks`` equal blocks.  By pigeonhole,
+    the signature into ``n_blocks`` equal blocks.  By pigeonhole,
     any pair within Hamming distance n_blocks-1 agrees EXACTLY on at
     least one block, so candidates = pairs sharing a (block_id,
     block_value) bucket — a self-equi-join on the bucket key, never the
@@ -298,17 +381,20 @@ def simhash_near_dup_pairs(
     max_hamming <= n_blocks-1, the RESULT equals the full quadratic
     scan's (the oracle computes that directly).
 
-    Scale posture mirrors ``lsh_candidate_pairs``: the shuffle moves
-    each doc n_blocks times on the bucket key; ``max_bucket_size``
-    (default-on) drops degenerate buckets — a 32-bit/4-block config has
-    only 256 bucket values per block, so a production corpus should
-    widen to a 64-bit signature with 16-bit blocks (same plan, more
-    selective buckets).
+    Defaults (round 5): 64-bit signatures with 16-bit blocks — 65 536
+    bucket values per block, so bucket occupancy stays ~n/65 536 even
+    on a 100 TB corpus (the round-4 32-bit/4-block config had 256
+    values per block: every bucket held ~n/256 docs at scale and the
+    cap degenerated into dropping MOST of the corpus).  32-bit remains
+    for fixture-scale configs.  Residual over-cap buckets are salted,
+    not dropped — see :func:`_bucketed_pair_sides`.
     """
     if max_hamming is None:
         max_hamming = n_blocks - 1
-    sigs = simhash_df(df, text_col, id_col)
-    block_bits = 32 // n_blocks
+    if n_bits % n_blocks:
+        raise ValueError(f"n_blocks {n_blocks} must divide n_bits {n_bits}")
+    sigs = simhash_df(df, text_col, id_col, n_bits=n_bits)
+    block_bits = n_bits // n_blocks
     mask = (1 << block_bits) - 1
     blocks = sigs.select(
         F.col(id_col),
@@ -327,23 +413,17 @@ def simhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.block", "bk.key")
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("block", "key")
-        blocks = (
-            blocks.withColumn("_bs", F.count(F.lit(1)).over(w))
-            .where(F.col("_bs") <= max_bucket_size)
-            .drop("_bs")
-        )
-    a = blocks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "block", "key"
+    lhs, rhs, join_cols = _bucketed_pair_sides(
+        blocks, ["block", "key"], id_col, max_bucket_size, hot_bucket
     )
-    b = blocks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "block", "key"
+    a = lhs.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), *join_cols
+    )
+    b = rhs.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), *join_cols
     )
     cands = (
-        a.join(b, ["block", "key"])
+        a.join(b, join_cols)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
@@ -394,6 +474,7 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("nid"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         nbr = edges.join(labels, edges.s == labels.nid).select(
             F.col("d").alias("nid"), "label"
@@ -413,7 +494,23 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a component whose min-label propagation distance exceeds
+        # max_iters would silently carry SPLIT labels (wrong dedup
+        # groups, divergent from the oracle's exact transitive
+        # closure) — make that detectable instead of silent
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iters} "
+            "iterations; components with larger propagation distance carry "
+            "split labels. Raise max_iters (or switch to the "
+            "large-star/small-star variant) for deep chain graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("nid").alias(id_col), "label")
 
 

@@ -150,7 +150,15 @@ def _ts_lit(ns: int):
     the predicate push down to the parquet scan — at 100 TB that's
     row-group skipping on min/max stats instead of a full decode.
     ``timestamp_micros`` keeps the bound independent of the driver
-    process's local timezone (unlike a py-datetime literal)."""
+    process's local timezone (unlike a py-datetime literal).
+
+    Generation caveat: pushdown (and the plan assertion in
+    tests/test_plans.py::test_serving_page_pushdown_and_pruning) holds
+    for the µs fixture generation, where ``ts`` is physical.  On the
+    legacy ns-int64 generation io.py DERIVES ``ts`` (timestamp_micros
+    of ts div 1000), so this predicate is correct but evaluates
+    post-scan there — row-group skipping would need the bound rewritten
+    onto the physical int64 column."""
     return F.timestamp_micros(F.lit(ns // 1_000))
 
 
@@ -541,86 +549,67 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver coverage rotation (round 4): the ~50-query driver budget is
-#: pointed FIRST at the 22 entries red in CORRECTNESS_r03 (all failed on
-#: the fixture's events.ts dtype change, fixed in io.py this round),
-#: then at the events-backed entries r3 never sampled — their loader
-#: (load_table / events_stream) changed this round, so their last green
-#: row predates the code now running.
+#: Driver coverage rotation (round 5): CORRECTNESS_r04 was 50/50 green,
+#: so the ~50-query driver budget now points FIRST at the entries whose
+#: code changed this round (IVF build/serve split, 64-bit SimHash,
+#: LSH hot-bucket salting — their last green row predates the code now
+#: running), then at the 42 queries whose last driver-green is r1/r2 —
+#: i.e. BEFORE the round-3 fixture regeneration.  All 42 pass the
+#: identical local oracle on current fixtures; this rotation closes the
+#: post-fixture-shift verification gap the round-4 verdict flagged.
 _DRIVER_PRIORITY = [
-    # red in CORRECTNESS_r03 — events.ts decode, fixed this round
-    "risk_score_daily",
-    "asof_join_orders",
-    "latest_per_key",
-    "running_windows",
-    "leadlag_gaps",
-    "sessionize_counts",
-    "topk_global",
-    "topk_per_group",
-    "serving_page",
-    "serving_count",
-    "retention_filter",
-    "distinct_daily",
-    "rollup_daily",
-    "cube_type_user",
-    "pivot_daily_types",
-    "union_vendor_split",
-    "set_intersect",
-    "set_except",
-    "json_extract_props",
-    "bucket_distribution",
-    "schema_evolution_read",
-    "compaction_partition_sweep",
-    # new in round 4 — never driver-checked
-    "doc_chunks",
-    "repetition_quality",
-    "tfidf_top_terms",
-    "sequence_packing",
-    "dedup_clusters",
-    "ann_recall_accounting",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_balance",
-    "streaming_static_enrich",
-    "csv_ingest_roundtrip",
-    "orc_ingest_roundtrip",
-    "zorder_key_accounting",
-    "graph_pagerank",
-    "funnel_conversion",
-    "cohort_retention",
-    "profile_table",
+    # changed or new in round 5
+    "ivf_build_stats",
+    "ivf_search",
     "ivf_search_indexed",
-    "weighted_sample_counts",
-    # events-backed, not in the r3 sample; loader changed this round
-    "ingest_normalize",
-    "streaming_windowed_append",
-    "streaming_session_windows",
-    "streaming_stream_join",
-    "streaming_dedup",
-    "stateful_running_totals",
-    "event_sequences",
-    "jsonl_ingest_roundtrip",
-    "merge_upsert_risk",
-    "risk_serving_page",
-    "time_travel_read",
-    "version_incremental_read",
-    "hourly_heatmap",
-    "gapfill_daily_counts",
-    "unpivot_daily",
-    "null_semantics_agg",
-    "null_safe_join",
-    "coordinate_parse_swap",
+    "simhash_docs",
+    "simhash_near_dup_pairs",
+    "near_dup_pairs",
+    "dedup_clusters",
+    "versioned_branch_evolution",
+    # last driver-green r1/r2 (pre-fixture-regeneration)
+    "ann_lsh_search",
     "approx_stats",
+    "array_agg_types",
+    "char_ngram_jaccard",
+    "coordinate_parse_swap",
+    "corpus_prep_pipeline",
+    "dataset_split_counts",
+    "disjunctive_predicates",
+    "embedding_near_dup",
+    "event_sequences",
+    "exact_percentiles",
+    "explode_wordcount_topk",
+    "gapfill_daily_counts",
+    "hourly_heatmap",
+    "jsonl_ingest_roundtrip",
+    "knn_batch_queries",
+    "media_frame_sample",
+    "merge_upsert_risk",
+    "min_per_group_joinback",
+    "monthly_revenue",
+    "ntile_percent_rank",
+    "null_safe_join",
+    "null_semantics_agg",
+    "pairwise_topk_blocked",
+    "q10_returned_items",
+    "q12_shipmode_priority",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "quantize_embeddings_int8",
+    "quantized_knn",
+    "risk_serving_page",
+    "salted_agg_counts",
+    "scd2_customer_history",
+    "stratified_sample",
+    "time_travel_read",
+    "unpivot_daily",
     "value_histogram",
     "value_stats_exact",
-    "exact_percentiles",
+    "version_incremental_read",
     "zscore_normalize",
-    "salted_agg_counts",
-    "array_agg_types",
-    "dataset_split_counts",
 ]
 
 

@@ -13,6 +13,7 @@ from datalakehouse_spark.io import load_table, register_views
 from datalakehouse_spark.functions.numeric import dsum, dsum_duckdb
 from datalakehouse_spark.operators import similarity as S
 from datalakehouse_spark.registry import register
+from datalakehouse_spark.scratch import fresh_scratch
 
 # ---------------------------------------------------------------------------
 # Subquery family (engine surface: Trino/Spark SQL users, SURVEY.md §2.3 note)
@@ -1048,7 +1049,6 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate even though the CURRENT version differs on days 10-15.
     The oracle recomputes v1 directly, so a broken snapshot (v2 data
     leaking into the v1 read) hash-mismatches."""
-    import tempfile
 
     from datalakehouse_spark.versioned import VersionedTable
 
@@ -1067,7 +1067,7 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("value") * 2).alias("sum_value"),
         )
     )
-    path = tempfile.mkdtemp(prefix="time_travel_")
+    path = fresh_scratch("time_travel")
     t = VersionedTable(spark, path + "/t", partition_by=["day"])
     t.create(v1)
     t.merge_upsert(v2_overlap, keys=["user_id", "day"])
@@ -1094,7 +1094,6 @@ def q_version_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     read v1->v2: only the appended files are scanned (file-level
     manifest diff, the Iceberg incremental append scan), so the result
     is exactly the day-16..25 delta."""
-    import tempfile
 
     from datalakehouse_spark.versioned import VersionedTable
 
@@ -1103,7 +1102,7 @@ def q_version_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = lambda df: df.groupBy("user_id", day.alias("day")).agg(  # noqa: E731
         F.count(F.lit(1)).alias("n"), dsum("value").alias("sum_value")
     )
-    path = tempfile.mkdtemp(prefix="version_incr_")
+    path = fresh_scratch("version_incr")
     t = VersionedTable(spark, path + "/t", partition_by=["day"])
     v1 = t.create(agg(ev.where(day <= F.lit("2024-01-15"))))
     v2 = t.append(agg(ev.where(day.between(F.lit("2024-01-16"), F.lit("2024-01-25")))))
@@ -1477,12 +1476,11 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     through an explicit schema (schema-on-read, no inference job), and
     aggregate — must equal the parquet-path computation exactly.
     Timestamps travel as int64 ns (no tz formatting ambiguity)."""
-    import tempfile
 
     from pyspark.sql import types as T
 
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 7 == 0)
-    path = tempfile.mkdtemp(prefix="jsonl_src_") + "/events"
+    path = fresh_scratch("jsonl_src") + "/events"
     ev.select(
         F.to_json(F.struct("event_id", "event_type", "value", "ts_ns")).alias("j")
     ).write.mode("overwrite").text(path)

@@ -16,8 +16,6 @@ sums, stable column aliases both sides).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,6 +27,7 @@ from datalakehouse_spark.functions.numeric import (
 )
 from datalakehouse_spark.io import load_table
 from datalakehouse_spark.registry import register
+from datalakehouse_spark.scratch import fresh_scratch
 from datalakehouse_spark.tables import ManagedTable
 
 # ---------------------------------------------------------------------------
@@ -73,7 +72,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("value").cast("double")
     )
-    path = tempfile.mkdtemp(prefix="schema_evo_") + "/t"
+    path = fresh_scratch("schema_evo") + "/t"
     t = ManagedTable(spark, path, partition_by=["event_type"])
     t.create(ev.where(F.col("event_id") % 2 == 0))
     t.append(
@@ -122,7 +121,7 @@ def q_compaction_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", F.col("value").cast("double")
     )
-    path = tempfile.mkdtemp(prefix="compact_sweep_") + "/t"
+    path = fresh_scratch("compact_sweep") + "/t"
     t = ManagedTable(spark, path, partition_by=["event_type"])
     t.create(ev)
     t.append(ev.where(F.col("event_type") == "click"))
@@ -747,11 +746,10 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest-round-trip strings (Spark's CSV writer), which parse back
     bit-identically; timestamps travel as int64 ns — no tz/format
     ambiguity in either direction."""
-    import tempfile
 
     from pyspark.sql import types as T
 
-    path = tempfile.mkdtemp(prefix="csv_src_") + "/events"
+    path = fresh_scratch("csv_src") + "/events"
     _fmt_subset(spark, sf_dir, 1).write.mode("overwrite").option(
         "header", "true"
     ).csv(path)
@@ -777,9 +775,8 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     no serialization ambiguity at all).  DuckDB has no ORC reader, so
     the oracle verifies the AGGREGATE from the parquet view — what the
     roundtrip must preserve."""
-    import tempfile
 
-    path = tempfile.mkdtemp(prefix="orc_src_") + "/events"
+    path = fresh_scratch("orc_src") + "/events"
     _fmt_subset(spark, sf_dir, 2).write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return _fmt_agg(back)
@@ -1042,32 +1039,32 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index, query = partition pruning (identical results to ivf_search)
 # ---------------------------------------------------------------------------
 
-from datalakehouse_spark.registry_ext import _ivf_kmeans_sql, _query_vec  # noqa: E402
+from datalakehouse_spark.registry_ext import (  # noqa: E402
+    _ivf_kmeans_sql,
+    _query_vec,
+    ivf_index_for,
+)
 
 
 @register(
     "ivf_search_indexed",
-    _ivf_kmeans_sql(),
-    "IVF over a persisted cluster-partitioned index: probe = partition pruning",
+    _ivf_kmeans_sql(n_probe=3),
+    "IVF over a persisted cluster-partitioned index: probe 3 = partition pruning",
 )
 def q_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build-once / serve-many IVF: write the corpus partitioned by its
-    k-means cluster, then answer the query by scanning only the n_probe
-    nearest clusters' partitions.  Same oracle as `ivf_search` — the
-    deterministic build makes the two paths value-identical; what this
-    entry adds is the LAYOUT (partition pruning instead of an argmin
-    filter over every row)."""
-    import tempfile
+    """Serve-many IVF over the session-built cluster-partitioned index
+    (built once in `ivf_build_stats` / `ivf_index_for`): answer the
+    query by scanning only the n_probe nearest clusters' partitions —
+    the cluster IN-list is a partition filter, so the other clusters'
+    files are never opened (plan-asserted in tests/test_plans.py).
+    Probes 3 clusters (vs ivf_search's 2) so the two serve entries
+    exercise different pruning fractions against distinct oracles."""
+    from datalakehouse_spark.operators.similarity import ivf_search_indexed
 
-    from datalakehouse_spark.operators.similarity import (
-        build_ivf_index,
-        ivf_search_indexed,
+    path, cent_rows = ivf_index_for(spark, sf_dir)
+    return ivf_search_indexed(
+        spark, path, cent_rows, _query_vec(spark, sf_dir), k=10, n_probe=3
     )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_index_") + "/index"
-    cent_rows = build_ivf_index(emb, path)
-    return ivf_search_indexed(spark, path, cent_rows, _query_vec(spark, sf_dir), k=10, n_probe=2)
 
 
 # ---------------------------------------------------------------------------
@@ -1122,3 +1119,99 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5: schema evolution on a VersionedTable BRANCH (M8 + round-4
+# schema_evolution_read combined): evolve on an experiment branch,
+# fast-forward merge, read the pre-merge and post-merge snapshots.
+# ---------------------------------------------------------------------------
+
+_BRANCH_EVO_SQL = f"""
+WITH base AS (
+    SELECT event_id, event_type, CAST(value AS DOUBLE) AS value FROM events
+),
+v1 AS (SELECT * FROM base WHERE event_id % 2 = 0),
+v2 AS (
+    SELECT event_id, event_type, value, value / 2 AS quality
+    FROM base WHERE event_id % 2 = 1
+),
+merged AS (
+    SELECT event_id, event_type, value, CAST(NULL AS DOUBLE) AS quality FROM v1
+    UNION ALL SELECT * FROM v2
+),
+pre AS (
+    SELECT 'main_pre_merge' AS snapshot, event_type,
+           COUNT(*) AS n, CAST(0 AS BIGINT) AS n_quality,
+           {dsum_duckdb("value")} AS sum_value,
+           CAST(NULL AS DOUBLE) AS sum_quality
+    FROM v1 GROUP BY event_type
+),
+post AS (
+    SELECT 'main_post_merge' AS snapshot, event_type,
+           COUNT(*) AS n, COUNT(quality) AS n_quality,
+           {dsum_duckdb("value")} AS sum_value,
+           {dsum_duckdb("quality")} AS sum_quality
+    FROM merged GROUP BY event_type
+)
+SELECT * FROM pre UNION ALL SELECT * FROM post
+"""
+
+
+@register(
+    "versioned_branch_evolution",
+    _BRANCH_EVO_SQL,
+    "schema evolution on a branch: evolve, FF-merge, read both snapshots",
+)
+def q_versioned_branch_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nessie-style branch workflow (reference: catalog branching,
+    SURVEY.md M8) combined with add-column evolution: commit the v1
+    schema on main, branch `evolve`, append rows carrying a NEW
+    ``quality`` column ON THE BRANCH (main's head is untouched — branch
+    isolation), then fast-forward merge and read main's head under the
+    merged schema.  The output aggregates BOTH snapshots: main before
+    the merge (v1 rows only, no quality column) and after (v1 files
+    surface NULL quality via mergeSchema; branch files carry values).
+    Zero data is copied at any step — branches and merges move refs
+    over the same immutable commit DAG, which is exactly the posture
+    that scales: a 100 TB experiment branch costs one manifest write.
+    """
+    from datalakehouse_spark.versioned import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("double")
+    )
+    path = fresh_scratch("versioned_branch_evo") + "/t"
+    t = VersionedTable(spark, path, partition_by=["event_type"])
+    t.create(ev.where(F.col("event_id") % 2 == 0))
+    t.create_branch("evolve")
+    t.append(
+        ev.where(F.col("event_id") % 2 == 1).withColumn(
+            "quality", F.col("value") / 2
+        ),
+        branch="evolve",
+    )
+    pre = (
+        t.read()  # main head BEFORE the merge: v1 files, v1 schema
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.lit(0).cast("bigint").alias("n_quality"),
+            dsum("value").alias("sum_value"),
+            F.lit(None).cast("double").alias("sum_quality"),
+        )
+        .select(F.lit("main_pre_merge").alias("snapshot"), "*")
+    )
+    t.merge_branch("evolve")  # fast-forward main -> branch head
+    post = (
+        t.read(merge_schema=True)  # main head AFTER: evolved union
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("quality").alias("n_quality"),
+            dsum("value").alias("sum_value"),
+            dsum("quality").alias("sum_quality"),
+        )
+        .select(F.lit("main_post_merge").alias("snapshot"), "*")
+    )
+    return pre.unionByName(post)

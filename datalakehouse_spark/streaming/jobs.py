@@ -65,22 +65,41 @@ def _wire_ts_is_timestamp(path: str) -> bool:
     A streaming source needs a DECLARED schema, so the generation must
     be decided up front; one parquet footer read (driver-side, O(KB))
     settles it.  Defaults to the current timestamp generation when no
-    file exists yet.
+    file exists yet; if files EXIST but none could be sniffed (corrupt
+    footers, permissions), that default is a guess about real data —
+    warn rather than silently misread the stream.
     """
     import glob as globmod
 
+    import pyarrow.lib
     import pyarrow.parquet as pq
 
     candidates: list[str] = []
     for pat in (path, os.path.join(path, "*.parquet"), os.path.join(path, "**", "*.parquet")):
         candidates.extend(sorted(globmod.glob(pat, recursive=True)))
-    for c in candidates:
-        if os.path.isdir(c):
-            continue
+    files = [c for c in candidates if not os.path.isdir(c)]
+    for c in files:
         try:
-            return str(pq.read_schema(c).field("ts").type).startswith("timestamp")
-        except Exception:
+            schema = pq.read_schema(c)
+        except (OSError, pyarrow.lib.ArrowInvalid, pyarrow.lib.ArrowIOError):
+            # only the expected footer-read failures; anything else
+            # (KeyError from a missing ts field, etc.) is a schema bug
+            # that should surface, not default silently
             continue
+        if "ts" not in schema.names:
+            continue
+        return str(schema.field("ts").type).startswith("timestamp")
+    if files:
+        import warnings
+
+        warnings.warn(
+            f"events wire-schema sniff: {len(files)} parquet file(s) under "
+            f"{path!r} but none yielded a readable 'ts' field; defaulting to "
+            "the TIMESTAMP(MICROS) generation — verify the source layout if "
+            "the stream misreads ts.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return True
 
 #: Declared schema for the JSON payload carried in `props` (the

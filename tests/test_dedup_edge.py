@@ -8,24 +8,56 @@ from datalakehouse_spark.operators.dedup import lsh_candidate_pairs, near_dup_pa
 SF = "/root/testdata/sf0.001"
 
 
-def test_lsh_bucket_cap_bounds_pair_blowup(spark):
+def test_lsh_hot_bucket_salting_keeps_recall(spark):
     """A degenerate corpus (one boilerplate text) makes every band
-    bucket hold all docs -> O(n^2) pairs; the cap drops those buckets."""
+    bucket hold all docs -> O(n^2) pairs.  The default policy SALTS
+    over-cap buckets into bounded sub-joins: every pair is still
+    produced (recall == uncapped), no single join task goes quadratic.
+    "drop" remains the bound-total-work escape hatch from round 3."""
     docs = spark.createDataFrame(
         [(i, "the same boilerplate text repeated everywhere") for i in range(100)],
         "doc_id long, text string",
     )
-    uncapped = lsh_candidate_pairs(docs).count()
-    assert uncapped == 100 * 99 // 2  # full quadratic blow-up
-    capped = lsh_candidate_pairs(docs, max_bucket_size=10).count()
-    assert capped == 0  # every bucket oversize -> dropped
+    full = 100 * 99 // 2
+    assert lsh_candidate_pairs(docs).count() == full  # uncapped baseline
+    salted = lsh_candidate_pairs(docs, max_bucket_size=10)
+    assert salted.count() == full  # recall == uncapped
+    assert lsh_candidate_pairs(docs, max_bucket_size=10, hot_bucket="drop").count() == 0
+
+
+def test_lsh_salted_pairs_exactly_match_uncapped(spark):
+    """Pair-for-pair (not just count) equality of salted vs uncapped on
+    a mixed corpus: some unique docs, one boilerplate family over the
+    cap — the case where a bucket splits into multiple salt groups and
+    the cross-salt replication must cover every combination once."""
+    rows = [(i, "shared boilerplate legal footer text here") for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} about topic {i % 7}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {tuple(r) for r in lsh_candidate_pairs(docs).collect()}
+    salted = {tuple(r) for r in lsh_candidate_pairs(docs, max_bucket_size=7).collect()}
+    assert salted == uncapped
+
+
+def test_lsh_salt_plan_is_bucket_equi_join(spark):
+    """Salting must keep the bucket-equi-join shape (join keys now
+    include the salt) — never a nested loop or cartesian product."""
+    import io
+    from contextlib import redirect_stdout
+
+    docs = load_table(spark, SF, "documents")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lsh_candidate_pairs(docs, max_bucket_size=10).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_lsh_cap_keeps_normal_buckets(spark):
     docs = load_table(spark, SF, "documents")
     normal = lsh_candidate_pairs(docs).count()
     capped = lsh_candidate_pairs(docs, max_bucket_size=50).count()
-    assert capped == normal  # fixture buckets are small; cap is a no-op
+    assert capped == normal  # fixture buckets are small; salting is a no-op
 
 
 def test_near_dup_recall_against_exact(spark):

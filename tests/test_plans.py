@@ -164,11 +164,17 @@ def test_simhash_pairs_is_bucket_equi_join(spark):
 
 
 def test_ivf_prune_is_narrow_filter(spark):
-    """IVF pruning is a literal-centroid argmin FILTER over the scan —
-    no join and no extra shuffle between scan and top-k."""
+    """The ivf_search SERVE path (round 5: no per-query k-means) scans
+    the prebuilt cluster-partitioned index with the probe IN-list as a
+    PARTITION filter — no join, no row-level argmin over the corpus,
+    straight to top-k."""
+    import re as _re
+
     plan = plan_of(REGISTRY["ivf_search"].fn(spark, SF))
     assert "Join" not in plan, "cluster pruning must not join the corpus"
     assert "TakeOrderedAndProject" in plan
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), f"probe must be a partition filter: {m}"
 
 
 def test_bucketed_join_no_shuffle(spark):

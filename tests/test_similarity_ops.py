@@ -96,9 +96,10 @@ def test_simhash_pairs_equal_quadratic_scan(spark):
     sigs = {r.doc_id: r.simhash for r in simhash_df(docs).collect()}
     want = set()
     ids = sorted(sigs)
+    mask64 = (1 << 64) - 1  # sigs are SIGNED 64-bit; popcount on two's complement
     for i, a in enumerate(ids):
         for b2 in ids[i + 1 :]:
-            h = bin(sigs[a] ^ sigs[b2]).count("1")
+            h = bin((sigs[a] ^ sigs[b2]) & mask64).count("1")
             if h <= 3:
                 want.add((a, b2, h))
     assert got == want
@@ -107,10 +108,16 @@ def test_simhash_pairs_equal_quadratic_scan(spark):
 
 def test_simhash_pairs_bucket_cap(spark):
     """A degenerate corpus (identical text) saturates every block
-    bucket; the cap bounds the quadratic blow-up like the LSH tier."""
+    bucket.  Round 5: the default hot-bucket policy is SALT — over-cap
+    buckets split into bounded sub-joins with recall equal to the
+    uncapped join; "drop" remains the bound-total-work escape hatch."""
     docs = spark.createDataFrame(
         [(i, "same text everywhere for everyone") for i in range(100)],
         "doc_id long, text string",
     )
-    assert simhash_near_dup_pairs(docs, max_bucket_size=None).count() == 100 * 99 // 2
-    assert simhash_near_dup_pairs(docs, max_bucket_size=10).count() == 0
+    full = 100 * 99 // 2
+    assert simhash_near_dup_pairs(docs, max_bucket_size=None).count() == full
+    assert simhash_near_dup_pairs(docs, max_bucket_size=10).count() == full
+    assert (
+        simhash_near_dup_pairs(docs, max_bucket_size=10, hot_bucket="drop").count() == 0
+    )

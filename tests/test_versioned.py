@@ -278,3 +278,31 @@ def test_versioned_model_based_random_ops(spark, tmp_path):
     assert read_state() == model
     for v, snap in snapshots.items():
         assert read_state(version=v) == snap, f"version {v} drifted from its snapshot"
+
+
+def test_branch_schema_evolution_merge_and_read_both(spark, tmp_path):
+    """Round-5: add-column evolution ON A BRANCH — main's schema and
+    rows are untouched until the FF merge; after it, a mergeSchema read
+    of main surfaces NULL for the added column on pre-evolution files
+    and values on branch-written files, and time travel still serves
+    the pre-evolution version under the old schema."""
+    from datalakehouse_spark.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    v1 = t.create(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, value double")
+    )
+    t.create_branch("evolve")
+    t.append(
+        spark.createDataFrame([(3, 30.0, 0.5)], "id long, value double, quality double"),
+        branch="evolve",
+    )
+    # branch isolation: main head has no quality column, branch does
+    assert "quality" not in t.read().columns
+    assert "quality" in t.read(ref="evolve", merge_schema=True).columns
+    t.merge_branch("evolve")
+    merged = t.read(merge_schema=True).orderBy("id").collect()
+    assert [r.quality for r in merged] == [None, None, 0.5]
+    assert [r.value for r in merged] == [10.0, 20.0, 30.0]
+    # time travel to the pre-evolution commit keeps the v1 schema
+    assert "quality" not in t.read(version=v1).columns

@@ -135,11 +135,40 @@ def measure(spark, sf_dir: str) -> dict:
 
     # SimHash block-bucket pairing: same quadratic risk class as the
     # LSH tier; flat docs/s = bucket join + cap hold as corpus grows
-    from datalakehouse_spark.operators.dedup import simhash_near_dup_pairs
+    from datalakehouse_spark.operators.dedup import simhash_df, simhash_near_dup_pairs
 
     t = run(simhash_near_dup_pairs(docs))
     out["simhash_pairs_s"] = round(t, 2)
     out["simhash_pairs_docs_per_s"] = int(n_docs / t)
+
+    # 64-bit/16-bit-block occupancy trend (round-5 verdict criterion):
+    # the DEFAULT signature width must keep the fullest (block, key)
+    # bucket under the 1000-doc cap as the corpus multiplies.  The old
+    # 32-bit/8-bit-block config had 256 values per block — every bucket
+    # held ~n/256 docs and the cap degenerated at scale.
+    sigs = simhash_df(docs)  # 64-bit default
+    occ = (
+        sigs.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("block"),
+                            F.shiftright(F.col("simhash"), i * 16)
+                            .bitwiseAND(F.lit(65535))
+                            .alias("key"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("bk")
+        )
+        .groupBy("bk.block", "bk.key")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    out["simhash64_max_bucket"] = int(occ)
 
     # k-means IVF: build cost is iters x (one corpus aggregate + one
     # assignment projection) — linear in rows, constant in clusters
@@ -206,14 +235,15 @@ def main() -> None:
         )
     lines += [
         "",
-        "| mult | near-dup s | docs/s | pairwise s | vecs/s | simhash-pairs s | docs/s | ivf s | vecs/s |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| mult | near-dup s | docs/s | pairwise s | vecs/s | simhash-pairs s | docs/s | sh64 max bucket | ivf s | vecs/s |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for m, r in results.items():
         lines.append(
             f"| {m}x | {r['near_dup_s']} | {r['near_dup_docs_per_s']:,} | "
             f"{r['pairwise_s']} | {r['pairwise_vecs_per_s']:,} | "
             f"{r['simhash_pairs_s']} | {r['simhash_pairs_docs_per_s']:,} | "
+            f"{r['simhash64_max_bucket']:,} | "
             f"{r['ivf_s']} | {r['ivf_vecs_per_s']:,} |"
         )
     lines += [
