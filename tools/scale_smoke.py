@@ -248,6 +248,14 @@ def main() -> None:
         )
     lines += [
         "",
+        "`sh64 max bucket` = fullest (block, key) bucket of the 64-bit/16-bit-block",
+        "SimHash config.  It grows with the corpus's DUPLICATION structure (copies of",
+        "a document share all four block values — those are true near-dup candidates,",
+        "not hash collisions; the 32-bit config additionally collided ~n/256 UNRELATED",
+        "docs per bucket).  Over-cap buckets are salted into bounded sub-joins",
+        "(operators/dedup.py), so occupancy above the 1000 cap costs parallel tasks,",
+        "never recall.",
+        "",
         "| mult | chunk s | docs/s | repetition s | docs/s | seq-pack s | docs/s | dedup-clusters s | docs/s |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
