@@ -442,24 +442,30 @@ def connected_components(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 20,
+    pointer_jump: bool = True,
 ) -> DataFrame:
     """Min-label propagation connected components over an undirected
     pair list — the dedup-clustering step that turns near-dup PAIRS
     into dedup GROUPS (transitive closure: A~B, B~C => one cluster).
 
     Each iteration: every node takes the min label among itself and its
-    neighbors; converged when nothing changes.  The fixpoint (min node
-    id per component) is unique, so the result is deterministic no
-    matter the execution order.  Iterations = component diameter —
-    near-dup clusters are shallow (boilerplate families), so a handful.
+    neighbors, then (``pointer_jump``, default on) replaces its label
+    with its LABEL'S label — path doubling, the pointer-jumping trick
+    from PRAM/large-star CC.  A label is always a node id, so the jump
+    is one self-join of the label table; it halves the remaining
+    propagation distance each round, making convergence O(log diameter)
+    instead of O(diameter).  max_iters=20 then covers components of
+    diameter ~2^20 rather than 20 — a 1M-doc boilerplate CHAIN
+    converges instead of tripping the non-convergence warning.  The
+    fixpoint (min node id per component) is unique, so the result is
+    deterministic no matter the execution order.
 
-    Scale posture: per iteration one join keyed on node id + one
-    hash aggregate — the standard Pregel-style CC at 100 TB (the
-    large-star/small-star variant halves iterations on adversarial
-    chains; not needed for near-dup graphs).  ``localCheckpoint``
-    truncates lineage so iteration N doesn't re-derive iterations
-    1..N-1, and the convergence probe is a LIMIT 1 existence check,
-    not a full count.
+    Scale posture: per iteration one edge join keyed on node id + one
+    hash aggregate + one label self-join (node-count sized) — the
+    standard Pregel-style CC at 100 TB.  ``localCheckpoint`` truncates
+    lineage so iteration N doesn't re-derive iterations 1..N-1, and
+    the convergence probe is a LIMIT 1 existence check, not a full
+    count.
     """
     # materialize the pair graph ONCE: `pairs` is typically the lazy
     # near-dup pipeline (LSH bucket join + verify), and without a
@@ -483,8 +489,23 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("nid")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        if pointer_jump:
+            # label <- label's label (labels are node ids, so the jump
+            # is one keyed lookup).  Resolve through the PREVIOUS
+            # round's checkpointed table rather than a self-join of
+            # `new` — distinct plan, so no self-join attribute
+            # ambiguity — which still gives the geometric contraction:
+            # on a path graph the distance-to-min follows
+            # a_{k+1} = 2*a_k + 1, i.e. 2^k - 1 after k rounds.
+            # Min-monotone, so the fixpoint is unchanged.
+            prev = labels.select(
+                F.col("nid").alias("p_nid"), F.col("label").alias("p_label")
+            )
+            new = new.join(prev, new.label == prev.p_nid, "left").select(
+                "nid", F.least(F.coalesce("p_label", "label"), F.col("label")).alias("label")
+            )
+        new = new.localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "nid")

@@ -86,3 +86,42 @@ def test_streaming_drop_duplicates(spark, tmp_path):
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedupstream").first()
     assert got.n == got.d  # no duplicate ids survive
     assert got.n == load_table(spark, SF, "events").count()  # none lost either
+
+
+def test_cc_pointer_jumping_converges_on_deep_chain(spark):
+    """A 3000-node path graph has propagation distance 3000 — plain
+    min-label CC cannot converge in 20 rounds.  Pointer jumping (path
+    doubling, default on) makes the distance shrink geometrically, so
+    the chain converges well inside max_iters with NO non-convergence
+    warning and one label for the whole component."""
+    import warnings
+
+    from datalakehouse_spark.operators.dedup import connected_components
+
+    n = 3000
+    nodes = spark.range(n).select(F.col("id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # warning => test failure
+        cc = connected_components(nodes, pairs, id_col="id")
+    labels = {r.label for r in cc.collect()}
+    assert labels == {0}
+
+
+def test_cc_warns_instead_of_silent_split_labels(spark):
+    """Round-5 advice fix: exiting by max_iters without convergence must
+    WARN (silent split labels diverge from the oracle's exact
+    transitive closure)."""
+    import pytest as _pytest
+
+    from datalakehouse_spark.operators.dedup import connected_components
+
+    n = 200
+    nodes = spark.range(n).select(F.col("id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with _pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(nodes, pairs, id_col="id", max_iters=3, pointer_jump=False)
