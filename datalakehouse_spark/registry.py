@@ -567,6 +567,14 @@ _DRIVER_PRIORITY = [
     "near_dup_pairs",
     "dedup_clusters",
     "versioned_branch_evolution",
+    # new in round 5 (never driver-checked): TPC-H suite completion
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_value",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q20_surplus_suppliers",
+    "q21_sole_blame",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",
@@ -643,3 +651,4 @@ def _load_extensions() -> None:
     import datalakehouse_spark.registry_ext  # noqa: F401
     import datalakehouse_spark.registry_ext2  # noqa: F401
     import datalakehouse_spark.registry_ext3  # noqa: F401
+    import datalakehouse_spark.registry_ext4  # noqa: F401

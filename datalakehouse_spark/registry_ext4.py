@@ -1,0 +1,420 @@
+"""Registry part 5 (round 5): TPC-H suite completion — the seven
+query *shapes* still missing from the scored surface (q2, q9, q11,
+q15, q16, q20, q21).
+
+The driver fixtures carry no ``partsupp`` table and no
+commit/receipt dates, so each query keeps the ORIGINAL's plan-defining
+structure — correlated MIN subquery (q2), multi-dim star profit rollup
+(q9), HAVING-vs-scalar-subquery (q11), agg-view + scalar MAX (q15),
+NOT-IN exclusion + COUNT DISTINCT (q16), nested IN with grouped HAVING
+(q20), double correlated EXISTS / NOT EXISTS self-join (q21) — while
+substituting columns the fixtures do have (lineitem unit price for
+``ps_supplycost``, ``l_returnflag = 'R'`` for receipt-after-commit,
+``s_acctbal < 0`` for the complaints-comment filter).  Reference
+parity: the reference's engines (Trino/Flink SQL) run this query class
+over the same star schema; SURVEY.md §2.4-§2.6 count these join and
+subquery families.
+
+Scale notes (100 TB posture):
+- every correlated subquery is DECORRELATED into the join/window form
+  Catalyst itself would pick: per-group MIN/MAX via one extra shuffle
+  on the group key (q2: window over part; q15: scalar agg broadcast),
+  never a per-row re-scan;
+- dimension sides (part, supplier, nation, region) are explicit
+  ``F.broadcast`` — the fact table (lineitem) is never shuffled for a
+  dim join, only for its own group-bys;
+- EXISTS/NOT EXISTS (q21) become LEFT SEMI / LEFT ANTI self-joins on
+  the equi key ``l_orderkey`` (the inequality rides along as a join
+  residual) — one hash shuffle of lineitem per side, no nested loop;
+- NOT IN (q16) is a LEFT ANTI against a broadcast exclusion set
+  (keys are non-null by construction, so anti == null-aware anti).
+
+Determinism contract: money sums via dsum/davg decimal staging
+(functions/numeric.py); MIN/MAX over doubles are exact picks, and
+``l_extendedprice / l_quantity`` is a single IEEE-rounded division so
+both engines compare identical bit patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalakehouse_spark.functions.numeric import dsum, dsum_duckdb
+from datalakehouse_spark.io import load_table
+from datalakehouse_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# q2: minimum-cost supplier per part (correlated MIN subquery)
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+WITH offers AS (
+    SELECT l_partkey AS ok_part, l_suppkey AS ok_supp,
+           MIN(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem GROUP BY 1, 2
+),
+eligible AS (
+    SELECT ok_part, ok_supp, unit_cost, s_acctbal, s_name, n_name
+    FROM offers JOIN supplier ON s_suppkey = ok_supp
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+FROM part JOIN eligible ON p_partkey = ok_part
+WHERE p_size <= 10 AND p_type = 'STANDARD'
+  AND unit_cost = (SELECT MIN(e2.unit_cost) FROM eligible e2
+                   WHERE e2.ok_part = p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_SQL, "correlated MIN subquery decorrelated to a window (q2 shape)")
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: cheapest EUROPE supplier per qualifying part.
+    ``ps_supplycost`` proxy = observed min unit price per
+    (part, supplier).  The correlated ``MIN`` subquery is decorrelated
+    into ``MIN() OVER (PARTITION BY part)`` on the already-filtered
+    eligible set — one shuffle on the part key, identical result set,
+    no per-part re-scan (at 100 TB the subquery form re-reads offers
+    once per outer row; the window form reads it once, period)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("ok_part"), F.col("l_suppkey").alias("ok_supp")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    dims = supp.join(
+        F.broadcast(nat.join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_acctbal", "s_name", "n_name")
+
+    eligible = offers.join(F.broadcast(dims), F.col("ok_supp") == F.col("s_suppkey"))
+    best = eligible.withColumn(
+        "min_cost", F.min("unit_cost").over(Window.partitionBy("ok_part"))
+    ).where(F.col("unit_cost") == F.col("min_cost"))
+
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        best.join(F.broadcast(part), F.col("ok_part") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9: product-type profit by nation and year (star rollup)
+# ---------------------------------------------------------------------------
+
+_Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {dsum_duckdb("l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity", 4)} AS sum_profit
+FROM lineitem JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_profit", _Q9_SQL, "4-dim star profit rollup by nation/year (q9 shape)")
+def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape: profit on 'red' parts by supplier nation and
+    order year.  Cost proxy = 60% of part list price (no partsupp in
+    the fixtures).  part/supplier/nation broadcast; orders joins on
+    the fact's own key (orderkey) so AQE plans the one big join; the
+    p_name filter lands in the parquet scan before the broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit, 4).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11: important part value (HAVING vs scalar subquery over same agg)
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = f"""
+WITH val AS (
+    SELECT l_partkey AS ps_partkey,
+           {dsum_duckdb("l_extendedprice")} AS part_value
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY 1
+)
+SELECT ps_partkey, part_value FROM val
+WHERE part_value > (SELECT {dsum_duckdb("part_value")} * 0.001 FROM val)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+@register("q11_important_value", _Q11_SQL, "agg filtered by scalar subquery over the same agg (q11 shape)")
+def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: parts whose traded value through NATION_3
+    suppliers exceeds 0.1% of that nation's total.  ``val`` is computed
+    ONCE (single shuffle on partkey) and the grand total is a scalar
+    aggregate of it broadcast back — not a second pass over lineitem,
+    and not a single-partition global window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    dims = supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey"
+    )
+    val = (
+        li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(dsum("l_extendedprice").alias("part_value"))
+    )
+    total = val.agg((dsum("part_value") * 0.001).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier (agg view + scalar MAX equality)
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = f"""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           {dsum_duckdb("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", _Q15_SQL, "revenue view + scalar MAX equality (q15 shape)")
+def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15: the supplier(s) with max quarterly revenue.  The
+    revenue 'view' aggregates once (shuffle on suppkey); MAX over it is
+    a scalar broadcast — ties all surface, exactly the SQL semantic.
+    Decimal-staged sums make the MAX equality bit-exact cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("best_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16: supplier count per part descriptor (NOT IN + COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_counts", _Q16_SQL, "NOT-IN exclusion + COUNT DISTINCT rollup (q16 shape)")
+def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: distinct supplier counts per (brand, type,
+    size), excluding blacklisted suppliers (negative balance standing
+    in for the complaints filter).  NOT IN compiles to a LEFT ANTI
+    against the broadcast exclusion set — sound here because
+    ``s_suppkey`` is non-null by construction (with nullable keys the
+    null-aware variant would be required, see null_safe_join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    excluded = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20: suppliers over a shipped-quantity threshold (nested IN + HAVING)
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+  AND s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > CAST(100 AS DECIMAL(18,2))
+  )
+ORDER BY s_name
+"""
+
+
+@register("q20_surplus_suppliers", _Q20_SQL, "nested IN subqueries with grouped HAVING (q20 shape)")
+def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape: suppliers in three nations who shipped >100
+    units of 'small'-named parts in 1997.  Both IN subqueries become
+    LEFT SEMI joins: parts filter semi-joins the fact scan (broadcast),
+    the grouped HAVING result semi-joins supplier.  lineitem is
+    shuffled once (its own group-by); supplier never shuffles."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    qualified = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity", as_double=False).alias("qty"))
+        .where(F.col("qty") > F.lit(100).cast("decimal(18,2)"))
+        .select("l_suppkey")
+    )
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_12")
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(qualified), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21: sole problem supplier on multi-supplier orders (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND n_name IN ('NATION_3', 'NATION_8', 'NATION_12', 'NATION_13', 'NATION_15')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("q21_sole_blame", _Q21_SQL, "correlated EXISTS + NOT EXISTS self-joins (q21 shape)")
+def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape: for finished orders with lines from multiple
+    suppliers, count per supplier the lines where THEIR line was the
+    only one flagged 'R' (returnflag proxies the original's
+    receipt-after-commit).  EXISTS -> LEFT SEMI, NOT EXISTS -> LEFT
+    ANTI, both self-joins equi-keyed on ``l_orderkey`` with the
+    supplier inequality as a join residual — hash joins, no BNLJ
+    (mirrors tests/test_plans.py's no-cartesian contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key"))
+    )
+    sole = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_key")) & (F.col("l_suppkey") != F.col("s2_key")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_key")) & (F.col("l_suppkey") != F.col("s3_key")),
+            "left_anti",
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    nat = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_8", "NATION_12", "NATION_13", "NATION_15")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        sole.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -341,3 +341,50 @@ def test_ivf_indexed_partition_pruning(spark, tmp_path):
     assert m and "cluster" in m.group(1), f"probe must be a partition filter: {m}"
     probes = rank_probes(cent_rows, q, 2)
     assert len(probes) == 2
+
+
+def test_q2_correlated_min_is_window_not_rescan(spark):
+    """The correlated MIN subquery must decorrelate into one window
+    over the eligible offers — a single shuffle on the part key and no
+    cartesian/BNLJ re-scan of offers per outer row."""
+    plan = plan_of(REGISTRY["q2_min_cost_supplier"].fn(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan, "per-part MIN must be a window, not a re-aggregate join"
+    assert "BroadcastHashJoin" in plan, "dim chain must broadcast"
+
+
+def test_q9_fact_never_shuffles_for_dims(spark):
+    """part/supplier/nation all broadcast; the only shuffle-joined side
+    is orders on the fact's own key."""
+    plan = plan_of(REGISTRY["q9_product_profit"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_scalar_max_broadcasts(spark):
+    """The MAX(total_revenue) scalar must come back as a broadcast
+    (BNLJ of a 1-row side or a scalar subquery reuse), never a shuffle
+    of the revenue view against itself."""
+    plan = plan_of(REGISTRY["q15_top_supplier"].fn(spark, SF))
+    assert "SortMergeJoin" not in plan, "1-row scalar side must not SMJ"
+
+
+def test_q16_not_in_is_anti_join(spark):
+    plan = plan_of(REGISTRY["q16_supplier_counts"].fn(spark, SF))
+    assert "LeftAnti" in plan, "NOT IN exclusion must stay an anti join"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q20_nested_in_is_semi_chain(spark):
+    plan = plan_of(REGISTRY["q20_surplus_suppliers"].fn(spark, SF))
+    assert "LeftSemi" in plan, "IN subqueries must stay semi joins"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_exists_chain_hash_joins_only(spark):
+    """EXISTS/NOT EXISTS self-joins must hash on the l_orderkey equi
+    key (supplier inequality as residual) — no nested loop over the
+    fact table."""
+    plan = plan_of(REGISTRY["q21_sole_blame"].fn(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
