@@ -558,3 +558,53 @@ def dedup_clusters(
         F.col("label").alias("cluster"),
         (F.col("label") == F.col(id_col)).alias("is_canonical"),
     )
+
+
+def dedup_canonical(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Quality-aware canonical selection: one kept document per
+    near-dup cluster, chosen by quality score (not min id).
+
+    The standard corpus-dedup pass: cluster near-dups
+    (:func:`dedup_clusters`), score every document
+    (``textstats.quality_score``), and within each cluster KEEP the
+    highest-quality document (ties broken by min id so the choice is
+    total-ordered).  Output one row per cluster:
+    ``(cluster, keep_id, keep_quality, n_docs)`` — ``n_docs - 1`` is
+    the number of near-dups a materializing pass would drop.
+
+    Scale shape: the cluster labels cost what dedup_clusters costs; the
+    quality join shuffles on the doc id once, and BOTH per-cluster
+    computations (rank + size) share a single window partitioning on
+    ``cluster`` — one extra shuffle total, no per-cluster collect.
+    Clusters are near-dup components, bounded by the LSH bucket cap, so
+    no window partition is degenerate.
+    """
+    from pyspark.sql import Window
+
+    from datalakehouse_spark.operators.textstats import quality_score
+
+    clusters = dedup_clusters(df, text_col, id_col, threshold, max_bucket_size)
+    q = quality_score(df, text_col).select(id_col, "quality_score")
+    joined = clusters.join(q, id_col)
+    by_cluster = Window.partitionBy("cluster")
+    ranked = joined.select(
+        "cluster",
+        F.col(id_col),
+        F.col("quality_score"),
+        F.row_number()
+        .over(by_cluster.orderBy(F.col("quality_score").desc(), F.col(id_col).asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(by_cluster).alias("n_docs"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster",
+        F.col(id_col).alias("keep_id"),
+        F.col("quality_score").alias("keep_quality"),
+        "n_docs",
+    )

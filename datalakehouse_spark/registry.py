@@ -575,6 +575,8 @@ _DRIVER_PRIORITY = [
     "q16_supplier_counts",
     "q20_surplus_suppliers",
     "q21_sole_blame",
+    "dedup_canonical",
+    "incremental_mv_maintenance",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

@@ -418,3 +418,123 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware canonical dedup (round 5): cluster near-dups, keep the
+# best-quality document per cluster
+# ---------------------------------------------------------------------------
+
+def _dedup_canonical_sql() -> str:
+    """Oracle: exact recursive-CTE transitive closure (same CTE as
+    dedup_clusters) joined to the quality-score twin; canonical pick =
+    ordered-first over (quality DESC, doc_id ASC)."""
+    from datalakehouse_spark.registry_ext import _QUALITY_SQL, _near_dup_sql
+
+    return f"""
+WITH RECURSIVE
+nd AS ({_near_dup_sql()}),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM nd
+    UNION ALL
+    SELECT id_b, id_a FROM nd
+),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT re.id, e.d FROM reach re JOIN edges e ON e.s = re.r
+),
+clusters AS (
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+    FROM reach GROUP BY id
+),
+q AS ({_QUALITY_SQL})
+SELECT c.cluster,
+       CAST(first(c.doc_id ORDER BY q.quality_score DESC, c.doc_id ASC) AS BIGINT)
+           AS keep_id,
+       CAST(MAX(q.quality_score) AS DOUBLE) AS keep_quality,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM clusters c JOIN q ON q.doc_id = c.doc_id
+GROUP BY c.cluster
+ORDER BY c.cluster
+"""
+
+
+@register(
+    "dedup_canonical",
+    _dedup_canonical_sql(),
+    "near-dup clusters -> keep highest-quality doc per cluster",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalakehouse_spark.operators.dedup import dedup_canonical
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_canonical(docs).orderBy("cluster")
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view maintenance (round 5): delta-merge
+# refresh of a stored rollup == full recompute, bit-exact
+# ---------------------------------------------------------------------------
+
+_IVM_SQL = f"""
+SELECT user_id, CAST(ts AS DATE) AS day,
+       COUNT(*) AS n,
+       {dsum_duckdb("value")} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "incremental_mv_maintenance",
+    _IVM_SQL,
+    "materialized rollup refreshed by delta partial-agg merge == full recompute",
+)
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over a VersionedTable: commit the
+    per-(user, day) rollup of 3/4 of the events (deterministic
+    event_id % 4 split) as v1, then refresh with the remaining 1/4 by
+    merging the DELTA's partial aggregates into the stored state
+    (operators/ivm.additive_merge) — never re-scanning the base rows —
+    and MERGE-upserting only the affected keys.  The oracle recomputes
+    the rollup over ALL events in one pass; bit-exactness holds because
+    the materialized SUM is carried as DECIMAL (exact, associative) and
+    converted to double only at read time.  At 100 TB this is the
+    rollup-refresh shape: cost ∝ delta size + affected groups, not the
+    fact table."""
+    from datalakehouse_spark.operators.ivm import additive_merge
+    from datalakehouse_spark.scratch import fresh_scratch
+    from datalakehouse_spark.versioned import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", day.alias("day")).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", as_double=False).alias("sum_value_dec"),
+        )
+
+    path = fresh_scratch("ivm_mv")
+    t = VersionedTable(spark, path + "/t", partition_by=["day"])
+    v1 = t.create(rollup(ev.where(F.col("event_id") % 4 != 0)))
+
+    dagg = rollup(ev.where(F.col("event_id") % 4 == 0))
+    state = t.read(v1)
+    # touch only the delta's groups: semi-filter the stored state, merge
+    # partials, and upsert — the untouched groups never move
+    affected = state.join(
+        dagg.select("user_id", "day"), ["user_id", "day"], "left_semi"
+    )
+    merged = additive_merge(affected, dagg, ["user_id", "day"], ["n", "sum_value_dec"])
+    merged = merged.withColumn(
+        "sum_value_dec", F.col("sum_value_dec").cast(dict(state.dtypes)["sum_value_dec"])
+    )
+    t.merge_upsert(merged, keys=["user_id", "day"])
+    return t.read().select(
+        "user_id",
+        "day",
+        "n",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+    )

@@ -125,3 +125,31 @@ def test_cc_warns_instead_of_silent_split_labels(spark):
     )
     with _pytest.warns(RuntimeWarning, match="did not converge"):
         connected_components(nodes, pairs, id_col="id", max_iters=3, pointer_jump=False)
+
+
+def test_dedup_canonical_keeps_highest_quality(spark):
+    """Canonical pick must be by quality (ties -> min id), and cluster
+    sizes must sum to the corpus size (no doc lost or double-kept)."""
+    from pyspark.sql import functions as F
+
+    from datalakehouse_spark.io import load_table
+    from datalakehouse_spark.operators.dedup import dedup_canonical, dedup_clusters
+    from datalakehouse_spark.operators.textstats import quality_score
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    canon = dedup_canonical(docs).cache()
+    assert canon.agg(F.sum("n_docs")).first()[0] == docs.count()
+    # keep_quality is the cluster max quality, and keep_id attains it
+    q = quality_score(docs).select("doc_id", "quality_score")
+    joined = (
+        dedup_clusters(docs)
+        .join(q, "doc_id")
+        .groupBy("cluster")
+        .agg(F.max("quality_score").alias("max_q"))
+        .join(canon, "cluster")
+    )
+    assert joined.where(F.col("keep_quality") != F.col("max_q")).count() == 0
+    kept_q = canon.join(q, canon.keep_id == q.doc_id)
+    assert kept_q.where(F.col("keep_quality") != F.col("quality_score")).count() == 0
+    canon.unpersist()
