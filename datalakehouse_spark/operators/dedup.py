@@ -608,3 +608,106 @@ def dedup_canonical(
         F.col("quality_score").alias("keep_quality"),
         "n_docs",
     )
+
+
+def _chunk_hashes(toks: Column, chunk_tokens: int) -> Column:
+    """Non-overlapping ``chunk_tokens``-token chunk digests of a token
+    array (md5 of the space-joined chunk — cross-engine stable)."""
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " ")
+        ),
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Sub-document exact dedup at chunk granularity (the scalable
+    Spark analog of C4's duplicate-line removal / RefinedWeb's
+    exact-substring dedup): split every document into non-overlapping
+    token chunks, keep each distinct chunk's FIRST occurrence
+    corpus-wide (min (doc_id, chunk_idx)), report per doc how much
+    survives: ``(doc_id, n_chunks, n_kept, dup_ratio)``.
+
+    Scale shape: explode -> ONE hash aggregate keyed on the chunk
+    digest with map-side partials (NOT a window over the digest — a
+    boilerplate chunk shared by millions of docs would make that
+    window's partition a straggler; min(struct) partials never skew),
+    then an equi join back on the digest and a doc-keyed agg.
+    """
+    from datalakehouse_spark.operators.textstats import tokens
+
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(_chunk_hashes(tokens(text_col), chunk_tokens)).alias(
+            "chunk_idx", "h"
+        ),
+    )
+    firsts = chunks.groupBy("h").agg(
+        F.min(F.struct(id_col, "chunk_idx")).alias("first_occ")
+    )
+    kept = chunks.join(firsts, "h").select(
+        F.col(id_col),
+        (F.struct(id_col, "chunk_idx") == F.col("first_occ")).cast("long").alias("kept"),
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("kept").alias("n_kept"),
+        F.round(1.0 - F.sum("kept") / F.count(F.lit(1)), 6).alias("dup_ratio"),
+    )
+
+
+def _ngram_hashes(toks: Column, n: int) -> Column:
+    """Overlapping word-``n``-gram digests; empty for docs shorter
+    than ``n`` tokens."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-``ngram`` with the benchmark/eval set (the GPT-3/PaLM-style
+    n-gram-overlap contamination check).  Returns ``train`` plus a
+    boolean ``contaminated`` column.
+
+    Scale shape: the benchmark side (eval suites — small by
+    definition) collapses to DISTINCT n-gram digests and BROADCASTS;
+    the training corpus explodes to (doc, digest) once and LEFT SEMI
+    joins the broadcast — no shuffle of the corpus, no all-pairs
+    comparison.  Corpus cost is one scan + one doc-keyed distinct.
+    """
+    from datalakehouse_spark.operators.textstats import tokens
+
+    bench_grams = (
+        benchmark.select(F.explode(_ngram_hashes(tokens(text_col), ngram)).alias("h"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(_ngram_hashes(tokens(text_col), ngram)).alias("h")
+    )
+    flagged = (
+        train_grams.join(F.broadcast(bench_grams), "h", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return train.join(flagged, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )

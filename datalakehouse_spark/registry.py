@@ -577,6 +577,9 @@ _DRIVER_PRIORITY = [
     "q21_sole_blame",
     "dedup_canonical",
     "incremental_mv_maintenance",
+    "streaming_incremental_mv",
+    "chunk_dedup_stats",
+    "decontamination_report",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

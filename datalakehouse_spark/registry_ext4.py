@@ -538,3 +538,179 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("sum_value_dec").cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document chunk dedup + benchmark decontamination (round 5)
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 16
+
+
+def _chunk_dedup_sql() -> str:
+    from datalakehouse_spark.registry_ext import _TOKS
+
+    c = _CHUNK_TOKENS
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+chunks AS (
+    SELECT doc_id, u.c.idx AS chunk_idx, u.c.h AS h
+    FROM t, UNNEST([{{'idx': i,
+                      'h': md5(array_to_string(list_slice(toks, i*{c}+1, i*{c}+{c}), ' '))}}
+                    FOR i IN range(0, CAST(ceil(len(toks)/{c}.0) AS INT))]) AS u(c)
+),
+ranked AS (
+    SELECT doc_id, chunk_idx,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(1.0 - SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_ratio
+FROM ranked GROUP BY doc_id
+"""
+
+
+@register(
+    "chunk_dedup_stats",
+    _chunk_dedup_sql(),
+    "C4-style sub-document dedup: global first-occurrence per 16-token chunk",
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact chunk-level dedup across the corpus (C4 duplicate-line
+    removal generalized to token chunks — the fixtures are single-line
+    docs).  The oracle replays first-occurrence selection with a
+    window; the Spark side uses the skew-immune min(struct) aggregate
+    (see operators/dedup.chunk_dedup)."""
+    from datalakehouse_spark.operators.dedup import chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup(docs, chunk_tokens=_CHUNK_TOKENS)
+
+
+_DECON_NGRAM = 8
+
+
+def _decontamination_sql() -> str:
+    from datalakehouse_spark.registry_ext import _TOKS
+
+    n = _DECON_NGRAM
+    return f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+grams AS (
+    SELECT doc_id, unnest([md5(array_to_string(list_slice(toks, i, i + {n - 1}), ' '))
+                           FOR i IN range(1, greatest(len(toks) - {n - 1}, 0) + 1)]) AS h
+    FROM t
+),
+bg AS (SELECT DISTINCT h FROM grams WHERE doc_id % 50 = 0),
+flagged AS (
+    SELECT DISTINCT doc_id FROM grams
+    WHERE doc_id % 50 <> 0 AND h IN (SELECT h FROM bg)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+FROM (SELECT doc_id, source FROM t WHERE doc_id % 50 <> 0) tr
+LEFT JOIN flagged f USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "decontamination_report",
+    _decontamination_sql(),
+    "benchmark decontamination: train docs sharing an 8-gram with the eval split",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/PaLM-style n-gram-overlap contamination check: the
+    deterministic doc_id % 50 == 0 subset stands in for the benchmark
+    suite; every other document is training data.  Benchmark n-gram
+    digests broadcast; the corpus never shuffles for the check."""
+    from datalakehouse_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    out = decontaminate(train, bench, ngram=_DECON_NGRAM)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming incremental MV: foreachBatch partial-agg merge, batch-split
+# independent (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_incremental_mv",
+    _IVM_SQL,
+    "foreachBatch streaming refresh of a versioned rollup == full recompute",
+)
+def q_streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming form of incremental_mv_maintenance: events are
+    restaged as four files and drained with maxFilesPerTrigger=1, so
+    foreachBatch fires four times, each merging that micro-batch's
+    partial aggregates into the versioned MV (one commit per batch —
+    the CDC trail).  The oracle is the batch full recompute: the final
+    state must be independent of HOW the stream was micro-batched,
+    which holds exactly because the merged measures are additive and
+    carried as DECIMAL (operators/ivm.additive_merge).  This is the
+    production continuous-rollup shape: per trigger, cost ∝ batch size
+    + affected groups."""
+    from datalakehouse_spark.operators.ivm import additive_merge
+    from datalakehouse_spark.scratch import fresh_scratch
+    from datalakehouse_spark.streaming.jobs import drain_confs
+    from datalakehouse_spark.versioned import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    root = fresh_scratch("stream_ivm")
+    src = root + "/src"
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    t = VersionedTable(spark, root + "/mv")
+    keys, measures = ["user_id", "day"], ["n", "sum_value_dec"]
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", as_double=False).alias("sum_value_dec"),
+        )
+
+    def apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        dagg = rollup(batch_df)
+        if t.refs().get("main") is None:
+            t.create(dagg)
+            return
+        state = t.read()
+        affected = state.join(dagg.select(*keys), keys, "left_semi")
+        merged = additive_merge(affected, dagg, keys, measures).withColumn(
+            "sum_value_dec",
+            F.col("sum_value_dec").cast(dict(state.dtypes)["sum_value_dec"]),
+        )
+        t.merge_upsert(merged, keys=keys)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with drain_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return t.read().select(
+        "user_id", "day", "n", F.col("sum_value_dec").cast("double").alias("sum_value")
+    )

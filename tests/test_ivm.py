@@ -55,3 +55,36 @@ def test_merge_null_safe_keys(spark):
     delta = _state(spark, [(None, 1, 2, Decimal("2.00"))])
     out = additive_merge(base, delta, ["k", "day"], ["n", "s"]).collect()
     assert len(out) == 1 and out[0]["n"] == 3 and out[0]["s"] == Decimal("3.00")
+
+
+def test_streaming_mv_commits_per_batch(spark):
+    """The foreachBatch refresh must actually micro-batch (4 restaged
+    files -> 4 commits: 1 create + 3 merges) and finish equal to the
+    one-shot batch rollup."""
+    import os
+
+    from datalakehouse_spark.io import load_table
+    from datalakehouse_spark.registry import REGISTRY, _load_extensions
+    from datalakehouse_spark.scratch import _root
+    from datalakehouse_spark.versioned import VersionedTable
+
+    _load_extensions()
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["streaming_incremental_mv"].fn(spark, sf)
+    got = {
+        (r["user_id"], str(r["day"])): (r["n"], r["sum_value"]) for r in out.collect()
+    }
+    ev = load_table(spark, sf, "events")
+    want = {
+        (r["user_id"], str(r["day"])): (r["n"], float(r["s"]))
+        for r in ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    mv_path = os.path.join(_root(), "stream_ivm", "mv")
+    t = VersionedTable(spark, mv_path)
+    assert t.refs()["main"] >= 4, "expected one commit per micro-batch"
