@@ -204,6 +204,21 @@ def measure(spark, sf_dir: str) -> dict:
     t = time.perf_counter() - t0
     out["dedup_clusters_s"] = round(t, 2)
     out["dedup_clusters_docs_per_s"] = int(n_docs / t)
+
+    # round-5 ops: chunk-level exact dedup (digest agg + join-back) and
+    # benchmark decontamination (broadcast semi on bench n-grams) — both
+    # must hold docs/s as the corpus multiplies; the bench side of
+    # decontamination stays FIXED-size (the realistic shape: eval suites
+    # don't grow with the corpus)
+    from datalakehouse_spark.operators.dedup import chunk_dedup, decontaminate
+
+    t = run(chunk_dedup(docs))
+    out["chunk_dedup_s"] = round(t, 2)
+    out["chunk_dedup_docs_per_s"] = int(n_docs / t)
+    bench = docs.where(F.col("doc_id") % 997 == 0)
+    t = run(decontaminate(docs.where(F.col("doc_id") % 997 != 0), bench))
+    out["decontam_s"] = round(t, 2)
+    out["decontam_docs_per_s"] = int(n_docs / t)
     return out
 
 
@@ -265,6 +280,16 @@ def main() -> None:
             f"{r['repetition_s']} | {r['repetition_docs_per_s']:,} | "
             f"{r['seqpack_s']} | {r['seqpack_docs_per_s']:,} | "
             f"{r['dedup_clusters_s']} | {r['dedup_clusters_docs_per_s']:,} |"
+        )
+    lines += [
+        "",
+        "| mult | chunk-dedup s | docs/s | decontam s | docs/s |",
+        "|---|---|---|---|---|",
+    ]
+    for m, r in results.items():
+        lines.append(
+            f"| {m}x | {r['chunk_dedup_s']} | {r['chunk_dedup_docs_per_s']:,} | "
+            f"{r['decontam_s']} | {r['decontam_docs_per_s']:,} |"
         )
     with open(os.path.join(REPO, "docs", "SCALING_RESULTS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
