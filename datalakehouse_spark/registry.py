@@ -580,6 +580,8 @@ _DRIVER_PRIORITY = [
     "streaming_incremental_mv",
     "chunk_dedup_stats",
     "decontamination_report",
+    "rolling_time_window",
+    "stats_moments",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

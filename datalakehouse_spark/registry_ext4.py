@@ -714,3 +714,85 @@ def q_streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(
         "user_id", "day", "n", F.col("sum_value_dec").cast("double").alias("sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE window frame + statistical moment aggregates
+# ---------------------------------------------------------------------------
+
+# decimal-staged like dsum_duckdb, written out because the sum is an
+# OVER-window aggregate
+_ROLLING_SQL = """
+SELECT user_id, ts,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 3 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+_3D_MICROS = 3 * 86_400 * 1_000_000
+
+
+@register(
+    "rolling_time_window",
+    _ROLLING_SQL,
+    "per-user 3-day rolling sum/count via a time-interval RANGE frame",
+)
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based window frames (RANGE BETWEEN INTERVAL ... PRECEDING):
+    the rolling-metric shape a fixed ROWS frame cannot express when
+    events are irregularly spaced.  Spark's RANGE frame needs a numeric
+    order key, so the frame runs on ``unix_micros(ts)`` — microsecond
+    parity with the oracle's interval arithmetic (an epoch-SECONDS key
+    would truncate boundaries and silently disagree).  One shuffle on
+    user_id; ties in ts share frame contents in both engines by RANGE
+    semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_3D_MICROS, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("roll_sum"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+_MOMENTS_SQL = """
+SELECT event_type,
+       round(stddev_samp(value), 6) AS sd,
+       round(var_samp(value), 6) AS var,
+       round(corr(value, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE)), 6) AS corr_hour,
+       round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_user
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register(
+    "stats_moments",
+    _MOMENTS_SQL,
+    "second-moment aggregates: stddev/variance/correlation/covariance",
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welford-merged second-moment aggregates per group.  Spark merges
+    per-partition states, DuckDB streams sequentially — both are exact
+    up to ulps, so outputs are rounded to 6 decimals (magnitudes here
+    are O(10^3); the ulp-level divergence sits ~10 orders below the
+    rounding step)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 6).alias("sd"),
+            F.round(F.var_samp("value"), 6).alias("var"),
+            F.round(F.corr("value", F.hour("ts").cast("double")), 6).alias("corr_hour"),
+            F.round(F.covar_samp("value", F.col("user_id").cast("double")), 6).alias(
+                "covar_user"
+            ),
+        )
+        .orderBy("event_type")
+    )
