@@ -464,3 +464,122 @@ def pairwise_topk(
 
     w = Window.partitionBy("id_a").orderBy(F.col("cosine_sim").desc(), F.col("id_b").asc())
     return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 5): per-subspace codebooks + ADC search
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[tuple[int, list[float]]]], int]:
+    """Train product-quantization codebooks: split the vector into
+    ``m`` contiguous subspaces and run the SAME seeded deterministic
+    Lloyd k-means (:func:`kmeans_clusters`) per subspace.
+
+    Returns (per-subspace centroid lists, subspace width).  Cost is m
+    small k-means passes over sliced vectors — linear in corpus size,
+    and a BUILD-time job (cache/persist the books; they are
+    m x codes x (dim/m) doubles — KBs)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = embeddings.select(
+            F.col(id_col),
+            F.slice(_dvec(vec_col), s * sub + 1, sub).alias("embedding"),
+        )
+        _, cents = kmeans_clusters(
+            sliced, k=codes, iters=iters, id_col=id_col, vec_col="embedding"
+        )
+        books.append(cents)
+    return books, sub
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its m nearest-codeword ids — ONE narrow
+    whole-stage-codegen projection (literal codebooks, no join, no
+    shuffle): the 4-byte-per-subspace compressed representation that
+    replaces the raw vector at serve time."""
+    v = _dvec(vec_col)
+    code_cols = [
+        _argmin_cluster(F.slice(v, s * sub + 1, sub), books[s]).alias(f"code_{s}")
+        for s in range(len(books))
+    ]
+    return embeddings.select(F.col(id_col), *code_cols)
+
+
+def _seq_sqdist(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[tuple[int, list[float]]]], int]:
+    """Build half of the PQ split: train codebooks, persist the encoded
+    corpus (id + m code columns — a ~dim*8/m-fold size reduction).
+    Serving scans CODES, never raw vectors."""
+    books, sub = pq_codebooks(embeddings, m, codes, iters, id_col, vec_col)
+    pq_encode(embeddings, books, sub, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return books, sub
+
+
+def pq_adc_search(
+    spark,
+    index_path: str,
+    books: list[list[tuple[int, list[float]]]],
+    sub: int,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Serve half: asymmetric-distance (ADC) top-k over the encoded
+    corpus.  The query is compared against each codebook driver-side
+    (m x codes tiny table), the per-subspace distance tables ride into
+    the scan as LITERAL arrays, and each row's approximate distance is
+    m array lookups + (m-1) adds — a narrow projection into
+    TakeOrderedAndProject.  No join, no shuffle, no raw vectors read.
+
+    Accumulation is sequential per subspace then left-to-right across
+    subspaces — bit-matching the SQL oracle's fold order."""
+    qv = [float(x) for x in query_vec]
+    tables = []
+    for s, book in enumerate(books):
+        qs = qv[s * sub : (s + 1) * sub]
+        by_code = {cid: _seq_sqdist(qs, c) for cid, c in book}
+        tables.append(
+            [by_code.get(j, float("inf")) for j in range(max(by_code) + 1)]
+        )
+    df = spark.read.parquet(index_path)
+    adc = None
+    for s, tab in enumerate(tables):
+        term = F.element_at(F.lit(tab), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    out = df.select(F.col(id_col), F.round(adc, 9).alias("adc_dist"))
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != exclude_id)
+    return out.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)

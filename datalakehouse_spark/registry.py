@@ -582,6 +582,7 @@ _DRIVER_PRIORITY = [
     "decontamination_report",
     "rolling_time_window",
     "stats_moments",
+    "pq_search",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

@@ -796,3 +796,135 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace codebooks + ADC search (round 5)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4          # subspaces (64-dim fixture -> 16 dims each)
+_PQ_SUB = 16
+_PQ_CODES = 16
+_PQ_ITERS = 2
+
+
+def _pq_assign_parts(s: int) -> list[str]:
+    """CTE chain replaying the subspace-``s`` seeded Lloyd k-means of
+    pq_codebooks (same init, same avg, same min-struct argmin tiebreak
+    as registry_ext._ivf_assign_parts, over the SLICED vector)."""
+    from datalakehouse_spark.registry_ext import _md5h60
+
+    lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+    sqdist = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[(e.emb[i] - c.centroid[i]) * (e.emb[i] - c.centroid[i]) "
+        f"FOR i IN range(1, {_PQ_SUB + 1})]), (x, y) -> x + y)"
+    )
+    parts = [
+        f"a0_{s} AS (SELECT vec_id, "
+        f"[CAST(embedding[i] AS DOUBLE) FOR i IN range({lo}, {hi + 1})] AS emb, "
+        f"CAST({_md5h60('CAST(vec_id AS VARCHAR)')} % {_PQ_CODES} AS INT) AS cluster "
+        "FROM embeddings)"
+    ]
+    for t in range(1, _PQ_ITERS + 1):
+        parts.append(
+            f"""d{t}_{s} AS (
+    SELECT cluster, UNNEST(range(1, {_PQ_SUB + 1})) AS pos,
+           UNNEST(emb) AS v
+    FROM a{t - 1}_{s})"""
+        )
+        parts.append(
+            f"cd{t}_{s} AS (SELECT cluster, pos, AVG(v) AS c FROM d{t}_{s} GROUP BY cluster, pos)"
+        )
+        parts.append(
+            f"cent{t}_{s} AS (SELECT cluster, list(c ORDER BY pos) AS centroid FROM cd{t}_{s} GROUP BY cluster)"
+        )
+        parts.append(
+            f"""a{t}_{s} AS (
+    SELECT vec_id, emb, st['c'] AS cluster FROM (
+        SELECT e.vec_id, e.emb,
+               MIN({{'d': {sqdist}, 'c': c.cluster}}) AS st
+        FROM a0_{s} e CROSS JOIN cent{t}_{s} c GROUP BY e.vec_id, e.emb))"""
+        )
+    return parts
+
+
+def _pq_search_sql() -> str:
+    T = _PQ_ITERS
+    parts = ["WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)"]
+    for s in range(_PQ_M):
+        parts.extend(_pq_assign_parts(s))
+    code_joins = " ".join(
+        f"JOIN a{T}_{s} USING (vec_id)" if s else f"a{T}_0"
+        for s in range(_PQ_M)
+    )
+    code_cols = ", ".join(f"a{T}_{s}.cluster AS c{s}" for s in range(_PQ_M))
+    parts.append(
+        f"codes AS (SELECT vec_id, {code_cols} FROM {code_joins})"
+    )
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUB + 1
+        qdist = (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[(CAST(q.q[i] AS DOUBLE) - c.centroid[i - {lo - 1}]) * "
+            f"(CAST(q.q[i] AS DOUBLE) - c.centroid[i - {lo - 1}]) "
+            f"FOR i IN range({lo}, {lo + _PQ_SUB})]), (x, y) -> x + y)"
+        )
+        parts.append(
+            f"t{s} AS (SELECT c.cluster AS code, {qdist} AS d "
+            f"FROM cent{T}_{s} c CROSS JOIN qv q)"
+        )
+    adc = " + ".join(f"t{s}.d" for s in range(_PQ_M))
+    t_joins = " ".join(f"JOIN t{s} ON t{s}.code = e.c{s}" for s in range(_PQ_M))
+    return ",\n".join(parts) + f"""
+SELECT e.vec_id, round({adc}, 9) AS adc_dist
+FROM codes e {t_joins}
+WHERE e.vec_id <> 0
+ORDER BY adc_dist ASC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+#: Session cache: (sf_dir, m, codes, iters) -> (codes_path, books, sub)
+_PQ_INDEX_CACHE: dict = {}
+
+
+def _pq_index_for(spark: SparkSession, sf_dir: str):
+    import hashlib
+    import os
+
+    from datalakehouse_spark.operators.similarity import build_pq_index
+    from datalakehouse_spark.scratch import stable_scratch
+
+    key = (os.path.abspath(sf_dir), _PQ_M, _PQ_CODES, _PQ_ITERS)
+    if key not in _PQ_INDEX_CACHE:
+        tag = "pq_index_" + hashlib.md5(repr(key).encode()).hexdigest()[:8]
+        path = os.path.join(stable_scratch(tag), "codes")
+        emb = load_table(spark, sf_dir, "embeddings")
+        books, sub = build_pq_index(
+            emb, path, m=_PQ_M, codes=_PQ_CODES, iters=_PQ_ITERS
+        )
+        _PQ_INDEX_CACHE[key] = (path, books, sub)
+    return _PQ_INDEX_CACHE[key]
+
+
+@register(
+    "pq_search",
+    _pq_search_sql(),
+    "product quantization: subspace codebooks + ADC top-k over encoded corpus",
+)
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's PQ half, build/serve split: codebooks + encoded corpus
+    are a session-cached BUILD (operators/similarity.build_pq_index);
+    the scored path serves by scanning the m-byte codes with literal
+    per-subspace distance tables — at 100 TB the serve cost is the
+    code scan (~dim*8/m smaller than raw) + m lookups/row, no shuffle.
+    The oracle replays the full seeded build per subspace and the same
+    ADC fold, so approximation error is pinned cross-engine, not just
+    top-k membership."""
+    from datalakehouse_spark.operators.similarity import pq_adc_search
+
+    path, books, sub = _pq_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return pq_adc_search(spark, path, books, sub, qv, k=10, exclude_id=0)

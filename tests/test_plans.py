@@ -450,3 +450,15 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, val)
+
+
+def test_pq_serve_is_narrow_code_scan(spark):
+    """PQ serving must read the ENCODED corpus only: no join, no
+    shuffle beyond top-k, distance = literal-table lookups (JVM
+    expressions), into TakeOrderedAndProject."""
+    plan = plan_of(REGISTRY["pq_search"].fn(spark, SF))
+    assert "Join" not in plan, "ADC must not join the corpus"
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "embedding" not in m.group(1), "serve path must not read raw vectors"
