@@ -547,9 +547,8 @@ def build_pq_index(
     return books, sub
 
 
-def pq_adc_search(
-    spark,
-    index_path: str,
+def pq_adc_topk(
+    encoded: DataFrame,
     books: list[list[tuple[int, list[float]]]],
     sub: int,
     query_vec: list[float],
@@ -557,12 +556,10 @@ def pq_adc_search(
     id_col: str = "vec_id",
     exclude_id: int | None = None,
 ) -> DataFrame:
-    """Serve half: asymmetric-distance (ADC) top-k over the encoded
-    corpus.  The query is compared against each codebook driver-side
-    (m x codes tiny table), the per-subspace distance tables ride into
-    the scan as LITERAL arrays, and each row's approximate distance is
-    m array lookups + (m-1) adds — a narrow projection into
-    TakeOrderedAndProject.  No join, no shuffle, no raw vectors read.
+    """ADC top-k over an already-loaded encoded DataFrame: per-subspace
+    query-to-codebook distance tables (driver-side, m x codes doubles)
+    ride in as LITERAL arrays; each row costs m lookups + (m-1) adds —
+    a narrow projection into TakeOrderedAndProject.
 
     Accumulation is sequential per subspace then left-to-right across
     subspaces — bit-matching the SQL oracle's fold order."""
@@ -574,12 +571,80 @@ def pq_adc_search(
         tables.append(
             [by_code.get(j, float("inf")) for j in range(max(by_code) + 1)]
         )
-    df = spark.read.parquet(index_path)
     adc = None
     for s, tab in enumerate(tables):
         term = F.element_at(F.lit(tab), F.col(f"code_{s}") + 1)
         adc = term if adc is None else adc + term
-    out = df.select(F.col(id_col), F.round(adc, 9).alias("adc_dist"))
+    out = encoded.select(F.col(id_col), F.round(adc, 9).alias("adc_dist"))
     if exclude_id is not None:
         out = out.where(F.col(id_col) != exclude_id)
     return out.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def pq_adc_search(
+    spark,
+    index_path: str,
+    books: list[list[tuple[int, list[float]]]],
+    sub: int,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Serve half of the PQ split: ADC top-k over the persisted encoded
+    corpus.  No join, no shuffle, no raw vectors read."""
+    return pq_adc_topk(
+        spark.read.parquet(index_path), books, sub, query_vec, k, id_col, exclude_id
+    )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    kmeans_iters: int = 2,
+    m: int = 4,
+    codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF-PQ build: coarse k-means partitions the corpus, PQ codebooks
+    compress it — the persisted index is (id, code_0..code_{m-1})
+    PARTITIONED BY cluster.  Serving composes both accelerations:
+    partition pruning cuts the scan to n_probe/n_clusters of the
+    files, and each surviving row is m bytes of codes, not dim floats.
+
+    This is the no-residual IVF-PQ variant (codes quantize the RAW
+    vectors, not cluster residuals): the deterministic-replay oracle
+    stays expressible, and at fixture dims the recall difference is
+    immaterial.  Returns (coarse centroids, books, sub)."""
+    assign, coarse = kmeans_clusters(
+        embeddings, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    )
+    books, sub = pq_codebooks(embeddings, m, codes, kmeans_iters, id_col, vec_col)
+    encoded = pq_encode(embeddings, books, sub, id_col, vec_col).join(assign, id_col)
+    encoded.repartition("cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+    return coarse, books, sub
+
+
+def ivfpq_search(
+    spark,
+    index_path: str,
+    coarse: list[tuple[int, list[float]]],
+    books: list[list[tuple[int, list[float]]]],
+    sub: int,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF-PQ serve: driver-side probe routing (partition pruning over
+    the cluster layout) then ADC over the probed partitions' codes."""
+    probe = rank_probes(coarse, query_vec, n_probe)
+    pruned = spark.read.parquet(index_path).where(F.col("cluster").isin(probe))
+    return pq_adc_topk(pruned, books, sub, query_vec, k, id_col, exclude_id).withColumn(
+        "probed_clusters", F.lit(len(probe))
+    )

@@ -583,6 +583,7 @@ _DRIVER_PRIORITY = [
     "rolling_time_window",
     "stats_moments",
     "pq_search",
+    "ivf_pq_search",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

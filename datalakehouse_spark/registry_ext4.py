@@ -928,3 +928,107 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     return pq_adc_search(spark, path, books, sub, qv, k=10, exclude_id=0)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse-cluster pruning + ADC over codes (round 5 capstone)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_search_sql(n_probe: int = 2) -> str:
+    from datalakehouse_spark.registry_ext import _ivf_assign_parts
+
+    T = _PQ_ITERS
+    parts = [
+        "WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),",
+        *_ivf_assign_parts(k=8, iters=2),
+    ]
+    cdotq = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[c.centroid[i] * CAST(q.q[i] AS DOUBLE) FOR i IN range(1, 65)]), (x, y) -> x + y)"
+    )
+    cdotc = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[c.centroid[i] * c.centroid[i] FOR i IN range(1, 65)]), (x, y) -> x + y)"
+    )
+    parts.append(
+        f""", probe AS (
+    SELECT c.cluster FROM cent2 c CROSS JOIN qv q
+    ORDER BY {cdotq} / sqrt({cdotc}) DESC, c.cluster ASC LIMIT {n_probe})"""
+    )
+    for s in range(_PQ_M):
+        parts.append(", " + ",\n".join(_pq_assign_parts(s)))
+    code_joins = " ".join(
+        f"JOIN a{T}_{s} USING (vec_id)" if s else f"a{T}_0" for s in range(_PQ_M)
+    )
+    code_cols = ", ".join(f"a{T}_{s}.cluster AS c{s}" for s in range(_PQ_M))
+    parts.append(f", codes AS (SELECT vec_id, {code_cols} FROM {code_joins})")
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUB + 1
+        qdist = (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[(CAST(q.q[i] AS DOUBLE) - c.centroid[i - {lo - 1}]) * "
+            f"(CAST(q.q[i] AS DOUBLE) - c.centroid[i - {lo - 1}]) "
+            f"FOR i IN range({lo}, {lo + _PQ_SUB})]), (x, y) -> x + y)"
+        )
+        parts.append(
+            f", t{s} AS (SELECT c.cluster AS code, {qdist} AS d "
+            f"FROM cent{T}_{s} c CROSS JOIN qv q)"
+        )
+    adc = " + ".join(f"t{s}.d" for s in range(_PQ_M))
+    t_joins = " ".join(f"JOIN t{s} ON t{s}.code = e.c{s}" for s in range(_PQ_M))
+    parts.append(
+        f"""
+SELECT e.vec_id, round({adc}, 9) AS adc_dist,
+       CAST({n_probe} AS INTEGER) AS probed_clusters
+FROM codes e JOIN a2 av ON av.vec_id = e.vec_id {t_joins}
+WHERE av.cluster IN (SELECT cluster FROM probe) AND e.vec_id <> 0
+ORDER BY adc_dist ASC, e.vec_id ASC
+LIMIT 10"""
+    )
+    return "\n".join(parts)
+
+
+_IVFPQ_INDEX_CACHE: dict = {}
+
+
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str):
+    import hashlib
+    import os
+
+    from datalakehouse_spark.operators.similarity import build_ivfpq_index
+    from datalakehouse_spark.scratch import stable_scratch
+
+    key = (os.path.abspath(sf_dir), 8, _PQ_M, _PQ_CODES, _PQ_ITERS)
+    if key not in _IVFPQ_INDEX_CACHE:
+        tag = "ivfpq_index_" + hashlib.md5(repr(key).encode()).hexdigest()[:8]
+        path = os.path.join(stable_scratch(tag), "index")
+        emb = load_table(spark, sf_dir, "embeddings")
+        coarse, books, sub = build_ivfpq_index(
+            emb, path, n_clusters=8, kmeans_iters=2, m=_PQ_M, codes=_PQ_CODES
+        )
+        _IVFPQ_INDEX_CACHE[key] = (path, coarse, books, sub)
+    return _IVFPQ_INDEX_CACHE[key]
+
+
+@register(
+    "ivf_pq_search",
+    _ivfpq_search_sql(),
+    "IVF-PQ serve: partition-pruned probe + ADC over m-byte codes",
+)
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed ANN capstone: the coarse quantizer prunes the scan
+    to n_probe/n_clusters of the PARTITIONS, and what remains is read
+    as m-byte PQ codes with literal distance-table lookups — at 100 TB
+    a query touches n_probe/n_clusters of ~dim*8/m-compressed data,
+    the FAISS IVFPQ serving equation, expressed as partition pruning +
+    whole-stage-codegen projection.  Oracle replays coarse k-means,
+    all m subspace codebooks, the probe ranking, and the ADC fold."""
+    from datalakehouse_spark.operators.similarity import ivfpq_search
+
+    path, coarse, books, sub = _ivfpq_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ivfpq_search(
+        spark, path, coarse, books, sub, qv, k=10, n_probe=2, exclude_id=0
+    )

@@ -462,3 +462,16 @@ def test_pq_serve_is_narrow_code_scan(spark):
     assert "EvalPython" not in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "embedding" not in m.group(1), "serve path must not read raw vectors"
+
+
+def test_ivfpq_serve_prunes_partitions_and_reads_codes_only(spark):
+    """IVF-PQ serving composes both accelerations: the probe IN-list
+    must be a PARTITION filter (n_probe of n_clusters directories
+    listed) and the scan must read code columns, never raw vectors."""
+    plan = plan_of(REGISTRY["ivf_pq_search"].fn(spark, SF))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), f"probe must be a partition filter: {m}"
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs and "embedding" not in rs.group(1), "must read codes, not vectors"
