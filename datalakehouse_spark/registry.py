@@ -584,6 +584,7 @@ _DRIVER_PRIORITY = [
     "stats_moments",
     "pq_search",
     "ivf_pq_search",
+    "pq_recall_accounting",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

@@ -1032,3 +1032,97 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(
         spark, path, coarse, books, sub, qv, k=10, n_probe=2, exclude_id=0
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ recall accounting: ADC top-k vs exact L2 top-k
+# ---------------------------------------------------------------------------
+
+
+def _pq_recall_sql() -> str:
+    T = _PQ_ITERS
+    exact_l2 = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[(CAST(e.embedding[i] AS DOUBLE) - CAST(q.q[i] AS DOUBLE)) * "
+        "(CAST(e.embedding[i] AS DOUBLE) - CAST(q.q[i] AS DOUBLE)) "
+        "FOR i IN range(1, 65)]), (x, y) -> x + y)"
+    )
+    parts = ["WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)"]
+    for s in range(_PQ_M):
+        parts.extend(_pq_assign_parts(s))
+    code_joins = " ".join(
+        f"JOIN a{T}_{s} USING (vec_id)" if s else f"a{T}_0" for s in range(_PQ_M)
+    )
+    code_cols = ", ".join(f"a{T}_{s}.cluster AS c{s}" for s in range(_PQ_M))
+    parts.append(f"codes AS (SELECT vec_id, {code_cols} FROM {code_joins})")
+    for s in range(_PQ_M):
+        lo = s * _PQ_SUB + 1
+        qdist = (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"[(CAST(q.q[i] AS DOUBLE) - c.centroid[i - {lo - 1}]) * "
+            f"(CAST(q.q[i] AS DOUBLE) - c.centroid[i - {lo - 1}]) "
+            f"FOR i IN range({lo}, {lo + _PQ_SUB})]), (x, y) -> x + y)"
+        )
+        parts.append(
+            f"t{s} AS (SELECT c.cluster AS code, {qdist} AS d "
+            f"FROM cent{T}_{s} c CROSS JOIN qv q)"
+        )
+    adc = " + ".join(f"t{s}.d" for s in range(_PQ_M))
+    t_joins = " ".join(f"JOIN t{s} ON t{s}.code = e.c{s}" for s in range(_PQ_M))
+    parts.append(
+        f"""pq AS (
+    SELECT e.vec_id FROM codes e {t_joins}
+    WHERE e.vec_id <> 0
+    ORDER BY round({adc}, 9) ASC, e.vec_id ASC LIMIT 10)"""
+    )
+    parts.append(
+        f"""exact AS (
+    SELECT e.vec_id FROM embeddings e CROSS JOIN qv q
+    WHERE e.vec_id <> 0
+    ORDER BY {exact_l2} ASC, e.vec_id ASC LIMIT 10)"""
+    )
+    return ",\n".join(parts) + """
+SELECT 10 AS k,
+       CAST((SELECT COUNT(*) FROM pq JOIN exact USING (vec_id)) AS BIGINT)
+           AS pq_hits,
+       round((SELECT COUNT(*) FROM pq JOIN exact USING (vec_id)) / 10.0, 6)
+           AS pq_recall
+"""
+
+
+@register(
+    "pq_recall_accounting",
+    _pq_recall_sql(),
+    "PQ quality ledger: ADC top-10 overlap with exact L2 top-10",
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement that makes PQ an engineering trade instead of a
+    leap of faith: ADC top-10 vs exact L2 top-10 overlap, as an
+    oracle-matched scalar.  The exact side is the brute-force scan
+    (the recall baseline every ANN variant is judged against)."""
+    from datalakehouse_spark.operators.similarity import _dvec, pq_adc_search
+
+    path, books, sub = _pq_index_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    pq_ids = pq_adc_search(spark, path, books, sub, qv, k=10, exclude_id=0).select(
+        "vec_id"
+    )
+    v = _dvec("embedding")
+    qlit = F.lit(qv)
+    l2 = F.aggregate(
+        F.zip_with(v, qlit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    exact_ids = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", l2.alias("d"))
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = pq_ids.join(exact_ids, "vec_id").count()
+    return spark.createDataFrame(
+        [(10, hits, round(hits / 10.0, 6))], "k int, pq_hits bigint, pq_recall double"
+    )

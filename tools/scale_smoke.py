@@ -219,6 +219,24 @@ def measure(spark, sf_dir: str) -> dict:
     t = run(decontaminate(docs.where(F.col("doc_id") % 997 != 0), bench))
     out["decontam_s"] = round(t, 2)
     out["decontam_docs_per_s"] = int(n_docs / t)
+
+    # PQ: encode is one literal-codebook projection (must hold vecs/s);
+    # ADC serve scans codes with literal lookups (build excluded — it's
+    # the one-off codebook training)
+    import tempfile
+
+    from datalakehouse_spark.operators.similarity import (
+        build_pq_index,
+        pq_adc_search,
+    )
+
+    pq_dir = tempfile.mkdtemp(prefix="scale_pq_") + "/codes"
+    t0 = time.perf_counter()
+    books, sub = build_pq_index(emb, pq_dir)
+    out["pq_build_s"] = round(time.perf_counter() - t0, 2)
+    t = run(pq_adc_search(spark, pq_dir, books, sub, q, k=10))
+    out["pq_serve_s"] = round(t, 2)
+    out["pq_serve_vecs_per_s"] = int(n_emb / t)
     return out
 
 
@@ -290,6 +308,16 @@ def main() -> None:
         lines.append(
             f"| {m}x | {r['chunk_dedup_s']} | {r['chunk_dedup_docs_per_s']:,} | "
             f"{r['decontam_s']} | {r['decontam_docs_per_s']:,} |"
+        )
+    lines += [
+        "",
+        "| mult | pq build s | pq serve s | serve vecs/s |",
+        "|---|---|---|---|",
+    ]
+    for m, r in results.items():
+        lines.append(
+            f"| {m}x | {r['pq_build_s']} | {r['pq_serve_s']} | "
+            f"{r['pq_serve_vecs_per_s']:,} |"
         )
     with open(os.path.join(REPO, "docs", "SCALING_RESULTS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
