@@ -582,6 +582,7 @@ _DRIVER_PRIORITY = [
     "decontamination_report",
     "rolling_time_window",
     "stats_moments",
+    "pq_build_stats",
     "pq_search",
     "ivf_pq_search",
     "pq_recall_accounting",

@@ -908,6 +908,44 @@ def _pq_index_for(spark: SparkSession, sf_dir: str):
     return _PQ_INDEX_CACHE[key]
 
 
+def _pq_build_stats_sql() -> str:
+    T = _PQ_ITERS
+    parts = ["WITH " + ",\n".join(_pq_assign_parts(0))]
+    for s in range(1, _PQ_M):
+        parts.append(", " + ",\n".join(_pq_assign_parts(s)))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {s} AS subspace, cluster AS code, CAST(COUNT(*) AS BIGINT) AS n_vectors "
+        f"FROM a{T}_{s} GROUP BY cluster"
+        for s in range(_PQ_M)
+    )
+    return "\n".join(parts) + f"\n{unions}\nORDER BY subspace, code\n"
+
+
+@register(
+    "pq_build_stats",
+    _pq_build_stats_sql(),
+    "PQ codebook BUILD: per-subspace seeded k-means + encoded-corpus write; code occupancy",
+)
+def q_pq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build half of the PQ split as its own scored entry (mirrors
+    ivf_build_stats): it carries the codebook training + encode +
+    write cost so the search entries measure SERVING, and the
+    per-(subspace, code) occupancy is the oracle check that the
+    persisted encoding equals the replayed deterministic build."""
+    path, _books, _sub = _pq_index_for(spark, sf_dir)
+    df = spark.read.parquet(path)
+    per = [
+        df.groupBy(F.col(f"code_{s}").alias("code"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(F.lit(s).alias("subspace"), "code", "n_vectors")
+        for s in range(_PQ_M)
+    ]
+    out = per[0]
+    for d in per[1:]:
+        out = out.unionByName(d)
+    return out.orderBy("subspace", "code")
+
+
 @register(
     "pq_search",
     _pq_search_sql(),
@@ -996,17 +1034,24 @@ def _ivfpq_index_for(spark: SparkSession, sf_dir: str):
     import hashlib
     import os
 
-    from datalakehouse_spark.operators.similarity import build_ivfpq_index
     from datalakehouse_spark.scratch import stable_scratch
 
     key = (os.path.abspath(sf_dir), 8, _PQ_M, _PQ_CODES, _PQ_ITERS)
     if key not in _IVFPQ_INDEX_CACHE:
         tag = "ivfpq_index_" + hashlib.md5(repr(key).encode()).hexdigest()[:8]
         path = os.path.join(stable_scratch(tag), "index")
-        emb = load_table(spark, sf_dir, "embeddings")
-        coarse, books, sub = build_ivfpq_index(
-            emb, path, n_clusters=8, kmeans_iters=2, m=_PQ_M, codes=_PQ_CODES
-        )
+        # compose from the session's existing builds (deterministic, so
+        # identical to retraining): PQ codes + IVF cluster assignment
+        # join once and persist partitioned — no second k-means
+        from datalakehouse_spark.registry_ext import ivf_index_for
+
+        ivf_path, coarse = ivf_index_for(spark, sf_dir)
+        codes_path, books, sub = _pq_index_for(spark, sf_dir)
+        assign = spark.read.parquet(ivf_path).select("vec_id", "cluster")
+        codes = spark.read.parquet(codes_path)
+        codes.join(assign, "vec_id").repartition("cluster").write.mode(
+            "overwrite"
+        ).partitionBy("cluster").parquet(path)
         _IVFPQ_INDEX_CACHE[key] = (path, coarse, books, sub)
     return _IVFPQ_INDEX_CACHE[key]
 
