@@ -586,6 +586,7 @@ _DRIVER_PRIORITY = [
     "pq_search",
     "ivf_pq_search",
     "pq_recall_accounting",
+    "trip_distance_daily",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

@@ -1171,3 +1171,90 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(10, hits, round(hits / 10.0, 6))], "k int, pq_hits bigint, pq_recall double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Telematics trip distance: lag + haversine per device-day (reference
+# domain: GPS telematics — SURVEY.md §0, §3)
+# ---------------------------------------------------------------------------
+
+_TRIP_SQL = """
+WITH pts AS (
+    SELECT user_id, ts, event_id,
+           value / 5 - 20 AS lat,
+           value - 120 AS lon
+    FROM events
+),
+hops AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, lat, lon,
+           lag(lat) OVER w AS plat,
+           lag(lon) OVER w AS plon
+    FROM pts
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+d AS (
+    SELECT user_id, day,
+           2 * 6371.0 * asin(sqrt(
+               sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+               + cos(radians(plat)) * cos(radians(lat))
+                 * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+           )) AS hop_km
+    FROM hops
+)
+SELECT user_id, day,
+       round(SUM(hop_km), 6) AS trip_km,
+       CAST(COUNT(hop_km) AS BIGINT) AS n_hops
+FROM d GROUP BY user_id, day
+"""
+
+
+@register(
+    "trip_distance_daily",
+    _TRIP_SQL,
+    "per-device daily haversine trip distance (lag over GPS track)",
+)
+def q_trip_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The telematics headline metric: distance traveled per device per
+    day, as consecutive-fix haversine hops (coordinates synthesized
+    deterministically from the fixture, same formulas as
+    coordinate_parse_swap).  The lag window shuffles once on the device
+    id; day boundaries inherit the previous day's last fix as the first
+    hop's origin (both engines, by construction).  Trig differs between
+    libm and the JVM by ulps, so the per-day sum is rounded to 6
+    decimals — ~5 orders above the accumulated divergence."""
+    ev = load_table(spark, sf_dir, "events")
+    lat = F.col("value") / 5 - 20
+    lon = F.col("value") - 120
+    pts = ev.select("user_id", "ts", "event_id", lat.alias("lat"), lon.alias("lon"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    )
+    dphi = F.radians(F.col("lat") - F.col("plat")) / 2
+    dlmb = F.radians(F.col("lon") - F.col("plon")) / 2
+    hop_km = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.sin(dphi) * F.sin(dphi)
+                + F.cos(F.radians("plat"))
+                * F.cos(F.radians("lat"))
+                * F.sin(dlmb)
+                * F.sin(dlmb)
+            )
+        )
+    )
+    return (
+        hops.select("user_id", "day", hop_km.alias("hop_km"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.round(F.sum("hop_km"), 6).alias("trip_km"),
+            F.count("hop_km").alias("n_hops"),
+        )
+    )
