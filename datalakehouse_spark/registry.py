@@ -587,6 +587,7 @@ _DRIVER_PRIORITY = [
     "ivf_pq_search",
     "pq_recall_accounting",
     "trip_distance_daily",
+    "speeding_segments",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

@@ -1258,3 +1258,94 @@ def q_trip_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hop_km").alias("n_hops"),
         )
     )
+
+
+_SPEED_SQL = """
+WITH pts AS (
+    SELECT user_id, ts, event_id,
+           value / 5 - 20 AS lat,
+           value - 120 AS lon
+    FROM events
+),
+hops AS (
+    SELECT user_id, lat, lon, ts,
+           lag(lat) OVER w AS plat,
+           lag(lon) OVER w AS plon,
+           lag(ts) OVER w AS pts_
+    FROM pts
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+    SELECT user_id,
+           2 * 6371.0 * asin(sqrt(
+               sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)
+               + cos(radians(plat)) * cos(radians(lat))
+                 * sin(radians(lon - plon) / 2) * sin(radians(lon - plon) / 2)
+           )) / (CAST(epoch_us(ts) - epoch_us(pts_) AS DOUBLE) / 3600000000.0)
+           AS kmh
+    FROM hops WHERE pts_ IS NOT NULL AND epoch_us(ts) > epoch_us(pts_)
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN kmh > 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_speeding,
+       round(MAX(kmh), 6) AS max_kmh
+FROM seg GROUP BY user_id
+"""
+
+
+@register(
+    "speeding_segments",
+    _SPEED_SQL,
+    "per-device speed-violation detection from consecutive GPS fixes",
+)
+def q_speeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-domain risk signal (the risk score's speeding band,
+    pipelines/risk_score.py, computed from raw fixes instead of a
+    pre-joined speed column): consecutive-fix haversine distance over
+    the elapsed interval, flag segments above 80 km/h.  The elapsed
+    time is epoch-MICROSECOND integer arithmetic on both sides —
+    exactly one double division per segment, so only the trig ulps need
+    rounding (MAX picks one value; the counts are integer-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value") / 5 - 20).alias("lat"),
+        (F.col("value") - 120).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.unix_micros("ts").alias("us"),
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+        F.lag(F.unix_micros("ts")).over(w).alias("pus"),
+    ).where(F.col("pus").isNotNull() & (F.col("us") > F.col("pus")))
+    dphi = F.radians(F.col("lat") - F.col("plat")) / 2
+    dlmb = F.radians(F.col("lon") - F.col("plon")) / 2
+    hop_km = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.sin(dphi) * F.sin(dphi)
+                + F.cos(F.radians("plat"))
+                * F.cos(F.radians("lat"))
+                * F.sin(dlmb)
+                * F.sin(dlmb)
+            )
+        )
+    )
+    kmh = hop_km / ((F.col("us") - F.col("pus")).cast("double") / 3_600_000_000.0)
+    return (
+        hops.select("user_id", kmh.alias("kmh"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((F.col("kmh") > 80).cast("long")).alias("n_speeding"),
+            F.round(F.max("kmh"), 6).alias("max_kmh"),
+        )
+    )
