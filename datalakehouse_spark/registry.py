@@ -588,6 +588,7 @@ _DRIVER_PRIORITY = [
     "pq_recall_accounting",
     "trip_distance_daily",
     "speeding_segments",
+    "running_distinct_users",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

@@ -1349,3 +1349,43 @@ def q_speeding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("kmh"), 6).alias("max_kmh"),
         )
     )
+
+
+_CUM_USERS_SQL = """
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id
+),
+daily AS (
+    SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+    FROM firsts GROUP BY first_day
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_users
+FROM daily
+"""
+
+
+@register(
+    "running_distinct_users",
+    _CUM_USERS_SQL,
+    "cumulative distinct-user curve via first-seen day (no running-distinct state)",
+)
+def q_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative cardinality done the scale-correct way: a naive
+    COUNT(DISTINCT) OVER (ORDER BY day) re-scans every prefix (or holds
+    all-users state per row); instead each user contributes once at
+    their MIN(day), and the cumulative curve is a running SUM over the
+    tiny per-day series — two hash aggregates plus a window over days,
+    state O(days) not O(users)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cum_users")
+    )
