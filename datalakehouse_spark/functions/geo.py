@@ -20,3 +20,25 @@ def parse_coordinates(col: Column | str) -> tuple[Column, Column]:
     latitude = parts.getItem(1).cast("double")
     longitude = parts.getItem(0).cast("double")
     return latitude, longitude
+
+
+def haversine_km(
+    lat: Column, lon: Column, plat: Column, plon: Column, radius_km: float = 6371.0
+) -> Column:
+    """Great-circle distance between two fixes, in km (pure JVM
+    expressions, whole-stage-codegen'd).  Cross-engine note: libm and
+    JVM trig differ in final ulps, so aggregate consumers round their
+    outputs (trip_distance_daily / speeding_segments round at 6
+    decimals, ~5 orders above the divergence)."""
+    dphi = F.radians(lat - plat) / 2
+    dlmb = F.radians(lon - plon) / 2
+    return (
+        2
+        * radius_km
+        * F.asin(
+            F.sqrt(
+                F.sin(dphi) * F.sin(dphi)
+                + F.cos(F.radians(plat)) * F.cos(F.radians(lat)) * F.sin(dlmb) * F.sin(dlmb)
+            )
+        )
+    )

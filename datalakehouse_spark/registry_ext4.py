@@ -1235,21 +1235,9 @@ def q_trip_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("lat").over(w).alias("plat"),
         F.lag("lon").over(w).alias("plon"),
     )
-    dphi = F.radians(F.col("lat") - F.col("plat")) / 2
-    dlmb = F.radians(F.col("lon") - F.col("plon")) / 2
-    hop_km = (
-        2
-        * 6371.0
-        * F.asin(
-            F.sqrt(
-                F.sin(dphi) * F.sin(dphi)
-                + F.cos(F.radians("plat"))
-                * F.cos(F.radians("lat"))
-                * F.sin(dlmb)
-                * F.sin(dlmb)
-            )
-        )
-    )
+    from datalakehouse_spark.functions.geo import haversine_km
+
+    hop_km = haversine_km(F.col("lat"), F.col("lon"), F.col("plat"), F.col("plon"))
     return (
         hops.select("user_id", "day", hop_km.alias("hop_km"))
         .groupBy("user_id", "day")
@@ -1324,21 +1312,9 @@ def q_speeding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("lon").over(w).alias("plon"),
         F.lag(F.unix_micros("ts")).over(w).alias("pus"),
     ).where(F.col("pus").isNotNull() & (F.col("us") > F.col("pus")))
-    dphi = F.radians(F.col("lat") - F.col("plat")) / 2
-    dlmb = F.radians(F.col("lon") - F.col("plon")) / 2
-    hop_km = (
-        2
-        * 6371.0
-        * F.asin(
-            F.sqrt(
-                F.sin(dphi) * F.sin(dphi)
-                + F.cos(F.radians("plat"))
-                * F.cos(F.radians("lat"))
-                * F.sin(dlmb)
-                * F.sin(dlmb)
-            )
-        )
-    )
+    from datalakehouse_spark.functions.geo import haversine_km
+
+    hop_km = haversine_km(F.col("lat"), F.col("lon"), F.col("plat"), F.col("plon"))
     kmh = hop_km / ((F.col("us") - F.col("pus")).cast("double") / 3_600_000_000.0)
     return (
         hops.select("user_id", kmh.alias("kmh"))
