@@ -589,6 +589,14 @@ _DRIVER_PRIORITY = [
     "trip_distance_daily",
     "speeding_segments",
     "running_distinct_users",
+    "max_concurrency",
+    "markov_transitions",
+    "ewma_daily",
+    "token_entropy",
+    "pii_redaction",
+    "engagement_bitmap",
+    "grid_density",
+    "prefix_dedup_stats",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",
@@ -666,3 +674,4 @@ def _load_extensions() -> None:
     import datalakehouse_spark.registry_ext2  # noqa: F401
     import datalakehouse_spark.registry_ext3  # noqa: F401
     import datalakehouse_spark.registry_ext4  # noqa: F401
+    import datalakehouse_spark.registry_ext5  # noqa: F401

@@ -1,0 +1,575 @@
+"""Registry part 6 (round 5, continued): behavioral analytics and
+corpus-hygiene operators still missing from the scored surface.
+
+New families this batch:
+
+- **Interval concurrency sweep** (``max_concurrency``): the classic
+  +1/-1 event-sweep for "how many sessions were live at once",
+  implemented with the scale-correct two-phase prefix sum (per-day
+  partial running sums + a tiny cross-day carry) instead of one global
+  single-task window.  Reference parity: the serving API's
+  "active devices in window" class (SURVEY.md §2.7 window family).
+- **Markov transition counts** (``markov_transitions``): first-order
+  event-type transition matrix from per-user ordered streams — the
+  behavioral-model feature build next to ``event_sequences``.
+- **EWMA smoothing** (``ewma_daily``): exponentially weighted moving
+  average over the daily series via explicit lag taps with literal
+  weights, the bounded-window form that is deterministic and
+  shuffle-identical to any other window over the same key.
+- **Token entropy** (``token_entropy``): per-document unigram token
+  entropy — a standard LLM-corpus quality signal (low entropy ==
+  boilerplate/repetition) computed with decimal-staged order-
+  independent sums so Spark's parallel aggregation hash-matches the
+  sequential oracle.
+- **PII detection/redaction** (``pii_redaction``): regex scan + global
+  mask over a synthesized support-message column — the Spark-side
+  shape (regexp_count / regexp_replace fused into one scan-projection)
+  is the production operator; the fixture has no real PII so the
+  message text is constructed deterministically from customer fields.
+- **Engagement bitmaps** (``engagement_bitmap``): per-user day-of-month
+  activity packed into a 31-bit mask with BIT_OR, popcounted — the
+  compact "days active" encoding used for retention features at scale
+  (one bigint per user-month instead of one row per user-day).
+- **Spatial grid density** (``grid_density``): fixed-grid geo binning
+  of GPS fixes (same deterministic coordinate synthesis as
+  ``trip_distance_daily``) — the pre-aggregation that makes heatmaps
+  and spatial joins scale (cell id is an integer key, no geometry lib).
+- **Prefix dedup** (``prefix_dedup_stats``): documents sharing their
+  first-k-token prefix collapse to one canonical — the cheap first
+  pass (exact prefix hash, one shuffle) that removes template spam
+  before MinHash runs.
+
+Scale posture (100 TB review): every entry is one or two hash
+shuffles on a natural key (user, day, cell, prefix-hash); no global
+single-partition window (the concurrency sweep's only ORDER BY over
+an unpartitioned window runs on the per-DAY aggregate — O(days)
+rows); no Python UDFs; all text ops are scan-fused built-ins.
+
+Determinism contract: counts and bit-masks are integer-exact; every
+double that reaches the output is either a single IEEE op replicated
+identically in the oracle SQL (divisions, ln) or is decimal-staged
+(entropy sums) and rounded once at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datalakehouse_spark.io import load_table
+from datalakehouse_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# max_concurrency: interval sweep with two-phase prefix sum
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_SQL = """
+WITH iv AS (
+    SELECT epoch_us(ts) AS s_us,
+           epoch_us(ts) + (60 + CAST(value * 10 AS BIGINT)) * 1000000 AS e_us
+    FROM events
+),
+deltas AS (
+    SELECT s_us AS t_us, 1 AS d FROM iv
+    UNION ALL
+    SELECT e_us AS t_us, -1 AS d FROM iv
+),
+per_t AS (
+    SELECT CAST(make_timestamp(t_us) AS DATE) AS day, t_us,
+           CAST(SUM(d) AS BIGINT) AS net
+    FROM deltas GROUP BY 1, 2
+),
+day_net AS (
+    SELECT day, CAST(SUM(net) AS BIGINT) AS dnet FROM per_t GROUP BY day
+),
+carry AS (
+    SELECT day,
+           CAST(COALESCE(SUM(dnet) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS carry_in
+    FROM day_net
+),
+running AS (
+    SELECT p.day,
+           c.carry_in
+               + SUM(p.net) OVER (PARTITION BY p.day ORDER BY p.t_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS live
+    FROM per_t p JOIN carry c ON p.day = c.day
+)
+SELECT day, CAST(MAX(live) AS BIGINT) AS peak_concurrency
+FROM running GROUP BY day
+"""
+
+
+@register(
+    "max_concurrency",
+    _CONCURRENCY_SQL,
+    "peak concurrent sessions per day (interval +1/-1 sweep, two-phase prefix sum)",
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event opens a session of ``60 + 10*value`` seconds; the peak
+    number of simultaneously-open sessions per day is the sweep-line
+    running sum over +1 (start) / -1 (end) deltas.
+
+    The naive form is one ORDER-BY-time window over the whole fact —
+    a single task at any scale.  This is the scale-correct two-phase
+    split: (1) aggregate deltas per (day, timestamp) and run the
+    running sum PARTITIONED BY day (parallel, each partition bounded);
+    (2) the cross-day carry is a window over the per-day net series —
+    O(days) rows on one task, trivially small.  All arithmetic is
+    epoch-microsecond integers, so both engines agree bit-exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    s_us = F.unix_micros(F.col("ts"))
+    e_us = s_us + (F.lit(60) + (F.col("value") * 10).cast("bigint")) * F.lit(1_000_000)
+    iv = ev.select(s_us.alias("s_us"), e_us.alias("e_us"))
+    deltas = iv.select(F.col("s_us").alias("t_us"), F.lit(1).alias("d")).unionAll(
+        iv.select(F.col("e_us").alias("t_us"), F.lit(-1).alias("d"))
+    )
+    per_t = deltas.groupBy(
+        F.to_date(F.timestamp_micros(F.col("t_us"))).alias("day"), "t_us"
+    ).agg(F.sum("d").alias("net"))
+    day_net = per_t.groupBy("day").agg(F.sum("net").alias("dnet"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = day_net.select(
+        "day", F.coalesce(F.sum("dnet").over(w_days), F.lit(0)).alias("carry_in")
+    )
+    w_in_day = Window.partitionBy("day").orderBy("t_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = per_t.join(F.broadcast(carry), "day").select(
+        "day", (F.col("carry_in") + F.sum("net").over(w_in_day)).alias("live")
+    )
+    return running.groupBy("day").agg(F.max("live").alias("peak_concurrency"))
+
+
+# ---------------------------------------------------------------------------
+# markov_transitions: first-order event-type transition matrix
+# ---------------------------------------------------------------------------
+
+_MARKOV_SQL = """
+WITH ordered AS (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS dst
+    FROM events
+),
+pairs AS (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n,
+       round(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+FROM pairs
+"""
+
+
+@register(
+    "markov_transitions",
+    _MARKOV_SQL,
+    "first-order event-type transition counts + probabilities per user stream",
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-model feature build: LEAD over each user's
+    (ts, event_id)-ordered stream yields (src, dst) transition pairs;
+    one hash aggregate gives the matrix, and the row-normalizing window
+    runs over the tiny (src, dst) aggregate — |types|² rows — not the
+    fact.  Probability is one integer-ratio division, identical in both
+    engines; round(6) is belt-and-braces."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_src).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ewma_daily: bounded-window exponential smoothing via literal lag taps
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5 over 7 taps: w_k = alpha * (1-alpha)^k; the tail beyond
+# 7 taps carries < 0.4% of the mass, so the bounded form is both
+# deterministic and a faithful smoother. Present-tap renormalization
+# handles series heads.
+_EWMA_TAPS = [0.5 * (0.5**k) for k in range(7)]
+
+
+def _ewma_sql_expr() -> tuple[str, str]:
+    num = " + ".join(
+        f"(CASE WHEN x{k} IS NULL THEN 0.0 ELSE {w!r} * x{k} END)"
+        for k, w in enumerate(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN x{k} IS NULL THEN 0.0 ELSE {w!r} END)"
+        for k, w in enumerate(_EWMA_TAPS)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_sql_expr()
+
+_EWMA_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM events GROUP BY 1, 2
+),
+taps AS (
+    SELECT event_type, day, n,
+           {", ".join(
+               f"LAG(n, {k}) OVER (PARTITION BY event_type ORDER BY day) AS x{k}"
+               for k in range(len(_EWMA_TAPS))
+           )}
+    FROM daily
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+FROM taps
+"""
+
+
+@register(
+    "ewma_daily",
+    _EWMA_SQL,
+    "EWMA-smoothed daily event counts (bounded literal-weight lag taps)",
+)
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing without recursive state: the recurrence
+    ``s_t = a*x_t + (1-a)*s_{t-1}`` unrolled to 7 literal-weight lag
+    taps (tail mass < 0.4%), renormalized over the taps present so the
+    series head isn't biased low.  One shuffle for the daily aggregate;
+    the lag window rides the same (event_type) partitioning.  The
+    weighted sum is written in one fixed left-to-right order so both
+    engines produce the identical double before the final round."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    taps = daily.select(
+        "event_type",
+        "day",
+        "n",
+        *[F.lag("n", k).over(w).alias(f"x{k}") for k in range(len(_EWMA_TAPS))],
+    )
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_TAPS):
+        xk = F.col(f"x{k}")
+        tap_n = F.when(xk.isNull(), F.lit(0.0)).otherwise(F.lit(wt) * xk)
+        tap_d = F.when(xk.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = tap_n if num is None else num + tap_n
+        den = tap_d if den is None else den + tap_d
+    return taps.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token_entropy: per-document unigram entropy (corpus quality signal)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM documents WHERE doc_id % 7 = 0
+),
+counts AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                         AS DECIMAL(18,9))) AS DOUBLE) AS clnc
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(ln(CAST(n_tokens AS DOUBLE)) - clnc / CAST(n_tokens AS DOUBLE), 6)
+           AS entropy
+FROM per_doc
+"""
+
+
+@register(
+    "token_entropy",
+    _ENTROPY_SQL,
+    "per-document token entropy (low entropy == boilerplate) with exact decimal staging",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per document,
+    H = ln(n) - sum(c*ln c)/n — the standard repetition/boilerplate
+    quality gate in LLM corpus prep.  The inner sum is order-dependent
+    in doubles, so each term is rounded to 9 decimals and summed in
+    DECIMAL (exact, associative) — Spark's parallel partials then
+    hash-match the sequential oracle.  explode + two hash aggregates on
+    doc_id; no Python, no global window."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    cd = F.col("c").cast("double")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.round(cd * F.log(cd), 9).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("clnc"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.log(nt) - F.col("clnc") / nt, 6).alias("entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pii_redaction: regex detect + global mask, fused into one scan
+# ---------------------------------------------------------------------------
+
+_PII_SQL = """
+WITH msgs AS (
+    SELECT c_mktsegment,
+           c_name || ' reach me at 555-'
+                  || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN c_custkey % 3 = 0
+                          THEN ' or ' || lower(replace(c_name, '#', ''))
+                               || '@example.com'
+                          ELSE '' END AS msg
+    FROM customer
+),
+scanned AS (
+    SELECT c_mktsegment,
+           len(regexp_extract_all(msg, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+           len(regexp_extract_all(msg, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS n_emails,
+           regexp_replace(
+               regexp_replace(msg, '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+               '[a-z0-9]+@[a-z]+\\.[a-z]+', '[EMAIL]', 'g') AS redacted
+    FROM msgs
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+       CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS msgs_with_email,
+       MIN(redacted) AS sample_redacted
+FROM scanned GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "pii_redaction",
+    _PII_SQL,
+    "regex PII detect + global mask (phones/emails) fused into one scan-projection",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as it runs in corpus prep: regexp_count to measure
+    leakage, nested regexp_replace to mask — all JVM built-ins in one
+    projection over the scan (no Python, no second pass).  The regexes
+    stay in the dialect subset Java and RE2 share (no backrefs or
+    lookaround).  Fixture text has no real PII, so the message column
+    is synthesized deterministically from customer fields; the operator
+    shape is exactly the production one."""
+    cust = load_table(spark, sf_dir, "customer")
+    msg = F.concat(
+        F.col("c_name"),
+        F.lit(" reach me at 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.lit(" or "),
+                F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit(""))),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    phone_re = r"[0-9]{3}-[0-9]{4}"
+    email_re = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+    scanned = cust.select(
+        "c_mktsegment",
+        F.regexp_count(msg, F.lit(phone_re)).alias("n_phones"),
+        F.regexp_count(msg, F.lit(email_re)).alias("n_emails"),
+        F.regexp_replace(
+            F.regexp_replace(msg, phone_re, "[PHONE]"), email_re, "[EMAIL]"
+        ).alias("redacted"),
+    )
+    return scanned.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.sum("n_phones").alias("total_phones"),
+        F.sum("n_emails").alias("total_emails"),
+        F.sum((F.col("n_emails") > 0).cast("long")).alias("msgs_with_email"),
+        F.min("redacted").alias("sample_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# engagement_bitmap: day-of-month activity packed into a 31-bit mask
+# ---------------------------------------------------------------------------
+
+_BITMAP_SQL = """
+WITH marks AS (
+    SELECT user_id, date_trunc('month', CAST(ts AS DATE)) AS month,
+           bit_or(CAST(1 AS BIGINT) << (CAST(day(CAST(ts AS DATE)) AS INTEGER) - 1))
+               AS day_mask
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       CAST(SUM(bit_count(day_mask)) AS BIGINT) AS active_days,
+       CAST(MAX(bit_count(day_mask)) AS BIGINT) AS max_month_days,
+       CAST(bit_or(day_mask) AS BIGINT) AS any_month_mask
+FROM marks GROUP BY user_id
+"""
+
+
+@register(
+    "engagement_bitmap",
+    _BITMAP_SQL,
+    "per-user day-of-month activity bitmaps (BIT_OR pack + popcount)",
+)
+def q_engagement_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-feature encoding at scale: one bigint bitmask per
+    user-month replaces one row per user-day (31× smaller state), and
+    popcount recovers days-active without re-scanning the fact.  Two
+    hash aggregates on (user, month) then (user); BIT_OR/BIT_COUNT are
+    integer-exact so the oracle matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    # shiftleft's Python binding wants a literal shift; the SQL form
+    # takes a column shift amount
+    day_bit = F.expr("shiftleft(cast(1 as bigint), day(to_date(ts)) - 1)")
+    marks = ev.groupBy(
+        "user_id", F.trunc(F.to_date("ts"), "month").alias("month")
+    ).agg(F.bit_or(day_bit).alias("day_mask"))
+    return marks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum(F.bit_count("day_mask")).alias("active_days"),
+        F.max(F.bit_count("day_mask")).cast("bigint").alias("max_month_days"),
+        F.bit_or("day_mask").alias("any_month_mask"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grid_density: fixed-grid geo binning of GPS fixes
+# ---------------------------------------------------------------------------
+
+_GRID_SQL = """
+WITH pts AS (
+    SELECT user_id,
+           CAST(floor((value / 5 - 20) * 2) AS INTEGER) AS cell_lat,
+           CAST(floor((value - 120) * 2) AS INTEGER) AS cell_lon
+    FROM events
+)
+SELECT cell_lat, cell_lon,
+       CAST(COUNT(*) AS BIGINT) AS n_fixes,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_devices
+FROM pts GROUP BY cell_lat, cell_lon
+"""
+
+
+@register(
+    "grid_density",
+    _GRID_SQL,
+    "fixed-grid spatial density of GPS fixes (integer cell keys, no geometry lib)",
+)
+def q_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial pre-aggregation: half-degree grid cells as integer keys
+    (floor of scaled lat/lon — deterministic in both engines), one hash
+    aggregate for fix counts and distinct devices.  This integer-cell
+    reduction is what makes heatmaps and cell-keyed spatial joins
+    feasible at 100 TB — downstream operators join on the cell id, not
+    on geometry.  Coordinates synthesized from the fixture exactly as
+    in trip_distance_daily (functions/geo contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    lat = F.col("value") / 5 - 20
+    lon = F.col("value") - 120
+    pts = ev.select(
+        "user_id",
+        F.floor(lat * 2).cast("int").alias("cell_lat"),
+        F.floor(lon * 2).cast("int").alias("cell_lon"),
+    )
+    return pts.groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).alias("n_fixes"),
+        F.countDistinct("user_id").alias("n_devices"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefix_dedup_stats: first-k-token prefix collapse (template-spam pass)
+# ---------------------------------------------------------------------------
+
+_PREFIX_SQL = """
+WITH pfx AS (
+    SELECT doc_id, source,
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+               AS prefix_hash
+    FROM documents
+),
+groups AS (
+    SELECT source, prefix_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc
+    FROM pfx GROUP BY source, prefix_hash
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_prefix_groups,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(n_docs) - COUNT(*) AS BIGINT) AS n_redundant,
+       CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_groups,
+       CAST(MAX(n_docs) AS BIGINT) AS largest_group
+FROM groups GROUP BY source
+"""
+
+
+@register(
+    "prefix_dedup_stats",
+    _PREFIX_SQL,
+    "first-8-token prefix dedup (template-spam pass before MinHash)",
+)
+def q_prefix_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheap exact pass that precedes MinHash in corpus dedup:
+    documents sharing their first-8-token prefix collapse to the
+    min-doc_id canonical.  One md5 per doc (JVM codegen), one shuffle
+    on (source, prefix_hash), then a per-source rollup — removes
+    templated spam for a fraction of LSH's cost, shrinking the corpus
+    MinHash has to shingle.  Parity: operators/dedup.py exact family;
+    SURVEY.md LLM-pipeline dedup section."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+    pfx = docs.select("doc_id", "source", F.md5(prefix).alias("prefix_hash"))
+    groups = pfx.groupBy("source", "prefix_hash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    return groups.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_prefix_groups"),
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("n_docs") - F.count(F.lit(1))).alias("n_redundant"),
+        F.sum((F.col("n_docs") > 1).cast("long")).alias("n_dup_groups"),
+        F.max("n_docs").alias("largest_group"),
+    )
