@@ -597,6 +597,10 @@ _DRIVER_PRIORITY = [
     "engagement_bitmap",
     "grid_density",
     "prefix_dedup_stats",
+    "kmv_distinct_sketch",
+    "dq_expectations",
+    "growth_rates",
+    "mad_outliers",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

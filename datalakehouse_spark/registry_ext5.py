@@ -573,3 +573,334 @@ def q_prefix_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("n_docs") > 1).cast("long")).alias("n_dup_groups"),
         F.max("n_docs").alias("largest_group"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kmv_distinct_sketch: k-minimum-values cardinality estimate, fully
+# deterministic (md5 hash space) and therefore oracle-able — unlike
+# HLL, whose sketch layout is engine-private.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SQL = f"""
+WITH hashes AS (
+    SELECT DISTINCT event_type,
+           CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM events
+),
+ranked AS (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM hashes
+),
+kth AS (
+    SELECT event_type,
+           CAST(MAX(CASE WHEN rk = {_KMV_K} THEN h END) AS BIGINT) AS h_k,
+           CAST(COUNT(*) AS BIGINT) AS n_hashes
+    FROM ranked WHERE rk <= {_KMV_K} GROUP BY event_type
+),
+exact AS (
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+    FROM events GROUP BY event_type
+)
+SELECT k.event_type,
+       e.exact_users,
+       CASE WHEN k.h_k IS NULL THEN CAST(k.n_hashes AS DOUBLE)
+            ELSE round(({_KMV_K} - 1) * {float(1 << 60)!r}
+                       / CAST(k.h_k AS DOUBLE), 6)
+       END AS kmv_estimate
+FROM kth k JOIN exact e ON k.event_type = e.event_type
+"""
+
+
+@register(
+    "kmv_distinct_sketch",
+    _KMV_SQL,
+    f"KMV (k={_KMV_K} minimum hash values) distinct-user estimate vs exact",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable cardinality sketch that the oracle can replay: hash
+    users into the md5 60-bit space, keep the k smallest distinct
+    values per group, estimate distinct = (k-1)/h_k (normalized).
+    Unlike HLL registers, the k-minimum set is engine-independent, so
+    the estimate is bit-reproducible — and the sketch is mergeable
+    (union of k-min sets, re-take k smallest), which is what a
+    100 TB rollup needs: per-partition k-min sets merge at O(k) per
+    group instead of re-scanning.  When a group has fewer than k
+    distinct hashes the sketch IS the exact set (n_hashes).  The rank
+    window runs per event_type over DISTINCT hashes; at extreme
+    cardinality you'd replace it with a per-partition top-k merge —
+    same result, noted for scale."""
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    hashes = ev.select(
+        "event_type",
+        md5_hash60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias(
+            "h"
+        ),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashes.select(
+        "event_type", "h", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= _KMV_K)
+    kth = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("h_k"),
+        F.count(F.lit(1)).alias("n_hashes"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    est = (
+        F.when(F.col("h_k").isNull(), F.col("n_hashes").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(_KMV_K - 1) * float(1 << 60))
+                / F.col("h_k").cast("double"),
+                6,
+            )
+        )
+    )
+    return kth.join(exact, "event_type").select(
+        "event_type", "exact_users", est.alias("kmv_estimate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_expectations: Deequ-style data-quality audit across the star schema
+# ---------------------------------------------------------------------------
+
+_DQ_SQL = """
+SELECT 'orders_fk_customer' AS check_name,
+       CAST(COUNT(*) AS BIGINT) AS n_checked,
+       CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'lineitem_discount_range',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'events_value_nonnegative',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'events_props_json_k',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'documents_nonempty_text',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'customer_acctbal_floor',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN c_acctbal < -1000 THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer
+"""
+
+
+@register(
+    "dq_expectations",
+    _DQ_SQL,
+    "Deequ-style data-quality audit: FK orphans, range, null and JSON checks",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint verification as a first-class query: referential
+    integrity (LEFT JOIN + null probe — the orphan check that catches
+    broken ingests), range and null-rate expectations, and JSON-shape
+    validation, each reduced to one (checked, violations) row and
+    UNION ALLed into a single report.  Dimension sides of the FK
+    probes are broadcast; every check is a scan + count, so the whole
+    audit is one pass per table at any scale.  Parity: the reference's
+    ingest validation / DLQ splits (streaming jobs) applied batch-wide."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(viol.cast("long")).alias("n_violations"),
+        ).select(F.lit(name).alias("check_name"), "n_checked", "n_violations")
+
+    fk_orders = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left",
+    )
+    fk_lineitem = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left",
+    )
+    checks = [
+        check("orders_fk_customer", fk_orders, F.col("c_custkey").isNull()),
+        check("lineitem_fk_orders", fk_lineitem, F.col("o_orderkey").isNull()),
+        check(
+            "lineitem_discount_range",
+            lineitem,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        ),
+        check("events_value_nonnegative", events, F.col("value") < 0),
+        check(
+            "events_props_json_k",
+            events,
+            F.get_json_object("props", "$.k").isNull(),
+        ),
+        check(
+            "documents_nonempty_text",
+            documents,
+            F.col("text").isNull() | (F.length("text") == 0),
+        ),
+        check("customer_acctbal_floor", customer, F.col("c_acctbal") < -1000),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# growth_rates: week-over-week revenue deltas via lag
+# ---------------------------------------------------------------------------
+
+_GROWTH_SQL = """
+WITH weekly AS (
+    SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS week,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1
+),
+lagged AS (
+    SELECT week, revenue, n_orders,
+           LAG(revenue) OVER (ORDER BY week) AS prev_revenue
+    FROM weekly
+)
+SELECT week, revenue, n_orders,
+       round(revenue - COALESCE(prev_revenue, 0.0), 2) AS wow_delta,
+       CASE WHEN prev_revenue IS NULL OR prev_revenue = 0 THEN NULL
+            ELSE round((revenue - prev_revenue) / prev_revenue, 6) END
+           AS wow_pct
+FROM lagged
+"""
+
+
+@register(
+    "growth_rates",
+    _GROWTH_SQL,
+    "week-over-week revenue growth (decimal-staged sums + lag deltas)",
+)
+def q_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: ISO-week buckets (both engines
+    truncate to Monday), decimal-staged revenue sums, then LAG over the
+    tiny weekly series for absolute and percentage deltas.  The window
+    is over O(weeks) rows — the fact is touched once by the weekly
+    aggregate.  Division only where the previous week exists; one
+    IEEE division replicated identically in the oracle."""
+    from datalakehouse_spark.functions.numeric import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "week").alias("week")
+    ).agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("week")
+    lagged = weekly.select(
+        "week", "revenue", "n_orders", F.lag("revenue").over(w).alias("prev_revenue")
+    )
+    wow_pct = F.when(
+        F.col("prev_revenue").isNull() | (F.col("prev_revenue") == 0), F.lit(None)
+    ).otherwise(
+        F.round((F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"), 6)
+    )
+    return lagged.select(
+        "week",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - F.coalesce("prev_revenue", F.lit(0.0)), 2).alias(
+            "wow_delta"
+        ),
+        wow_pct.alias("wow_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers: robust (median/MAD) outlier detection per group
+# ---------------------------------------------------------------------------
+
+_MAD_SQL = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+    GROUP BY event_type
+)
+SELECT d.event_type,
+       round(MIN(d.med), 6) AS median_value,
+       round(MIN(m.mad), 6) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN m.mad > 0
+                      AND abs(d.value - d.med) > 3 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@register(
+    "mad_outliers",
+    _MAD_SQL,
+    "robust outlier detection via median/MAD (3-sigma-equivalent robust z)",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/stddev outlier gates break under the very outliers they
+    hunt; the robust form uses the median and the median absolute
+    deviation (×1.4826 ≈ sigma for normal data).  Two exact-percentile
+    aggregates (same interpolated semantics both engines, proven by
+    exact_percentiles) with the per-group medians broadcast back —
+    the fact is scanned twice, never shuffled on anything wider than
+    event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    joined = dev.join(F.broadcast(mad), "event_type")
+    is_out = (F.col("mad") > 0) & (
+        F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    )
+    return joined.groupBy("event_type").agg(
+        F.round(F.min("med"), 6).alias("median_value"),
+        F.round(F.min("mad"), 6).alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+    )
