@@ -601,6 +601,9 @@ _DRIVER_PRIORITY = [
     "dq_expectations",
     "growth_rates",
     "mad_outliers",
+    "shingle_novelty_daily",
+    "distribution_rebalance",
+    "fuzzy_dup_candidates",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

@@ -904,3 +904,259 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(is_out.cast("long")).alias("n_outliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shingle_novelty_daily: corpus freshness — fraction of never-before-seen
+# 3-gram shingles arriving each day
+# ---------------------------------------------------------------------------
+
+_NOVELTY_SQL = """
+WITH ev_docs AS (
+    -- deterministically assign each document an arrival day by hashing
+    -- its id onto the fixture's 30-day window
+    SELECT doc_id, text,
+           DATE '2024-01-01' + CAST(CAST(
+               ('0x' || substr(md5('day:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 30 AS INTEGER) AS day
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, day, string_split(text, ' ') AS t FROM ev_docs
+),
+shingles AS (
+    SELECT DISTINCT day,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   FOR i IN range(1, len(t) - 1)]) AS shingle
+    FROM toks WHERE len(t) >= 3
+),
+first_seen AS (
+    SELECT shingle, MIN(day) AS first_day FROM shingles GROUP BY shingle
+),
+per_day AS (
+    SELECT s.day,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_day = s.day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+    FROM shingles s JOIN first_seen f ON s.shingle = f.shingle
+    GROUP BY s.day
+)
+SELECT day, n_shingles, n_novel,
+       round(CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6)
+           AS novelty_rate
+FROM per_day
+"""
+
+
+@register(
+    "shingle_novelty_daily",
+    _NOVELTY_SQL,
+    "daily fraction of never-before-seen 3-gram shingles (corpus freshness)",
+)
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-freshness monitoring: how much of each day's arriving
+    text is genuinely new 3-gram material vs re-crawled boilerplate.
+    The cumulative-state-free formulation (same trick as
+    running_distinct_users): each distinct shingle contributes novelty
+    only on its MIN(day), so two hash aggregates on the shingle key
+    replace any running distinct state.  Shingling is a posexplode
+    over the token array — n_tokens rows per doc, one shuffle on the
+    shingle hash.  Arrival days are md5-derived from doc_id so the
+    metric is deterministic on the static fixture."""
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    day = F.date_add(
+        F.lit("2024-01-01").cast("date"),
+        (md5_hash60(F.concat(F.lit("day:"), F.col("doc_id").cast("string"))) % 30)
+        .cast("int"),
+    )
+    toks = docs.select("doc_id", day.alias("day"), F.split("text", " ").alias("t"))
+    # build shingles from the token array in place (no positional re-join)
+    sh = toks.select(
+        "day",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(t) - 3, -1)), "
+                "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    first_seen = sh.groupBy("shingle").agg(F.min("day").alias("first_day"))
+    per_day = (
+        sh.join(first_seen, "shingle")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_day") == F.col("day")).cast("long")).alias("n_novel"),
+        )
+    )
+    return per_day.select(
+        "day",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"), 6
+        ).alias("novelty_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distribution_rebalance: importance-resample sources to a target mix
+# ---------------------------------------------------------------------------
+
+# fixture sources are src0..src19, uniformly sized; the target mix
+# concentrates the corpus on the first five (the "high-quality" tier)
+# and thins the long tail to 1.3% each — so both down-sampling
+# (keep_rate < 1) and keep-everything (rate clamped to 1) paths are
+# exercised.
+_REBALANCE_TARGETS = {
+    "src0": 0.30,
+    "src1": 0.20,
+    "src2": 0.15,
+    "src3": 0.10,
+    "src4": 0.05,
+}
+_REBALANCE_DEFAULT = 0.013
+
+_REBALANCE_SQL = f"""
+WITH totals AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+grand AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM totals),
+rates AS (
+    SELECT t.source, t.n, g.total,
+           -- CAST: DuckDB types bare numeric literals DECIMAL; the CASE
+           -- must come out DOUBLE to string-match Spark's double literals
+           CAST(CASE t.source
+               {" ".join(f"WHEN '{s}' THEN {p!r}" for s, p in _REBALANCE_TARGETS.items())}
+               ELSE {_REBALANCE_DEFAULT!r} END AS DOUBLE) AS target_share
+    FROM totals t CROSS JOIN grand g
+),
+plan_rates AS (
+    SELECT source, n, target_share,
+           least(1.0, target_share * CAST(total AS DOUBLE) / CAST(n AS DOUBLE))
+               AS keep_rate
+    FROM rates
+),
+kept AS (
+    SELECT d.source,
+           CAST(SUM(CASE WHEN
+               CAST(('0x' || substr(md5('rb:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) / {float(1 << 60)!r} < r.keep_rate
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN plan_rates r ON d.source = r.source
+    GROUP BY d.source
+)
+SELECT r.source, r.n AS n_docs, round(r.target_share, 6) AS target_share,
+       round(r.keep_rate, 6) AS keep_rate, k.n_kept
+FROM plan_rates r JOIN kept k ON r.source = k.source
+"""
+
+
+@register(
+    "distribution_rebalance",
+    _REBALANCE_SQL,
+    "importance-resample sources toward a target training mix (deterministic Bernoulli)",
+)
+def q_distribution_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: given target source proportions,
+    downsample each over-represented source at rate
+    min(1, target_share * total / count) with the salted-md5 uniform
+    variate (rerun- and partitioning-independent, unlike rand()).
+    The rate table is O(sources) and broadcast; the keep decision is a
+    scan-fused filter — one pass over the corpus at any scale.
+    Undersized sources keep rate 1.0 (upsampling is a separate
+    repeat-explode op)."""
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    grand = totals.agg(F.sum("n").alias("total"))
+    target = F.create_map(
+        *[x for s, p in _REBALANCE_TARGETS.items() for x in (F.lit(s), F.lit(p))]
+    )
+    rates = totals.crossJoin(F.broadcast(grand)).select(
+        "source",
+        "n",
+        F.coalesce(target[F.col("source")], F.lit(_REBALANCE_DEFAULT)).alias(
+            "target_share"
+        ),
+        F.least(
+            F.lit(1.0),
+            F.coalesce(target[F.col("source")], F.lit(_REBALANCE_DEFAULT))
+            * F.col("total").cast("double")
+            / F.col("n").cast("double"),
+        ).alias("keep_rate"),
+    )
+    u = md5_hash60(
+        F.concat(F.lit("rb:"), F.col("doc_id").cast("string"))
+    ) / F.lit(float(1 << 60))
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "keep_rate")), "source")
+        .groupBy("source")
+        .agg(F.sum((u < F.col("keep_rate")).cast("long")).alias("n_kept"))
+    )
+    return rates.join(kept, "source").select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round("keep_rate", 6).alias("keep_rate"),
+        "n_kept",
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_dup_candidates: blocked Levenshtein entity matching
+# ---------------------------------------------------------------------------
+
+_FUZZY_SQL = """
+WITH keyed AS (
+    SELECT c_custkey, c_name, c_mktsegment,
+           substr(c_name, 1, 14) AS block_key
+    FROM customer
+),
+pairs AS (
+    SELECT a.c_custkey AS left_key, b.c_custkey AS right_key,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM keyed a JOIN keyed b
+      ON a.block_key = b.block_key AND a.c_custkey < b.c_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_candidates,
+       CAST(MIN(dist) AS BIGINT) AS min_dist,
+       CAST(MAX(dist) AS BIGINT) AS max_dist
+FROM pairs
+"""
+
+
+@register(
+    "fuzzy_dup_candidates",
+    _FUZZY_SQL,
+    "entity resolution: prefix-blocked Levenshtein candidate pairs",
+)
+def q_fuzzy_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching the scale-safe way: never all-pairs —
+    records meet only inside their name-prefix block (an equi-join
+    key), and Levenshtein runs on the few pairs that survive blocking.
+    Block size is bounded by the prefix cardinality, so the join is a
+    plain hash join; at 100 TB you'd tune prefix length (or add a
+    second phonetic block pass) to keep blocks O(100).  The distance
+    is integer-exact in both engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    keyed = cust.select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 14).alias("block_key")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("dist") <= 2).cast("long")).alias("n_candidates"),
+        F.min("dist").cast("bigint").alias("min_dist"),
+        F.max("dist").cast("bigint").alias("max_dist"),
+    )
