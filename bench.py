@@ -69,11 +69,21 @@ def main() -> None:
     t_total0 = time.perf_counter()
     for name in names:
         t1 = _timed(name)
-        if t1 < RERUN_THRESHOLD_S and name not in BUILD_ONCE:
+        if name in BUILD_ONCE:
+            timings[name] = round(t1, 3)
+        elif t1 < RERUN_THRESHOLD_S:
             runs = sorted([t1, _timed(name), _timed(name)])
             timings[name] = round(runs[1], 3)
         else:
-            timings[name] = round(t1, 3)
+            # a slow FIRST run may be an ordering artifact (GC pause
+            # inherited from a heavy predecessor — a 0.5 s rollup once
+            # recorded 5.6 s this way), so confirm before believing it
+            t2 = _timed(name)
+            if t2 < RERUN_THRESHOLD_S:  # outlier: fall back to median-of-3
+                runs = sorted([t1, t2, _timed(name)])
+                timings[name] = round(runs[1], 3)
+            else:  # genuinely long: steady-state = best of the two
+                timings[name] = round(min(t1, t2), 3)
     wall = round(time.perf_counter() - t_total0, 3)
     total = round(sum(timings.values()), 3)
 
@@ -84,7 +94,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "wall_sec": wall,
-        "timing": "median-of-3 for entries <3s (single-shot above, and for build-once entries)",
+        "timing": "median-of-3 for entries <3s; min-of-2 above (slow first runs re-confirmed); single-shot for build-once entries",
     }
     # Compact separators keep the line short enough for tail-capture
     # harnesses; the full map is also persisted to bench_out.json.
