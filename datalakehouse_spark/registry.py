@@ -604,6 +604,9 @@ _DRIVER_PRIORITY = [
     "shingle_novelty_daily",
     "distribution_rebalance",
     "fuzzy_dup_candidates",
+    "hierarchy_rollup",
+    "debounce_events",
+    "purchase_attribution",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

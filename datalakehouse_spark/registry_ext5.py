@@ -1172,3 +1172,202 @@ def q_fuzzy_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dist").cast("bigint").alias("min_dist"),
         F.max("dist").cast("bigint").alias("max_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hierarchy_rollup: subtree aggregation over a decimal-digit hierarchy
+# (materialized-path explode — the scale-safe alternative to recursion)
+# ---------------------------------------------------------------------------
+
+_HIER_DEPTH = 7  # user_id < 10^6 in all fixtures; /10 per level reaches 0
+
+# ancestors of one event are distinct by construction (n // 10^d
+# strictly shrinks until 0, where the sequence saturates); the
+# saturated tail is deduped inside the per-event list
+_HIER_SQL = f"""
+WITH anc AS (
+    -- explicit floor: DuckDB CAST(DOUBLE AS BIGINT) ROUNDS (Spark's
+    -- cast truncates), so a bare cast of the division would disagree
+    SELECT unnest(list_distinct([CAST(floor(user_id / power(10, d)) AS BIGINT)
+                                 FOR d IN range(0, {_HIER_DEPTH})])) AS node,
+           value
+    FROM events
+)
+SELECT node,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS subtree_value
+FROM anc GROUP BY node
+"""
+
+
+@register(
+    "hierarchy_rollup",
+    _HIER_SQL,
+    "subtree rollup via materialized ancestor-path explode (no recursion)",
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation without a recursive join: each user id
+    is a node whose parent is id/10 (a synthetic org chart over the
+    fixture), and every event contributes to all its ancestors.  The
+    materialized-path form — explode the (bounded-depth) ancestor list,
+    one hash aggregate on the node — is how subtree rollups scale: cost
+    is depth × fact size with ONE shuffle, versus a recursive
+    CTE/iterative join whose every level re-shuffles the frontier
+    (Spark lacks recursive CTEs; the DuckDB oracle uses the identical
+    path expansion).  The saturated tail of the path (…//10^d == 0) is
+    deduped per event so the root counts each event once."""
+    from datalakehouse_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    anc = ev.select(
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    *[
+                        (F.col("user_id") / F.lit(10**d)).cast("bigint").alias(f"a{d}")
+                        for d in range(_HIER_DEPTH)
+                    ]
+                )
+            )
+        ).alias("node"),
+        "value",
+    )
+    return anc.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("subtree_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# debounce_events: drop same-type events within a refractory gap
+# ---------------------------------------------------------------------------
+
+_DEBOUNCE_SQL = """
+WITH gaps AS (
+    SELECT event_type,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts), event_id) AS gap_us
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 5000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= 5000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_debounced
+FROM gaps GROUP BY event_type
+"""
+
+
+@register(
+    "debounce_events",
+    _DEBOUNCE_SQL,
+    "refractory-gap dedup: drop same-type events within 5s of the previous",
+)
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-fire suppression (the batch twin of streaming
+    dropDuplicatesWithinWatermark): an event survives if it's the first
+    of its (user, type) stream or arrived more than 5 s after the
+    previous one.  One LAG window on the natural (user, type) key —
+    epoch-microsecond integer gaps, so the keep decision is exact in
+    both engines.  Chained debounce (gap from previous KEPT event)
+    needs running state — that variant lives in streaming; this is the
+    standard previous-RAW-event form."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    keep = F.col("gap_us").isNull() | (F.col("gap_us") > 5_000_000)
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        F.sum((~keep).cast("long")).alias("n_debounced"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# purchase_attribution: last-touch click attribution via conditional window
+# ---------------------------------------------------------------------------
+
+_ATTRIB_SQL = """
+WITH stream AS (
+    SELECT user_id, event_type, value, epoch_us(ts) AS us, event_id,
+           CAST(ts AS DATE) AS day,
+           MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS last_click_us
+    FROM events
+),
+purchases AS (
+    SELECT day, value, last_click_us,
+           CASE WHEN last_click_us IS NOT NULL
+                 AND us - last_click_us <= 86400000000
+                THEN 1 ELSE 0 END AS attributed
+    FROM stream WHERE event_type = 'purchase'
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(attributed) AS BIGINT) AS n_attributed,
+       CAST(SUM(CASE WHEN attributed = 1
+                     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS attributed_value
+FROM purchases GROUP BY day
+"""
+
+
+@register(
+    "purchase_attribution",
+    _ATTRIB_SQL,
+    "last-touch attribution: purchases credited to the nearest prior click (24h lookback)",
+)
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution as one pass over the interleaved event
+    stream: a conditional running MAX (last click timestamp so far)
+    over each user's ordered stream gives every purchase its
+    most-recent prior click without a self-join; the 24 h lookback and
+    the credit sum are then row-local.  One shuffle on user_id — the
+    self-join formulation (purchases × clicks, filter to nearest)
+    shuffles both sides AND risks a pair blow-up on clicky users.
+    Decimal-staged value sum; gap test in integer microseconds."""
+    from datalakehouse_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stream = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        us.alias("us"),
+        F.to_date("ts").alias("day"),
+        F.max(F.when(F.col("event_type") == "click", us)).over(w).alias(
+            "last_click_us"
+        ),
+    )
+    purchases = stream.where(F.col("event_type") == "purchase").select(
+        "day",
+        "value",
+        (
+            F.col("last_click_us").isNotNull()
+            & ((F.col("us") - F.col("last_click_us")) <= 86_400_000_000)
+        )
+        .cast("int")
+        .alias("attributed"),
+    )
+    return purchases.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("attributed").cast("bigint").alias("n_attributed"),
+        dsum(F.when(F.col("attributed") == 1, F.col("value"))).alias(
+            "attributed_value"
+        ),
+    )
