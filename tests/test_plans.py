@@ -475,3 +475,77 @@ def test_ivfpq_serve_prunes_partitions_and_reads_codes_only(spark):
     assert m and "cluster" in m.group(1), f"probe must be a partition filter: {m}"
     rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert rs and "embedding" not in rs.group(1), "must read codes, not vectors"
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation (registry_ext5) plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_blocking_is_hash_join(spark):
+    """The blocked pair join must be a plain equi hash/merge join on the
+    prefix key — a nested-loop or cartesian plan means blocking broke."""
+    plan = plan_of(REGISTRY["fuzzy_dup_candidates"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_purchase_attribution_single_user_shuffle(spark):
+    """Attribution is one window over user_id — no self-join of
+    purchases against clicks may appear."""
+    plan = plan_of(REGISTRY["purchase_attribution"].fn(spark, SF))
+    assert "Join" not in plan, "conditional running MAX must replace the self-join"
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_hierarchy_rollup_one_shuffle_no_join(spark):
+    plan = plan_of(REGISTRY["hierarchy_rollup"].fn(spark, SF))
+    assert "Join" not in plan
+    # explode + partial agg + one exchange on node (AQE may add reads)
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_max_concurrency_windows_are_day_partitioned(spark):
+    """The running sum over the fact-sized sweep series must be
+    PARTITIONED BY day; only the O(days) carry may single-partition."""
+    plan = plan_of(REGISTRY["max_concurrency"].fn(spark, SF))
+    # the fact-sized running sum shuffles on day (parallel), never on ()
+    assert "hashpartitioning(day" in plan
+    # the carry join must broadcast (carry side is O(days))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dq_expectations_broadcasts_fk_probe(spark):
+    plan = plan_of(REGISTRY["dq_expectations"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_no_python_and_grouped_window(spark):
+    plan = plan_of(REGISTRY["kmv_distinct_sketch"].fn(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "row_number" in plan
+
+
+def test_round5_entries_stay_jvm_side(spark):
+    for name in (
+        "token_entropy",
+        "pii_redaction",
+        "engagement_bitmap",
+        "grid_density",
+        "prefix_dedup_stats",
+        "shingle_novelty_daily",
+        "distribution_rebalance",
+        "markov_transitions",
+        "ewma_daily",
+        "debounce_events",
+        "mad_outliers",
+        "growth_rates",
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
