@@ -607,6 +607,9 @@ _DRIVER_PRIORITY = [
     "hierarchy_rollup",
     "debounce_events",
     "purchase_attribution",
+    "dow_seasonality",
+    "anomaly_days",
+    "bloom_membership_accounting",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

@@ -1371,3 +1371,293 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# dow_seasonality: day-of-week index per event type
+# ---------------------------------------------------------------------------
+
+# day-of-week via integer date arithmetic from a fixed Monday anchor —
+# engine-independent (Spark dayofweek() counts Sunday=1, DuckDB dow()
+# Sunday=0; a datediff mod 7 sidesteps both conventions)
+_DOW_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+keyed AS (
+    SELECT event_type, c,
+           CAST(date_diff('day', DATE '2024-01-01', day) % 7 AS INTEGER) AS dow
+    FROM daily
+),
+tot AS (
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS total_events,
+           CAST(COUNT(*) AS BIGINT) AS total_days
+    FROM keyed GROUP BY event_type
+)
+SELECT k.event_type, k.dow,
+       CAST(SUM(k.c) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(CAST(SUM(k.c) * t.total_days AS DOUBLE)
+             / CAST(COUNT(*) * t.total_events AS DOUBLE), 6) AS seasonality_idx
+FROM keyed k JOIN tot t ON k.event_type = t.event_type
+GROUP BY k.event_type, k.dow, t.total_days, t.total_events
+"""
+
+
+@register(
+    "dow_seasonality",
+    _DOW_SQL,
+    "day-of-week seasonality index per event type (integer-exact dow arithmetic)",
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: the ratio of a weekday's average
+    daily volume to the overall average.  Day-of-week comes from
+    datediff-mod-7 against a fixed Monday anchor because the engines
+    disagree on dayofweek numbering; the index is one division of two
+    exact integer products, so it's bit-identical.  Cost: one daily
+    rollup (the only fact shuffle), then O(types×7) arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    keyed = daily.select(
+        "event_type",
+        "c",
+        (F.datediff("day", F.lit("2024-01-01").cast("date")) % 7).cast("int").alias(
+            "dow"
+        ),
+    )
+    tot = keyed.groupBy("event_type").agg(
+        F.sum("c").alias("total_events"), F.count(F.lit(1)).alias("total_days")
+    )
+    per = keyed.groupBy("event_type", "dow").agg(
+        F.sum("c").alias("n_events"), F.count(F.lit(1)).alias("n_days")
+    )
+    j = per.join(F.broadcast(tot), "event_type")
+    return j.select(
+        "event_type",
+        "dow",
+        "n_events",
+        "n_days",
+        F.round(
+            (F.col("n_events") * F.col("total_days")).cast("double")
+            / (F.col("n_days") * F.col("total_events")).cast("double"),
+            6,
+        ).alias("seasonality_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# anomaly_days: 2-sigma daily-volume anomalies with EXACT integer tests
+# ---------------------------------------------------------------------------
+
+_ANOMALY_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS q
+    FROM daily GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(MIN(st.n) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN
+                (d.c * st.n - st.s) * (d.c * st.n - st.s) * (st.n - 1)
+                    > 4 * st.n * (st.n * st.q - st.s * st.s)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+       round(MAX(abs(CAST(d.c AS DOUBLE) - CAST(st.s AS DOUBLE) / st.n)), 6)
+           AS max_abs_deviation
+FROM daily d JOIN stats st ON d.event_type = st.event_type
+GROUP BY d.event_type
+"""
+
+
+@register(
+    "anomaly_days",
+    _ANOMALY_SQL,
+    "2-sigma daily-volume anomaly days per type — exact integer-arithmetic test",
+)
+def q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection with a test that can't flip on float
+    ulps: |c - mean| > 2·sd is algebraically rearranged to
+    (c·n − S)²·(n−1) > 4·n·(n·Q − S²) over the integer daily counts
+    (S = Σc, Q = Σc²) — both sides are exact int64, so Spark and the
+    oracle agree on every boundary case (a stddev_samp formulation
+    diverges in the last ulp between Welford partials and the
+    sequential scan).  One daily rollup, a broadcast of the O(types)
+    stats row, one final aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    d = daily.join(F.broadcast(stats), "event_type")
+    lhs = (F.col("c") * F.col("n") - F.col("s"))
+    is_anom = (lhs * lhs * (F.col("n") - 1)) > (
+        F.lit(4) * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+    )
+    return d.groupBy("event_type").agg(
+        F.min("n").alias("n_days"),
+        F.sum(is_anom.cast("long")).alias("n_anomalous"),
+        F.round(
+            F.max(
+                F.abs(F.col("c").cast("double") - F.col("s").cast("double") / F.col("n"))
+            ),
+            6,
+        ).alias("max_abs_deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bloom_membership_accounting: deterministic Bloom filter as a bitmap
+# relation — build, probe, and measure the false-positive rate
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 65536  # 2048 words × 32 bits
+_BLOOM_K = 4
+
+def _bloom_hash_sql(expr: str, i: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('bf{i}:' || CAST({expr} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {_BLOOM_BITS}"
+    )
+
+
+_BLOOM_SQL = f"""
+WITH member_bits AS (
+    SELECT DISTINCT (b.idx // 32) AS word, (b.idx % 32) AS bit
+    FROM customer, unnest([{", ".join(_bloom_hash_sql("c_custkey", i) for i in range(_BLOOM_K))}]) AS b(idx)
+),
+bloom AS (
+    SELECT word, bit_or(CAST(1 AS BIGINT) << CAST(bit AS INTEGER)) AS bits
+    FROM member_bits GROUP BY word
+),
+probes AS (
+    SELECT DISTINCT o_custkey + 500 AS key FROM orders
+),
+probe_bits AS (
+    SELECT p.key, (b.idx // 32) AS word, (b.idx % 32) AS bit
+    FROM probes p, unnest([{", ".join(_bloom_hash_sql("p.key", i) for i in range(_BLOOM_K))}]) AS b(idx)
+),
+checked AS (
+    SELECT pb.key,
+           CAST(SUM(CASE WHEN (bl.bits >> CAST(pb.bit AS INTEGER)) & 1 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits
+    FROM probe_bits pb LEFT JOIN bloom bl ON pb.word = bl.word
+    GROUP BY pb.key
+),
+verdicts AS (
+    SELECT c.key,
+           CASE WHEN c.hits = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_pos,
+           CASE WHEN cu.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS is_member
+    FROM checked c LEFT JOIN customer cu ON c.key = cu.c_custkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(bloom_pos) AS BIGINT) AS n_bloom_positive,
+       CAST(SUM(is_member) AS BIGINT) AS n_true_members,
+       CAST(SUM(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positives,
+       CAST(SUM(CASE WHEN bloom_pos = 0 AND is_member = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_negatives,
+       round(CAST(SUM(CASE WHEN bloom_pos = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / greatest(CAST(SUM(CASE WHEN is_member = 0 THEN 1 ELSE 0 END)
+                             AS DOUBLE), 1.0), 6) AS fpr
+FROM verdicts
+"""
+
+
+@register(
+    "bloom_membership_accounting",
+    _BLOOM_SQL,
+    f"deterministic Bloom filter ({_BLOOM_BITS} bits, k={_BLOOM_K}): build, probe, measured FPR",
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Bloom filter the oracle can replay bit-for-bit: k salted-md5
+    hash positions per key, the bitmap materialized as a (word, bits)
+    relation via BIT_OR (≤2048 rows — broadcastable anywhere), probes
+    join on the word id and AND out their bit.  The accounting joins
+    the Bloom verdict against exact membership to measure the realized
+    false-positive rate — and pins n_false_negatives == 0, the Bloom
+    guarantee, as oracle-checked output.  This is the semantic twin of
+    the runtime bloom-filter join pruning Spark injects (plan-asserted
+    in test_plans.py), exposed as data so its selectivity is testable.
+    32-bit words sidestep both engines' int64 sign-bit shift edge."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    def idxs(col):
+        return F.array(
+            *[
+                (
+                    md5_hash60(F.concat(F.lit(f"bf{i}:"), col.cast("string")))
+                    % _BLOOM_BITS
+                )
+                for i in range(_BLOOM_K)
+            ]
+        )
+
+    member_bits = (
+        cust.select(F.explode(idxs(F.col("c_custkey"))).alias("idx"))
+        .select((F.col("idx") / 32).cast("bigint").alias("word"),
+                (F.col("idx") % 32).alias("bit"))
+        .distinct()
+    )
+    bloom = member_bits.groupBy("word").agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), cast(bit as int)))").alias("bits")
+    )
+    probes = orders.select((F.col("o_custkey") + 500).alias("key")).distinct()
+    probe_bits = probes.select(
+        "key", F.explode(idxs(F.col("key"))).alias("idx")
+    ).select(
+        "key",
+        (F.col("idx") / 32).cast("bigint").alias("word"),
+        (F.col("idx") % 32).alias("bit"),
+    )
+    checked = (
+        probe_bits.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "key",
+            F.expr(
+                "case when (shiftright(bits, cast(bit as int)) & 1) = 1 "
+                "then 1 else 0 end"
+            ).alias("hit"),
+        )
+        .groupBy("key")
+        .agg(F.sum("hit").alias("hits"))
+    )
+    verdicts = checked.join(
+        F.broadcast(cust.select("c_custkey")),
+        checked.key == F.col("c_custkey"),
+        "left",
+    ).select(
+        (F.col("hits") == _BLOOM_K).cast("int").alias("bloom_pos"),
+        F.col("c_custkey").isNotNull().cast("int").alias("is_member"),
+    )
+    fp = F.sum(((F.col("bloom_pos") == 1) & (F.col("is_member") == 0)).cast("long"))
+    non_member = F.sum((F.col("is_member") == 0).cast("long"))
+    return verdicts.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("bloom_pos").cast("bigint").alias("n_bloom_positive"),
+        F.sum("is_member").cast("bigint").alias("n_true_members"),
+        fp.alias("n_false_positives"),
+        F.sum(((F.col("bloom_pos") == 0) & (F.col("is_member") == 1)).cast("long")).alias(
+            "n_false_negatives"
+        ),
+        F.round(
+            fp.cast("double") / F.greatest(non_member.cast("double"), F.lit(1.0)), 6
+        ).alias("fpr"),
+    )
