@@ -610,6 +610,7 @@ _DRIVER_PRIORITY = [
     "dow_seasonality",
     "anomaly_days",
     "bloom_membership_accounting",
+    "bigram_logprob_quality",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

@@ -1661,3 +1661,105 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp.cast("double") / F.greatest(non_member.cast("double"), F.lit(1.0)), 6
         ).alias("fpr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram_logprob_quality: corpus-trained bigram LM as a perplexity filter
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+bi AS (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+    FROM toks WHERE len(t) >= 2
+),
+bg_counts AS (
+    SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bi GROUP BY bg
+),
+uni AS (
+    SELECT doc_id, unnest(t[1:len(t)-1]) AS w1
+    FROM toks WHERE len(t) >= 2
+),
+w1_counts AS (
+    SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_w1 FROM uni GROUP BY w1
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(round(ln(CAST(g.c_bg AS DOUBLE) / CAST(u.c_w1 AS DOUBLE)), 9)
+                AS DECIMAL(18,9)) AS lp
+    FROM bi b
+    JOIN bg_counts g ON b.bg = g.bg
+    JOIN w1_counts u ON u.w1 = split_part(b.bg, ' ', 1)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+FROM scored
+WHERE doc_id % 5 = 0
+GROUP BY doc_id
+"""
+
+
+@register(
+    "bigram_logprob_quality",
+    _BIGRAM_SQL,
+    "corpus-trained bigram LM avg log-prob per doc (perplexity-filter shape)",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perplexity quality filter without an external model: train
+    MLE bigram probabilities P(w2|w1) = c(w1 w2)/c(w1) on the corpus
+    itself, score each document by its average bigram log-probability
+    (high = templated/boilerplate, low = unusual text).  Plan shape:
+    the count builds and the scoring side each re-derive the bigram
+    explode from the columnar scan (recomputing a narrow explode is
+    cheaper at scale than persisting the exploded fact); the two
+    probability joins are fact-sized equi joins on the bigram /
+    leading-token keys — the same shuffles any distributed LM scorer
+    pays.  Per-bigram ln is one IEEE op on an
+    integer ratio (identical both engines); the per-doc sum is
+    decimal-staged at 9 decimals so parallel partials hash-match the
+    sequential oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 2
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2), "
+                "i -> concat_ws(' ', t[i], t[i+1]))"
+            )
+        ).alias("bg"),
+    )
+    bg_counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    uni = toks.select(
+        F.explode(F.slice("t", 1, F.size("t") - 1)).alias("w1")
+    )
+    w1_counts = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    scored = (
+        bi.join(bg_counts, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(w1_counts, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("c_bg").cast("double") / F.col("c_w1").cast("double")), 9
+            )
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.where(F.col("doc_id") % 5 == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logprob"),
+        )
+    )
