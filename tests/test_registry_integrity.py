@@ -1,0 +1,65 @@
+"""Registry hygiene: the driver consumes `queries()`/`oracle_sql()`
+blind, so structural mistakes (a typo'd priority name, a duplicate
+registration, an oracle DuckDB can't even parse) must fail fast here
+rather than as a silent driver red."""
+
+import duckdb
+import pytest
+
+from datalakehouse_spark.registry import (
+    REGISTRY,
+    _DRIVER_PRIORITY,
+    _load_extensions,
+)
+
+_load_extensions()
+
+
+def test_driver_priority_names_all_registered():
+    missing = [n for n in _DRIVER_PRIORITY if n not in REGISTRY]
+    assert not missing, f"priority names not in registry: {missing}"
+
+
+def test_driver_priority_has_no_duplicates():
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY))
+
+
+def test_every_entry_has_description():
+    empty = [n for n, s in REGISTRY.items() if not (s.doc or "").strip()]
+    assert not empty
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, s in REGISTRY.items() if s.sql is not None]
+)
+def test_oracle_sql_parses_in_duckdb(name):
+    """Catch SQL-dialect typos without running anything: DuckDB must at
+    least PLAN every oracle against empty tables of the fixture schema."""
+    con = duckdb.connect()
+    for t, cols in {
+        "region": "r_regionkey INT, r_name VARCHAR",
+        "nation": "n_nationkey INT, n_name VARCHAR, n_regionkey INT",
+        "customer": "c_custkey BIGINT, c_name VARCHAR, c_nationkey INT, "
+        "c_acctbal DOUBLE, c_mktsegment VARCHAR",
+        "supplier": "s_suppkey BIGINT, s_name VARCHAR, s_nationkey INT, "
+        "s_acctbal DOUBLE",
+        "part": "p_partkey BIGINT, p_name VARCHAR, p_brand VARCHAR, "
+        "p_type VARCHAR, p_size INT, p_retailprice DOUBLE",
+        "orders": "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority VARCHAR",
+        "lineitem": "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, "
+        "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR, "
+        "l_linestatus VARCHAR, l_shipdate TIMESTAMP",
+        "events": "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR",
+        "documents": "doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT",
+        "embeddings": "vec_id BIGINT, embedding FLOAT[], label INT",
+    }.items():
+        con.execute(f"CREATE TABLE {t} ({cols})")
+    sql = REGISTRY[name].sql
+    # EXPLAIN = parse + bind + plan, no execution (some oracles touch
+    # temp paths at run time; planning is the structural check we want)
+    con.execute(f"EXPLAIN {sql}")
+    con.close()

@@ -237,6 +237,25 @@ def measure(spark, sf_dir: str) -> dict:
     t = run(pq_adc_search(spark, pq_dir, books, sub, q, k=10))
     out["pq_serve_s"] = round(t, 2)
     out["pq_serve_vecs_per_s"] = int(n_emb / t)
+
+    # round-5 continuation ops (registry entries over events/documents —
+    # the tables the synthesizer multiplies): the sweep-line concurrency
+    # (two-phase prefix sum must parallelize, not single-task), the
+    # ancestor-explode hierarchy rollup (depth × rows, one shuffle),
+    # hashed-shingle novelty (8-byte shuffle keys), and the bigram LM
+    # scorer (two fact-sized equi joins) — all must hold rows/s
+    from datalakehouse_spark.registry import REGISTRY, _load_extensions
+
+    _load_extensions()
+    for name, key, denom in [
+        ("max_concurrency", "concurrency", n_ev),
+        ("hierarchy_rollup", "hier", n_ev),
+        ("shingle_novelty_daily", "novelty", n_docs),
+        ("bigram_logprob_quality", "bigram_lm", n_docs),
+    ]:
+        t = run(REGISTRY[name].fn(spark, sf_dir))
+        out[f"{key}_s"] = round(t, 2)
+        out[f"{key}_rows_per_s"] = int(denom / t)
     return out
 
 
@@ -318,6 +337,18 @@ def main() -> None:
         lines.append(
             f"| {m}x | {r['pq_build_s']} | {r['pq_serve_s']} | "
             f"{r['pq_serve_vecs_per_s']:,} |"
+        )
+    lines += [
+        "",
+        "| mult | concurrency s | rows/s | hier-rollup s | rows/s | novelty s | docs/s | bigram-lm s | docs/s |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for m, r in results.items():
+        lines.append(
+            f"| {m}x | {r['concurrency_s']} | {r['concurrency_rows_per_s']:,} | "
+            f"{r['hier_s']} | {r['hier_rows_per_s']:,} | "
+            f"{r['novelty_s']} | {r['novelty_rows_per_s']:,} | "
+            f"{r['bigram_lm_s']} | {r['bigram_lm_rows_per_s']:,} |"
         )
     with open(os.path.join(REPO, "docs", "SCALING_RESULTS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
