@@ -611,6 +611,7 @@ _DRIVER_PRIORITY = [
     "anomaly_days",
     "bloom_membership_accounting",
     "bigram_logprob_quality",
+    "containment_near_dup",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

@@ -1763,3 +1763,86 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# containment_near_dup: asymmetric containment — catches doc-inside-doc
+# relations that symmetric Jaccard dilutes away
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_SQL = """
+WITH g AS (
+    SELECT doc_id,
+           list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          FOR i IN range(1, len(t) - 1)]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS t
+          FROM documents
+          WHERE CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 15))
+                     AS BIGINT) % 12 = 0)
+    WHERE len(t) >= 3
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE), 6) AS containment,
+       round(len(list_intersect(a.sh, b.sh))
+             / CAST(greatest(len(a.sh) + len(b.sh)
+                             - len(list_intersect(a.sh, b.sh)), 1) AS DOUBLE),
+             6) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      >= 0.5 * least(len(a.sh), len(b.sh))
+"""
+
+
+@register(
+    "containment_near_dup",
+    _CONTAINMENT_SQL,
+    "asymmetric containment dedup tier: |A∩B|/min(|A|,|B|) over token 3-grams",
+)
+def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup relation Jaccard misses: when a short document is
+    embedded inside a long one, |A∩B|/|A∪B| is diluted by the long
+    doc's extra shingles while containment |A∩B|/min(|A|,|B|) saturates
+    at 1.  Exact-verify tier shape like char_ngram_jaccard, but sampled
+    by TEXT-PREFIX HASH rather than doc id: id-sampling almost never
+    co-samples a duplicate with its partner (ids are unrelated to
+    content), while prefix-hash blocks keep dup families together — the
+    same reason production verify tiers sample by content block.  At
+    scale, candidate generation is the LSH band join (containment would
+    use the SHORTER doc's minhashes only, which band-bucketing already
+    approximates).  Both metrics are emitted so the asymmetry is
+    visible; integer set sizes make the ratios single-division
+    deterministic."""
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(md5_hash60(F.substring("text", 1, 64)) % 12 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(
+        F.size("t") >= 3
+    )
+    sh = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(t) - 3), "
+            "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+        )
+    )
+    g = toks.select("doc_id", sh.alias("sh"))
+    a = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    containment = inter / F.least(F.size("sa"), F.size("sb")).cast("double")
+    jac = inter / F.greatest(
+        F.size("sa") + F.size("sb") - inter, F.lit(1)
+    ).cast("double")
+    return pairs.where(
+        inter >= 0.5 * F.least(F.size("sa"), F.size("sb"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(containment, 6).alias("containment"),
+        F.round(jac, 6).alias("jaccard"),
+    )
