@@ -612,6 +612,8 @@ _DRIVER_PRIORITY = [
     "bloom_membership_accounting",
     "bigram_logprob_quality",
     "containment_near_dup",
+    "winback_users",
+    "dau_wau_stickiness",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

@@ -1846,3 +1846,117 @@ def q_containment_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(containment, 6).alias("containment"),
         F.round(jac, 6).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winback_users: re-engagement after a 7-day-plus dormancy gap
+# ---------------------------------------------------------------------------
+
+_WINBACK_SQL = """
+WITH active AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+gaps AS (
+    SELECT user_id, day,
+           date_diff('day',
+               LAG(day) OVER (PARTITION BY user_id ORDER BY day), day) AS gap
+    FROM active
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS active_users,
+       CAST(SUM(CASE WHEN gap >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS winbacks,
+       CAST(SUM(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+FROM gaps GROUP BY day
+"""
+
+
+@register(
+    "winback_users",
+    _WINBACK_SQL,
+    "re-engagement detection: users returning after a 7-day-plus dormancy gap",
+)
+def q_winback_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-analytics staple: per day, how many active users are
+    returning from dormancy (previous active day ≥7 days back) vs
+    brand-new.  The distinct (user, day) reduction is the only
+    fact-sized shuffle; the LAG window rides the user partitioning over
+    the tiny per-user day series.  Day gaps are integer datediffs —
+    exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    gaps = active.select(
+        "day", F.datediff("day", F.lag("day").over(w)).alias("gap")
+    )
+    return gaps.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        # explicit otherwise(0): on the first fixture day every gap is
+        # NULL, and (NULL >= 7)::long sums to NULL, not the oracle's 0
+        F.sum(F.when(F.col("gap") >= 7, 1).otherwise(0)).alias("winbacks"),
+        F.sum(F.when(F.col("gap").isNull(), 1).otherwise(0)).alias("new_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dau_wau_stickiness: DAU/WAU engagement ratio per ISO week
+# ---------------------------------------------------------------------------
+
+_STICKINESS_SQL = """
+WITH active AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+keyed AS (
+    SELECT user_id, day, date_trunc('week', day) AS week FROM active
+),
+dau AS (
+    SELECT week, day, CAST(COUNT(*) AS BIGINT) AS dau
+    FROM keyed GROUP BY week, day
+),
+wau AS (
+    SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM keyed GROUP BY week
+),
+d AS (
+    SELECT week,
+           CAST(SUM(dau) AS BIGINT) AS sum_dau,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM dau GROUP BY week
+)
+SELECT d.week, d.sum_dau, d.n_days, w.wau,
+       round(CAST(d.sum_dau AS DOUBLE) / (d.n_days * w.wau), 6) AS stickiness
+FROM d JOIN wau w ON d.week = w.week
+"""
+
+
+@register(
+    "dau_wau_stickiness",
+    _STICKINESS_SQL,
+    "DAU/WAU stickiness per ISO week (avg daily actives over weekly actives)",
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement depth: average DAU divided by WAU per ISO week
+    (1.0 = every weekly user active every day).  One distinct
+    (user, day) reduction feeds both branches; the DAU and WAU
+    aggregates run over that already-small set, and the ratio is one
+    division of exact integers.  Both engines truncate weeks to
+    Monday."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    keyed = active.select(
+        "user_id", "day", F.trunc("day", "week").alias("week")
+    )
+    dau = keyed.groupBy("week", "day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = keyed.groupBy("week").agg(F.countDistinct("user_id").alias("wau"))
+    d = dau.groupBy("week").agg(
+        F.sum("dau").alias("sum_dau"), F.count(F.lit(1)).alias("n_days")
+    )
+    j = d.join(wau, "week")
+    return j.select(
+        "week",
+        "sum_dau",
+        "n_days",
+        "wau",
+        F.round(
+            F.col("sum_dau").cast("double") / (F.col("n_days") * F.col("wau")), 6
+        ).alias("stickiness"),
+    )
