@@ -614,6 +614,8 @@ _DRIVER_PRIORITY = [
     "containment_near_dup",
     "winback_users",
     "dau_wau_stickiness",
+    "langid_confusion",
+    "label_centroid_distances",
     # last driver-green r1/r2 (pre-fixture-regeneration)
     "ann_lsh_search",
     "approx_stats",

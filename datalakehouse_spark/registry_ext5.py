@@ -1960,3 +1960,131 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_dau").cast("double") / (F.col("n_days") * F.col("wau")), 6
         ).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# langid_confusion: evaluate the stopword langid heuristic against the
+# fixture's ground-truth lang column
+# ---------------------------------------------------------------------------
+
+
+def _langid_confusion_sql() -> str:
+    from datalakehouse_spark.registry_ext import _LANGID_SQL
+
+    return f"""
+WITH pred AS ({_LANGID_SQL}),
+joined AS (
+    SELECT d.lang, p.lang_pred
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+),
+totals AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_total
+    FROM joined GROUP BY lang
+)
+SELECT j.lang, j.lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(COUNT(*) AS DOUBLE) / CAST(t.lang_total AS DOUBLE), 6)
+           AS frac_of_actual
+FROM joined j JOIN totals t ON j.lang = t.lang
+GROUP BY j.lang, j.lang_pred, t.lang_total
+"""
+
+
+@register(
+    "langid_confusion",
+    _langid_confusion_sql(),
+    "language-ID confusion matrix vs ground-truth lang labels",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-quality accounting for the langid heuristic: the full
+    (actual, predicted) confusion matrix with per-actual-language
+    recall fractions, joined against the fixture's ground-truth lang
+    column.  The prediction pass is the existing scan-fused stopword
+    scorer; the join is on doc_id (co-partitioned aggregate inputs),
+    and the matrix itself is O(langs²) rows.  This is the evaluation
+    loop a corpus pipeline runs when tuning filter thresholds — as a
+    query, not a notebook."""
+    from datalakehouse_spark.operators import textstats as TS
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = TS.langid_df(docs).select("doc_id", "lang_pred")
+    joined = docs.select("doc_id", "lang").join(pred, "doc_id").select(
+        "lang", "lang_pred"
+    )
+    totals = joined.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    return (
+        joined.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("lang_total").cast("double"), 6
+            ).alias("frac_of_actual"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# label_centroid_distances: embedding-space class separability
+# ---------------------------------------------------------------------------
+
+_CENTROID_SQL = """
+WITH dims AS (
+    SELECT label, i,
+           CAST(SUM(CAST(embedding[i] AS DOUBLE)) AS DOUBLE) / COUNT(*) AS c
+    FROM embeddings, range(1, 65) r(i)
+    GROUP BY label, i
+),
+pairs AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(round((a.c - b.c) * (a.c - b.c), 9) AS DECIMAL(18,9)) AS term
+    FROM dims a JOIN dims b ON a.i = b.i AND a.label < b.label
+)
+SELECT label_a, label_b,
+       round(sqrt(CAST(SUM(term) AS DOUBLE)), 6) AS centroid_l2
+FROM pairs GROUP BY label_a, label_b
+"""
+
+
+@register(
+    "label_centroid_distances",
+    _CENTROID_SQL,
+    "pairwise L2 between per-label embedding centroids (class separability)",
+)
+def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health check: pairwise distances between class
+    centroids (collapsing centroids = labels the embedding can't
+    separate — drift alarm for retraining).  Per-(label, dim) means via
+    ONE posexplode aggregate (the only fact-sized shuffle — 64×rows,
+    map-side partials down to labels×64); the pairwise stage runs on
+    the O(labels×64) centroid relation.  The corpus sums are exactly
+    associative (float32-precision addends in double), and the
+    per-dim squared terms are decimal-staged so the 64-term sums are
+    order-independent in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg((F.sum(F.col("x").cast("double")) / F.count(F.lit(1))).alias("c"))
+    )
+    a = dims.select(
+        F.col("label").alias("label_a"), F.col("i").alias("i"), F.col("c").alias("ca")
+    )
+    b = dims.select(
+        F.col("label").alias("label_b"), F.col("i").alias("ib"), F.col("c").alias("cb")
+    )
+    pairs = a.join(
+        b, (F.col("i") == F.col("ib")) & (F.col("label_a") < F.col("label_b"))
+    ).select(
+        "label_a",
+        "label_b",
+        F.round((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")), 9)
+        .cast("decimal(18,9)")
+        .alias("term"),
+    )
+    return pairs.groupBy("label_a", "label_b").agg(
+        F.round(F.sqrt(F.sum("term").cast("double")), 6).alias("centroid_l2")
+    )
