@@ -664,6 +664,7 @@ _DRIVER_PRIORITY = [
     "dau_wau_stickiness",
     "langid_confusion",
     "label_centroid_distances",
+    "weighted_median",
 ]
 
 

@@ -2088,3 +2088,77 @@ def q_label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("label_a", "label_b").agg(
         F.round(F.sqrt(F.sum("term").cast("double")), 6).alias("centroid_l2")
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted_median: quantized-CDF weighted quantiles (the distributed shape)
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_SQL = """
+WITH w AS (
+    SELECT event_type,
+           round(value, 2) AS bin,
+           1 + event_id % 5 AS wt
+    FROM events
+),
+hist AS (
+    SELECT event_type, bin, CAST(SUM(wt) AS BIGINT) AS bin_wt
+    FROM w GROUP BY event_type, bin
+),
+cdf AS (
+    SELECT event_type, bin, bin_wt,
+           CAST(SUM(bin_wt) OVER (PARTITION BY event_type ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_wt,
+           CAST(SUM(bin_wt) OVER (PARTITION BY event_type) AS BIGINT) AS total_wt
+    FROM hist
+)
+SELECT event_type,
+       CAST(MIN(CASE WHEN 2 * cum_wt >= total_wt THEN bin END) AS DOUBLE)
+           AS weighted_median,
+       CAST(MIN(total_wt) AS BIGINT) AS total_weight,
+       CAST(COUNT(*) AS BIGINT) AS n_bins
+FROM cdf GROUP BY event_type
+"""
+
+
+@register(
+    "weighted_median",
+    _WMEDIAN_SQL,
+    "weighted median via quantized CDF (bin histogram -> running cumulative weight)",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quantiles the way they distribute: quantize values to
+    cents, ONE hash aggregate builds the per-(group, bin) weight
+    histogram (this is the only fact-sized shuffle — map-side partials
+    collapse duplicate bins), then the cumulative-weight walk runs over
+    the small bin relation and the median is the first bin where
+    2·cum ≥ total.  The naive form — a running sum over every raw row
+    sorted by value — is a per-group single task at any scale; the
+    histogram form bounds the sequential part at n_bins.  Weights are
+    synthesized deterministically (1 + event_id % 5); every comparison
+    is integer."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "event_type",
+        F.round("value", 2).alias("bin"),
+        (F.lit(1) + F.col("event_id") % 5).alias("wt"),
+    )
+    hist = w.groupBy("event_type", "bin").agg(F.sum("wt").alias("bin_wt"))
+    cum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("event_type")
+    cdf = hist.select(
+        "event_type",
+        "bin",
+        F.sum("bin_wt").over(cum).alias("cum_wt"),
+        F.sum("bin_wt").over(tot).alias("total_wt"),
+    )
+    return cdf.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("cum_wt") >= F.col("total_wt"), F.col("bin")))
+        .cast("double")
+        .alias("weighted_median"),
+        F.min("total_wt").alias("total_weight"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
