@@ -55,3 +55,26 @@ def observed_write(
     observed, obs = observe_checks(df, checks)
     table.append(observed)
     return dict(obs.get)
+
+
+def metered_sink(
+    write_batch, checks: Mapping[str, Column] | None = None
+) -> tuple:
+    """Wrap a ``foreachBatch`` writer with per-micro-batch observe
+    metrics — the streaming twin of :func:`observed_write` and the
+    batch-side analog of the reference's DLQ counters (ST4/ST5).
+
+    Returns ``(sink_fn, ledger)``: pass ``sink_fn`` to
+    ``writeStream.foreachBatch``; after the query drains, ``ledger``
+    holds one ``{"epoch_id": ..., "n_rows": ..., <check>: ...}`` dict
+    per micro-batch, measured by the batch's own write job (observe on
+    a foreachBatch DataFrame is plain batch observe — no second scan,
+    no listener wiring)."""
+    ledger: list[dict] = []
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        observed, obs = observe_checks(batch, checks)
+        write_batch(observed, epoch_id)
+        ledger.append({"epoch_id": epoch_id, **obs.get})
+
+    return sink, ledger

@@ -43,3 +43,37 @@ def test_observe_checks_all_null_condition_counts_zero(spark, sf_small):
     got = dict(obs.get)
     assert got["never"] == 0
     assert got["n_rows"] == 10
+
+
+def test_metered_streaming_sink_accounts_every_batch(spark, sf_small, tmp_path):
+    """Per-micro-batch observe metrics must sum to the batch-recounted
+    totals across a multi-batch drain."""
+    from datalakehouse_spark.pipelines.observability import metered_sink
+    from datalakehouse_spark.streaming.jobs import events_stream
+
+    out = str(tmp_path / "out")
+    stream = events_stream(spark, SF)  # maxFilesPerTrigger=1 built in
+
+    def write_batch(batch, epoch_id):
+        batch.write.mode("append").parquet(out)
+
+    sink, ledger = metered_sink(
+        write_batch,
+        checks={"purchases": F.col("event_type") == "purchase"},
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert ledger, "at least one micro-batch must have drained"
+    ev = load_table(spark, SF, "events")
+    assert sum(m["n_rows"] for m in ledger) == ev.count()
+    assert sum(m["purchases"] for m in ledger) == ev.where(
+        F.col("event_type") == "purchase"
+    ).count()
+    # and the metrics came from the same jobs that wrote the rows
+    assert spark.read.parquet(out).count() == ev.count()
