@@ -665,6 +665,7 @@ _DRIVER_PRIORITY = [
     "langid_confusion",
     "label_centroid_distances",
     "weighted_median",
+    "point_in_time_join",
 ]
 
 

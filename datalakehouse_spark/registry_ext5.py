@@ -2162,3 +2162,87 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("total_wt").alias("total_weight"),
         F.count(F.lit(1)).alias("n_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# point_in_time_join: facts joined to the dimension version valid at
+# event time (SCD2 lookup — the anti-leakage join for feature builds)
+# ---------------------------------------------------------------------------
+
+# synthesized SCD2 dimension: every user carries 3 versions, each valid
+# 10 days from 2024-01-01 (the fixture's event window), attribute
+# changes per version — deterministic in both engines
+_PIT_SQL = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+dim AS (
+    SELECT u.user_id, v.version,
+           DATE '2024-01-01' + CAST(v.version * 10 AS INTEGER) AS valid_from,
+           DATE '2024-01-01' + CAST((v.version + 1) * 10 AS INTEGER) AS valid_to,
+           u.user_id * 10 + v.version AS tier_score
+    FROM users u, (SELECT unnest([0, 1, 2]) AS version) v
+),
+joined AS (
+    SELECT e.user_id, e.value, d.version, d.tier_score
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND CAST(e.ts AS DATE) >= d.valid_from
+     AND CAST(e.ts AS DATE) < d.valid_to
+)
+SELECT version,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(SUM(tier_score) AS BIGINT) AS sum_tier
+FROM joined GROUP BY version
+"""
+
+
+@register(
+    "point_in_time_join",
+    _PIT_SQL,
+    "SCD2 point-in-time join: facts matched to the dim version valid at event time",
+)
+def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anti-leakage join of feature engineering: each event must
+    see the dimension attributes AS OF its own timestamp, never a later
+    version (training-serving skew otherwise).  The SCD2 dimension is
+    synthesized (3 ten-day versions per user over the fixture window);
+    the join is an equi join on user_id with the validity range as a
+    residual predicate — versions-per-key is small and bounded, so this
+    stays a hash join (never a BNLJ), which is exactly how a
+    partitioned SCD2 dim joins at 100 TB.  Money sums decimal-staged;
+    date bounds are integer date arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    from datalakehouse_spark.functions.numeric import dsum
+
+    users = ev.select("user_id").distinct()
+    versions = spark.range(3).select(F.col("id").cast("int").alias("version"))
+    anchor = F.lit("2024-01-01").cast("date")
+    dim = users.crossJoin(F.broadcast(versions)).select(
+        "user_id",
+        "version",
+        F.date_add(anchor, F.col("version") * 10).alias("valid_from"),
+        F.date_add(anchor, (F.col("version") + 1) * 10).alias("valid_to"),
+        (F.col("user_id") * 10 + F.col("version")).alias("tier_score"),
+    )
+    # explicit aliases: dim derives FROM events (distinct users), so
+    # unqualified attributes would be lineage-ambiguous
+    e, d = ev.alias("e"), dim.alias("d")
+    day = F.to_date(F.col("e.ts"))
+    joined = e.join(
+        d,
+        (F.col("e.user_id") == F.col("d.user_id"))
+        & (day >= F.col("d.valid_from"))
+        & (day < F.col("d.valid_to")),
+    ).select(
+        F.col("e.user_id").alias("uid"),
+        F.col("e.value").alias("value"),
+        F.col("d.version").alias("version"),
+        F.col("d.tier_score").alias("tier_score"),
+    )
+    return joined.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("uid").alias("n_users"),
+        dsum("value").alias("sum_value"),
+        F.sum("tier_score").alias("sum_tier"),
+    )
