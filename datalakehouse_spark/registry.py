@@ -666,6 +666,8 @@ _DRIVER_PRIORITY = [
     "label_centroid_distances",
     "weighted_median",
     "point_in_time_join",
+    "time_to_convert",
+    "conversion_wilson_ci",
 ]
 
 

@@ -2246,3 +2246,171 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sum_value"),
         F.sum("tier_score").alias("sum_tier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# time_to_convert: click->purchase latency percentiles per day
+# ---------------------------------------------------------------------------
+
+_TTC_SQL = """
+WITH stream AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+           CAST(ts AS DATE) AS day,
+           MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS last_click_us
+    FROM events
+),
+conv AS (
+    SELECT day, us - last_click_us AS latency_us
+    FROM stream
+    WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+      AND us - last_click_us <= 86400000000
+),
+ranked AS (
+    SELECT day, latency_us,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY latency_us) AS rn,
+           COUNT(*) OVER (PARTITION BY day) AS n
+    FROM conv
+)
+SELECT day,
+       CAST(MIN(n) AS BIGINT) AS n_conversions,
+       CAST(MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN latency_us END) AS DOUBLE) / 1000000.0 AS p50_s,
+       CAST(MIN(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                     THEN latency_us END) AS DOUBLE) / 1000000.0 AS p90_s,
+       CAST(MAX(latency_us) AS DOUBLE) / 1000000.0 AS max_s
+FROM ranked GROUP BY day
+"""
+
+
+@register(
+    "time_to_convert",
+    _TTC_SQL,
+    "click-to-purchase latency percentiles per day (conversion funnel timing)",
+)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel timing on top of the attribution scan: the same
+    conditional running MAX that credits purchases to their nearest
+    prior click also yields the conversion latency; percentiles are
+    ORDER STATISTICS (the ceil(p·n)-th smallest integer-microsecond
+    latency) rather than interpolated quantiles — interpolation
+    formulas differ between engines in the last ulp and can cross a
+    rounding boundary, while an order statistic is an exact integer
+    pick divided once.  One user-partitioned window over the fact,
+    one per-day rank window over the small conversion set."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stream = ev.select(
+        "event_type",
+        us.alias("us"),
+        F.to_date("ts").alias("day"),
+        F.max(F.when(F.col("event_type") == "click", us)).over(w).alias(
+            "last_click_us"
+        ),
+    )
+    conv = stream.where(
+        (F.col("event_type") == "purchase")
+        & F.col("last_click_us").isNotNull()
+        & ((F.col("us") - F.col("last_click_us")) <= 86_400_000_000)
+    ).select("day", (F.col("us") - F.col("last_click_us")).alias("latency_us"))
+    wd = Window.partitionBy("day")
+    ranked = conv.select(
+        "day",
+        "latency_us",
+        F.row_number().over(wd.orderBy("latency_us")).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("n"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("latency_us"),
+        )
+    ).cast("double") / 1_000_000.0
+    return ranked.groupBy("day").agg(
+        F.min("n").alias("n_conversions"),
+        pick(0.5).alias("p50_s"),
+        pick(0.9).alias("p90_s"),
+        (F.max("latency_us").cast("double") / 1_000_000.0).alias("max_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# conversion_wilson_ci: rate estimates that survive small denominators
+# ---------------------------------------------------------------------------
+
+_WILSON_SQL = """
+WITH counts AS (
+    SELECT user_id % 10 AS cohort,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS views,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchases
+    FROM events GROUP BY 1
+),
+rates AS (
+    -- trials = views + purchases: purchases are not a subset of views
+    -- in the fixture, so purchases/views alone can exceed 1 (and a
+    -- Wilson sqrt goes negative); the outcome-share form is a true
+    -- binomial proportion
+    SELECT cohort, views, purchases,
+           views + purchases AS trials,
+           CAST(purchases AS DOUBLE) / CAST(views + purchases AS DOUBLE) AS p,
+           -- CAST: DuckDB types the bare literal DECIMAL and z*z then
+           -- overflows decimal precision
+           CAST(1.959963984540054 AS DOUBLE) AS z
+    FROM counts WHERE views > 0
+)
+SELECT cohort, views, purchases,
+       round(p, 6) AS rate,
+       round((p + z*z/(2*trials)
+              - z * sqrt((p*(1.0-p) + z*z/(4*trials)) / trials))
+             / (1.0 + z*z/trials), 6) AS wilson_low,
+       round((p + z*z/(2*trials)
+              + z * sqrt((p*(1.0-p) + z*z/(4*trials)) / trials))
+             / (1.0 + z*z/trials), 6) AS wilson_high
+FROM rates
+"""
+
+
+@register(
+    "conversion_wilson_ci",
+    _WILSON_SQL,
+    "per-cohort conversion rate with 95% Wilson interval (small-n-safe)",
+)
+def q_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate reporting that doesn't lie at small denominators: the
+    Wilson score interval (the binomial CI that stays inside [0,1] and
+    behaves at n→small, unlike the normal approximation).  One
+    conditional aggregate builds per-cohort (views, purchases); the
+    interval is pure scalar arithmetic written in ONE fixed expression
+    order so both engines produce the identical doubles before the
+    final round.  The z literal is spelled to the exact double for
+    97.5%."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("views"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchases"
+        ),
+    )
+    z = F.lit(1.959963984540054)
+    trials = F.col("views") + F.col("purchases")
+    p = F.col("purchases").cast("double") / trials.cast("double")
+    center = p + z * z / (2 * trials)
+    margin = z * F.sqrt((p * (F.lit(1.0) - p) + z * z / (4 * trials)) / trials)
+    denom = F.lit(1.0) + z * z / trials
+    return counts.where(F.col("views") > 0).select(
+        "cohort",
+        "views",
+        "purchases",
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_low"),
+        F.round((center + margin) / denom, 6).alias("wilson_high"),
+    )
