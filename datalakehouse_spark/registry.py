@@ -668,6 +668,7 @@ _DRIVER_PRIORITY = [
     "point_in_time_join",
     "time_to_convert",
     "conversion_wilson_ci",
+    "gapfill_interpolated",
 ]
 
 

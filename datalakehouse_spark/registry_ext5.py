@@ -2414,3 +2414,132 @@ def q_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - margin) / denom, 6).alias("wilson_low"),
         F.round((center + margin) / denom, 6).alias("wilson_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gapfill_interpolated: calendar densify + linear interpolation
+# ---------------------------------------------------------------------------
+
+_GAPFILL_INTERP_SQL = """
+WITH observed AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+    FROM events
+    GROUP BY 1, 2
+),
+punched AS (  -- deterministic holes so interpolation has work to do
+    SELECT * FROM observed WHERE dayofmonth(day) % 5 <> 2
+),
+bounds AS (
+    SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM observed
+    GROUP BY event_type
+),
+calendar AS (
+    -- list-valued range(): the table-function generate_series can't
+    -- take lateral column bounds in DuckDB
+    SELECT event_type,
+           d0 + CAST(i AS INTEGER) AS day
+    FROM bounds, unnest(range(0, date_diff('day', d0, d1) + 1)) t(i)
+),
+joined AS (
+    SELECT c.event_type, c.day, p.v AS observed_v
+    FROM calendar c LEFT JOIN punched p
+      ON c.event_type = p.event_type AND c.day = p.day
+),
+ctx AS (
+    SELECT event_type, day, observed_v,
+           last_value(observed_v IGNORE NULLS) OVER w_prev AS prev_v,
+           last_value(CASE WHEN observed_v IS NOT NULL THEN day END
+                      IGNORE NULLS) OVER w_prev AS prev_d,
+           first_value(observed_v IGNORE NULLS) OVER w_next AS next_v,
+           first_value(CASE WHEN observed_v IS NOT NULL THEN day END
+                       IGNORE NULLS) OVER w_next AS next_d
+    FROM joined
+    WINDOW
+      w_prev AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_next AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day,
+       round(observed_v, 6) AS observed_v,
+       CASE WHEN observed_v IS NOT NULL THEN 0 ELSE 1 END AS was_gap,
+       round(CASE
+           WHEN observed_v IS NOT NULL THEN observed_v
+           WHEN prev_v IS NULL THEN next_v
+           WHEN next_v IS NULL THEN prev_v
+           ELSE prev_v + (next_v - prev_v)
+                * CAST(date_diff('day', prev_d, day) AS DOUBLE)
+                / CAST(date_diff('day', prev_d, next_d) AS DOUBLE)
+       END, 6) AS filled_v
+FROM ctx
+"""
+
+
+@register(
+    "gapfill_interpolated",
+    _GAPFILL_INTERP_SQL,
+    "calendar densify + linear interpolation over missing daily values",
+)
+def q_gapfill_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series repair: densify each series over its full calendar
+    span and linearly interpolate the holes (edges clamp to the nearest
+    observation).  Neighbor lookups are IGNORE-NULLS window frames —
+    one forward, one backward over the same (type, day) sort, so the
+    series shuffles once; the calendar explode is O(types × days).
+    Holes are punched deterministically (day-of-month % 5 == 2) since
+    the fixture is dense; the interpolation weight is a ratio of
+    integer datediffs, one multiply-divide in fixed order."""
+    from datalakehouse_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    observed = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        dsum("value").alias("v")
+    )
+    punched = observed.where(F.dayofmonth("day") % 5 != 2)
+    bounds = observed.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = bounds.select(
+        "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = calendar.join(
+        punched.withColumnRenamed("v", "observed_v"), ["event_type", "day"], "left"
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("observed_v").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "event_type",
+        "day",
+        "observed_v",
+        F.last("observed_v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("observed_v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.datediff("day", "prev_d").cast("double")
+        / F.datediff("next_d", "prev_d").cast("double")
+    )
+    filled = (
+        F.when(F.col("observed_v").isNotNull(), F.col("observed_v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(interp)
+    )
+    return ctx.select(
+        "event_type",
+        "day",
+        F.round("observed_v", 6).alias("observed_v"),
+        F.col("observed_v").isNull().cast("int").alias("was_gap"),
+        F.round(filled, 6).alias("filled_v"),
+    )
