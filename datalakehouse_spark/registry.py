@@ -669,6 +669,8 @@ _DRIVER_PRIORITY = [
     "time_to_convert",
     "conversion_wilson_ci",
     "gapfill_interpolated",
+    "session_landing_exit",
+    "top_movers",
 ]
 
 

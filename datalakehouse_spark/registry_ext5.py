@@ -2543,3 +2543,153 @@ def q_gapfill_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("observed_v").isNull().cast("int").alias("was_gap"),
         F.round(filled, 6).alias("filled_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# session_landing_exit: entry/exit event types per 30-minute session
+# ---------------------------------------------------------------------------
+
+_LANDING_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > 1800000000
+                 OR LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    IS NULL
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+),
+sessions AS (
+    SELECT user_id, event_type, us, event_id,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id
+                ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_no
+    FROM ordered
+),
+endpoints AS (
+    SELECT user_id, session_no,
+           MIN({'us': us, 'event_id': event_id, 'event_type': event_type})
+               AS first_ev,
+           MAX({'us': us, 'event_id': event_id, 'event_type': event_type})
+               AS last_ev
+    FROM sessions GROUP BY user_id, session_no
+)
+SELECT first_ev.event_type AS landing, last_ev.event_type AS exit_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM endpoints
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "session_landing_exit",
+    _LANDING_SQL,
+    "per-session landing/exit event types (30-min gap sessions, struct-min endpoints)",
+)
+def q_session_landing_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit analysis: sessionize by 30-minute inactivity gaps
+    (the LAG + running-SUM-of-starts pattern), then take each session's
+    first and last events as MIN/MAX over (time, id, type) structs —
+    a skew-immune aggregate (a row_number window would rescan per
+    session; struct-min is one hash aggregate with map-side partials,
+    and the (us, event_id) prefix makes the pick total-ordered in both
+    engines).  Two shuffles total: the user window and the endpoint
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    prev = F.lag(us).over(w)
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        "event_id",
+        (prev.isNull() | ((us - prev) > 1_800_000_000)).cast("int").alias(
+            "is_start"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = ordered.select(
+        "user_id",
+        "event_type",
+        "us",
+        "event_id",
+        F.sum("is_start").over(w_run).alias("session_no"),
+    )
+    ep = F.struct("us", "event_id", "event_type")
+    endpoints = sessions.groupBy("user_id", "session_no").agg(
+        F.min(ep).alias("first_ev"), F.max(ep).alias("last_ev")
+    )
+    return endpoints.groupBy(
+        F.col("first_ev.event_type").alias("landing"),
+        F.col("last_ev.event_type").alias("exit_type"),
+    ).agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# top_movers: biggest day-over-day volume swings per event type
+# ---------------------------------------------------------------------------
+
+_MOVERS_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+delta AS (
+    SELECT event_type, day, c,
+           c - LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS dod
+    FROM daily
+),
+ranked AS (
+    SELECT event_type, day, c, dod,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY abs(dod) DESC, day) AS rk
+    FROM delta WHERE dod IS NOT NULL
+)
+SELECT event_type, day, c AS n_events, CAST(dod AS BIGINT) AS dod_change
+FROM ranked WHERE rk <= 3
+"""
+
+
+@register(
+    "top_movers",
+    _MOVERS_SQL,
+    "top-3 day-over-day volume swings per event type (|Δ| ranked, date tiebreak)",
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change detection for dashboards: LAG gives day-over-day deltas
+    on the tiny daily rollup; per-type rank by |Δ| (date as a total-
+    order tiebreak) surfaces the three biggest swings.  Only the rollup
+    touches the fact; deltas and ranks are integer-exact windows over
+    O(types × days) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    delta = daily.select(
+        "event_type", "day", "c", (F.col("c") - F.lag("c").over(w)).alias("dod")
+    ).where(F.col("dod").isNotNull())
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs("dod").desc(), F.col("day")
+    )
+    return (
+        delta.select(
+            "event_type", "day", "c", "dod", F.row_number().over(w_rank).alias("rk")
+        )
+        .where(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            "day",
+            F.col("c").alias("n_events"),
+            F.col("dod").alias("dod_change"),
+        )
+    )
