@@ -671,6 +671,7 @@ _DRIVER_PRIORITY = [
     "gapfill_interpolated",
     "session_landing_exit",
     "top_movers",
+    "kmv_rolling_distinct",
 ]
 
 

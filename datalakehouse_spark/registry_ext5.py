@@ -2693,3 +2693,127 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dod").alias("dod_change"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# kmv_rolling_distinct: 7-day rolling distinct-user ESTIMATE by merging
+# per-day KMV sketches — the sketch-rollup pattern, oracle-replayable
+# ---------------------------------------------------------------------------
+
+_KMV_ROLL_SQL = f"""
+WITH day_hashes AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day,
+           CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) AS h
+    FROM events
+),
+day_kmin AS (
+    SELECT day, h FROM (
+        SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+        FROM day_hashes
+    ) WHERE rk <= {_KMV_K}
+),
+days AS (SELECT DISTINCT day FROM day_hashes),
+merged AS (
+    SELECT DISTINCT d.day, m.h
+    FROM days d JOIN day_kmin m
+      ON m.day <= d.day AND m.day > d.day - 7
+),
+ranked AS (
+    SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+    FROM merged
+),
+est AS (
+    SELECT day,
+           CAST(MAX(CASE WHEN rk = {_KMV_K} THEN h END) AS BIGINT) AS h_k,
+           CAST(COUNT(*) AS BIGINT) AS n_hashes
+    FROM ranked WHERE rk <= {_KMV_K} GROUP BY day
+),
+exact AS (
+    SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS exact_users
+    FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events) a
+    JOIN days d ON a.day <= d.day AND a.day > d.day - 7
+    GROUP BY d.day
+)
+SELECT e.day, x.exact_users,
+       CASE WHEN e.h_k IS NULL THEN CAST(e.n_hashes AS DOUBLE)
+            ELSE round(({_KMV_K} - 1) * {float(1 << 60)!r}
+                       / CAST(e.h_k AS DOUBLE), 6)
+       END AS kmv_estimate
+FROM est e JOIN exact x ON e.day = x.day
+"""
+
+
+@register(
+    "kmv_rolling_distinct",
+    _KMV_ROLL_SQL,
+    "7-day rolling distinct users by MERGING per-day KMV sketches (vs exact)",
+)
+def q_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reason sketches exist: the 7-day rolling estimate never
+    re-touches the fact — per-day k-min sets (k×days tiny rows) are
+    merged per window by re-taking the k smallest of the union, which
+    is EXACTLY the full-window KMV (k-min of a union == k-min of merged
+    k-min sets, unit-proven in test_round5_ops).  The exact rolling
+    COUNT DISTINCT alongside re-joins every (day, user) row per window
+    — 7× the distinct fact — which is precisely the cost curve the
+    sketch flattens at 100 TB.  All hashes are 60-bit md5 ints; the
+    estimate is one division."""
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    day_hashes = ev.select(
+        F.to_date("ts").alias("day"),
+        md5_hash60(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias(
+            "h"
+        ),
+    ).distinct()
+    w_day = Window.partitionBy("day").orderBy("h")
+    day_kmin = (
+        day_hashes.select("day", "h", F.row_number().over(w_day).alias("rk"))
+        .where(F.col("rk") <= _KMV_K)
+        .select("day", "h")
+    )
+    days = day_hashes.select("day").distinct()
+    d, m = days.alias("d"), day_kmin.alias("m")
+    merged = (
+        d.join(
+            m,
+            (F.col("m.day") <= F.col("d.day"))
+            & (F.col("m.day") > F.date_sub(F.col("d.day"), 7)),
+        )
+        .select(F.col("d.day").alias("day"), F.col("m.h").alias("h"))
+        .distinct()
+    )
+    ranked = merged.select(
+        "day", "h", F.row_number().over(w_day).alias("rk")
+    ).where(F.col("rk") <= _KMV_K)
+    est = ranked.groupBy("day").agg(
+        F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))).alias("h_k"),
+        F.count(F.lit(1)).alias("n_hashes"),
+    )
+    active = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    a = active.alias("a")
+    exact = (
+        d.join(
+            a,
+            (F.col("a.day") <= F.col("d.day"))
+            & (F.col("a.day") > F.date_sub(F.col("d.day"), 7)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("a.user_id").alias("exact_users"))
+    )
+    estimate = (
+        F.when(F.col("h_k").isNull(), F.col("n_hashes").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float(_KMV_K - 1) * float(1 << 60))
+                / F.col("h_k").cast("double"),
+                6,
+            )
+        )
+    )
+    return est.join(exact, "day").select(
+        "day", "exact_users", estimate.alias("kmv_estimate")
+    )
