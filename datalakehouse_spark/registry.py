@@ -672,6 +672,8 @@ _DRIVER_PRIORITY = [
     "session_landing_exit",
     "top_movers",
     "kmv_rolling_distinct",
+    "cuped_adjustment",
+    "mutual_information",
 ]
 
 

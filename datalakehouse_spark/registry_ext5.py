@@ -2817,3 +2817,157 @@ def q_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "day").select(
         "day", "exact_users", estimate.alias("kmv_estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# cuped_adjustment: pre-period covariate variance reduction (CUPED)
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS x,
+           CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS y
+    FROM events GROUP BY user_id
+),
+complete AS (
+    SELECT COALESCE(x, 0.0) AS x, COALESCE(y, 0.0) AS y FROM per_user
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(x, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(round(y, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(round(x * x, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(round(y * y, 4) AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(round(x * y, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+    FROM complete
+)
+SELECT n,
+       round(sy / n, 6) AS mean_post,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           AS variance_reduction
+FROM sums
+"""
+
+
+@register(
+    "cuped_adjustment",
+    _CUPED_SQL,
+    "CUPED: pre-period covariate theta + achieved variance reduction (corr^2)",
+)
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation workhorse: regress each user's post-period
+    metric on their pre-period value (theta = cov/var) — the CUPED
+    adjustment that shrinks A/B test variance by corr².  Determinism
+    is the interesting part: per-user sums are exact cents (DECIMAL),
+    so x·y has at most 4 decimal digits and round(x·y, 4) staged back
+    into DECIMAL makes every moment sum exact and order-independent;
+    theta/corr² are then fixed-order scalar arithmetic on identical
+    doubles.  One shuffle on user_id, one scalar aggregate."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("date")
+    dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.to_date("ts") < cutoff, dec(F.col("value"))))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(F.to_date("ts") >= cutoff, dec(F.col("value"))))
+        .cast("double")
+        .alias("y"),
+    )
+    complete = per_user.select(
+        F.coalesce("x", F.lit(0.0)).alias("x"), F.coalesce("y", F.lit(0.0)).alias("y")
+    )
+    s = complete.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("x"), 2).cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(F.round(F.col("y"), 2).cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 4).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return s.select(
+        "n",
+        F.round(sy / n, 6).alias("mean_post"),
+        F.round(cov_n / var_x, 6).alias("theta"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("variance_reduction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mutual_information: association between event type and hour of day
+# ---------------------------------------------------------------------------
+
+_MI_SQL = """
+WITH joint AS (
+    SELECT event_type, EXTRACT(HOUR FROM ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS nij
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM joint),
+mi AS (
+    SELECT j.event_type, j.hr, j.nij, t.n,
+           CAST(SUM(j.nij) OVER (PARTITION BY j.event_type) AS BIGINT) AS ni,
+           CAST(SUM(j.nij) OVER (PARTITION BY j.hr) AS BIGINT) AS nj
+    FROM joint j CROSS JOIN tot t
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_events,
+       round(CAST(SUM(CAST(round(
+           (CAST(nij AS DOUBLE) / n)
+           * ln(CAST(nij AS DOUBLE) * n / (CAST(ni AS DOUBLE) * nj)), 12)
+           AS DECIMAL(18,12))) AS DOUBLE), 6) AS mi_nats
+FROM mi
+"""
+
+
+@register(
+    "mutual_information",
+    _MI_SQL,
+    "mutual information between event type and hour of day (decimal-staged)",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association strength without assuming linearity: I(type; hour)
+    in nats from the joint and marginal counts.  One hash aggregate
+    over the fact builds the O(types×24) joint table; the marginals are
+    windows over it and every MI term is a single ln of an integer
+    ratio, rounded at 12 decimals and summed in DECIMAL so the
+    cross-cell total is order-independent in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    joint = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    tot = joint.agg(F.sum("nij").alias("n"))
+    mi = joint.crossJoin(F.broadcast(tot)).select(
+        "nij",
+        "n",
+        F.sum("nij").over(Window.partitionBy("event_type")).alias("ni"),
+        F.sum("nij").over(Window.partitionBy("hr")).alias("nj"),
+    )
+    term = (F.col("nij").cast("double") / F.col("n")) * F.log(
+        F.col("nij").cast("double")
+        * F.col("n")
+        / (F.col("ni").cast("double") * F.col("nj"))
+    )
+    return mi.agg(
+        F.min("n").alias("n_events"),
+        F.round(
+            F.sum(F.round(term, 12).cast("decimal(18,12)")).cast("double"), 6
+        ).alias("mi_nats"),
+    )
