@@ -674,6 +674,7 @@ _DRIVER_PRIORITY = [
     "kmv_rolling_distinct",
     "cuped_adjustment",
     "mutual_information",
+    "streaming_metered_ingest",
 ]
 
 

@@ -2971,3 +2971,69 @@ def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(term, 12).cast("decimal(18,12)")).cast("double"), 6
         ).alias("mi_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_metered_ingest: drain the event stream through a metered
+# foreachBatch sink; the observe-ledger totals are the scored output
+# ---------------------------------------------------------------------------
+
+_METERED_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS purchases,
+       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS negative_values
+FROM events
+"""
+
+
+@register(
+    "streaming_metered_ingest",
+    _METERED_SQL,
+    "streaming ingest with write-job observe metrics; ledger totals == batch truth",
+)
+def q_streaming_metered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability as a correctness surface: drain the file-source
+    event stream through a foreachBatch sink wrapped with observe()
+    counters (pipelines/observability.metered_sink), then return the
+    ledger TOTALS — which the oracle checks against a batch scan of the
+    same fixture.  The metrics ride each micro-batch's own write job
+    (no second scan), so agreement here proves the exactly-once drain
+    delivered every row exactly once AND the counters are trustworthy.
+    Per-epoch granularity stays in tests (epoch count depends on file
+    layout); the totals are layout-independent."""
+    from datalakehouse_spark.pipelines.observability import metered_sink
+    from datalakehouse_spark.scratch import fresh_scratch
+    from datalakehouse_spark.streaming.jobs import events_stream
+
+    base = fresh_scratch("metered_ingest")
+    out = base + "/out"
+
+    def write_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch.write.mode("append").parquet(out)
+
+    sink, ledger = metered_sink(
+        write_batch,
+        checks={
+            "purchases": F.col("event_type") == "purchase",
+            "negative_values": F.col("value") < 0,
+        },
+    )
+    q = (
+        events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", base + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    totals = {
+        "n_rows": sum(m["n_rows"] for m in ledger),
+        "purchases": sum(m["purchases"] for m in ledger),
+        "negative_values": sum(m["negative_values"] for m in ledger),
+    }
+    return spark.createDataFrame(
+        [(totals["n_rows"], totals["purchases"], totals["negative_values"])],
+        "n_rows bigint, purchases bigint, negative_values bigint",
+    )
