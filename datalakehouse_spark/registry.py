@@ -675,6 +675,8 @@ _DRIVER_PRIORITY = [
     "cuped_adjustment",
     "mutual_information",
     "streaming_metered_ingest",
+    "weekly_autocorrelation",
+    "benford_first_digit",
 ]
 
 

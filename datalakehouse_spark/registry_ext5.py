@@ -3037,3 +3037,137 @@ def q_streaming_metered_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(totals["n_rows"], totals["purchases"], totals["negative_values"])],
         "n_rows bigint, purchases bigint, negative_values bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# weekly_autocorrelation: lag-7 Pearson r of the daily series
+# ---------------------------------------------------------------------------
+
+_AUTOCORR_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT d.event_type, d.c AS x, l.c AS y
+    FROM daily d JOIN daily l
+      ON d.event_type = l.event_type AND l.day = d.day - 7
+),
+s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM pairs GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n * sxy - sx * sy)
+             / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                    * (n * syy - sy * sy)), 6) AS lag7_autocorr
+FROM s WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+"""
+
+
+@register(
+    "weekly_autocorrelation",
+    _AUTOCORR_SQL,
+    "lag-7 autocorrelation of daily volumes (weekly-cycle detector, exact moments)",
+)
+def q_weekly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the series repeat weekly?  Pearson r between each day's
+    count and the count 7 days earlier — the self-join on (type,
+    day-7) runs over the tiny daily rollup, and every moment is an
+    exact int64 sum of integer counts, so r is one fixed-order scalar
+    expression on identical inputs in both engines (the same
+    no-stddev-ulps discipline as anomaly_days)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    d, l = daily.alias("d"), daily.alias("l")
+    pairs = d.join(
+        l,
+        (F.col("d.event_type") == F.col("l.event_type"))
+        & (F.col("l.day") == F.date_sub(F.col("d.day"), 7)),
+    ).select(
+        F.col("d.event_type").alias("event_type"),
+        F.col("d.c").alias("x"),
+        F.col("l.c").alias("y"),
+    )
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    var_x = n * F.col("sxx") - sx * sx
+    var_y = n * F.col("syy") - sy * sy
+    r = (n * F.col("sxy") - sx * sy) / F.sqrt(var_x.cast("double") * var_y)
+    return s.where((var_x > 0) & (var_y > 0)).select(
+        "event_type", "n", F.round(r, 6).alias("lag7_autocorr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# benford_first_digit: leading-digit distribution vs Benford's law
+# ---------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+WITH cents AS (
+    SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+    FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+    -- leading digit via INTEGER-to-string: log10 on doubles differs in
+    -- ulps between engines at exact powers; int formatting cannot
+    SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS d
+    FROM cents WHERE c > 0
+),
+counts AS (
+    SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+SELECT c.d AS digit, c.n,
+       round(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_p,
+       round(ln(1.0 + 1.0 / c.d) / ln(10.0), 6) AS benford_p
+FROM counts c CROSS JOIN tot t
+"""
+
+
+@register(
+    "benford_first_digit",
+    _BENFORD_SQL,
+    "leading-digit distribution vs Benford's law (fraud/DQ screen)",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic anomaly screen: natural money amounts follow
+    log10(1 + 1/d) leading-digit frequencies; synthetic or manipulated
+    ones don't (the fixture's uniform-ish prices visibly deviate —
+    that's the point of the report).  The digit is taken from the
+    INTEGER cents string — a log10-based extraction differs between
+    libm implementations in the last ulp exactly at powers of ten,
+    while integer formatting is exact everywhere.  One scan, one
+    9-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.where(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c")
+    )
+    digits = cents.where(F.col("c") > 0).select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("digit"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed_p"),
+        F.round(
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("d")) / F.log(F.lit(10.0)), 6
+        ).alias("benford_p"),
+    )
