@@ -677,6 +677,8 @@ _DRIVER_PRIORITY = [
     "streaming_metered_ingest",
     "weekly_autocorrelation",
     "benford_first_digit",
+    "ltv_deciles_pareto",
+    "revenue_reconciliation",
 ]
 
 

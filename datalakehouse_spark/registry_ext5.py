@@ -3171,3 +3171,153 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.lit(1.0) + F.lit(1.0) / F.col("d")) / F.log(F.lit(10.0)), 6
         ).alias("benford_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ltv_deciles_pareto: revenue concentration across user-value deciles
+# ---------------------------------------------------------------------------
+
+_LTV_SQL = """
+WITH ltv AS (
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id
+),
+banded AS (
+    SELECT user_id, revenue,
+           NTILE(10) OVER (ORDER BY revenue DESC, user_id) AS decile
+    FROM ltv
+),
+per_decile AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(round(revenue, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM banded GROUP BY decile
+),
+tot AS (SELECT CAST(SUM(CAST(round(revenue, 2) AS DECIMAL(18,2))) AS DOUBLE)
+            AS total FROM ltv)
+SELECT d.decile, d.n_users,
+       round(d.revenue, 2) AS revenue,
+       round(d.revenue / t.total, 6) AS share,
+       round(CAST(SUM(CAST(round(d.revenue, 2) AS DECIMAL(18,2)))
+                  OVER (ORDER BY d.decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) / t.total, 6) AS cum_share
+FROM per_decile d CROSS JOIN tot t
+"""
+
+
+@register(
+    "ltv_deciles_pareto",
+    _LTV_SQL,
+    "user-LTV deciles with revenue share + cumulative concentration (Pareto curve)",
+)
+def q_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration reporting: rank users by purchase LTV,
+    band into deciles (user_id as the total-order tiebreak so NTILE
+    splits identically in both engines), and report each band's share
+    plus the cumulative Pareto curve.  Per-user and per-decile sums are
+    decimal-staged; the NTILE window runs over O(users) rows and the
+    cumulative window over exactly 10."""
+    from datalakehouse_spark.functions.numeric import dsum
+
+    ev = load_table(spark, sf_dir, "events")
+    ltv = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(dsum("value").alias("revenue"))
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("user_id"))
+    banded = ltv.select("revenue", F.ntile(10).over(w).alias("decile"))
+    dec2 = lambda c: F.round(c, 2).cast("decimal(18,2)")  # noqa: E731
+    per_decile = banded.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(dec2(F.col("revenue"))).cast("double").alias("revenue"),
+    )
+    tot = ltv.agg(F.sum(dec2(F.col("revenue"))).cast("double").alias("total"))
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_decile.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_users",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.col("total"), 6).alias("share"),
+        F.round(
+            F.sum(dec2(F.col("revenue"))).over(w_cum).cast("double")
+            / F.col("total"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue_reconciliation: header-vs-lines cross-table consistency audit
+# ---------------------------------------------------------------------------
+
+_RECON_SQL = """
+WITH lines AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax), 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS line_total
+    FROM lineitem GROUP BY l_orderkey
+),
+recon AS (
+    SELECT o.o_orderstatus,
+           abs(o.o_totalprice - COALESCE(l.line_total, 0.0)) AS diff,
+           CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END AS missing_lines
+    FROM orders o LEFT JOIN lines l ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(missing_lines) AS BIGINT) AS orders_without_lines,
+       CAST(SUM(CASE WHEN missing_lines = 0 AND diff <= 0.01
+                     THEN 1 ELSE 0 END) AS BIGINT) AS reconciled,
+       round(MAX(CASE WHEN missing_lines = 0 THEN diff END), 2) AS max_diff
+FROM recon GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "revenue_reconciliation",
+    _RECON_SQL,
+    "orders-header vs lineitem-rollup reconciliation (cross-fact DQ audit)",
+)
+def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-fact consistency audit every warehouse runs: does the
+    order header total equal the line-level rollup?  Line extensions
+    are rounded to cents and decimal-summed (exact, order-independent),
+    the header join is on the natural key, and the report counts
+    reconciled-within-a-cent orders, headerless mismatches, and the
+    worst absolute gap per status.  One shuffle on orderkey; at 100 TB
+    both facts would be bucketed on it and the join co-located."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    ext = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+        2,
+    ).cast("decimal(18,2)")
+    lines = lineitem.groupBy("l_orderkey").agg(
+        F.sum(ext).cast("double").alias("line_total")
+    )
+    recon = orders.join(
+        lines, orders.o_orderkey == lines.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        F.abs(
+            F.col("o_totalprice") - F.coalesce("line_total", F.lit(0.0))
+        ).alias("diff"),
+        F.col("l_orderkey").isNull().cast("int").alias("missing_lines"),
+    )
+    return recon.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("missing_lines").cast("bigint").alias("orders_without_lines"),
+        F.sum(
+            F.when((F.col("missing_lines") == 0) & (F.col("diff") <= 0.01), 1)
+            .otherwise(0)
+        ).alias("reconciled"),
+        F.round(
+            F.max(F.when(F.col("missing_lines") == 0, F.col("diff"))), 2
+        ).alias("max_diff"),
+    )
