@@ -679,6 +679,7 @@ _DRIVER_PRIORITY = [
     "benford_first_digit",
     "ltv_deciles_pareto",
     "revenue_reconciliation",
+    "lsh_recall_accounting",
 ]
 
 

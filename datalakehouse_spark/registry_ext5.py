@@ -3321,3 +3321,101 @@ def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("missing_lines") == 0, F.col("diff"))), 2
         ).alias("max_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# lsh_recall_accounting: measured MinHash-LSH recall against exhaustive
+# Jaccard truth on a co-sampled block — completes the recall-ledger set
+# (ann_recall_accounting / pq_recall_accounting cover the ANN tiers)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall_sql() -> str:
+    from datalakehouse_spark.registry_ext import _near_dup_sql
+
+    body = _near_dup_sql()
+    # shadow `documents` with the prefix-hash sample: the CTE name
+    # rebinds every downstream reference while its own definition still
+    # reads the base view (standard non-recursive CTE scoping)
+    sample_cte = (
+        # schema-qualify the base view: DuckDB treats a bare same-name
+        # reference inside the CTE as circular
+        "WITH documents AS (\n"
+        "    SELECT * FROM main.documents\n"
+        "    WHERE CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 15))\n"
+        "               AS BIGINT) % 12 = 0\n"
+        "), "
+    )
+    assert body.lstrip().startswith("WITH ")
+    inner = sample_cte + body.lstrip()[len("WITH ") :]
+    return f"""
+WITH lsh AS ({inner}),
+sampled AS (
+    SELECT doc_id, text FROM main.documents
+    WHERE CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 15))
+               AS BIGINT) % 12 = 0
+),
+n2 AS (SELECT doc_id, {{toks}} AS toks FROM sampled),
+s2 AS (SELECT doc_id, {{shingles}} AS sh FROM n2),
+truth AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM s2 a JOIN s2 b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+          / greatest(len(a.sh) + len(b.sh)
+                     - len(list_filter(a.sh, x -> list_contains(b.sh, x))), 1)
+          >= 0.6
+)
+SELECT CAST((SELECT COUNT(*) FROM sampled) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS exact_pairs,
+       CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS lsh_pairs,
+       round(CAST((SELECT COUNT(*) FROM lsh) AS DOUBLE)
+             / greatest(CAST((SELECT COUNT(*) FROM truth) AS DOUBLE), 1.0), 6)
+           AS recall
+"""
+
+
+def _lsh_recall_sql_filled() -> str:
+    from datalakehouse_spark.registry_ext import _SHINGLES, _TOKS
+
+    return _lsh_recall_sql().replace("{toks}", _TOKS).replace(
+        "{shingles}", _SHINGLES
+    )
+
+
+@register(
+    "lsh_recall_accounting",
+    _lsh_recall_sql_filled(),
+    "MinHash-LSH recall vs exhaustive Jaccard truth on a prefix-hash sample block",
+)
+def q_lsh_recall_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup tier's recall, measured instead of assumed: on a
+    content-block sample (prefix-hash — keeps dup families together,
+    unlike id sampling) compute ALL Jaccard-≥0.6 pairs exhaustively,
+    run the production LSH pipeline on the same docs, and report
+    found/truth.  Verified LSH pairs are a subset of truth (the
+    pipeline exact-verifies candidates), so precision is 1.0 by
+    construction and recall is the whole story — band/bucket parameters
+    that drop it show up HERE, as a number, before they silently eat a
+    corpus.  Sibling ledgers: ann_recall_accounting (hyperplane LSH),
+    pq_recall_accounting (ADC)."""
+    from datalakehouse_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    sample = docs.where(md5_hash60(F.substring("text", 1, 64)) % 12 == 0)
+    lsh_pairs = D.near_dup_pairs(sample)
+    ids = sample.select("doc_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    all_pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    truth = D.jaccard_pairs(sample, all_pairs).where(F.col("jaccard") >= 0.6)
+    n_docs = sample.count()
+    n_truth = truth.count()
+    n_lsh = lsh_pairs.count()
+    recall = round(n_lsh / max(n_truth, 1.0), 6)
+    return spark.createDataFrame(
+        [(n_docs, n_truth, n_lsh, recall)],
+        "n_docs bigint, exact_pairs bigint, lsh_pairs bigint, recall double",
+    )
