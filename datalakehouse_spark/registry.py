@@ -680,6 +680,8 @@ _DRIVER_PRIORITY = [
     "ltv_deciles_pareto",
     "revenue_reconciliation",
     "lsh_recall_accounting",
+    "skyline_2d",
+    "ab_test_ttest",
 ]
 
 

@@ -3419,3 +3419,177 @@ def q_lsh_recall_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_docs, n_truth, n_lsh, recall)],
         "n_docs bigint, exact_pairs bigint, lsh_pairs bigint, recall double",
     )
+
+
+# ---------------------------------------------------------------------------
+# skyline_2d: Pareto-frontier (non-dominated) customers
+# ---------------------------------------------------------------------------
+
+_SKYLINE_SQL = """
+WITH activity AS (
+    SELECT c.c_custkey, c.c_acctbal,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+),
+swept AS (
+    SELECT c_custkey, c_acctbal, n_orders,
+           MAX(n_orders) OVER (ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+    FROM activity
+)
+SELECT c_custkey, round(c_acctbal, 2) AS acctbal, n_orders
+FROM swept
+WHERE best_prev IS NULL OR n_orders > best_prev
+"""
+
+
+@register(
+    "skyline_2d",
+    _SKYLINE_SQL,
+    "2D skyline (Pareto frontier): customers non-dominated in (acctbal, order count)",
+)
+def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline operator in its 2D sweep form: sort one dimension
+    descending and keep each point that beats the running MAX of the
+    other — a point survives iff nothing both richer AND more active
+    precedes it.  The tiebreak (c_custkey) makes the sweep total-
+    ordered, so equal-balance points dominate deterministically in both
+    engines.  The global window runs over the (already reduced)
+    customer aggregate; the d>2 generalization is grid-partition +
+    local skyline + merge, noted for scale."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    activity = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    swept = activity.select(
+        "c_custkey",
+        "c_acctbal",
+        "n_orders",
+        F.max("n_orders").over(w).alias("best_prev"),
+    )
+    return swept.where(
+        F.col("best_prev").isNull() | (F.col("n_orders") > F.col("best_prev"))
+    ).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "n_orders"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ab_test_ttest: deterministic assignment + Welch t on exact moments
+# ---------------------------------------------------------------------------
+
+_ABTEST_SQL = """
+WITH assigned AS (
+    SELECT CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 2 AS arm,
+           user_id
+    FROM (SELECT DISTINCT user_id FROM events)
+),
+metrics AS (
+    SELECT a.arm,
+           CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                         THEN CAST(e.value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS y
+    FROM assigned a JOIN events e ON e.user_id = a.user_id
+    GROUP BY a.arm, a.user_id
+),
+complete AS (SELECT arm, COALESCE(y, 0.0) AS y FROM metrics),
+s AS (
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(y, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(round(y * y, 4) AS DECIMAL(28,4))) AS DOUBLE) AS syy
+    FROM complete GROUP BY arm
+),
+wide AS (
+    SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+           MAX(CASE WHEN arm = 0 THEN sy END) AS sy0,
+           MAX(CASE WHEN arm = 0 THEN syy END) AS syy0,
+           MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+           MAX(CASE WHEN arm = 1 THEN sy END) AS sy1,
+           MAX(CASE WHEN arm = 1 THEN syy END) AS syy1
+    FROM s
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treat,
+       round(sy0 / n0, 6) AS mean_control,
+       round(sy1 / n1, 6) AS mean_treat,
+       round(sy1 / n1 - sy0 / n0, 6) AS lift,
+       round((sy1 / n1 - sy0 / n0)
+             / sqrt((syy0 - sy0 * sy0 / n0) / (n0 * (n0 - 1))
+                    + (syy1 - sy1 * sy1 / n1) / (n1 * (n1 - 1))), 6)
+           AS welch_t
+FROM wide
+"""
+
+
+@register(
+    "ab_test_ttest",
+    _ABTEST_SQL,
+    "hash-assigned A/B arms + Welch t-statistic on exact decimal moments",
+)
+def q_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation read-out: users deterministically hash-
+    assigned to arms (salted md5 — stable across reruns and engines,
+    unlike rand() bucketing), per-user purchase revenue as the metric,
+    Welch's t on the arm means.  All moments are cents-exact decimal
+    sums (same losslessness argument as CUPED), so the t-statistic is
+    one fixed-order scalar expression on identical doubles.  Shuffles:
+    the user aggregate and the O(2) arm rollup."""
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    assigned = users.select(
+        "user_id",
+        (md5_hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2)
+        .alias("arm"),
+    )
+    dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    metrics = (
+        assigned.join(ev, "user_id")
+        .groupBy("arm", "user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", dec(F.col("value")))
+            )
+            .cast("double")
+            .alias("y")
+        )
+        .select("arm", F.coalesce("y", F.lit(0.0)).alias("y"))
+    )
+    s = metrics.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("y"), 2).cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("y") * F.col("y"), 4).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    wide = s.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (0, 1)
+            for c in ("n", "sy", "syy")
+        ]
+    )
+    n0, sy0, syy0 = F.col("n0"), F.col("sy0"), F.col("syy0")
+    n1, sy1, syy1 = F.col("n1"), F.col("sy1"), F.col("syy1")
+    lift = sy1 / n1 - sy0 / n0
+    se = F.sqrt(
+        (syy0 - sy0 * sy0 / n0) / (n0 * (n0 - 1))
+        + (syy1 - sy1 * sy1 / n1) / (n1 * (n1 - 1))
+    )
+    return wide.select(
+        n0.cast("bigint").alias("n_control"),
+        n1.cast("bigint").alias("n_treat"),
+        F.round(sy0 / n0, 6).alias("mean_control"),
+        F.round(sy1 / n1, 6).alias("mean_treat"),
+        F.round(lift, 6).alias("lift"),
+        F.round(lift / se, 6).alias("welch_t"),
+    )
