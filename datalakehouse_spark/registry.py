@@ -682,6 +682,7 @@ _DRIVER_PRIORITY = [
     "lsh_recall_accounting",
     "skyline_2d",
     "ab_test_ttest",
+    "triangle_count",
 ]
 
 

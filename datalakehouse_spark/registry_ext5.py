@@ -3593,3 +3593,74 @@ def q_ab_test_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lift, 6).alias("lift"),
         F.round(lift / se, 6).alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle_count: triangles in the near-dup graph (cluster cohesion)
+# ---------------------------------------------------------------------------
+
+
+def _triangle_sql() -> str:
+    from datalakehouse_spark.registry_ext import _near_dup_sql
+
+    return f"""
+WITH nd AS ({_near_dup_sql()}),
+e AS (SELECT id_a AS a, id_b AS b FROM nd),
+tri AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM e e1 JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST(COUNT(DISTINCT a) + COUNT(DISTINCT b) + COUNT(DISTINCT c)
+            AS BIGINT) AS corner_cardinality
+FROM tri
+"""
+
+
+@register(
+    "triangle_count",
+    _triangle_sql(),
+    "oriented triangle count over the near-dup graph (cluster-cohesion signal)",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics beyond PageRank/CC: triangles measure how
+    CLIQUE-LIKE dup clusters are (chains of borderline pairs form few
+    triangles; true duplicate families are dense).  The oriented-edge
+    formulation — edges stored a<b, triangles found as two joins on
+    the ordered endpoints — counts each triangle exactly once with no
+    permutation blow-up, the standard distributed shape (at 100 TB
+    you'd pre-partition edges by low-degree endpoint).  Edge list comes
+    from the production LSH pipeline; counts are integer-exact."""
+    from datalakehouse_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = D.near_dup_pairs(docs).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    e = e.localCheckpoint()  # the LSH pipeline must not re-execute per join leg
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    n_edges = e.count()
+    agg = tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        (
+            F.countDistinct("a") + F.countDistinct("b") + F.countDistinct("c")
+        ).alias("corner_cardinality"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(n_edges, agg["n_triangles"], agg["corner_cardinality"])],
+        "n_edges bigint, n_triangles bigint, corner_cardinality bigint",
+    )
