@@ -683,6 +683,7 @@ _DRIVER_PRIORITY = [
     "skyline_2d",
     "ab_test_ttest",
     "triangle_count",
+    "chi_square_independence",
 ]
 
 

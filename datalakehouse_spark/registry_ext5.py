@@ -3664,3 +3664,69 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_edges, agg["n_triangles"], agg["corner_cardinality"])],
         "n_edges bigint, n_triangles bigint, corner_cardinality bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# chi_square_independence: classical test on the type x hour table
+# ---------------------------------------------------------------------------
+
+_CHI2_SQL = """
+WITH joint AS (
+    SELECT event_type, EXTRACT(HOUR FROM ts) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS nij
+    FROM events GROUP BY 1, 2
+),
+tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM joint),
+cells AS (
+    SELECT j.nij, t.n,
+           CAST(SUM(j.nij) OVER (PARTITION BY j.event_type) AS BIGINT) AS ni,
+           CAST(SUM(j.nij) OVER (PARTITION BY j.hr) AS BIGINT) AS nj
+    FROM joint j CROSS JOIN tot t
+),
+terms AS (
+    SELECT n,
+           CAST(round(
+               (nij - CAST(ni AS DOUBLE) * nj / n)
+               * (nij - CAST(ni AS DOUBLE) * nj / n)
+               / (CAST(ni AS DOUBLE) * nj / n), 9) AS DECIMAL(18,9)) AS t2
+    FROM cells
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       round(CAST(SUM(t2) AS DOUBLE), 6) AS chi2
+FROM terms
+"""
+
+
+@register(
+    "chi_square_independence",
+    _CHI2_SQL,
+    "chi-square independence statistic on the type x hour contingency table",
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frequentist twin of mutual_information: Σ (O−E)²/E over the
+    contingency cells, with expected counts from the margins.  Each
+    cell term is a fixed-order double expression on integer counts,
+    rounded at 9 decimals and decimal-summed so the cross-cell total is
+    order-independent.  Same single fact aggregate as MI — the two
+    statistics share their plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    joint = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    tot = joint.agg(F.sum("nij").alias("n"))
+    cells = joint.crossJoin(F.broadcast(tot)).select(
+        "nij",
+        "n",
+        F.sum("nij").over(Window.partitionBy("event_type")).alias("ni"),
+        F.sum("nij").over(Window.partitionBy("hr")).alias("nj"),
+    )
+    expected = F.col("ni").cast("double") * F.col("nj") / F.col("n")
+    term = (F.col("nij") - expected) * (F.col("nij") - expected) / expected
+    return cells.agg(
+        F.min("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(
+            F.sum(F.round(term, 9).cast("decimal(18,9)")).cast("double"), 6
+        ).alias("chi2"),
+    )
