@@ -2216,9 +2216,12 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalakehouse_spark.functions.numeric import dsum
 
     users = ev.select("user_id").distinct()
-    versions = spark.range(3).select(F.col("id").cast("int").alias("version"))
     anchor = F.lit("2024-01-01").cast("date")
-    dim = users.crossJoin(F.broadcast(versions)).select(
+    # version fan-out via explode, not a cross join — no BNLJ node, and
+    # the dim build stays a narrow projection of the user list
+    dim = users.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("version")
+    ).select(
         "user_id",
         "version",
         F.date_add(anchor, F.col("version") * 10).alias("valid_from"),
@@ -2777,13 +2780,15 @@ def q_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     days = day_hashes.select("day").distinct()
     d, m = days.alias("d"), day_kmin.alias("m")
+    # range condition rewritten as a target-day EXPLODE + equi join:
+    # each sketch day serves targets day..day+6 (d-7 < m.day <= d), so
+    # the plan is a hash join on day, never a nested loop
+    targets = F.explode(
+        F.sequence(F.col("m.day"), F.date_add(F.col("m.day"), 6))
+    )
     merged = (
-        d.join(
-            m,
-            (F.col("m.day") <= F.col("d.day"))
-            & (F.col("m.day") > F.date_sub(F.col("d.day"), 7)),
-        )
-        .select(F.col("d.day").alias("day"), F.col("m.h").alias("h"))
+        m.select(targets.alias("day"), F.col("m.h").alias("h"))
+        .join(days, "day")  # drop targets past the observed range
         .distinct()
     )
     ranked = merged.select(
@@ -2795,14 +2800,14 @@ def q_kmv_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     active = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     a = active.alias("a")
+    a_targets = F.explode(
+        F.sequence(F.col("a.day"), F.date_add(F.col("a.day"), 6))
+    )
     exact = (
-        d.join(
-            a,
-            (F.col("a.day") <= F.col("d.day"))
-            & (F.col("a.day") > F.date_sub(F.col("d.day"), 7)),
-        )
-        .groupBy(F.col("d.day").alias("day"))
-        .agg(F.countDistinct("a.user_id").alias("exact_users"))
+        a.select(a_targets.alias("day"), F.col("a.user_id").alias("user_id"))
+        .join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
     )
     estimate = (
         F.when(F.col("h_k").isNull(), F.col("n_hashes").cast("double"))
