@@ -684,6 +684,8 @@ _DRIVER_PRIORITY = [
     "ab_test_ttest",
     "triangle_count",
     "chi_square_independence",
+    "association_rules",
+    "trend_slopes",
 ]
 
 

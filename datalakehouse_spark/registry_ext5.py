@@ -3735,3 +3735,216 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(term, 9).cast("decimal(18,9)")).cast("double"), 6
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# association_rules: support/confidence/lift of event-type pairs
+# co-occurring within a session
+# ---------------------------------------------------------------------------
+
+_ASSOC_SQL = """
+WITH ordered AS (
+    SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    > 1800000000
+                 OR LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                    IS NULL
+                THEN 1 ELSE 0 END AS is_start
+    FROM events
+),
+sess AS (
+    SELECT user_id, event_type,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id
+                ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_no
+    FROM ordered
+),
+baskets AS (
+    SELECT DISTINCT user_id, session_no, event_type FROM sess
+),
+n_baskets AS (
+    SELECT CAST(COUNT(DISTINCT (user_id, session_no)) AS BIGINT) AS total
+    FROM baskets
+),
+item_counts AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM baskets GROUP BY event_type
+),
+pair_counts AS (
+    SELECT a.event_type AS lhs, b.event_type AS rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM baskets a JOIN baskets b
+      ON a.user_id = b.user_id AND a.session_no = b.session_no
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT p.lhs, p.rhs, p.n_both,
+       round(CAST(p.n_both AS DOUBLE) / t.total, 6) AS support,
+       round(CAST(p.n_both AS DOUBLE) / l.n, 6) AS confidence,
+       round(CAST(p.n_both AS DOUBLE) * t.total
+             / (CAST(l.n AS DOUBLE) * r.n), 6) AS lift
+FROM pair_counts p
+JOIN item_counts l ON l.event_type = p.lhs
+JOIN item_counts r ON r.event_type = p.rhs
+CROSS JOIN n_baskets t
+"""
+
+
+@register(
+    "association_rules",
+    _ASSOC_SQL,
+    "session-basket association rules: support / confidence / lift per type pair",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis with sessions as baskets: distinct
+    (session, type) membership, pair co-occurrence via a self equi-join
+    on the session key (ordered types — each pair once), and
+    support/confidence/lift as integer-ratio divisions.  The basket
+    reduction is the only fact-sized shuffle; pair counts live on the
+    session key, so skew is bounded by types-per-session (≤5 here,
+    always small).  Apriori pruning (drop items under min-support
+    before pairing) is the scale extension, unneeded at 5 types."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    prev = F.lag(us).over(w)
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        "event_id",
+        (prev.isNull() | ((us - prev) > 1_800_000_000)).cast("int").alias(
+            "is_start"
+        ),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    baskets = (
+        ordered.select(
+            "user_id",
+            "event_type",
+            F.sum("is_start").over(w_run).alias("session_no"),
+        )
+        .distinct()
+    )
+    total = baskets.select("user_id", "session_no").distinct().count()
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_no") == F.col("b.session_no"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("lhs"), F.col("b.event_type").alias("rhs")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    l = item.select(F.col("event_type").alias("lhs"), F.col("n").alias("n_l"))
+    r = item.select(F.col("event_type").alias("rhs"), F.col("n").alias("n_r"))
+    return (
+        pairs.join(F.broadcast(l), "lhs")
+        .join(F.broadcast(r), "rhs")
+        .select(
+            "lhs",
+            "rhs",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.lit(total), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_both").cast("double") / F.col("n_l"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.lit(total)
+                / (F.col("n_l").cast("double") * F.col("n_r")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# trend_slopes: OLS trend of the daily series, exact integer moments
+# ---------------------------------------------------------------------------
+
+_TREND_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                AS BIGINT) AS t,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(t * t) AS BIGINT) AS stt,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(t * y) AS BIGINT) AS sty
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n,
+       round(CAST(n * sty - st * sy AS DOUBLE) / (n * stt - st * st), 6)
+           AS slope_per_day,
+       round((CAST(sy AS DOUBLE) - CAST(n * sty - st * sy AS DOUBLE)
+              / (n * stt - st * st) * st) / n, 6) AS intercept,
+       round(CAST(n * sty - st * sy AS DOUBLE) * (n * sty - st * sy)
+             / (CAST(n * stt - st * st AS DOUBLE) * (n * syy - sy * sy)), 6)
+           AS r2
+FROM s WHERE (n * stt - st * st) > 0 AND (n * syy - sy * sy) > 0
+"""
+
+
+@register(
+    "trend_slopes",
+    _TREND_SQL,
+    "per-type OLS daily trend (slope / intercept / r^2 on exact int64 moments)",
+)
+def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the series growing?  Least-squares slope of daily volume
+    against the day index — every moment (Σt, Σy, Σt², Σty, Σy²) is an
+    exact int64 sum over the tiny daily rollup, so slope, intercept and
+    r² are fixed-order scalar expressions with zero cross-engine
+    drift.  The regression family's distributed shape: one fact
+    rollup, moments as map-side partials, O(groups) arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+    )
+    n, st, sy = F.col("n"), F.col("st"), F.col("sy")
+    stt, syy, sty = F.col("stt"), F.col("syy"), F.col("sty")
+    cov_n = n * sty - st * sy
+    var_t = n * stt - st * st
+    var_y = n * syy - sy * sy
+    slope = cov_n.cast("double") / var_t
+    return s.where((var_t > 0) & (var_y > 0)).select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((sy.cast("double") - slope * st) / n, 6).alias("intercept"),
+        F.round(
+            cov_n.cast("double") * cov_n / (var_t.cast("double") * var_y), 6
+        ).alias("r2"),
+    )
