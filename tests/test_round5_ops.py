@@ -124,3 +124,50 @@ def test_debounce_partitions_events(spark, sf_small):
     for r in out:
         assert r["n_kept"] + r["n_debounced"] == r["n_events"]
         assert r["n_kept"] >= 1
+
+
+def test_skyline_survivors_are_mutually_non_dominated(spark, sf_small):
+    rows = REGISTRY["skyline_2d"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    pts = [(r["acctbal"], r["n_orders"]) for r in rows]
+    for i, (x1, y1) in enumerate(pts):
+        for j, (x2, y2) in enumerate(pts):
+            if i != j:
+                dominated = x2 >= x1 and y2 >= y1 and (x2 > x1 or y2 > y1)
+                assert not dominated, (pts[i], pts[j])
+
+
+def test_triangle_count_matches_brute_force(spark, sf_small):
+    from itertools import combinations
+
+    from datalakehouse_spark.operators import dedup as D
+    from datalakehouse_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    edges = {
+        (r["id_a"], r["id_b"])
+        for r in D.near_dup_pairs(docs).collect()
+    }
+    nodes = sorted({v for e in edges for v in e})
+    brute = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    )
+    out = REGISTRY["triangle_count"].fn(spark, "/root/testdata/sf0.01").first()
+    assert out["n_triangles"] == brute
+    assert out["n_edges"] == len(edges)
+
+
+def test_benford_probabilities_sum_to_one(spark, sf_small):
+    rows = REGISTRY["benford_first_digit"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed_p"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_p"] for r in rows) - 1.0) < 1e-3
+
+
+def test_kmv_rolling_estimate_tracks_exact(spark, sf_small):
+    rows = REGISTRY["kmv_rolling_distinct"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r["kmv_estimate"] == pytest.approx(r["exact_users"], rel=0.5), r
