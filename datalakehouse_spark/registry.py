@@ -686,6 +686,8 @@ _DRIVER_PRIORITY = [
     "chi_square_independence",
     "association_rules",
     "trend_slopes",
+    "cusum_changepoint",
+    "dup_graph_degrees",
 ]
 
 

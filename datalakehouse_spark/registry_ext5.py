@@ -3948,3 +3948,132 @@ def q_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
             cov_n.cast("double") * cov_n / (var_t.cast("double") * var_y), 6
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cusum_changepoint: integer-exact CUSUM shift detection per series
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS s
+    FROM daily GROUP BY event_type
+),
+cusum AS (
+    SELECT d.event_type, d.day,
+           CAST(SUM(d.c * st.n - st.s) OVER (PARTITION BY d.event_type
+                ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS k,          -- n * CUSUM_t (scaled to stay integer)
+           st.n, st.s
+    FROM daily d JOIN stats st ON d.event_type = st.event_type
+),
+peak AS (
+    SELECT event_type,
+           MAX({'m': abs(k), 'day': day}) AS best,
+           CAST(MIN(n) AS BIGINT) AS n, CAST(MIN(s) AS BIGINT) AS s
+    FROM cusum GROUP BY event_type
+)
+SELECT event_type,
+       best.day AS changepoint_day,
+       round(CAST(best.m AS DOUBLE) / n, 6) AS max_abs_cusum
+FROM peak
+"""
+
+
+@register(
+    "cusum_changepoint",
+    _CUSUM_SQL,
+    "CUSUM level-shift detection: argmax |cumulative deviation|, integer-exact",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where did the series change level?  CUSUM_t = Σ(c_i − mean)
+    peaks at the shift point; scaling by n keeps every partial sum an
+    exact int64 (n·c_i − S), so the argmax cannot flip on float error
+    — the same exactness discipline as anomaly_days/trend_slopes.  The
+    argmax itself is a struct-MAX aggregate ((|k|, day) pairs — one
+    hash aggregate, no second window or self-join), and the running
+    sum rides the per-type window over the daily rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        F.sum(F.col("c") * F.col("n") - F.col("s")).over(w).alias("k"),
+        "n",
+    )
+    peak = cusum.groupBy("event_type").agg(
+        F.max(F.struct(F.abs("k").alias("m"), F.col("day").alias("day"))).alias(
+            "best"
+        ),
+        F.min("n").alias("n"),
+    )
+    return peak.select(
+        "event_type",
+        F.col("best.day").alias("changepoint_day"),
+        F.round(F.col("best.m").cast("double") / F.col("n"), 6).alias(
+            "max_abs_cusum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dup_graph_degrees: degree distribution of the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _dup_degree_sql() -> str:
+    from datalakehouse_spark.registry_ext import _near_dup_sql
+
+    return f"""
+WITH nd AS ({_near_dup_sql()}),
+deg AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT id_a AS v FROM nd UNION ALL SELECT id_b FROM nd
+    ) GROUP BY v
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
+@register(
+    "dup_graph_degrees",
+    _dup_degree_sql(),
+    "degree distribution of the near-dup graph (boilerplate hub detector)",
+)
+def q_dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup graph's shape in one histogram: a heavy-degree tail
+    means boilerplate hubs (one template matching hundreds of docs) —
+    the exact condition that melts bucket joins and motivates the
+    hot-bucket salting in operators/dedup.  Degrees via UNION ALL of
+    both edge endpoints + one hash aggregate; the histogram is a second
+    tiny aggregate.  Watching this distribution drift across crawl
+    snapshots is how a 100 TB pipeline notices template spam early."""
+    from datalakehouse_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = D.near_dup_pairs(docs).localCheckpoint()
+    deg = (
+        e.select(F.col("id_a").alias("v"))
+        .unionAll(e.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
