@@ -688,6 +688,7 @@ _DRIVER_PRIORITY = [
     "trend_slopes",
     "cusum_changepoint",
     "dup_graph_degrees",
+    "gini_coefficient",
 ]
 
 

@@ -4077,3 +4077,74 @@ def q_dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# gini_coefficient: revenue inequality, exact rank formulation
+# ---------------------------------------------------------------------------
+
+_GINI_SQL = """
+WITH ltv AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2)) ELSE
+                         CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT y, ROW_NUMBER() OVER (ORDER BY y, user_id) AS i FROM ltv
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(y, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(round(i * y, 2) AS DECIMAL(28,2))) AS DOUBLE) AS siy
+    FROM ranked
+)
+SELECT n, round(sy, 2) AS total_revenue,
+       round(2.0 * siy / (n * sy) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+FROM s
+"""
+
+
+@register(
+    "gini_coefficient",
+    _GINI_SQL,
+    "Gini coefficient of per-user purchase revenue (exact rank formulation)",
+)
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality in one number (the Pareto deciles' scalar summary):
+    G = 2·Σ(i·y_i)/(n·Σy) − (n+1)/n over ascending-ranked revenues.
+    The rank is total-ordered by (y, user_id) so ties break identically
+    in both engines; i·y of a cents-exact double is itself cents-exact,
+    so both moment sums stage losslessly into DECIMAL.  One user
+    aggregate, one rank window over users, one scalar row out."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
+    ltv = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", dec(F.col("value"))).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        )
+        .cast("double")
+        .alias("y")
+    )
+    w = Window.orderBy("y", "user_id")
+    ranked = ltv.select("y", F.row_number().over(w).alias("i"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("y"), 2).cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("i") * F.col("y"), 2).cast("decimal(28,2)"))
+        .cast("double")
+        .alias("siy"),
+    )
+    n, sy, siy = F.col("n"), F.col("sy"), F.col("siy")
+    return s.select(
+        "n",
+        F.round(sy, 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * siy / (n * sy) - (n + 1).cast("double") / n, 6
+        ).alias("gini"),
+    )
