@@ -689,6 +689,7 @@ _DRIVER_PRIORITY = [
     "cusum_changepoint",
     "dup_graph_degrees",
     "gini_coefficient",
+    "zipf_token_ranks",
 ]
 
 

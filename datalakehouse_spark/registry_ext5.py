@@ -4148,3 +4148,56 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * siy / (n * sy) - (n + 1).cast("double") / n, 6
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# zipf_token_ranks: rank-frequency law check over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_SQL = """
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks WHERE tok <> '' GROUP BY tok
+),
+ranked AS (
+    SELECT tok, freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+    FROM counts
+)
+SELECT rank, tok, freq,
+       round(ln(CAST(rank AS DOUBLE)), 6) AS ln_rank,
+       round(ln(CAST(freq AS DOUBLE)), 6) AS ln_freq
+FROM ranked WHERE rank <= 50
+"""
+
+
+@register(
+    "zipf_token_ranks",
+    _ZIPF_SQL,
+    "token rank-frequency table (Zipf-law check; natural text ~ slope -1 in log-log)",
+)
+def q_zipf_token_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-linguistics sanity check: natural language follows
+    freq ∝ 1/rank (slope ≈ −1 in log-log); synthetic or template-heavy
+    corpora visibly deviate, which makes this a cheap generation-vs-
+    crawl discriminator.  One token explode + hash aggregate; the rank
+    window orders the (already small) vocabulary with the token string
+    as tiebreak, and both ln() calls are single IEEE ops on exact
+    integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok"))
+    ranked = counts.select("tok", "freq", F.row_number().over(w).alias("rank"))
+    return ranked.where(F.col("rank") <= 50).select(
+        "rank",
+        "tok",
+        "freq",
+        F.round(F.log(F.col("rank").cast("double")), 6).alias("ln_rank"),
+        F.round(F.log(F.col("freq").cast("double")), 6).alias("ln_freq"),
+    )
