@@ -690,6 +690,7 @@ _DRIVER_PRIORITY = [
     "dup_graph_degrees",
     "gini_coefficient",
     "zipf_token_ranks",
+    "kmeans_inertia_sweep",
 ]
 
 

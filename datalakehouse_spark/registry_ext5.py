@@ -4201,3 +4201,91 @@ def q_zipf_token_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("rank").cast("double")), 6).alias("ln_rank"),
         F.round(F.log(F.col("freq").cast("double")), 6).alias("ln_freq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# kmeans_inertia_sweep: elbow accounting — within-cluster SS vs k
+# ---------------------------------------------------------------------------
+
+_INERTIA_KS = (2, 4, 8)
+_INERTIA_ITERS = 2
+
+
+def _inertia_sweep_sql() -> str:
+    from datalakehouse_spark.registry_ext import _ivf_assign_parts
+
+    sqdist = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * "
+        "(CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) FOR i IN range(1, 65)]),"
+        " (x, y) -> x + y)"
+    )
+    T = _INERTIA_ITERS
+    branches = []
+    for k in _INERTIA_KS:
+        parts = " ".join(_ivf_assign_parts(k, T))
+        branches.append(
+            f"""(
+    WITH {parts},
+    mins AS (
+        SELECT e.vec_id, MIN({sqdist}) AS m
+        FROM a0 e CROSS JOIN cent{T} c GROUP BY e.vec_id
+    )
+    SELECT {k} AS k,
+           CAST((SELECT COUNT(DISTINCT cluster) FROM a{T}) AS BIGINT)
+               AS n_clusters,
+           round(CAST(SUM(CAST(round(m, 9) AS DECIMAL(28,9))) AS DOUBLE), 6)
+               AS inertia
+    FROM mins
+)"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+@register(
+    "kmeans_inertia_sweep",
+    _inertia_sweep_sql(),
+    f"k-means elbow sweep: within-cluster SS at k={_INERTIA_KS} (seeded builds replayed)",
+)
+def q_kmeans_inertia_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many coarse clusters should the IVF index use?  The elbow
+    curve — within-cluster sum of squares after the same seeded Lloyd
+    build at each candidate k — answers it with data.  Each build is
+    the deterministic kmeans_clusters (centroids collected as
+    literals), inertia is the fold-ordered min-distance per vector with
+    the per-vector minima decimal-staged, and the oracle replays every
+    build in subquery-scoped CTE chains.  Cost is |ks| small builds —
+    a BUILD-time advisory job, not a serving path."""
+    from datalakehouse_spark.operators.similarity import (
+        _argmin_cluster,  # noqa: F401  (fold-order contract reference)
+        _dvec,
+        kmeans_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = []
+    for k in _INERTIA_KS:
+        assign, cents = kmeans_clusters(emb, k=k, iters=_INERTIA_ITERS)
+        n_clusters = assign.select("cluster").distinct().count()
+        cent_arr = F.lit([[float(x) for x in c] for _, c in cents])
+        dists = F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(_dvec("embedding"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        inertia = (
+            emb.select(F.array_min(dists).alias("m"))
+            .agg(
+                F.sum(F.round(F.col("m"), 9).cast("decimal(28,9)"))
+                .cast("double")
+                .alias("ss")
+            )
+            .first()["ss"]
+        )
+        rows.append((k, n_clusters, round(inertia, 6)))
+    return spark.createDataFrame(
+        rows, "k int, n_clusters bigint, inertia double"
+    )
