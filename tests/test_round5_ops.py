@@ -171,3 +171,33 @@ def test_kmv_rolling_estimate_tracks_exact(spark, sf_small):
     assert rows
     for r in rows:
         assert r["kmv_estimate"] == pytest.approx(r["exact_users"], rel=0.5), r
+
+
+def test_inertia_decreases_with_k(spark, sf_small):
+    """More clusters can only reduce within-cluster SS (same seeded
+    init family) — the elbow curve must be monotone here."""
+    rows = sorted(
+        REGISTRY["kmeans_inertia_sweep"].fn(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["k"],
+    )
+    inertias = [r["inertia"] for r in rows]
+    assert inertias == sorted(inertias, reverse=True), inertias
+
+
+def test_association_rules_metrics_bounded(spark, sf_small):
+    rows = REGISTRY["association_rules"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence"] <= 1
+        assert r["lift"] > 0
+
+
+def test_trend_r2_bounded(spark, sf_small):
+    for r in REGISTRY["trend_slopes"].fn(spark, "/root/testdata/sf0.01").collect():
+        assert 0.0 <= r["r2"] <= 1.0 + 1e-9
+
+
+def test_gini_in_unit_interval(spark, sf_small):
+    g = REGISTRY["gini_coefficient"].fn(spark, "/root/testdata/sf0.01").first()["gini"]
+    assert 0.0 <= g <= 1.0
