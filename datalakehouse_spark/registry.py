@@ -691,6 +691,7 @@ _DRIVER_PRIORITY = [
     "gini_coefficient",
     "zipf_token_ranks",
     "kmeans_inertia_sweep",
+    "source_vocab_overlap",
 ]
 
 

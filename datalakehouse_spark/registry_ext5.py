@@ -4289,3 +4289,84 @@ def q_kmeans_inertia_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "k int, n_clusters bigint, inertia double"
     )
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_overlap: pairwise vocabulary Jaccard between sources
+# ---------------------------------------------------------------------------
+
+_VOCAB_OVERLAP_SQL = """
+WITH st AS (
+    SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+    FROM documents
+),
+clean AS (SELECT source, tok FROM st WHERE tok <> ''),
+sizes AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab
+    FROM clean GROUP BY source
+),
+inter AS (
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM clean a JOIN clean b
+      ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.n_common,
+       round(CAST(i.n_common AS DOUBLE)
+             / (sa.n_vocab + sb.n_vocab - i.n_common), 6) AS vocab_jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+"""
+
+
+@register(
+    "source_vocab_overlap",
+    _VOCAB_OVERLAP_SQL,
+    "pairwise vocabulary Jaccard between sources (corpus-diversity matrix)",
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix diversity at the vocabulary level: two sources with
+    near-identical vocabularies add less than their row counts suggest.
+    The (source, token) distinct reduction is the fact-sized shuffle;
+    intersections come from ONE self equi-join on the token key
+    (each token contributes its source-pair combinations), and the
+    Jaccard denominators join in from the tiny per-source sizes.  At
+    real vocabulary scale the token join key is hashed 60-bit (as in
+    shingle_novelty_daily) — strings are fine at fixture vocab size."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_vocab").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_vocab").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
