@@ -692,6 +692,8 @@ _DRIVER_PRIORITY = [
     "zipf_token_ranks",
     "kmeans_inertia_sweep",
     "source_vocab_overlap",
+    "corpus_health_report",
+    "order_aging_report",
 ]
 
 

@@ -4370,3 +4370,150 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_health_report: one-row dashboard over the hygiene metrics
+# ---------------------------------------------------------------------------
+
+
+def _corpus_health_sql() -> str:
+    from datalakehouse_spark.registry_ext import _LANGID_SQL
+
+    return f"""
+WITH exact_groups AS (
+    SELECT text, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY text
+),
+pred AS ({_LANGID_SQL}),
+lang_match AS (
+    SELECT CAST(SUM(CASE WHEN d.lang = p.lang_pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+)
+SELECT CAST((SELECT SUM(n) FROM exact_groups) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM exact_groups) AS BIGINT) AS n_unique_texts,
+       round(1.0 - CAST((SELECT COUNT(*) FROM exact_groups) AS DOUBLE)
+                   / (SELECT SUM(n) FROM exact_groups), 6) AS exact_dup_rate,
+       round(CAST((SELECT n_match FROM lang_match) AS DOUBLE)
+             / (SELECT n FROM lang_match), 6) AS langid_accuracy,
+       CAST((SELECT SUM(n_chars) FROM documents) AS BIGINT) AS total_chars,
+       round(CAST((SELECT SUM(n_chars) FROM documents) AS DOUBLE)
+             / (SELECT SUM(n) FROM exact_groups), 6) AS mean_chars
+"""
+
+
+@register(
+    "corpus_health_report",
+    _corpus_health_sql(),
+    "one-row corpus dashboard: dup rate, langid accuracy, size stats",
+)
+def q_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-of-dashboard scalar row a corpus pipeline publishes per
+    snapshot: exact-duplication rate (1 − unique/total), language-ID
+    accuracy against labels, and size aggregates — each an O(1)-output
+    aggregate over one scan (the exact-dup reduction is the only
+    shuffle; langid is scan-fused).  Deeper tiers (LSH clusters, chunk
+    dups) have their own entries; this row is the cheap every-snapshot
+    pulse."""
+    from datalakehouse_spark.operators import textstats as TS
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy("text").agg(F.count(F.lit(1)).alias("n"))
+    g = groups.agg(
+        F.sum("n").alias("n_docs"), F.count(F.lit(1)).alias("n_unique")
+    ).first()
+    pred = TS.langid_df(docs).select("doc_id", "lang_pred")
+    lm = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .agg(
+            F.sum((F.col("lang") == F.col("lang_pred")).cast("long")).alias(
+                "n_match"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    chars = docs.agg(F.sum("n_chars").alias("c")).first()["c"]
+    return spark.createDataFrame(
+        [
+            (
+                g["n_docs"],
+                g["n_unique"],
+                round(1.0 - g["n_unique"] / g["n_docs"], 6),
+                round(lm["n_match"] / lm["n"], 6),
+                chars,
+                round(chars / g["n_docs"], 6),
+            )
+        ],
+        "n_docs bigint, n_unique_texts bigint, exact_dup_rate double, "
+        "langid_accuracy double, total_chars bigint, mean_chars double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# order_aging_report: open-pipeline aging buckets
+# ---------------------------------------------------------------------------
+
+_AGING_SQL = """
+WITH anchor AS (
+    SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+),
+aged AS (
+    SELECT o.o_orderstatus,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE), a.maxd)
+                AS BIGINT) AS age_days,
+           o.o_totalprice
+    FROM orders o CROSS JOIN anchor a
+),
+bucketed AS (
+    SELECT o_orderstatus,
+           CASE WHEN age_days < 30 THEN '0-29'
+                WHEN age_days < 90 THEN '30-89'
+                WHEN age_days < 365 THEN '90-364'
+                ELSE '365+' END AS age_bucket,
+           o_totalprice
+    FROM aged
+)
+SELECT o_orderstatus, age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM bucketed GROUP BY o_orderstatus, age_bucket
+"""
+
+
+@register(
+    "order_aging_report",
+    _AGING_SQL,
+    "order aging buckets per status (receivables-style pipeline report)",
+)
+def q_order_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The receivables/aging report shape: bucket every order's age
+    (relative to the data's own max date — reproducible, no wall
+    clock) into standard bands per status, with decimal-staged value
+    totals.  The scalar max-date anchors via a broadcast cross join;
+    the bucketing is one CASE projection and one hash aggregate."""
+    from datalakehouse_spark.functions.numeric import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    aged = orders.crossJoin(F.broadcast(anchor)).select(
+        "o_orderstatus",
+        F.datediff("maxd", F.to_date("o_orderdate")).cast("bigint").alias(
+            "age_days"
+        ),
+        "o_totalprice",
+    )
+    bucket = (
+        F.when(F.col("age_days") < 30, "0-29")
+        .when(F.col("age_days") < 90, "30-89")
+        .when(F.col("age_days") < 365, "90-364")
+        .otherwise("365+")
+    )
+    return aged.select(
+        "o_orderstatus", bucket.alias("age_bucket"), "o_totalprice"
+    ).groupBy("o_orderstatus", "age_bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total_value"),
+    )
