@@ -694,6 +694,9 @@ _DRIVER_PRIORITY = [
     "source_vocab_overlap",
     "corpus_health_report",
     "order_aging_report",
+    "spatial_knn",
+    "basket_size_distribution",
+    "repeat_purchase_intervals",
 ]
 
 

@@ -4517,3 +4517,198 @@ def q_order_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# spatial_knn: k nearest fixes to a query point (deterministic ranking)
+# ---------------------------------------------------------------------------
+
+_SKNN_LAT0, _SKNN_LON0 = -10.0, -70.0
+_SKNN_COS = 0.984807753012208  # cos(10°) as an exact double literal
+
+_SPATIAL_KNN_SQL = f"""
+WITH pts AS (
+    SELECT event_id, user_id,
+           (value / 5 - 20) AS lat, (value - 120) AS lon
+    FROM events
+),
+scored AS (
+    SELECT event_id, user_id,
+           (lat - ({_SKNN_LAT0!r})) * (lat - ({_SKNN_LAT0!r}))
+           + ((lon - ({_SKNN_LON0!r})) * {_SKNN_COS!r})
+             * ((lon - ({_SKNN_LON0!r})) * {_SKNN_COS!r}) AS d2
+    FROM pts
+)
+SELECT event_id, user_id, round(d2, 9) AS approx_deg2
+FROM scored
+ORDER BY d2, event_id
+LIMIT 20
+"""
+
+
+@register(
+    "spatial_knn",
+    _SPATIAL_KNN_SQL,
+    "20 nearest GPS fixes to a query point (equirectangular ranking, TakeOrdered)",
+)
+def q_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial nearest-neighbor serving: rank by the equirectangular
+    approximation (Δlat² + (Δlon·cos φ₀)²) — every term is plain double
+    arithmetic with literal constants, so the ORDER BY is bit-identical
+    across engines, unlike trig haversine whose libm-vs-JVM ulps could
+    swap tie-adjacent ranks (the trip metrics round aggregates away
+    from that; a top-k ORDER BY cannot).  Plan: narrow projection into
+    TakeOrderedAndProject, no shuffle; at scale the pre-filter is the
+    grid_density cell index (query cell ± neighbors)."""
+    ev = load_table(spark, sf_dir, "events")
+    lat = F.col("value") / 5 - 20
+    lon = F.col("value") - 120
+    dlat = lat - F.lit(_SKNN_LAT0)
+    dlon = (lon - F.lit(_SKNN_LON0)) * F.lit(_SKNN_COS)
+    d2 = dlat * dlat + dlon * dlon
+    return (
+        ev.select("event_id", "user_id", d2.alias("d2"))
+        .orderBy(F.col("d2"), F.col("event_id"))
+        .limit(20)
+        .select("event_id", "user_id", F.round("d2", 9).alias("approx_deg2"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# basket_size_distribution: lineitems-per-order profile
+# ---------------------------------------------------------------------------
+
+_BASKET_SQL = """
+WITH sizes AS (
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_items,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(n_items) AS BIGINT) AS n_lineitems
+FROM sizes GROUP BY n_items
+"""
+
+
+@register(
+    "basket_size_distribution",
+    _BASKET_SQL,
+    "lineitems-per-order histogram (basket profile / join-size estimator input)",
+)
+def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size profile — operationally, the distribution a CBO uses
+    to size the orders⋈lineitem join and a planner uses to spot basket
+    anomalies.  Two hash aggregates (order rollup, then the tiny
+    histogram), integer-exact."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    sizes = lineitem.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return sizes.groupBy("n_items").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_items").alias("n_lineitems"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repeat_purchase_intervals: inter-purchase gap statistics
+# ---------------------------------------------------------------------------
+
+_REPEAT_SQL = """
+WITH purchases AS (
+    SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+    WHERE event_type = 'purchase'
+),
+gaps AS (
+    SELECT user_id,
+           us - LAG(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) AS gap_us
+    FROM purchases
+),
+per_user AS (
+    SELECT user_id, gap_us,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY gap_us) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n
+    FROM gaps WHERE gap_us IS NOT NULL
+),
+medians AS (
+    SELECT user_id,
+           CAST(MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN gap_us END) AS BIGINT) AS med_us
+    FROM per_user GROUP BY user_id
+),
+ranked AS (
+    SELECT med_us,
+           ROW_NUMBER() OVER (ORDER BY med_us) AS rn,
+           COUNT(*) OVER () AS n
+    FROM medians
+)
+SELECT CAST(MIN(n) AS BIGINT) AS n_users,
+       CAST(MIN(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN med_us END) AS DOUBLE) / 86400000000.0
+           AS median_of_median_days,
+       round(CAST(SUM(CAST(med_us AS DECIMAL(28,0))) AS DOUBLE)
+             / (CAST(MIN(n) AS DOUBLE) * 86400000000.0), 6)
+           AS mean_median_days
+FROM ranked
+"""
+
+
+@register(
+    "repeat_purchase_intervals",
+    _REPEAT_SQL,
+    "inter-purchase gap statistics (per-user order-statistic medians)",
+)
+def q_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence metric: per-user median gap between consecutive
+    purchases (LAG over the purchase stream, order-statistic pick in
+    integer microseconds), summarized as the median and mean of those
+    medians.  Every quantile is an exact integer order statistic (the
+    time_to_convert discipline); the mean stages the integer gaps into
+    DECIMAL.  The cross-user rank window runs over O(users) medians."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = purchases.select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    ).where(F.col("gap_us").isNotNull())
+    wu = Window.partitionBy("user_id")
+    per_user = gaps.select(
+        "user_id",
+        "gap_us",
+        F.row_number().over(wu.orderBy("gap_us")).alias("rn"),
+        F.count(F.lit(1)).over(wu).alias("n"),
+    )
+    medians = per_user.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                F.col("gap_us"),
+            )
+        ).alias("med_us")
+    )
+    wg = Window.orderBy("med_us")
+    ranked = medians.select(
+        "med_us",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    day_us = 86_400_000_000.0
+    return ranked.agg(
+        F.min("n").alias("n_users"),
+        (
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")).cast("bigint"),
+                    F.col("med_us"),
+                )
+            ).cast("double")
+            / day_us
+        ).alias("median_of_median_days"),
+        F.round(
+            F.sum(F.col("med_us").cast("decimal(28,0)")).cast("double")
+            / (F.min("n").cast("double") * day_us),
+            6,
+        ).alias("mean_median_days"),
+    )
