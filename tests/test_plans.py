@@ -549,3 +549,50 @@ def test_round5_entries_stay_jvm_side(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_spatial_knn_is_take_ordered(spark):
+    plan = plan_of(REGISTRY["spatial_knn"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_late_round5_entries_no_cartesian_no_python(spark):
+    for name in (
+        "association_rules",
+        "source_vocab_overlap",
+        "zipf_token_ranks",
+        "cusum_changepoint",
+        "trend_slopes",
+        "gini_coefficient",
+        "weekly_autocorrelation",
+        "benford_first_digit",
+        "basket_size_distribution",
+        "repeat_purchase_intervals",
+        "skyline_2d",
+        "ltv_deciles_pareto",
+        "revenue_reconciliation",
+        "conversion_wilson_ci",
+        "time_to_convert",
+        "ab_test_ttest",
+        "session_landing_exit",
+        "chi_square_independence",
+        "mutual_information",
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_kmv_rolling_has_no_nested_loop(spark):
+    """The target-day explode must keep the sketch merge an equi hash
+    join (the range-condition form compiled to BNLJ)."""
+    plan = plan_of(REGISTRY["kmv_rolling_distinct"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_point_in_time_join_no_nested_loop(spark):
+    plan = plan_of(REGISTRY["point_in_time_join"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
