@@ -697,6 +697,7 @@ _DRIVER_PRIORITY = [
     "spatial_knn",
     "basket_size_distribution",
     "repeat_purchase_intervals",
+    "forecast_accuracy",
 ]
 
 

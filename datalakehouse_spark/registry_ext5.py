@@ -4712,3 +4712,114 @@ def q_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_median_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# forecast_accuracy: MdAPE of the EWMA one-day-ahead forecast
+# ---------------------------------------------------------------------------
+
+_FC_NUM = _EWMA_NUM.replace("x0", "p0").replace("x1", "p1").replace(
+    "x2", "p2"
+).replace("x3", "p3").replace("x4", "p4").replace("x5", "p5").replace("x6", "p6")
+_FC_DEN = _EWMA_DEN.replace("x0", "p0").replace("x1", "p1").replace(
+    "x2", "p2"
+).replace("x3", "p3").replace("x4", "p4").replace("x5", "p5").replace("x6", "p6")
+
+_FORECAST_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM events GROUP BY 1, 2
+),
+taps AS (
+    SELECT event_type, day, n,
+           {", ".join(
+               f"LAG(n, {k + 1}) OVER (PARTITION BY event_type ORDER BY day) AS p{k}"
+               for k in range(len(_EWMA_TAPS))
+           )}
+    FROM daily
+),
+scored AS (
+    -- one-day-ahead: today's forecast uses ONLY days t-1..t-7
+    SELECT event_type, n,
+           ({_FC_NUM}) / ({_FC_DEN}) AS pred
+    FROM taps WHERE p0 IS NOT NULL
+),
+apes AS (
+    SELECT event_type, abs(n - pred) / n AS ape FROM scored WHERE n > 0
+),
+ranked AS (
+    SELECT event_type, ape,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ape) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+    FROM apes
+)
+SELECT event_type,
+       CAST(MIN(cnt) AS BIGINT) AS n_forecasts,
+       round(MIN(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT)
+                      THEN ape END), 6) AS mdape,
+       round(MAX(ape), 6) AS worst_ape
+FROM ranked GROUP BY event_type
+"""
+
+
+@register(
+    "forecast_accuracy",
+    _FORECAST_SQL,
+    "MdAPE of the EWMA one-day-ahead forecast (backtest over the fixture window)",
+)
+def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the forecasting loop: the same EWMA taps as ewma_daily,
+    shifted one day so each prediction sees only the past, backtested
+    against actuals as median absolute percentage error (median — an
+    order statistic — not mean, so one blowup day can't dominate and
+    no interpolation ulps can flip it).  Per-type windows over the
+    daily rollup; APE is two IEEE ops in fixed order."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    taps = daily.select(
+        "event_type",
+        "day",
+        "n",
+        *[
+            F.lag("n", k + 1).over(w).alias(f"p{k}")
+            for k in range(len(_EWMA_TAPS))
+        ],
+    )
+    num = None
+    den = None
+    for k, wt in enumerate(_EWMA_TAPS):
+        pk = F.col(f"p{k}")
+        tap_n = F.when(pk.isNull(), F.lit(0.0)).otherwise(F.lit(wt) * pk)
+        tap_d = F.when(pk.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = tap_n if num is None else num + tap_n
+        den = tap_d if den is None else den + tap_d
+    scored = taps.where(F.col("p0").isNotNull()).select(
+        "event_type", "n", (num / den).alias("pred")
+    )
+    apes = scored.where(F.col("n") > 0).select(
+        "event_type", (F.abs(F.col("n") - F.col("pred")) / F.col("n")).alias("ape")
+    )
+    wt_ = Window.partitionBy("event_type")
+    ranked = apes.select(
+        "event_type",
+        "ape",
+        F.row_number().over(wt_.orderBy("ape")).alias("rn"),
+        F.count(F.lit(1)).over(wt_).alias("cnt"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.min("cnt").alias("n_forecasts"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("rn") == F.ceil(F.lit(0.5) * F.col("cnt")).cast("bigint"),
+                    F.col("ape"),
+                )
+            ),
+            6,
+        ).alias("mdape"),
+        F.round(F.max("ape"), 6).alias("worst_ape"),
+    )
