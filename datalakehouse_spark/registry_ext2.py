@@ -232,14 +232,36 @@ FROM orders
 
 @register("ntile_percent_rank", _NTILE_SQL, "ntile + percent_rank analytics")
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    wd = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    wa = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return orders.select(
-        "o_orderkey",
-        "o_totalprice",
-        F.ntile(4).over(wd).alias("price_quartile"),
-        F.round(F.percent_rank().over(wa), 9).alias("pr"),
+    """Global NTILE/PERCENT_RANK without the single-partition window
+    (the round-5 scale-killer): both functions reduce to arithmetic on a
+    global row_number, which ``with_global_rank`` computes distributed
+    (range-bucket → partitioned window → broadcast offsets).  The two
+    rank orders differ beyond reversal (DESC price but ASC key tiebreak),
+    so each gets its own ranking pass; they re-join on the primary key —
+    one co-partitioned shuffle instead of one task holding every order."""
+    from datalakehouse_spark.operators.ranking import (
+        ntile_from_rank,
+        percent_rank_from_rank,
+        with_global_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_df = orders.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    desc = with_global_rank(
+        orders, [("o_totalprice", False), ("o_orderkey", True)], rank_col="__rd"
+    )
+    asc = with_global_rank(
+        orders, [("o_totalprice", True), ("o_orderkey", True)], rank_col="__ra"
+    ).select(F.col("o_orderkey").alias("__k"), "__ra")
+    return (
+        desc.join(asc, desc.o_orderkey == asc.__k)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            ntile_from_rank(F.col("__rd"), F.col("__n"), 4).alias("price_quartile"),
+            F.round(percent_rank_from_rank(F.col("__ra"), F.col("__n")), 9).alias("pr"),
+        )
     )
 
 

@@ -3223,10 +3223,13 @@ def q_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration reporting: rank users by purchase LTV,
     band into deciles (user_id as the total-order tiebreak so NTILE
     splits identically in both engines), and report each band's share
-    plus the cumulative Pareto curve.  Per-user and per-decile sums are
-    decimal-staged; the NTILE window runs over O(users) rows and the
-    cumulative window over exactly 10."""
+    plus the cumulative Pareto curve.  Round-6 de-globalization: the
+    O(users) NTILE window is now rank arithmetic on a distributed global
+    row_number (``operators.ranking``), and the 10-row cumulative window
+    is a broadcast triangular self-join — no unpartitioned WindowExec
+    anywhere.  Per-user and per-decile sums stay decimal-staged."""
     from datalakehouse_spark.functions.numeric import dsum
+    from datalakehouse_spark.operators.ranking import ntile_from_rank, with_global_rank
 
     ev = load_table(spark, sf_dir, "events")
     ltv = (
@@ -3234,25 +3237,35 @@ def q_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(dsum("value").alias("revenue"))
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("user_id"))
-    banded = ltv.select("revenue", F.ntile(10).over(w).alias("decile"))
+    n_df = ltv.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranked = with_global_rank(
+        ltv, [("revenue", False), ("user_id", True)], rank_col="__r"
+    )
+    banded = ranked.crossJoin(F.broadcast(n_df)).select(
+        "revenue", ntile_from_rank(F.col("__r"), F.col("__n"), 10).alias("decile")
+    )
     dec2 = lambda c: F.round(c, 2).cast("decimal(18,2)")  # noqa: E731
     per_decile = banded.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum(dec2(F.col("revenue"))).cast("double").alias("revenue"),
     )
     tot = ltv.agg(F.sum(dec2(F.col("revenue"))).cast("double").alias("total"))
-    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    return per_decile.crossJoin(F.broadcast(tot)).select(
+    a, b = per_decile.alias("a"), per_decile.alias("b")
+    cum = (
+        a.join(F.broadcast(b), F.col("b.decile") <= F.col("a.decile"))
+        .groupBy(
+            F.col("a.decile").alias("decile"),
+            F.col("a.n_users").alias("n_users"),
+            F.col("a.revenue").alias("revenue"),
+        )
+        .agg(F.sum(dec2(F.col("b.revenue"))).cast("double").alias("__cum"))
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
         "decile",
         "n_users",
         F.round("revenue", 2).alias("revenue"),
         F.round(F.col("revenue") / F.col("total"), 6).alias("share"),
-        F.round(
-            F.sum(dec2(F.col("revenue"))).over(w_cum).cast("double")
-            / F.col("total"),
-            6,
-        ).alias("cum_share"),
+        F.round(F.col("__cum") / F.col("total"), 6).alias("cum_share"),
     )
 
 
@@ -3335,6 +3348,12 @@ def q_revenue_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Absolute truth-block size (round-6 fix): the exhaustive-Jaccard truth
+#: join is O(cap²) — a CONSTANT — at any corpus size, where the previous
+#: 1/12 FRACTION sample made it O((n/12)²), quadratic at 100 TB.
+_LSH_RECALL_CAP = 512
+
+
 def _lsh_recall_sql() -> str:
     from datalakehouse_spark.registry_ext import _near_dup_sql
 
@@ -3347,8 +3366,9 @@ def _lsh_recall_sql() -> str:
         # reference inside the CTE as circular
         "WITH documents AS (\n"
         "    SELECT * FROM main.documents\n"
-        "    WHERE CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 15))\n"
-        "               AS BIGINT) % 12 = 0\n"
+        "    ORDER BY CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 15))\n"
+        "             AS BIGINT), doc_id\n"
+        f"    LIMIT {_LSH_RECALL_CAP}\n"
         "), "
     )
     assert body.lstrip().startswith("WITH ")
@@ -3357,8 +3377,9 @@ def _lsh_recall_sql() -> str:
 WITH lsh AS ({inner}),
 sampled AS (
     SELECT doc_id, text FROM main.documents
-    WHERE CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 15))
-               AS BIGINT) % 12 = 0
+    ORDER BY CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 15))
+             AS BIGINT), doc_id
+    LIMIT {_LSH_RECALL_CAP}
 ),
 n2 AS (SELECT doc_id, {{toks}} AS toks FROM sampled),
 s2 AS (SELECT doc_id, {{shingles}} AS sh FROM n2),
@@ -3394,21 +3415,33 @@ def _lsh_recall_sql_filled() -> str:
 )
 def q_lsh_recall_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup tier's recall, measured instead of assumed: on a
-    content-block sample (prefix-hash — keeps dup families together,
-    unlike id sampling) compute ALL Jaccard-≥0.6 pairs exhaustively,
-    run the production LSH pipeline on the same docs, and report
-    found/truth.  Verified LSH pairs are a subset of truth (the
-    pipeline exact-verifies candidates), so precision is 1.0 by
-    construction and recall is the whole story — band/bucket parameters
-    that drop it show up HERE, as a number, before they silently eat a
-    corpus.  Sibling ledgers: ann_recall_accounting (hyperplane LSH),
-    pq_recall_accounting (ADC)."""
+    content-block sample (prefix-hash ORDERED, lowest ``_LSH_RECALL_CAP``
+    hashes taken — dup families share a prefix hash so they stay
+    together, unlike id sampling) compute ALL Jaccard-≥0.6 pairs
+    exhaustively, run the production LSH pipeline on the same docs, and
+    report found/truth.  The cap is ABSOLUTE, so the exhaustive truth
+    join is O(cap²) at any corpus size (round-6 fix: the prior 1/12
+    fraction sample grew quadratically with the corpus).  Verified LSH
+    pairs are a subset of truth (the pipeline exact-verifies
+    candidates), so precision is 1.0 by construction and recall is the
+    whole story — band/bucket parameters that drop it show up HERE, as
+    a number, before they silently eat a corpus.  Sibling ledgers:
+    ann_recall_accounting (hyperplane LSH), pq_recall_accounting (ADC).
+    Diagnostic entry class: the three counts are eager by design."""
     from datalakehouse_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
     from datalakehouse_spark.operators.dedup import md5_hash60
 
-    sample = docs.where(md5_hash60(F.substring("text", 1, 64)) % 12 == 0)
+    sample = (
+        docs.withColumn("__h", md5_hash60(F.substring("text", 1, 64)))
+        .orderBy("__h", "doc_id")
+        .limit(_LSH_RECALL_CAP)
+        .drop("__h")
+        # a global limit lands on one partition — spread the block back
+        # out before the shingle explode + LSH band join
+        .repartition("doc_id")
+    )
     lsh_pairs = D.near_dup_pairs(sample)
     ids = sample.select("doc_id")
     a, b = ids.alias("a"), ids.alias("b")
@@ -3460,9 +3493,13 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     other — a point survives iff nothing both richer AND more active
     precedes it.  The tiebreak (c_custkey) makes the sweep total-
     ordered, so equal-balance points dominate deterministically in both
-    engines.  The global window runs over the (already reduced)
-    customer aggregate; the d>2 generalization is grid-partition +
-    local skyline + merge, noted for scale."""
+    engines.  Round 6 delivers the partition-local-skyline + merge the
+    round-5 docstring promised: ``with_prefix_max`` range-buckets on
+    acctbal, sweeps each bucket with a PARTITIONED window, and merges
+    via the broadcast prefix-max of earlier (strictly richer) buckets —
+    no single-partition WindowExec over the customer aggregate."""
+    from datalakehouse_spark.operators.ranking import with_prefix_max
+
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     activity = (
@@ -3470,14 +3507,11 @@ def q_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_acctbal")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    swept = activity.select(
-        "c_custkey",
-        "c_acctbal",
+    swept = with_prefix_max(
+        activity,
+        [("c_acctbal", False), ("c_custkey", True)],
         "n_orders",
-        F.max("n_orders").over(w).alias("best_prev"),
+        out_col="best_prev",
     )
     return swept.where(
         F.col("best_prev").isNull() | (F.col("n_orders") > F.col("best_prev"))
@@ -4183,18 +4217,28 @@ def q_zipf_token_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-linguistics sanity check: natural language follows
     freq ∝ 1/rank (slope ≈ −1 in log-log); synthetic or template-heavy
     corpora visibly deviate, which makes this a cheap generation-vs-
-    crawl discriminator.  One token explode + hash aggregate; the rank
-    window orders the (already small) vocabulary with the token string
-    as tiebreak, and both ln() calls are single IEEE ops on exact
-    integers."""
+    crawl discriminator.  One token explode + hash aggregate; round-6
+    de-globalization: the top-50 is taken FIRST (orderBy+limit compiles
+    to TakeOrderedAndProject — per-partition heaps, never a full-vocab
+    single-partition row_number window), then the 50 survivors are
+    ranked by a broadcast triangular self-join (rank = 1 + #dominators),
+    so ranking cost is O(50²) at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
         F.col("tok") != ""
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    w = Window.orderBy(F.col("freq").desc(), F.col("tok"))
-    ranked = counts.select("tok", "freq", F.row_number().over(w).alias("rank"))
-    return ranked.where(F.col("rank") <= 50).select(
+    top = counts.orderBy(F.col("freq").desc(), F.col("tok")).limit(50)
+    a, b = top.alias("a"), top.alias("b")
+    dominates = (F.col("b.freq") > F.col("a.freq")) | (
+        (F.col("b.freq") == F.col("a.freq")) & (F.col("b.tok") < F.col("a.tok"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), dominates, "left")
+        .groupBy(F.col("a.tok").alias("tok"), F.col("a.freq").alias("freq"))
+        .agg((F.count(F.col("b.tok")) + 1).cast("int").alias("rank"))
+    )
+    return ranked.select(
         "rank",
         "tok",
         "freq",
