@@ -549,71 +549,26 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver coverage rotation (round 6): the driver samples the FIRST ~50
-#: entries of queries() order per round.  CORRECTNESS_r05 was 50/50 green
-#: on the round-5 rotation, leaving (per the round-5 verdict) 82 entries
-#: with no driver row ever and 24 whose last green row predates the
-#: round-3 fixture regeneration.  Round-6 order therefore is:
-#:   (1) the 5 entries whose CODE changed this round (the de-globalized
-#:       window family + the absolute-capped LSH recall ledger) — their
-#:       prior rows, where any exist, no longer describe the running code;
-#:   (2) the remaining 78 never-driver-checked entries (rounds 6-7 burn
-#:       these down at ~50/round);
-#:   (3) the 24 r1-r3-stale entries.
-#: All 107 pass the driver-identical local oracle gate on current
-#: fixtures (tools/oracle_check.py); this rotation closes the gate, it
+#: Driver coverage rotation (round 7): the driver samples the FIRST ~50
+#: entries of queries() order per round.  After rounds 4-6, 147 of 204
+#: entries have a green driver row on current fixtures; per the round-6
+#: verdict, 33 have never been driver-checked and 24 were last checked
+#: before the round-3 fixture regeneration.  Round-7 order therefore is:
+#:   (1) the 4 entries whose CODE changed this round (ntile's shared
+#:       bucketing pass, the two de-globalized O(users) windows, the
+#:       persisted LSH-recall sample) — prior rows no longer describe
+#:       the running code;
+#:   (2) the 33 never-driver-checked entries;
+#:   (3) the 24 r1-r3-stale entries (the ~9 past the driver's ~50-entry
+#:       cut land in round 8, completing full current-fixture coverage).
+#: All 59 pass the driver-identical local oracle gate on current
+#: fixtures (tests/test_oracle.py); this rotation closes the gate, it
 #: does not paper over failures.
 _DRIVER_PRIORITY = [
     "ntile_percent_rank",
-    "ltv_deciles_pareto",
-    "skyline_2d",
-    "zipf_token_ranks",
+    "gini_coefficient",
+    "repeat_purchase_intervals",
     "lsh_recall_accounting",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_value",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q20_surplus_suppliers",
-    "q21_sole_blame",
-    "dedup_canonical",
-    "incremental_mv_maintenance",
-    "streaming_incremental_mv",
-    "chunk_dedup_stats",
-    "decontamination_report",
-    "rolling_time_window",
-    "stats_moments",
-    "pq_build_stats",
-    "pq_search",
-    "ivf_pq_search",
-    "pq_recall_accounting",
-    "trip_distance_daily",
-    "speeding_segments",
-    "running_distinct_users",
-    "max_concurrency",
-    "markov_transitions",
-    "ewma_daily",
-    "token_entropy",
-    "pii_redaction",
-    "engagement_bitmap",
-    "grid_density",
-    "prefix_dedup_stats",
-    "kmv_distinct_sketch",
-    "dq_expectations",
-    "growth_rates",
-    "mad_outliers",
-    "shingle_novelty_daily",
-    "distribution_rebalance",
-    "fuzzy_dup_candidates",
-    "hierarchy_rollup",
-    "debounce_events",
-    "purchase_attribution",
-    "dow_seasonality",
-    "anomaly_days",
-    "bloom_membership_accounting",
-    "bigram_logprob_quality",
-    "containment_near_dup",
-    "winback_users",
     "dau_wau_stickiness",
     "langid_confusion",
     "label_centroid_distances",
@@ -638,14 +593,12 @@ _DRIVER_PRIORITY = [
     "trend_slopes",
     "cusum_changepoint",
     "dup_graph_degrees",
-    "gini_coefficient",
     "kmeans_inertia_sweep",
     "source_vocab_overlap",
     "corpus_health_report",
     "order_aging_report",
     "spatial_knn",
     "basket_size_distribution",
-    "repeat_purchase_intervals",
     "forecast_accuracy",
     "q1_pricing_summary",
     "q3_shipping_priority",

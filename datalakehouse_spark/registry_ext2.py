@@ -234,28 +234,33 @@ FROM orders
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global NTILE/PERCENT_RANK without the single-partition window
     (the round-5 scale-killer): both functions reduce to arithmetic on a
-    global row_number, which ``with_global_rank`` computes distributed
+    global row_number, which ``with_global_ranks`` computes distributed
     (range-bucket → partitioned window → broadcast offsets).  The two
-    rank orders differ beyond reversal (DESC price but ASC key tiebreak),
-    so each gets its own ranking pass; they re-join on the primary key —
-    one co-partitioned shuffle instead of one task holding every order."""
+    rank orders differ beyond reversal (DESC price but ASC key tiebreak)
+    but share the leading column, so BOTH ranks come off ONE bucketing
+    pass — two sorts over the same bucket partitioning, no re-join on
+    the primary key (round-7 fix: the previous two independent passes
+    re-scanned and re-bucketed orders, then joined; 2.4 s → sub-second
+    target).  ``cache=True`` persists the bucketed frame so the window
+    and bucket-count branches share one scan."""
     from datalakehouse_spark.operators.ranking import (
         ntile_from_rank,
         percent_rank_from_rank,
-        with_global_rank,
+        with_global_ranks,
     )
 
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     n_df = orders.agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    desc = with_global_rank(
-        orders, [("o_totalprice", False), ("o_orderkey", True)], rank_col="__rd"
+    ranked = with_global_ranks(
+        orders,
+        {
+            "__rd": [("o_totalprice", False), ("o_orderkey", True)],
+            "__ra": [("o_totalprice", True), ("o_orderkey", True)],
+        },
+        cache=True,
     )
-    asc = with_global_rank(
-        orders, [("o_totalprice", True), ("o_orderkey", True)], rank_col="__ra"
-    ).select(F.col("o_orderkey").alias("__k"), "__ra")
     return (
-        desc.join(asc, desc.o_orderkey == asc.__k)
-        .crossJoin(F.broadcast(n_df))
+        ranked.crossJoin(F.broadcast(n_df))
         .select(
             "o_orderkey",
             "o_totalprice",

@@ -3441,7 +3441,14 @@ def q_lsh_recall_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a global limit lands on one partition — spread the block back
         # out before the shingle explode + LSH band join
         .repartition("doc_id")
+        # the sample subtree (full-corpus orderBy + limit) fans out into
+        # FIVE consumers (LSH pipeline, both jaccard legs, pair ids,
+        # n_docs) — persist + count materializes it ONCE (round-7 fix:
+        # the uncached form re-ran the global sort per eager action,
+        # 3.84 → 5.60 s regression in round 6's bench)
+        .persist()
     )
+    n_docs = sample.count()
     lsh_pairs = D.near_dup_pairs(sample)
     ids = sample.select("doc_id")
     a, b = ids.alias("a"), ids.alias("b")
@@ -3449,9 +3456,9 @@ def q_lsh_recall_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
     )
     truth = D.jaccard_pairs(sample, all_pairs).where(F.col("jaccard") >= 0.6)
-    n_docs = sample.count()
     n_truth = truth.count()
     n_lsh = lsh_pairs.count()
+    sample.unpersist()
     recall = round(n_lsh / max(n_truth, 1.0), 6)
     return spark.createDataFrame(
         [(n_docs, n_truth, n_lsh, recall)],
@@ -4151,8 +4158,13 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rank is total-ordered by (y, user_id) so ties break identically
     in both engines; i·y of a cents-exact double is itself cents-exact,
     so both moment sums stage losslessly into DECIMAL.  One user
-    aggregate, one rank window over users, one scalar row out."""
+    aggregate, one DISTRIBUTED global rank over users (round-7 fix: the
+    previous ``Window.orderBy`` funneled every user through one task —
+    ``ranking.with_global_rank`` range-buckets instead), one scalar row
+    out."""
     from pyspark.sql import functions as F
+
+    from datalakehouse_spark.operators.ranking import with_global_rank
 
     ev = load_table(spark, sf_dir, "events")
     dec = lambda c: c.cast("decimal(18,2)")  # noqa: E731
@@ -4165,8 +4177,9 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y")
     )
-    w = Window.orderBy("y", "user_id")
-    ranked = ltv.select("y", F.row_number().over(w).alias("i"))
+    ranked = with_global_rank(
+        ltv, [("y", True), ("user_id", True)], rank_col="i"
+    ).select("y", "i")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.round(F.col("y"), 2).cast("decimal(18,2)")).cast("double").alias("sy"),
@@ -4707,7 +4720,9 @@ def q_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer microseconds), summarized as the median and mean of those
     medians.  Every quantile is an exact integer order statistic (the
     time_to_convert discipline); the mean stages the integer gaps into
-    DECIMAL.  The cross-user rank window runs over O(users) medians."""
+    DECIMAL.  The cross-user median pick uses the distributed global
+    rank (``ranking.with_global_rank``), not a single-partition
+    window."""
     ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     purchases = ev.where(F.col("event_type") == "purchase").select(
@@ -4732,12 +4747,17 @@ def q_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("med_us")
     )
-    wg = Window.orderBy("med_us")
-    ranked = medians.select(
-        "med_us",
-        F.row_number().over(wg).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    # Cross-user median pick, distributed (round-7 fix: the previous
+    # Window.orderBy + COUNT() OVER () pair funneled O(users) medians
+    # through one task).  The rank is total-ordered by (med_us, user_id);
+    # ties share the med_us VALUE, so the rn==ceil(n/2) pick is
+    # unchanged.  n is a 1-row aggregate broadcast back.
+    from datalakehouse_spark.operators.ranking import with_global_rank
+
+    n_df = medians.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = with_global_rank(
+        medians, [("med_us", True), ("user_id", True)], rank_col="rn"
+    ).select("med_us", "rn").crossJoin(F.broadcast(n_df))
     day_us = 86_400_000_000.0
     return ranked.agg(
         F.min("n").alias("n_users"),

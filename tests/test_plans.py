@@ -596,3 +596,102 @@ def test_kmv_rolling_has_no_nested_loop(spark):
 def test_point_in_time_join_no_nested_loop(spark):
     plan = plan_of(REGISTRY["point_in_time_join"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Unpartitioned-window sweep: the registry-wide scale invariant
+# ---------------------------------------------------------------------------
+
+#: Entries ALLOWED an unpartitioned window: their window runs over a
+#: calendar-bounded frame (O(days)/O(weeks) rows at ANY corpus size), so
+#: a single task holding it is a constant, not a scale risk.
+_GLOBAL_WINDOW_OK = {
+    "running_distinct_users",  # registry_ext4: cumulative over O(days)
+    "max_concurrency",  # registry_ext5: day-level carry prefix sum
+    "growth_rates",  # registry_ext5: week-over-week lag over O(weeks)
+}
+
+#: Diagnostic/build-advisory entries that execute eager actions at
+#: BUILD time (counts/collects by design — see docs/SCALE.md); excluded
+#: from the sweep to keep it a plan-only pass (their outputs are tiny
+#: createDataFrame frames with no windows anyway, and each is
+#: plan-audited individually in its own entry docstring).
+_EAGER_BUILD = {
+    "lsh_recall_accounting",
+    "ann_recall_accounting",
+    "pq_recall_accounting",
+    "kmeans_inertia_sweep",
+    "ivf_build_stats",
+    "pq_build_stats",
+    "ivf_search_indexed",
+    "compaction_partition_sweep",
+    "zorder_key_accounting",
+    "distribution_rebalance",
+    "streaming_windowed_append",
+    "streaming_session_windows",
+    "stateful_running_totals",
+    "streaming_metered_ingest",
+    "streaming_incremental_mv",
+    "jsonl_ingest_roundtrip",
+    "merge_upsert_risk",
+    "time_travel_read",
+    "version_incremental_read",
+    "versioned_branch_evolution",
+    "incremental_mv_maintenance",
+    "dedup_clusters",
+    "dedup_canonical",
+    "dup_graph_degrees",
+    "retention_filter",
+}
+
+
+def _iter_plan_nodes(jplan):
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        yield node
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+def unpartitioned_windows(df) -> list:
+    """Window nodes in the optimized logical plan with an EMPTY
+    partition spec — each is a single-task funnel at execution time."""
+    out = []
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _iter_plan_nodes(plan):
+        if node.getClass().getSimpleName() == "Window" and (
+            node.partitionSpec().isEmpty()
+        ):
+            out.append(node.toString().splitlines()[0])
+    return out
+
+
+def test_registry_sweep_no_unpartitioned_windows(spark):
+    """Every registry entry's optimized plan must be free of
+    single-partition windows on data-sized keys (the round-5/6
+    scale-killer class).  Calendar-bounded exceptions are allowlisted
+    explicitly so a new global window can never slip in silently."""
+    _load_extensions()
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if name in _EAGER_BUILD:
+            continue
+        try:
+            df = spec.fn(spark, SF)
+        except Exception as exc:  # pragma: no cover - build must not fail
+            offenders[name] = f"build failed: {exc}"
+            continue
+        wins = unpartitioned_windows(df)
+        if wins and name not in _GLOBAL_WINDOW_OK:
+            offenders[name] = wins
+    assert not offenders, f"unpartitioned windows on data-sized keys: {offenders}"
+
+
+def test_global_window_allowlist_is_tight(spark):
+    """The allowlisted entries must actually still HAVE the global
+    window (otherwise the allowlist is stale and should shrink)."""
+    for name in sorted(_GLOBAL_WINDOW_OK):
+        df = REGISTRY[name].fn(spark, SF)
+        assert unpartitioned_windows(df), f"{name}: allowlist entry no longer needed"
