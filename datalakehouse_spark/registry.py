@@ -46,6 +46,64 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+#: Entries ALLOWED to run Spark jobs at BUILD time (when ``fn`` is
+#: called, before the driver acts on the returned DataFrame).  Every
+#: other entry must be a pure lazy plan — no collect/count/write at
+#: build.  The eager class is legitimate in exactly three shapes (see
+#: docs/SCALE.md "Eager-build entry class"):
+#:   * **materializing surfaces** — DML/ingest/maintenance/versioning
+#:     entries whose OUTPUT is a table state change (merge, roundtrips,
+#:     compaction, time travel, incremental MV);
+#:   * **build/serve splits** — ANN index training and query-vector
+#:     collects, all bounded (k×dim centroids, one probe vector);
+#:   * **iterative / diagnostic algorithms** — pointer-jumping dedup,
+#:     pagerank, triangle count, recall ledgers; loop counts and sample
+#:     caps are constants, never corpus-proportional.
+#: ``tests/test_registry_integrity.py`` pins this set BOTH ways with a
+#: job-group scan: a lazy entry that starts running jobs fails, and a
+#: listed entry that stops being eager must be removed.
+EAGER_BUILD_ENTRIES = frozenset(
+    {
+        # materializing surfaces
+        "merge_upsert_risk",
+        "jsonl_ingest_roundtrip",
+        "csv_ingest_roundtrip",
+        "orc_ingest_roundtrip",
+        "schema_evolution_read",
+        "compaction_partition_sweep",
+        "time_travel_read",
+        "version_incremental_read",
+        "versioned_branch_evolution",
+        "incremental_mv_maintenance",
+        "streaming_incremental_mv",
+        # ANN build/serve splits
+        "knn_brute_force",
+        "ivf_build_stats",
+        "ivf_search",
+        "ivf_search_indexed",
+        "ann_lsh_search",
+        "ann_multiprobe_search",
+        "quantized_knn",
+        "pq_build_stats",
+        "pq_search",
+        "ivf_pq_search",
+        "kmeans_inertia_sweep",
+        # iterative / diagnostic
+        "dedup_clusters",
+        "dedup_canonical",
+        "dup_graph_degrees",
+        "graph_pagerank",
+        "triangle_count",
+        "association_rules",
+        "tfidf_top_terms",
+        "scalar_subquery_ratio",
+        "ann_recall_accounting",
+        "pq_recall_accounting",
+        "lsh_recall_accounting",
+        "corpus_health_report",
+    }
+)
+
 
 def register(name: str, sql: Optional[str], doc: str = ""):
     def deco(fn: QueryFn):

@@ -612,37 +612,13 @@ _GLOBAL_WINDOW_OK = {
 }
 
 #: Diagnostic/build-advisory entries that execute eager actions at
-#: BUILD time (counts/collects by design — see docs/SCALE.md); excluded
-#: from the sweep to keep it a plan-only pass (their outputs are tiny
-#: createDataFrame frames with no windows anyway, and each is
-#: plan-audited individually in its own entry docstring).
-_EAGER_BUILD = {
-    "lsh_recall_accounting",
-    "ann_recall_accounting",
-    "pq_recall_accounting",
-    "kmeans_inertia_sweep",
-    "ivf_build_stats",
-    "pq_build_stats",
-    "ivf_search_indexed",
-    "compaction_partition_sweep",
-    "zorder_key_accounting",
-    "distribution_rebalance",
-    "streaming_windowed_append",
-    "streaming_session_windows",
-    "stateful_running_totals",
-    "streaming_metered_ingest",
-    "streaming_incremental_mv",
-    "jsonl_ingest_roundtrip",
-    "merge_upsert_risk",
-    "time_travel_read",
-    "version_incremental_read",
-    "versioned_branch_evolution",
-    "incremental_mv_maintenance",
-    "dedup_clusters",
-    "dedup_canonical",
-    "dup_graph_degrees",
-    "retention_filter",
-}
+#: BUILD time (counts/collects by design — the canonical class lives in
+#: registry.EAGER_BUILD_ENTRIES, pinned both ways by
+#: tests/test_registry_integrity.py); excluded from the sweep to keep it
+#: a plan-only pass (their outputs are tiny createDataFrame frames with
+#: no windows anyway, and each is plan-audited individually in its own
+#: entry docstring).
+from datalakehouse_spark.registry import EAGER_BUILD_ENTRIES as _EAGER_BUILD
 
 
 def _iter_plan_nodes(jplan):

@@ -63,3 +63,41 @@ def test_oracle_sql_parses_in_duckdb(name):
     # temp paths at run time; planning is the structural check we want)
     con.execute(f"EXPLAIN {sql}")
     con.close()
+
+
+def test_eager_build_class_is_exact(spark):
+    """The lazy-build contract, pinned BOTH ways with a job-group scan:
+    no entry outside registry.EAGER_BUILD_ENTRIES may run a Spark job at
+    build time (an eager collect/count/write sneaking into a query entry
+    is a driver-side scale bug), and every listed entry must actually be
+    eager (else the listing is stale).  Tables are pre-warmed first so
+    load_table's one-off schema-sniff job isn't attributed to the first
+    entry touching each table."""
+    from datalakehouse_spark.io import load_table
+    from datalakehouse_spark.registry import EAGER_BUILD_ENTRIES
+
+    sf = "/root/testdata/sf0.001"
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        load_table(spark, sf, t)
+    sc = spark.sparkContext
+    observed = set()
+    for name, spec in REGISTRY.items():
+        group = f"eagercheck-{name}"
+        sc.setJobGroup(group, name)
+        try:
+            spec.fn(spark, sf)
+            if sc.statusTracker().getJobIdsForGroup(group):
+                observed.add(name)
+        finally:
+            sc.setJobGroup("", "")
+    assert observed - EAGER_BUILD_ENTRIES == set(), (
+        "entries running Spark jobs at build time without being in the "
+        f"documented eager class: {sorted(observed - EAGER_BUILD_ENTRIES)}"
+    )
+    assert EAGER_BUILD_ENTRIES - observed == set(), (
+        "stale eager-class listings (no longer run build-time jobs): "
+        f"{sorted(EAGER_BUILD_ENTRIES - observed)}"
+    )
