@@ -43,6 +43,47 @@ FEATURE_SCHEMA = (
     "fake_mean_luma double, fake_n_frames int"
 )
 
+IMAGE_FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes int, sha256 string, "
+    "width int, height int, mean_luma double"
+)
+
+
+def pil_available() -> bool:
+    """True when a real image decoder (Pillow) is importable.  The
+    container this repo is developed in ships none — the real kernel
+    below lights up automatically wherever Pillow exists (mirrors the
+    catalog-jar smoke pattern: capability-probed, never assumed)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """REAL image decode kernel: ``(width, height, mean_luma)`` of an
+    encoded image payload via Pillow.  Import-guarded — raises
+    NotImplementedError where Pillow is absent, so callers get the same
+    honest stub contract as ``extract_features(fake=False)``."""
+    if not pil_available():
+        raise NotImplementedError(
+            "Pillow is not installed in this environment; decode_image "
+            "activates automatically where it is (pip install pillow)"
+        )
+    import io as _io
+
+    from PIL import Image
+
+    with Image.open(_io.BytesIO(payload)) as img:
+        gray = img.convert("L")
+        width, height = gray.size
+        hist = gray.histogram()
+        n = max(width * height, 1)
+        mean_luma = sum(i * c for i, c in enumerate(hist)) / (255.0 * n)
+    return width, height, mean_luma
+
 
 def _fake_decode(payload: bytes) -> tuple[float, int]:
     """Deterministic stand-in for a real decoder: derive a 'mean luma'
@@ -61,15 +102,65 @@ def extract_features(
 ) -> DataFrame:
     """Decode/feature-extract pass over a media table via mapInPandas.
 
-    Real deployment replaces ``_fake_decode`` with PIL/ffmpeg kernels —
-    the Spark contract (schema, Arrow batching, no driver traffic) is
-    identical.
+    ``fake=True`` (the default, and the only mode exercisable in this
+    container) runs the deterministic hash-derived decoder.
+    ``fake=False`` runs the REAL Pillow kernel (``decode_image``) and
+    returns ``IMAGE_FEATURE_SCHEMA`` — it activates automatically where
+    Pillow is importable and raises NotImplementedError where it isn't
+    (golden test: tests/test_multimodal.py, skip-guarded offline).
     """
     if not fake:
-        raise NotImplementedError(
-            "image/audio decode libraries are not available in this "
-            "container; call with fake=True to exercise the pipeline"
-        )
+        if not pil_available():
+            raise NotImplementedError(
+                "image decode libraries (Pillow) are not available in "
+                "this container; call with fake=True to exercise the "
+                "pipeline, or install pillow to light up the real kernel"
+            )
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib as _hl
+            import io as _io
+
+            from PIL import Image
+
+            def _chunks(frames):
+                for big in frames:
+                    for s in range(0, max(len(big), 1), max_records_per_batch):
+                        yield big.iloc[s : s + max_records_per_batch]
+
+            for pdf in _chunks(it):
+                widths, heights, lumas, shas, sizes = [], [], [], [], []
+                for payload in pdf[payload_col]:
+                    data = payload or b""
+                    shas.append(_hl.sha256(data).hexdigest())
+                    sizes.append(len(data))
+                    try:
+                        with Image.open(_io.BytesIO(data)) as img:
+                            gray = img.convert("L")
+                            w, h = gray.size
+                            hist = gray.histogram()
+                            n = max(w * h, 1)
+                            luma = sum(
+                                i * c for i, c in enumerate(hist)
+                            ) / (255.0 * n)
+                    except Exception:
+                        w, h, luma = 0, 0, float("nan")
+                    widths.append(w)
+                    heights.append(h)
+                    lumas.append(luma)
+                yield pd.DataFrame(
+                    {
+                        "asset_id": pdf["asset_id"],
+                        "media_type": pdf["media_type"],
+                        "n_bytes": sizes,
+                        "sha256": shas,
+                        "width": widths,
+                        "height": heights,
+                        "mean_luma": lumas,
+                    }
+                )
+
+        return df.mapInPandas(real_batches, schema=IMAGE_FEATURE_SCHEMA)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure (stdlib-only refs): safe to pickle to

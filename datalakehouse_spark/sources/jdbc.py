@@ -11,9 +11,11 @@ the scale knobs the single-node reference never needed:
   real backfill volume.
 - ``fetchsize`` bounds per-round-trip memory.
 
-No JDBC driver jars ship in this container, so ``load()`` is the
-caller's step; everything up to the configured reader is covered by
-unit tests (option construction is the part with logic in it).
+No Postgres driver jar or server ships in this container, but Spark's
+own distribution bundles embedded Derby — tests/test_jdbc_live.py runs
+this module's full surface LIVE against it (sink write, pushed-down
+subquery read, range-partitioned parallel cursors, injection quoting,
+cast-on-read).  Postgres swaps in by changing url+driver only.
 """
 
 from __future__ import annotations
@@ -39,15 +41,25 @@ def pushdown_subquery(
     device_col: str = "device_id",
     ts_col: str = "received_epoch",
     type_col: str = "report_type",
+    quote_identifiers: bool = False,
 ) -> str:
     """The reference's backfill predicate as a DB-side subquery
-    (backfill_telematics.py:84-86,106-114)."""
+    (backfill_telematics.py:84-86,106-114).
+
+    ``quote_identifiers`` double-quotes the column names for backends
+    where the table was created with quoted (case-exact) identifiers —
+    Spark's own JDBC writer does this, so the live round-trip tests
+    (tests/test_jdbc_live.py, embedded Derby) need it; the reference's
+    Postgres schema uses unquoted lowercase, the default."""
+    q = (lambda c: '"' + c.replace('"', '""') + '"') if quote_identifiers else (
+        lambda c: c
+    )
     ids = ", ".join(sql_quote(d) for d in device_ids)
     types = ", ".join(sql_quote(t) for t in report_types)
     return (
-        f"(SELECT * FROM {table} WHERE {type_col} IN ({types}) "
-        f"AND {device_col} IN ({ids}) "
-        f"AND {ts_col} >= {sql_quote(ts_start)} AND {ts_col} < {sql_quote(ts_end)}) AS src"
+        f"(SELECT * FROM {table} WHERE {q(type_col)} IN ({types}) "
+        f"AND {q(device_col)} IN ({ids}) "
+        f"AND {q(ts_col)} >= {sql_quote(ts_start)} AND {q(ts_col)} < {sql_quote(ts_end)}) AS src"
     )
 
 

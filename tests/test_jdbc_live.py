@@ -1,0 +1,200 @@
+"""LIVE JDBC federation tests against embedded Derby (S3/S7/S9).
+
+The container ships no Postgres server or driver jar, but Spark's own
+distribution bundles Derby (derby-10.16.x in pyspark/jars) — an embedded
+ANSI-SQL JDBC database.  That makes the WHOLE JDBC surface testable end
+to end in-process: sink write, pushed-down-subquery source read,
+range-partitioned parallel cursors, and the cast-on-read VARCHAR
+fallback.  Postgres swaps in by changing url+driver only (the builders
+under test are backend-agnostic; reference:
+config/spark/backfill_telematics.py:84-114).
+"""
+
+import os
+import tempfile
+
+import pytest
+
+from datalakehouse_spark.sources.jdbc import (
+    backfill_chunks,
+    jdbc_pushdown_reader,
+    pushdown_subquery,
+)
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark):
+    """One Derby database per module, seeded with the reference's
+    telematics report shape via the Spark JDBC SINK (live write)."""
+    dbdir = os.path.join(tempfile.mkdtemp(prefix="derby_"), "reports")
+    url = f"jdbc:derby:{dbdir};create=true"
+    rows = [
+        (f"d{i % 7}", "STATUS" if i % 3 else "ALERT", f"2024-01-{1 + i % 9:02d}", i, float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "device_id string, report_type string, received_epoch string, "
+        "seq bigint, value double",
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "reports")
+        .option("driver", DERBY_DRIVER)
+        # Derby maps StringType to CLOB, which is not comparable in
+        # predicates — pin comparable VARCHARs (the knob a real backfill
+        # uses to control remote DDL types)
+        .option(
+            "createTableColumnTypes",
+            "device_id VARCHAR(32), report_type VARCHAR(16), "
+            "received_epoch VARCHAR(32)",
+        )
+        .mode("overwrite")
+        .save()
+    )
+    return url
+
+
+def test_jdbc_sink_then_full_read_roundtrip(spark, derby_url):
+    got = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "reports")
+        .option("driver", DERBY_DRIVER)
+        .load()
+    )
+    assert got.count() == 200
+    assert set(got.columns) == {
+        "device_id",
+        "report_type",
+        "received_epoch",
+        "seq",
+        "value",
+    }
+
+
+def test_pushdown_subquery_executes_db_side(spark, derby_url):
+    """The reference's backfill read: the whole WHERE clause rides
+    inside dbtable, so the filter runs in the database — the source
+    never ships excluded rows to Spark."""
+    sub = pushdown_subquery(
+        "reports",
+        device_ids=["d1", "d2"],
+        ts_start="2024-01-03",
+        ts_end="2024-01-07",
+        report_types=("STATUS", "ALERT"),
+        ts_col="received_epoch",
+        quote_identifiers=True,
+    )
+    reader = jdbc_pushdown_reader(
+        spark, derby_url, sub, user="", password="", driver=DERBY_DRIVER
+    )
+    got = reader.load()
+    rows = got.collect()
+    assert rows, "pushdown subquery returned no rows"
+    for r in rows:
+        assert r.device_id in {"d1", "d2"}
+        assert "2024-01-03" <= r.received_epoch < "2024-01-07"
+
+
+def test_injection_quoting_survives_live(spark, derby_url):
+    """sql_quote's doubled single quotes must parse (and match nothing)
+    in a real database, not break the statement."""
+    sub = pushdown_subquery(
+        "reports",
+        device_ids=["d'; DROP TABLE reports--"],
+        ts_start="2024-01-01",
+        ts_end="2024-12-31",
+        ts_col="received_epoch",
+        quote_identifiers=True,
+    )
+    reader = jdbc_pushdown_reader(
+        spark, derby_url, sub, user="", password="", driver=DERBY_DRIVER
+    )
+    assert reader.load().count() == 0
+    # and the table survived
+    assert (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "reports")
+        .option("driver", DERBY_DRIVER)
+        .load()
+        .count()
+        == 200
+    )
+
+
+def test_partitioned_jdbc_read_parallel_cursors(spark, derby_url):
+    """The scale knob the single-node reference never needed: one JDBC
+    cursor becomes N range-partitioned cursors."""
+    reader = jdbc_pushdown_reader(
+        spark,
+        derby_url,
+        "reports",
+        user="",
+        password="",
+        driver=DERBY_DRIVER,
+        partition_column="seq",
+        lower_bound=0,
+        upper_bound=200,
+        num_partitions=4,
+    )
+    got = reader.load()
+    assert got.rdd.getNumPartitions() == 4
+    assert got.count() == 200
+
+
+def test_cast_on_read_varchar_fallback(spark, derby_url):
+    """S9's CONVERT_TO_VARCHAR analog: an unsupported remote type is
+    cast in the SELECT list DB-side and lands as a string column."""
+    # Derby can't cast BIGINT straight to VARCHAR; route through CHAR —
+    # the exact shape of a dialect-specific cast-on-read SELECT list
+    sub = (
+        '(SELECT "device_id", TRIM(CAST(CHAR("seq") AS VARCHAR(32))) AS "seq_str" '
+        "FROM reports) AS src"
+    )
+    got = (
+        jdbc_pushdown_reader(
+            spark, derby_url, sub, user="", password="", driver=DERBY_DRIVER
+        )
+        .load()
+    )
+    assert dict(got.dtypes)["seq_str"] == "string"
+    assert got.count() == 200
+
+
+def test_device_chunk_backfill_live(spark, derby_url):
+    """S7 end-to-end: the driver-side chunk iterator fans out into one
+    pushed-down distributed read per chunk; union of chunks covers the
+    requested devices exactly once."""
+    lines = ["d0,d1", "d2", "d3,d4,d5"]
+    seen = 0
+    for ids in backfill_chunks(lines, 0, 2):
+        sub = pushdown_subquery(
+            "reports",
+            device_ids=ids,
+            ts_start="2024-01-01",
+            ts_end="2024-12-31",
+            ts_col="received_epoch",
+            quote_identifiers=True,
+        )
+        seen += (
+            jdbc_pushdown_reader(
+                spark, derby_url, sub, user="", password="", driver=DERBY_DRIVER
+            )
+            .load()
+            .count()
+        )
+    expect = (
+        spark.read.format("jdbc")
+        .option("url", derby_url)
+        .option("dbtable", "reports")
+        .option("driver", DERBY_DRIVER)
+        .load()
+        .where("device_id IN ('d0','d1','d2','d3','d4','d5')")
+        .count()
+    )
+    assert seen == expect
