@@ -82,11 +82,21 @@ def main() -> None:
             if t2 < RERUN_THRESHOLD_S:  # outlier: fall back to median-of-3
                 runs = sorted([t1, t2, _timed(name)])
                 timings[name] = round(runs[1], 3)
-            else:  # genuinely long: steady-state = best of the two
+            elif abs(t1 - t2) / max(t1, t2) > 0.25:
+                # the two long runs disagree >25% — ambient load is
+                # polluting the signal (round-6 verdict: unchanged
+                # entries drifted a median 1.10x from machine noise);
+                # a third run, min-of-3, before recording a regression
+                timings[name] = round(min(t1, t2, _timed(name)), 3)
+            else:  # genuinely long and stable: steady-state = best of two
                 timings[name] = round(min(t1, t2), 3)
     wall = round(time.perf_counter() - t_total0, 3)
     total = round(sum(timings.values()), 3)
 
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m = None
     payload = {
         "metric": "registry_total_runtime",
         "value": total,
@@ -94,7 +104,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "wall_sec": wall,
-        "timing": "median-of-3 for entries <3s; min-of-2 above (slow first runs re-confirmed); single-shot for build-once entries",
+        "load_avg_1m_end": load_1m,
+        "ncpus": os.cpu_count(),
+        "timing": "median-of-3 for entries <3s; min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries",
     }
     # Compact separators keep the line short enough for tail-capture
     # harnesses; the full map is also persisted to bench_out.json.

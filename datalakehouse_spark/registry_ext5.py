@@ -3425,7 +3425,12 @@ def q_lsh_recall_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are a subset of truth (the pipeline exact-verifies
     candidates), so precision is 1.0 by construction and recall is the
     whole story — band/bucket parameters that drop it show up HERE, as
-    a number, before they silently eat a corpus.  Sibling ledgers:
+    a number, before they silently eat a corpus.  Caveat: the absolute
+    cap can split a duplicate family exactly at the LIMIT boundary
+    (family members share a prefix hash; the doc_id tiebreak cuts
+    mid-family), slightly biasing recall on the boundary family — a
+    metric-quality wrinkle, not a parity bug (both engines take the
+    same deterministic 512 docs).  Sibling ledgers:
     ann_recall_accounting (hyperplane LSH), pq_recall_accounting (ADC).
     Diagnostic entry class: the three counts are eager by design."""
     from datalakehouse_spark.operators import dedup as D
