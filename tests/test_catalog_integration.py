@@ -48,3 +48,22 @@ def test_iceberg_catalog_dml_end_to_end():
     )
     assert proc.returncode == 0, f"smoke failed:\n{proc.stdout}\n{proc.stderr}"
     assert "CATALOG_SMOKE_OK" in proc.stdout
+
+
+def test_resolution_ledger_reports_every_channel():
+    """resolve_iceberg_runtime must either find a jar or explain each
+    channel it tried (env var, jar dirs, ivy/maven caches, Maven Central
+    reachability) — the 'attempt the live catalog jar' contract."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("catalog_smoke", SMOKE)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    jar, log = mod.resolve_iceberg_runtime()
+    assert len(log) >= 4, log
+    text = "\n".join(log)
+    assert "SPARK_GRAFT_ICEBERG_JAR" in text
+    if jar is None:
+        assert ("unreachable" in text) or ("reachable" in text), text
+    else:
+        assert jar.endswith(".jar") and os.path.exists(jar)

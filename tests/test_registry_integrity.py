@@ -82,6 +82,16 @@ def test_eager_build_class_is_exact(spark):
         "events documents embeddings"
     ).split():
         load_table(spark, sf, t)
+    # clear the process-level ANN build memos: earlier tests in the same
+    # session may have warmed them, which would make the memoized eager
+    # entries build lazily here and trip the stale-listing direction
+    import datalakehouse_spark.registry_ext as _e1
+    import datalakehouse_spark.registry_ext4 as _e4
+
+    _e1._QUERY_VEC_CACHE.clear()
+    _e1._IVF_INDEX_CACHE.clear()
+    _e4._PQ_INDEX_CACHE.clear()
+    _e4._IVFPQ_INDEX_CACHE.clear()
     sc = spark.sparkContext
     observed = set()
     for name, spec in REGISTRY.items():
