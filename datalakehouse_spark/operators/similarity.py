@@ -190,6 +190,99 @@ def kmeans_clusters(
     return assign.select(id_col, "cluster"), cent_rows
 
 
+def kmeans_elbow_sweep(
+    embeddings: DataFrame,
+    ks: tuple[int, ...],
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fused multi-k Lloyd elbow sweep: `(k, n_clusters, inertia)` for
+    every candidate k from ONE tagged pass per iteration.
+
+    Per-k math is bit-identical to running :func:`kmeans_clusters` at
+    each k (same md5 seeding, same per-(k,cluster) dim-sum centroids,
+    same first-minimum tie-break) — the fusion only changes HOW MANY
+    times the corpus is read: each Lloyd iteration explodes every row
+    into |ks| ``(k, cluster)`` tags and feeds one grouped aggregate, so
+    the sweep costs ``iters + 1`` corpus scans total instead of
+    ``|ks| * (iters + 2)`` (and, locally, one whole-stage-codegen
+    compile of the wide dim-column aggregate per iteration instead of
+    one per (k, iteration) — the compile was the dominant wall cost).
+    Eager class: centroids (Σk × dim doubles) collect per iteration.
+    """
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    base = embeddings.select(F.col(id_col), F.col(vec_col).alias("_raw"))
+    dim = len(base.select("_raw").first()[0])
+    assign_expr: dict[int, Column] = {
+        k: (md5_hash60(F.col(id_col).cast("string")) % k).cast("int") for k in ks
+    }
+    cents: dict[int, list[tuple[int, list[float]]]] = {}
+    for _ in range(iters):
+        tagged = base.select(
+            "_raw",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("k"), assign_expr[k].alias("cluster")
+                        )
+                        for k in ks
+                    ]
+                )
+            ).alias("kc"),
+        )
+        sums = tagged.groupBy(
+            F.col("kc.k").alias("k"), F.col("kc.cluster").alias("cluster")
+        ).agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.col("_raw")[i].cast("double")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        rows = sums.collect()  # Σk rows × dim doubles — tiny by construction
+        cents = {
+            k: sorted(
+                (r["cluster"], [r[f"s{i}"] / r["_n"] for i in range(dim)])
+                for r in rows
+                if r["k"] == k
+            )
+            for k in ks
+        }
+        assign_expr = {
+            k: _argmin_cluster(_dvec(F.col("_raw")), cents[k]) for k in ks
+        }
+    # final metrics, also fused: per row emit (k, min-dist, cluster) for
+    # every k, then one grouped aggregate over the k tag
+    structs = []
+    for k in ks:
+        cent_arr = F.lit([[float(x) for x in c] for _, c in cents[k]])
+        dists = F.transform(
+            cent_arr,
+            lambda c: F.aggregate(
+                F.zip_with(_dvec(F.col("_raw")), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        structs.append(
+            F.struct(
+                F.lit(k).alias("k"),
+                F.round(F.array_min(dists), 9)
+                .cast("decimal(28,9)")
+                .alias("m"),
+                assign_expr[k].alias("cluster"),
+            )
+        )
+    exploded = base.select(F.explode(F.array(*structs)).alias("s"))
+    return exploded.groupBy(F.col("s.k").alias("k")).agg(
+        F.count_distinct(F.col("s.cluster")).alias("n_clusters"),
+        F.round(F.sum("s.m").cast("double"), 6).alias("inertia"),
+    )
+
+
 def ivf_search(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -4312,45 +4312,17 @@ def _inertia_sweep_sql() -> str:
 def q_kmeans_inertia_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many coarse clusters should the IVF index use?  The elbow
     curve — within-cluster sum of squares after the same seeded Lloyd
-    build at each candidate k — answers it with data.  Each build is
-    the deterministic kmeans_clusters (centroids collected as
-    literals), inertia is the fold-ordered min-distance per vector with
-    the per-vector minima decimal-staged, and the oracle replays every
-    build in subquery-scoped CTE chains.  Cost is |ks| small builds —
-    a BUILD-time advisory job, not a serving path."""
-    from datalakehouse_spark.operators.similarity import (
-        _argmin_cluster,  # noqa: F401  (fold-order contract reference)
-        _dvec,
-        kmeans_clusters,
-    )
+    build at each candidate k — answers it with data.  Round-7 fusion:
+    all candidate ks share one tagged pass per Lloyd iteration
+    (``kmeans_elbow_sweep``), so the sweep reads the corpus iters+1
+    times total instead of |ks|×(iters+2) — same seeded math per k,
+    per-vector minima decimal-staged, and the oracle replays every
+    build in subquery-scoped CTE chains.  BUILD-time advisory job, not
+    a serving path."""
+    from datalakehouse_spark.operators.similarity import kmeans_elbow_sweep
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = []
-    for k in _INERTIA_KS:
-        assign, cents = kmeans_clusters(emb, k=k, iters=_INERTIA_ITERS)
-        n_clusters = assign.select("cluster").distinct().count()
-        cent_arr = F.lit([[float(x) for x in c] for _, c in cents])
-        dists = F.transform(
-            cent_arr,
-            lambda c: F.aggregate(
-                F.zip_with(_dvec("embedding"), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ),
-        )
-        inertia = (
-            emb.select(F.array_min(dists).alias("m"))
-            .agg(
-                F.sum(F.round(F.col("m"), 9).cast("decimal(28,9)"))
-                .cast("double")
-                .alias("ss")
-            )
-            .first()["ss"]
-        )
-        rows.append((k, n_clusters, round(inertia, 6)))
-    return spark.createDataFrame(
-        rows, "k int, n_clusters bigint, inertia double"
-    )
+    return kmeans_elbow_sweep(emb, _INERTIA_KS, iters=_INERTIA_ITERS)
 
 
 # ---------------------------------------------------------------------------
