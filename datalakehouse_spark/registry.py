@@ -612,7 +612,7 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: entries have a green driver row on current fixtures; per the round-6
 #: verdict, 33 have never been driver-checked and 24 were last checked
 #: before the round-3 fixture regeneration.  Round-7 order therefore is:
-#:   (1) the 4 entries whose CODE changed this round (ntile's shared
+#:   (1) the 7 entries whose CODE changed this round (ntile's shared
 #:       bucketing pass, the two de-globalized O(users) windows, the
 #:       persisted LSH-recall sample) — prior rows no longer describe
 #:       the running code;
@@ -627,6 +627,9 @@ _DRIVER_PRIORITY = [
     "gini_coefficient",
     "repeat_purchase_intervals",
     "lsh_recall_accounting",
+    "kmeans_inertia_sweep",
+    "association_rules",
+    "corpus_health_report",
     "dau_wau_stickiness",
     "langid_confusion",
     "label_centroid_distances",
@@ -647,13 +650,10 @@ _DRIVER_PRIORITY = [
     "ab_test_ttest",
     "triangle_count",
     "chi_square_independence",
-    "association_rules",
     "trend_slopes",
     "cusum_changepoint",
     "dup_graph_degrees",
-    "kmeans_inertia_sweep",
     "source_vocab_overlap",
-    "corpus_health_report",
     "order_aging_report",
     "spatial_knn",
     "basket_size_distribution",

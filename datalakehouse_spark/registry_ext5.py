@@ -3878,6 +3878,10 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_start").over(w_run).alias("session_no"),
         )
         .distinct()
+        # four consumers (total count, item counts, both pair-join legs)
+        # — materialize the sessionize+distinct subtree once instead of
+        # re-executing it per leg (round-7 uncached-fan-out sweep)
+        .localCheckpoint()
     )
     total = baskets.select("user_id", "session_no").distinct().count()
     item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
@@ -4449,36 +4453,35 @@ def q_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over one scan (the exact-dup reduction is the only
     shuffle; langid is scan-fused).  Deeper tiers (LSH clusters, chunk
     dups) have their own entries; this row is the cheap every-snapshot
-    pulse."""
+    pulse.  Round-7 plan fix: lang_pred is a scan-fused expression, so
+    the accuracy term needs NO self-join, and the per-row measures
+    (count, chars, langid matches) ride ON the exact-dup groupBy's
+    partial aggregates — the whole report is ONE scan + one shuffle +
+    a 1-row rollup, down from three separate passes plus a join."""
     from datalakehouse_spark.operators import textstats as TS
 
     docs = load_table(spark, sf_dir, "documents")
-    groups = docs.groupBy("text").agg(F.count(F.lit(1)).alias("n"))
-    g = groups.agg(
-        F.sum("n").alias("n_docs"), F.count(F.lit(1)).alias("n_unique")
-    ).first()
-    pred = TS.langid_df(docs).select("doc_id", "lang_pred")
-    lm = (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
-        .agg(
-            F.sum((F.col("lang") == F.col("lang_pred")).cast("long")).alias(
-                "n_match"
-            ),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .first()
+    pred = TS.langid_df(docs)  # adds lang_pred as a pure column expression
+    groups = pred.groupBy("text").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+        F.sum((F.col("lang") == F.col("lang_pred")).cast("long")).alias("match"),
     )
-    chars = docs.agg(F.sum("n_chars").alias("c")).first()["c"]
+    g = groups.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("chars").alias("chars"),
+        F.sum("match").alias("n_match"),
+    ).first()
     return spark.createDataFrame(
         [
             (
                 g["n_docs"],
                 g["n_unique"],
                 round(1.0 - g["n_unique"] / g["n_docs"], 6),
-                round(lm["n_match"] / lm["n"], 6),
-                chars,
-                round(chars / g["n_docs"], 6),
+                round(g["n_match"] / g["n_docs"], 6),
+                g["chars"],
+                round(g["chars"] / g["n_docs"], 6),
             )
         ],
         "n_docs bigint, n_unique_texts bigint, exact_dup_rate double, "
