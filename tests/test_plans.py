@@ -671,3 +671,28 @@ def test_global_window_allowlist_is_tight(spark):
     for name in sorted(_GLOBAL_WINDOW_OK):
         df = REGISTRY[name].fn(spark, SF)
         assert unpartitioned_windows(df), f"{name}: allowlist entry no longer needed"
+
+
+def test_scalar_crossjoins_broadcast_the_scalar(spark):
+    """Every cross join in the distributed-ranking plans must have a
+    provably-1-row side (the percentile-splits / total-count aggregate)
+    — i.e. the BroadcastNestedLoopJoin the audit shows is a scalar
+    broadcast, never a pair blow-up."""
+    for name in ("ntile_percent_rank", "gini_coefficient", "skyline_2d",
+                 "ltv_deciles_pareto", "repeat_purchase_intervals"):
+        df = REGISTRY[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        for node in _iter_plan_nodes(plan):
+            if node.getClass().getSimpleName() != "Join":
+                continue
+            if "Cross" not in node.joinType().toString():
+                continue
+            sides = [node.left(), node.right()]
+            one_row = any(
+                s.maxRows().isDefined() and int(str(s.maxRows().get())) == 1
+                for s in sides
+            )
+            assert one_row, (
+                f"{name}: cross join without a provable 1-row side:\n"
+                + node.toString()[:500]
+            )
