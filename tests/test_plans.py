@@ -644,11 +644,36 @@ def unpartitioned_windows(df) -> list:
     return out
 
 
+def _unbounded_cross_joins(df) -> list:
+    """Cross joins in the optimized logical plan where NEITHER side has
+    a provable maxRows == 1 NOR an explicit broadcast hint — the
+    pair-blow-up shape.  Scalar-broadcast crossJoins (splits / totals:
+    one side a 1-row aggregate) and deliberately broadcast-hinted
+    bounded sets (the batch-kNN query set) pass; an unhinted cross of
+    two data-sized relations fails."""
+    out = []
+    for node in _iter_plan_nodes(df._jdf.queryExecution().optimizedPlan()):
+        if node.getClass().getSimpleName() != "Join":
+            continue
+        if "Cross" not in node.joinType().toString():
+            continue
+        sides = [node.left(), node.right()]
+        scalar = any(
+            s.maxRows().isDefined() and int(str(s.maxRows().get())) == 1
+            for s in sides
+        )
+        hinted = "strategy=broadcast" in node.toString().splitlines()[0]
+        if not (scalar or hinted):
+            out.append(node.toString().splitlines()[0])
+    return out
+
+
 def test_registry_sweep_no_unpartitioned_windows(spark):
-    """Every registry entry's optimized plan must be free of
-    single-partition windows on data-sized keys (the round-5/6
-    scale-killer class).  Calendar-bounded exceptions are allowlisted
-    explicitly so a new global window can never slip in silently."""
+    """Every registry entry's optimized plan must be free of BOTH
+    registry-wide scale-killer shapes: single-partition windows on
+    data-sized keys (calendar-bounded exceptions allowlisted, so a new
+    global window can never slip in silently) and cross joins without a
+    provable 1-row side (the pair blow-up; scalar broadcasts pass)."""
     _load_extensions()
     offenders = {}
     for name, spec in REGISTRY.items():
@@ -662,7 +687,10 @@ def test_registry_sweep_no_unpartitioned_windows(spark):
         wins = unpartitioned_windows(df)
         if wins and name not in _GLOBAL_WINDOW_OK:
             offenders[name] = wins
-    assert not offenders, f"unpartitioned windows on data-sized keys: {offenders}"
+        crosses = _unbounded_cross_joins(df)
+        if crosses:
+            offenders.setdefault(name, []).extend(crosses)
+    assert not offenders, f"scale-killer plan shapes: {offenders}"
 
 
 def test_global_window_allowlist_is_tight(spark):
