@@ -76,16 +76,24 @@ def _range_bucketed(
     if lead_asc:
         pred = lambda s: s < F.col(lead_col)  # noqa: E731
         null_bucket = F.lit(-1)  # ASC ⇒ NULLS FIRST: before bucket 0
+        # Spark sorts NaN greater than every real value ⇒ last under ASC
+        nan_bucket = F.lit(n_buckets)
     else:
         pred = lambda s: s > F.col(lead_col)  # noqa: E731
         null_bucket = F.lit(n_buckets)  # DESC ⇒ NULLS LAST: after the rest
+        nan_bucket = F.lit(-1)  # NaN greatest ⇒ first under DESC
+    # NaN comparisons are FALSE (not NULL), so without the explicit
+    # branch every NaN would silently land in bucket 0 regardless of the
+    # sort direction — same latent-corruption class as the NULL case
+    special = F.when(F.col(lead_col).isNull(), null_bucket).when(
+        # cast: isnan is only defined on float/double; integral leads
+        # (e.g. microsecond keys) cast cleanly and are never NaN
+        F.isnan(F.col(lead_col).cast("double")), nan_bucket
+    )
     if n_buckets <= 1:
         # degenerate single-bucket form (percentile_approx with an empty
         # probe array returns NULL, which would NULL every bucket id)
-        return df.withColumn(
-            "__bucket",
-            F.when(F.col(lead_col).isNull(), null_bucket).otherwise(F.lit(0)),
-        )
+        return df.withColumn("__bucket", special.otherwise(F.lit(0)))
     probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
     splits = df.agg(
         F.percentile_approx(F.col(lead_col), probs, F.lit(10_000)).alias("__splits")
@@ -94,9 +102,7 @@ def _range_bucketed(
         df.crossJoin(F.broadcast(splits))
         .withColumn(
             "__bucket",
-            F.when(F.col(lead_col).isNull(), null_bucket).otherwise(
-                F.size(F.filter(F.col("__splits"), pred))
-            ),
+            special.otherwise(F.size(F.filter(F.col("__splits"), pred))),
         )
         .drop("__splits")
     )

@@ -182,3 +182,39 @@ def test_with_global_rank_plan_has_no_unpartitioned_window(spark):
 
     df = with_global_rank(_df(spark), [("v", True), ("id", True)], "r")
     assert unpartitioned_windows(df) == []
+
+
+# ---------------------------------------------------------------------------
+# Property test: distributed rank == single-partition window on arbitrary
+# doubles (duplicates, NULLs, NaN, ±inf — the full Spark ordering domain)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_vals = st.lists(
+    st.one_of(
+        st.none(),
+        st.sampled_from([float("nan"), float("inf"), float("-inf"), 0.0, -0.0]),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.sampled_from([1.0, 1.0, -3.5]),  # force duplicate-heavy cases
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(vals=_vals, asc=st.booleans(), n_buckets=st.sampled_from([1, 3, 8]))
+@settings(max_examples=12, deadline=None)
+def test_with_global_rank_property(spark, vals, asc, n_buckets):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, v double"
+    ).repartition(3)
+    got = _collect_map(
+        with_global_rank(df, [("v", asc), ("id", True)], "r", n_buckets=n_buckets),
+        "id",
+        "r",
+    )
+    w = Window.orderBy(F.col("v").asc() if asc else F.col("v").desc(), F.col("id"))
+    want = _collect_map(df.select("id", F.row_number().over(w).alias("r")), "id", "r")
+    assert got == want
