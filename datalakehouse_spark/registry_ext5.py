@@ -3236,6 +3236,10 @@ def q_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(dsum("value").alias("revenue"))
+        # four consumers, but NO persist: the groupBy(user_id) exchange
+        # is identical under every branch, so Spark's ReusedExchange
+        # materializes the corpus shuffle once and only the O(users)
+        # reduces re-run — measured faster than a persist round-trip
     )
     n_df = ltv.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     ranked = with_global_rank(
@@ -4186,8 +4190,11 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y")
     )
+    # cache=True: the bucketed frame is O(users) rows — persisting it
+    # costs far less than re-running the corpus scan + user aggregate
+    # for the bucket-count branch
     ranked = with_global_rank(
-        ltv, [("y", True), ("user_id", True)], rank_col="i"
+        ltv, [("y", True), ("user_id", True)], rank_col="i", cache=True
     ).select("y", "i")
     s = ranked.agg(
         F.count(F.lit(1)).alias("n"),
@@ -4736,7 +4743,7 @@ def q_repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_df = medians.agg(F.count(F.lit(1)).cast("long").alias("n"))
     ranked = with_global_rank(
-        medians, [("med_us", True), ("user_id", True)], rank_col="rn"
+        medians, [("med_us", True), ("user_id", True)], rank_col="rn", cache=True
     ).select("med_us", "rn").crossJoin(F.broadcast(n_df))
     day_us = 86_400_000_000.0
     return ranked.agg(
