@@ -7,7 +7,8 @@ limit/offset clamping (main.py:171-174), projection whitelisting
 ``YYYY-MM-DD HH:MM:SS.mmm -0600`` (main.py:127-163,189-197).  This
 module is that compiler without HTTP: pure functions the engine's
 `serving` pipeline consumes, so the whole request path is testable
-in-process (auth/authz stays out of engine scope, SURVEY.md §2.12).
+in-process; auth/authz (bearer tokens + the Trino rules.json
+privilege matrix) lives beside it in pipelines/auth.py.
 """
 
 from __future__ import annotations
