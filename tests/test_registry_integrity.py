@@ -111,3 +111,25 @@ def test_eager_build_class_is_exact(spark):
         "stale eager-class listings (no longer run build-time jobs): "
         f"{sorted(EAGER_BUILD_ENTRIES - observed)}"
     )
+
+
+def test_rotation_helper_partitions_registry():
+    """The rotation tool must classify every entry exactly once and put
+    the caller's changed entries first."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "tools/rotation_helper.py", "ntile_percent_rank"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    lines = proc.stdout.splitlines()
+    assert lines[0].startswith("# registry=204")
+    body = [l.strip().strip('",') for l in lines if l.startswith('    "')]
+    assert body[0] == "ntile_percent_rank"
+    assert len(body) == len(set(body)), "rotation must not repeat entries"
+    assert set(body) <= set(REGISTRY), "rotation must only name registered entries"
