@@ -435,6 +435,73 @@ def simhash_near_dup_pairs(
     )
 
 
+def _star_contraction(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    provably-converging escalation path for :func:`connected_components`
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14; public algorithm, also the basis of GraphFrames' CC).
+
+    ``edges`` is a SYMMETRIC ``(s, d)`` pair frame.  Each round:
+
+    * **large-star**: every node ``u`` links each STRICTLY LARGER
+      neighbor to ``min(N(u) ∪ {u})`` — monotone, cannot create cycles;
+    * **small-star**: every node ``u`` links each not-larger neighbor
+      and itself to the minimum of that set — contracts chains.
+
+    The edge set converges to a star forest whose centers are the
+    component minima in O(log² n) rounds regardless of diameter (vs
+    pointer-jumping's O(log diameter) WITH a correct-convergence bound
+    only when iterations suffice).  Returns ``(nid, label)`` — label =
+    component minimum — for every node appearing in ``edges``.
+    """
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return (
+            e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            .where(F.col("s") != F.col("d"))
+            .distinct()
+        )
+
+    e = _sym(edges).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # large-star: per u over ALL neighbors, m = min(neighbors, u);
+        # emit (v, m) for v > u
+        m = e.groupBy("s").agg(F.least(F.min("d"), F.first("s")).alias("m"))
+        large = (
+            e.join(m, "s")
+            .where(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+        )
+        e2 = _sym(large).localCheckpoint(eager=True)
+        # small-star: per u over neighbors v < u plus u itself,
+        # m = min; emit (v, m) for every member of the small set
+        small_nbrs = e2.where(F.col("d") < F.col("s"))
+        ms = small_nbrs.groupBy("s").agg(F.min("d").alias("m"))
+        small = (
+            small_nbrs.join(ms, "s")
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .unionByName(ms.select(F.col("s"), F.col("m").alias("d")))
+        )
+        e3 = _sym(small).localCheckpoint(eager=True)
+        # fixpoint of BOTH operations (the paper's terminal state: a
+        # star forest centered at component minima) — each probe is a
+        # LIMIT 1 existence check, not a full count
+        changed = (
+            e2.exceptAll(e).limit(1).count()
+            + e.exceptAll(e2).limit(1).count()
+            + e3.exceptAll(e2).limit(1).count()
+            + e2.exceptAll(e3).limit(1).count()
+        )
+        e = e3
+        if changed == 0:
+            break
+    # star forest: each node's label is the min over itself and its
+    # neighbors (centers label themselves)
+    return e.groupBy(F.col("s").alias("nid")).agg(
+        F.least(F.min("d"), F.first("s")).alias("label")
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     pairs: DataFrame,
@@ -443,6 +510,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iters: int = 20,
     pointer_jump: bool = True,
+    escalate: bool = True,
 ) -> DataFrame:
     """Min-label propagation connected components over an undirected
     pair list — the dedup-clustering step that turns near-dup PAIRS
@@ -519,19 +587,38 @@ def connected_components(
             break
     if not converged:
         # a component whose min-label propagation distance exceeds
-        # max_iters would silently carry SPLIT labels (wrong dedup
-        # groups, divergent from the oracle's exact transitive
-        # closure) — make that detectable instead of silent
+        # max_iters would carry SPLIT labels (wrong dedup groups,
+        # divergent from the oracle's exact transitive closure).
+        # Round-8 escalation: instead of warn-and-return-wrong, finish
+        # with the provably-converging large-star/small-star rounds,
+        # seeded with the partial labels as shortcut edges (labels are
+        # min-monotone, so every (nid, label) pair stays inside its
+        # component — the partial work is kept, not discarded).
         import warnings
 
         warnings.warn(
             f"connected_components did not converge within {max_iters} "
+            "pointer-jumping iterations; escalating to large-star/"
+            "small-star contraction"
+            if escalate
+            else f"connected_components did not converge within {max_iters} "
             "iterations; components with larger propagation distance carry "
-            "split labels. Raise max_iters (or switch to the "
-            "large-star/small-star variant) for deep chain graphs.",
+            "split labels. Raise max_iters or pass escalate=True.",
             RuntimeWarning,
             stacklevel=2,
         )
+        if escalate:
+            seeded = edges.unionByName(
+                labels.select(F.col("nid").alias("s"), F.col("label").alias("d"))
+            )
+            star = _star_contraction(seeded)
+            # singletons (and already-rooted nodes whose only pair was a
+            # self-loop) drop out of the edge frame — default to self
+            labels = (
+                labels.select("nid")
+                .join(star, "nid", "left")
+                .select("nid", F.coalesce("label", "nid").alias("label"))
+            )
     return labels.select(F.col("nid").alias(id_col), "label")
 
 

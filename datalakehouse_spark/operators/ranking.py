@@ -8,21 +8,30 @@ README:160-214); the rebuild's analytics tier does rank globally, so it
 needs the distributed form:
 
 1. **Range-bucket** rows on the leading sort column using
-   ``percentile_approx`` split points — the same sample-the-bounds idea
-   Spark's own ``RangePartitioner`` / ``repartitionByRange`` uses for
-   global sorts, expressed declaratively (the splits are a 1-row aggregate
-   broadcast to every row; bucket id is a pure function of the VALUE, so
-   duplicate values always share a bucket and cross-bucket order is
-   strict).
-2. **Rank locally** with a window PARTITIONED BY bucket — parallel,
-   bounded partitions.
-3. **Offset** each bucket by the total row count of the buckets before it
-   — a ≤``n_buckets``-row aggregate joined back via broadcast.
+   ``percentile_approx`` split points, sampled EAGERLY on the driver —
+   the exact idiom Spark's own ``RangePartitioner`` /
+   ``repartitionByRange`` uses for global sorts (a small up-front sample
+   job whose result is embedded in the plan).  The splits are
+   ``n_buckets - 1`` scalars; bucket id is a pure function of the VALUE
+   against that literal array, so duplicate values always share a bucket
+   and cross-bucket order is strict.
+2. **Count buckets eagerly** — the per-bucket row counts are a
+   ``<= n_buckets + 2``-row aggregate, collected in the same up-front
+   phase and folded into literal offset maps.
+3. **Rank locally** with a window PARTITIONED BY bucket — parallel,
+   bounded partitions.  ``global_rank = literal_offset + local_rank``.
 
-``global_rank = bucket_offset + local_rank``.  The result is identical to
-the single-partition window (the final order key must be a total order —
-pass a unique tiebreak column) but every stage is distributed; split-point
-*accuracy* only affects balance, never correctness.
+The result is identical to the single-partition window (the final order
+key must be a total order — pass a unique tiebreak column) but every
+stage is distributed; split-point *accuracy* only affects balance, never
+correctness.  Because splits and counts are computed ONCE and embedded
+as literals, correctness no longer depends on Spark's exchange reuse or
+on ``percentile_approx``'s partition-order sensitivity: every consumer
+of the returned plan sees byte-identical bucket boundaries and offsets.
+The price is two small eager jobs at build time (sample + per-bucket
+count), the same trade ``repartitionByRange`` makes — registry entries
+built on this helper are therefore members of the documented eager-build
+class (``registry.EAGER_BUILD_ENTRIES``).
 
 NULL leading values are bucketed explicitly to the window's default null
 position (Spark: ASC ⇒ NULLS FIRST, DESC ⇒ NULLS LAST), so a nullable
@@ -30,17 +39,12 @@ range key ranks identically to the single-partition window instead of
 silently collapsing into bucket 0 (the ``F.filter`` predicate would be
 NULL for every split).
 
-Execution-sharing caveat: the window branch and the bucket-count branch
-both read the bucketed subtree, but their exchanges differ (full rows vs
-partial-aggregate rows), so only the broadcast of the ``percentile_approx``
-split points is reused by AQE — the base scan executes once per branch.
-Hot paths that cannot afford the re-scan should pass ``cache=True`` (a
-lazy ``persist()`` of the bucketed frame).  Split points being computed
-once per action (the broadcast exchange is reused within an action) is
-also what keeps the two branches' bucket ids consistent:
-``percentile_approx`` merges are partition-order-sensitive, so the
-correctness argument assumes one split computation per action — which the
-reused broadcast exchange guarantees.
+``cache=True`` persists the bucketed frame: the eager count job then
+materializes the cache and the returned plan reads it instead of
+re-running the upstream scan/aggregate.  The persisted frame is exposed
+on the result as ``df._ranking_cache`` — CALLERS OWN THE UNPERSIST after
+their consuming action (long-lived drivers that skip it accumulate
+cached partitions until LRU eviction).
 """
 
 from __future__ import annotations
@@ -59,10 +63,32 @@ __all__ = [
 ]
 
 
-def _range_bucketed(
-    df: DataFrame, order: Sequence[tuple[str, bool]], n_buckets: int
-) -> DataFrame:
-    """Range-bucket ``df`` on the leading sort column (see module doc).
+def _sample_splits(df: DataFrame, lead_col: str, n_buckets: int) -> list:
+    """Driver-side split sampling (the ``repartitionByRange`` idiom).
+
+    Returns ``<= n_buckets - 1`` ascending scalar split points for
+    ``lead_col``; empty when the column is all-NULL or ``n_buckets <= 1``
+    (degenerate single-bucket form — ``percentile_approx`` with an empty
+    probe array returns NULL, which would NULL every bucket id).
+    """
+    if n_buckets <= 1:
+        return []
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    row = df.agg(
+        F.percentile_approx(F.col(lead_col), probs, F.lit(10_000)).alias("s")
+    ).first()
+    vals = row["s"] if row is not None else None
+    if vals is None:
+        return []
+    # percentile_approx never emits NULL elements for non-empty input,
+    # but NaN can appear if the column is NaN-heavy; NaN split points
+    # compare FALSE against everything and would shift real values into
+    # bucket 0 — drop them (NaN rows themselves take the special branch).
+    return [v for v in vals if v is not None and v == v]
+
+
+def _bucket_col(lead_col: str, lead_asc: bool, splits: list, n_buckets: int) -> Column:
+    """Literal-splits bucket id for ``lead_col`` (see module doc).
 
     Bucket id is a pure function of the value — equal values always
     co-bucket, so rows of bucket ``i`` sort strictly before every row of
@@ -72,7 +98,6 @@ def _range_bucketed(
     to a dedicated bucket at the window default's null position —
     ``-1`` for ASC (NULLS FIRST), ``n_buckets`` for DESC (NULLS LAST).
     """
-    lead_col, lead_asc = order[0]
     if lead_asc:
         pred = lambda s: s < F.col(lead_col)  # noqa: E731
         null_bucket = F.lit(-1)  # ASC ⇒ NULLS FIRST: before bucket 0
@@ -90,22 +115,19 @@ def _range_bucketed(
         # (e.g. microsecond keys) cast cleanly and are never NaN
         F.isnan(F.col(lead_col).cast("double")), nan_bucket
     )
-    if n_buckets <= 1:
-        # degenerate single-bucket form (percentile_approx with an empty
-        # probe array returns NULL, which would NULL every bucket id)
-        return df.withColumn("__bucket", special.otherwise(F.lit(0)))
-    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
-    splits = df.agg(
-        F.percentile_approx(F.col(lead_col), probs, F.lit(10_000)).alias("__splits")
-    )
-    return (
-        df.crossJoin(F.broadcast(splits))
-        .withColumn(
-            "__bucket",
-            special.otherwise(F.size(F.filter(F.col("__splits"), pred))),
-        )
-        .drop("__splits")
-    )
+    if not splits:
+        return special.otherwise(F.lit(0))
+    lits = F.array(*[F.lit(s) for s in splits])
+    return special.otherwise(F.size(F.filter(lits, pred)))
+
+
+def _offset_expr(offsets: Mapping[int, int]) -> Column:
+    """``__bucket -> offset`` as a literal map lookup (≤ n_buckets + 2
+    entries; every observed bucket id is a key by construction)."""
+    if not offsets:
+        return F.lit(0).cast("long")
+    pairs = [x for k, v in offsets.items() for x in (F.lit(k), F.lit(v))]
+    return F.element_at(F.create_map(*pairs), F.col("__bucket")).cast("long")
 
 
 def with_global_rank(
@@ -121,7 +143,9 @@ def with_global_rank(
     ``order`` is ``[(column, ascending), ...]``; the full key must be a
     total order (include a unique tiebreak) and the LEADING column must
     be numeric — it is the range-bucketing key (NULLs rank at the window
-    default's null position, see module doc).
+    default's null position, see module doc).  Runs two small eager jobs
+    at build time (split sample + bucket counts, the
+    ``repartitionByRange`` trade).
     """
     return with_global_ranks(df, {rank_col: order}, n_buckets=n_buckets, cache=cache)
 
@@ -140,12 +164,15 @@ def with_global_ranks(
     e.g. rank by price DESC and price ASC off one bucketing, the
     ``ntile``+``percent_rank`` shape).  Buckets are computed once in
     ascending value order; a descending spec just traverses them in
-    reverse, so its offsets sum the counts of HIGHER buckets.  Each
-    extra spec costs one partitioned sort + one broadcast join — no new
-    shuffle of ``df`` (all windows share the bucket partitioning).
+    reverse, so its literal offsets sum the counts of HIGHER buckets.
+    Each extra spec costs one partitioned sort — no new shuffle of
+    ``df`` (all windows share the bucket partitioning) and no joins
+    (offsets are literal map lookups).
 
-    ``cache=True`` lazily persists the bucketed frame so the window and
-    count branches don't each re-execute the base scan (see module doc).
+    ``cache=True`` persists the bucketed frame — the eager count job
+    materializes it, the returned plan reads it, and the handle is
+    exposed as ``result._ranking_cache`` (callers own the unpersist
+    after their consuming action).
     """
     specs = list(orders.items())
     if not specs:
@@ -158,36 +185,34 @@ def with_global_ranks(
                 f"with {order[0][0]!r}"
             )
     # Bucket in ASC value order once; per-spec traversal direction is
-    # handled below in the offset comparison.
-    bucketed = _range_bucketed(df, [(lead_col, True)], n_buckets)
+    # handled below when summing literal offsets.
+    splits = _sample_splits(df, lead_col, n_buckets)
+    bucketed = df.withColumn("__bucket", _bucket_col(lead_col, True, splits, n_buckets))
     if cache:
         bucketed = bucketed.persist()
-    counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    counts = {
+        r["__bucket"]: r["__n"]
+        for r in bucketed.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
     out = bucketed
     for i, (rank_col, order) in enumerate(specs):
         lead_asc = order[0][1]
         w = Window.partitionBy("__bucket").orderBy(*_order_cols(order))
-        local_col = f"__local_rank_{i}"
-        off_col = f"__offset_{i}"
-        out = out.withColumn(local_col, F.row_number().over(w))
-        a, b = counts.alias("a"), counts.alias("b")
         if lead_asc:
-            earlier = F.col("b.__bucket") < F.col("a.__bucket")
+            offsets = {b: sum(n for bb, n in counts.items() if bb < b) for b in counts}
         else:
             # DESC traversal: higher ASC-bucket ids come first; the
             # NULL bucket (-1) is traversed last = NULLS LAST.
-            earlier = F.col("b.__bucket") > F.col("a.__bucket")
-        offsets = (
-            a.join(F.broadcast(b), earlier, "left")
-            .groupBy(F.col("a.__bucket").alias("__bucket"))
-            .agg(F.coalesce(F.sum("b.__n"), F.lit(0)).cast("long").alias(off_col))
+            offsets = {b: sum(n for bb, n in counts.items() if bb > b) for b in counts}
+        out = out.withColumn(
+            rank_col, (_offset_expr(offsets) + F.row_number().over(w)).cast("long")
         )
-        out = (
-            out.join(F.broadcast(offsets), "__bucket")
-            .withColumn(rank_col, (F.col(off_col) + F.col(local_col)).cast("long"))
-            .drop(local_col, off_col)
-        )
-    return out.drop("__bucket")
+    out = out.drop("__bucket")
+    if cache:
+        out._ranking_cache = bucketed  # caller-owned unpersist handle
+    return out
 
 
 def _order_cols(order: Sequence[tuple[str, bool]]) -> list[Column]:
@@ -205,32 +230,45 @@ def with_prefix_max(
     PRECEDING)`` — the 2D-skyline sweep aggregate — without a
     single-partition window.
 
-    Same bucketing as :func:`with_global_rank`: the running max splits
-    into a bucket-local window (partitioned, parallel) combined with the
-    max over all STRICTLY EARLIER buckets (a ≤``n_buckets``-row prefix
-    aggregate joined back via broadcast).  First row globally gets NULL,
-    matching the window form's empty-frame semantics.
+    Same eager-sampled bucketing as :func:`with_global_rank`: the
+    running max splits into a bucket-local window (partitioned,
+    parallel) combined with the max over all STRICTLY EARLIER buckets —
+    a ``<= n_buckets + 2``-row aggregate collected eagerly and embedded
+    as a literal prefix-max map.  First row globally gets NULL, matching
+    the window form's empty-frame semantics.
     """
-    bucketed = _range_bucketed(df, order, n_buckets)
+    lead_col, lead_asc = order[0]
+    splits = _sample_splits(df, lead_col, n_buckets)
+    bucketed = df.withColumn(
+        "__bucket", _bucket_col(lead_col, lead_asc, splits, n_buckets)
+    )
     w = (
         Window.partitionBy("__bucket")
         .orderBy(*_order_cols(order))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = bucketed.withColumn("__local_max", F.max(value_col).over(w))
-    bmax = bucketed.groupBy("__bucket").agg(F.max(value_col).alias("__bmax"))
-    a, b = bmax.alias("a"), bmax.alias("b")
-    prev = (
-        a.join(F.broadcast(b), F.col("b.__bucket") < F.col("a.__bucket"), "left")
-        .groupBy(F.col("a.__bucket").alias("__bucket"))
-        .agg(F.max("b.__bmax").alias("__prev_max"))
+    bmax = {
+        r["__bucket"]: r["__m"]
+        for r in bucketed.groupBy("__bucket").agg(F.max(value_col).alias("__m")).collect()
+    }
+    prev: dict[int, object] = {}
+    for b in bmax:
+        earlier = [bmax[bb] for bb in bmax if bb < b and bmax[bb] is not None]
+        prev[b] = max(earlier) if earlier else None
+    prev_lit = (
+        F.element_at(
+            F.create_map(*[x for k, v in prev.items() for x in (F.lit(k), F.lit(v))]),
+            F.col("__bucket"),
+        )
+        if prev
+        else F.lit(None)
     )
     return (
-        local.join(F.broadcast(prev), "__bucket")
+        bucketed.withColumn("__local_max", F.max(value_col).over(w))
         # greatest() skips NULLs: bucket-local empty frame and/or no
         # earlier bucket degrade exactly like the window's empty frame
-        .withColumn(out_col, F.greatest("__local_max", "__prev_max"))
-        .drop("__bucket", "__local_max", "__prev_max")
+        .withColumn(out_col, F.greatest("__local_max", prev_lit))
+        .drop("__bucket", "__local_max")
     )
 
 

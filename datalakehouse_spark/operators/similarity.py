@@ -277,9 +277,16 @@ def kmeans_elbow_sweep(
             )
         )
     exploded = base.select(F.explode(F.array(*structs)).alias("s"))
-    return exploded.groupBy(F.col("s.k").alias("k")).agg(
-        F.count_distinct(F.col("s.cluster")).alias("n_clusters"),
-        F.round(F.sum("s.m").cast("double"), 6).alias("inertia"),
+    return (
+        exploded.groupBy(F.col("s.k").alias("k"))
+        .agg(
+            F.count_distinct(F.col("s.cluster")).alias("n_clusters"),
+            F.round(F.sum("s.m").cast("double"), 6).alias("inertia"),
+        )
+        # deterministic output order (the pre-fusion implementation
+        # emitted rows in _INERTIA_KS order; a bare groupBy is
+        # partitioning-dependent and flakes ordered consumers)
+        .orderBy("k")
     )
 
 

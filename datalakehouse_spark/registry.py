@@ -101,6 +101,15 @@ EAGER_BUILD_ENTRIES = frozenset(
         "pq_recall_accounting",
         "lsh_recall_accounting",
         "corpus_health_report",
+        # distributed global ranking: the range-bucket split sample +
+        # per-bucket count are small eager jobs embedded as literals
+        # (the repartitionByRange trade — see operators/ranking.py
+        # module doc; round 8 removed the exchange-reuse dependency)
+        "ntile_percent_rank",
+        "gini_coefficient",
+        "repeat_purchase_intervals",
+        "ltv_deciles_pareto",
+        "skyline_2d",
     }
 )
 

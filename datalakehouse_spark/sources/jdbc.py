@@ -20,6 +20,7 @@ cast-on-read).  Postgres swaps in by changing url+driver only.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import SparkSession
@@ -30,6 +31,22 @@ def sql_quote(value: str) -> str:
     quoting, backfill_telematics.py:18-20). Prefer parameterized
     ``spark.sql(q, args=...)`` where the plan allows."""
     return "'" + value.replace("'", "''") + "'"
+
+
+_IDENTIFIER_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_.]*$")
+
+
+def _checked_identifier(name: str, what: str) -> str:
+    """Reject table/column names that could break out of the subquery.
+
+    Values are covered by :func:`sql_quote`, but identifiers are
+    interpolated bare (or double-quoted) — a caller-supplied name
+    containing whitespace, quotes, or punctuation would otherwise
+    rewrite the statement.  Plain (optionally schema-qualified)
+    identifiers only; anything else raises."""
+    if not _IDENTIFIER_RE.match(name):
+        raise ValueError(f"unsafe {what} identifier: {name!r}")
+    return name
 
 
 def pushdown_subquery(
@@ -51,6 +68,9 @@ def pushdown_subquery(
     Spark's own JDBC writer does this, so the live round-trip tests
     (tests/test_jdbc_live.py, embedded Derby) need it; the reference's
     Postgres schema uses unquoted lowercase, the default."""
+    table = _checked_identifier(table, "table")
+    for c in (device_col, ts_col, type_col):
+        _checked_identifier(c, "column")
     q = (lambda c: '"' + c.replace('"', '""') + '"') if quote_identifiers else (
         lambda c: c
     )

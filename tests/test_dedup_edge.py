@@ -153,3 +153,72 @@ def test_dedup_canonical_keeps_highest_quality(spark):
     kept_q = canon.join(q, canon.keep_id == q.doc_id)
     assert kept_q.where(F.col("keep_quality") != F.col("quality_score")).count() == 0
     canon.unpersist()
+
+
+def test_cc_escalation_fixes_deep_chain(spark):
+    """Round-8: a chain the configured pointer-jumping budget cannot
+    finish must ESCALATE to large-star/small-star and still return the
+    exact transitive closure (one label per component), not split
+    labels.  max_iters=2 without pointer jumping covers propagation
+    distance 2 — far short of the 120-node path."""
+    import pytest as _pytest
+
+    from datalakehouse_spark.operators.dedup import connected_components
+
+    n = 120
+    nodes = spark.range(n).select(F.col("id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    with _pytest.warns(RuntimeWarning, match="escalating"):
+        cc = connected_components(
+            nodes, pairs, id_col="id", max_iters=2, pointer_jump=False
+        )
+    assert {r.label for r in cc.collect()} == {0}
+
+
+def test_star_contraction_matches_union_find(spark):
+    """_star_contraction vs a driver-side union-find oracle on a mixed
+    graph: deep chain + cycle + star + bridge + singletons."""
+    from datalakehouse_spark.operators.dedup import _star_contraction, connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(0, 40)]          # chain 0..40
+        + [(50, 51), (51, 52), (52, 50)]            # triangle
+        + [(60, t) for t in range(61, 70)]          # star
+        + [(40, 50)]                                # bridge chain->triangle
+        + [(80, 80)]                                # self-loop singleton
+    )
+    node_ids = list(range(0, 42)) + list(range(50, 53)) + list(range(60, 70)) + [80, 99]
+
+    parent = {v: v for v in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in node_ids}
+
+    nodes = spark.createDataFrame([(v,) for v in node_ids], "id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    # escalation path end-to-end (budget 0 jumps straight to the stars)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)
+        cc = connected_components(
+            nodes, pairs, id_col="id", max_iters=1, pointer_jump=False
+        )
+    got = {r.id: r.label for r in cc.collect()}
+    assert got == want
+    # and the contraction primitive alone, on the symmetric edge frame
+    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    star = {r.nid: r.label for r in _star_contraction(sym).collect()}
+    for v, lbl in star.items():
+        assert lbl == want[v]

@@ -198,3 +198,23 @@ def test_device_chunk_backfill_live(spark, derby_url):
         .count()
     )
     assert seen == expect
+
+
+def test_pushdown_subquery_rejects_unsafe_identifiers():
+    """Identifiers are interpolated bare — anything that could rewrite
+    the statement must raise, not compose (round-8 advice fix)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="table"):
+        pushdown_subquery(
+            "t; DROP TABLE users", ["d1"], "2024-01-01", "2024-01-02"
+        )
+    with _pytest.raises(ValueError, match="column"):
+        pushdown_subquery(
+            "telematics", ["d1"], "2024-01-01", "2024-01-02",
+            device_col='device_id" OR "1"="1',
+        )
+    # schema-qualified plain names stay accepted
+    assert pushdown_subquery(
+        "public.telematics", ["d1"], "2024-01-01", "2024-01-02"
+    ).startswith("(SELECT * FROM public.telematics")

@@ -218,3 +218,29 @@ def test_with_global_rank_property(spark, vals, asc, n_buckets):
     w = Window.orderBy(F.col("v").asc() if asc else F.col("v").desc(), F.col("id"))
     want = _collect_map(df.select("id", F.row_number().over(w).alias("r")), "id", "r")
     assert got == want
+
+
+def test_with_global_ranks_cache_exposes_unpersist_handle(spark):
+    """cache=True must hand the persisted bucketed frame to the caller
+    (callers own the unpersist after their consuming action)."""
+    df = spark.createDataFrame([(i, float(i % 7)) for i in range(50)], "id int, v double")
+    out = with_global_ranks(df, {"r": [("v", True), ("id", True)]}, cache=True)
+    handle = out._ranking_cache
+    assert handle.storageLevel.useMemory  # actually persisted
+    out.count()
+    handle.unpersist(blocking=True)
+    assert not handle.storageLevel.useMemory
+
+
+def test_with_global_rank_splits_are_literal_no_second_scan_branch(spark):
+    """Round-8 contract: split points and bucket offsets are embedded as
+    LITERALS (sampled eagerly, the repartitionByRange idiom) — the
+    returned plan must contain no percentile_approx aggregate and no
+    bucket-count join branch, so correctness cannot depend on exchange
+    reuse between sibling subtrees."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id int, v double")
+    plan = with_global_rank(
+        df, [("v", True), ("id", True)], "r"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "percentile_approx" not in plan
+    assert "Join" not in plan

@@ -5,8 +5,10 @@ CORRECTNESS_r*.json ledgers.
 The driver samples the FIRST ~50 entries of queries() order each round,
 so coverage is closed by rotating: (1) entries whose code changed this
 round (pass their names as argv — their old driver rows no longer
-describe the running code), (2) entries never driver-checked on
-current fixtures (no row in any post-fixture-regen round), (3) entries
+describe the running code), (2) entries whose LATEST driver row is a
+failure with no green row since (a red row is not evidence — it must
+be re-driven), (3) entries never green-driver-checked on current
+fixtures (no green row in any post-fixture-regen round), (4) entries
 whose last green row predates the fixture regeneration.
 
 Usage:
@@ -39,29 +41,57 @@ def main() -> None:
     _load_extensions()
     names = list(REGISTRY)
 
-    current, stale_rounds = set(), set()
+    # Only a GREEN row is evidence (a failed driver row must NOT
+    # exclude the entry from the next rotation): full compare green
+    # = all three matches true + no err; rows-only entries (no
+    # oracle SQL) are green when the driver got a row count back.
+    last_green: dict[str, int] = {}
+    last_red: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)", path).group(1))
-        keys = set(json.load(open(path)))
-        (current if rnd >= _CURRENT_SINCE else stale_rounds).update(keys)
+        for name, row in json.load(open(path)).items():
+            if not isinstance(row, dict):
+                continue
+            full_green = (
+                row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") in (True, None)
+                and row.get("err") in (None, "")
+            )
+            rows_only_green = (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            tgt = last_green if (full_green or rows_only_green) else last_red
+            tgt[name] = max(tgt.get(name, 0), rnd)
 
     unknown = [n for n in changed if n not in names]
     if unknown:
         raise SystemExit(f"not registered: {unknown}")
-    never = [n for n in names if n not in current and n not in stale_rounds]
-    stale = [n for n in names if n not in current and n in stale_rounds]
+    # red class: the most recent driver row is a failure (no green row
+    # at or after it) — front of the rotation, right after the caller's
+    # changed entries.
+    red = [n for n in names if last_red.get(n, 0) > last_green.get(n, 0)]
+    current = {
+        n
+        for n in names
+        if n not in red and last_green.get(n, 0) >= _CURRENT_SINCE
+    }
+    never = [
+        n for n in names if n not in red and n not in current and n not in last_green
+    ]
+    stale = [n for n in names if n not in red and n not in current and n in last_green]
 
     seen: set[str] = set()
     out: list[str] = []
-    for n in changed + never + stale:
+    for n in changed + red + never + stale:
         if n not in seen:
             seen.add(n)
             out.append(n)
 
     print(
         f"# registry={len(names)} current-fixture-checked={len(current)} "
-        f"never={len(never)} stale={len(stale)} -> rotation={len(out)} "
-        f"(driver takes ~50/round)"
+        f"red={len(red)} never={len(never)} stale={len(stale)} "
+        f"-> rotation={len(out)} (driver takes ~50/round)"
     )
     print("_DRIVER_PRIORITY = [")
     for n in out:
