@@ -30,6 +30,22 @@ _load_extensions()
 WARMUP_DIR = "/root/testdata/sf0.001"
 
 
+def find_regressions(timings: dict, baseline: dict | None, sf) -> dict:
+    """Entries >2x their recorded reference median AND >0.5 s absolute
+    (the ambient-load guard has already filtered machine noise; the
+    absolute floor keeps scheduling jitter out).  Baselines only apply
+    at their own scale factor; entries without a reference are new and
+    skip the gate."""
+    if not baseline or baseline.get("sf") != sf:
+        return {}
+    refs = baseline.get("queries", {})
+    return {
+        name: {"ref": refs[name], "now": t}
+        for name, t in timings.items()
+        if name in refs and t > 2.0 * refs[name] and t - refs[name] > 0.5
+    }
+
+
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -97,6 +113,20 @@ def main() -> None:
         load_1m = round(os.getloadavg()[0], 2)
     except OSError:
         load_1m = None
+
+    # Regression gate (round 8): compare each entry against the
+    # recorded per-entry reference median in BENCH_BASELINE.json —
+    # eyeballing 204 timings doesn't scale (the round-6 noise episode).
+    baseline_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_BASELINE", os.path.join(REPO_ROOT, "BENCH_BASELINE.json")
+    )
+    try:
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        baseline = None
+    regressions = find_regressions(timings, baseline, sf)
+
     payload = {
         "metric": "registry_total_runtime",
         "value": total,
@@ -106,7 +136,8 @@ def main() -> None:
         "wall_sec": wall,
         "load_avg_1m_end": load_1m,
         "ncpus": os.cpu_count(),
-        "timing": "median-of-3 for entries <3s; min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries",
+        "regressions": regressions,
+        "timing": "median-of-3 for entries <3s; min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries; regressions = entries >2x and >0.5s over their BENCH_BASELINE.json reference median",
     }
     # Compact separators keep the line short enough for tail-capture
     # harnesses; the full map is also persisted to bench_out.json.

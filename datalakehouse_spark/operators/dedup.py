@@ -798,3 +798,47 @@ def decontaminate(
     return train.join(flagged, id_col, "left").withColumn(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
+
+
+def decontamination_flags(
+    docs: DataFrame,
+    bench_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+) -> DataFrame:
+    """Single-scan decontamination for the common case where the
+    benchmark split is a PREDICATE over the same corpus table (holdout
+    suites staged alongside training data).
+
+    :func:`decontaminate` tokenizes the table twice — once under the
+    bench filter, once under its complement.  Here the corpus is
+    tokenized ONCE into a gram frame tagged ``is_bench`` and persisted;
+    the bench side collapses to DISTINCT digests and broadcasts, the
+    train side semi-joins the broadcast — tokenization cost is paid a
+    single time and the corpus still never shuffles for the check.
+    Returns ``(id_col, contaminated)`` for TRAINING docs only; join it
+    back to a column-pruned scan for doc-level attributes (cheap: no
+    re-tokenization).  The persisted gram frame is exposed as
+    ``result._gram_cache`` — callers own the unpersist after their
+    consuming action.  At 100 TB with a separately-staged eval suite,
+    prefer :func:`decontaminate`: its bench scan is tiny and nothing
+    corpus-sized needs caching.
+    """
+    from datalakehouse_spark.operators.textstats import tokens
+
+    grams = docs.select(
+        F.col(id_col),
+        bench_pred.alias("is_bench"),
+        F.explode(_ngram_hashes(tokens(text_col), ngram)).alias("h"),
+    ).persist()
+    bench_grams = grams.where(F.col("is_bench")).select("h").distinct()
+    out = (
+        grams.where(~F.col("is_bench"))
+        .join(F.broadcast(bench_grams), "h", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    out._gram_cache = grams  # caller-owned unpersist handle
+    return out

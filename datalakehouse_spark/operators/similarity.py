@@ -768,12 +768,83 @@ def build_ivfpq_index(
     This is the no-residual IVF-PQ variant (codes quantize the RAW
     vectors, not cluster residuals): the deterministic-replay oracle
     stays expressible, and at fixture dims the recall difference is
-    immaterial.  Returns (coarse centroids, books, sub)."""
-    assign, coarse = kmeans_clusters(
-        embeddings, k=n_clusters, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
+    immaterial.  Returns (coarse centroids, books, sub).
+
+    Round-8 fusion: the coarse k-means and the m subspace codebook
+    k-means share ONE tagged corpus pass per Lloyd iteration (the
+    :func:`kmeans_elbow_sweep` trick) — each row explodes into a
+    ``s = -1`` (coarse, full vector) struct plus m ``(s, slice)``
+    structs, one grouped aggregate computes every centroid sum, and
+    the driver collects coarse + all codebooks from a single job.
+    Corpus scans per iteration drop 2 → 1 and total scanned bytes are
+    unchanged (full vector + m slices == 2× vector, same as the two
+    separate passes).  Per-(cluster) sums see the identical addend
+    multisets as :func:`kmeans_clusters` / :func:`pq_codebooks`, so
+    the trained model is bit-identical (same exactly-associative
+    double sums as the other fusions).  Encoding is likewise fused:
+    codes and the coarse assignment are ONE literal-expression
+    projection — the previous codes⋈assignment shuffle join is gone.
+    """
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    base = embeddings.select(F.col(id_col), F.col(vec_col).alias("_raw"))
+    dim = len(base.select("_raw").first()[0])
+    sub = dim // m
+    init = md5_hash60(F.col(id_col).cast("string"))
+    coarse_assign = (init % n_clusters).cast("int")
+    pq_assign = [(init % codes).cast("int") for _ in range(m)]
+    coarse: list[tuple[int, list[float]]] = []
+    books: list[list[tuple[int, list[float]]]] = []
+    for _ in range(kmeans_iters):
+        structs = [
+            F.struct(
+                F.lit(-1).alias("s"),
+                coarse_assign.alias("c"),
+                _dvec(F.col("_raw")).alias("v"),
+            )
+        ] + [
+            F.struct(
+                F.lit(s).alias("s"),
+                pq_assign[s].alias("c"),
+                F.slice(_dvec(F.col("_raw")), s * sub + 1, sub).alias("v"),
+            )
+            for s in range(m)
+        ]
+        sums = (
+            base.select(F.explode(F.array(*structs)).alias("x"))
+            .groupBy(F.col("x.s").alias("s"), F.col("x.c").alias("c"))
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                # get() (not []) past a slice's width reads NULL under
+                # ANSI and SUM skips it, so one dim-wide aggregate
+                # serves both the full-vector and slice shapes
+                *[F.sum(F.get(F.col("x.v"), i)).alias(f"s{i}") for i in range(dim)],
+            )
+        )
+        rows = sums.collect()  # (m·codes + n_clusters) rows — tiny
+        coarse = sorted(
+            (r["c"], [r[f"s{i}"] / r["_n"] for i in range(dim)])
+            for r in rows
+            if r["s"] == -1
+        )
+        books = [
+            sorted(
+                (r["c"], [r[f"s{i}"] / r["_n"] for i in range(sub)])
+                for r in rows
+                if r["s"] == s
+            )
+            for s in range(m)
+        ]
+        coarse_assign = _argmin_cluster(_dvec(F.col("_raw")), coarse)
+        pq_assign = [
+            _argmin_cluster(F.slice(_dvec(F.col("_raw")), s * sub + 1, sub), books[s])
+            for s in range(m)
+        ]
+    encoded = base.select(
+        F.col(id_col),
+        *[pq_assign[s].alias(f"code_{s}") for s in range(m)],
+        coarse_assign.alias("cluster"),
     )
-    books, sub = pq_codebooks(embeddings, m, codes, kmeans_iters, id_col, vec_col)
-    encoded = pq_encode(embeddings, books, sub, id_col, vec_col).join(assign, id_col)
     encoded.repartition("cluster").write.mode("overwrite").partitionBy(
         "cluster"
     ).parquet(path)

@@ -617,71 +617,31 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Driver coverage rotation (round 7): the driver samples the FIRST ~50
-#: entries of queries() order per round.  After rounds 4-6, 147 of 204
-#: entries have a green driver row on current fixtures; per the round-6
-#: verdict, 33 have never been driver-checked and 24 were last checked
-#: before the round-3 fixture regeneration.  Round-7 order therefore is:
-#:   (1) the 7 entries whose CODE changed this round (ntile's shared
-#:       bucketing pass, the two de-globalized O(users) windows, the
-#:       persisted LSH-recall sample) — prior rows no longer describe
-#:       the running code;
-#:   (2) the 33 never-driver-checked entries;
-#:   (3) the 24 r1-r3-stale entries (the ~9 past the driver's ~50-entry
-#:       cut land in round 8, completing full current-fixture coverage).
-#: All 59 pass the driver-identical local oracle gate on current
-#: fixtures (tests/test_oracle.py); this rotation closes the gate, it
-#: does not paper over failures.
+#: entries of queries() order per round.  After round 7, 195 of 204
+#: entries have a green driver row on current fixtures and ZERO ledger
+#: rows are red.  Round-8 order (tools/rotation_helper.py output):
+#:   (1) the 10 entries whose CODE changed this round — the five
+#:       global-ranking consumers (driver-side literal split points),
+#:       the fused/ordered k-means sweep, single-scan decontamination,
+#:       and the three connected-components consumers (escalation
+#:       path) — prior rows no longer describe the running code;
+#:   (2) the final 9 entries whose last driver row predates the
+#:       round-3 fixture regeneration — green in the bit-exact local
+#:       oracle sweep; their driver rows COMPLETE current-fixture
+#:       coverage of all 204 entries.
+#: The ~31 slots after these 19 fall to registry insertion order —
+#: the round-4-era entries whose green rows are the oldest.
 _DRIVER_PRIORITY = [
     "ntile_percent_rank",
     "gini_coefficient",
     "repeat_purchase_intervals",
-    "lsh_recall_accounting",
+    "ltv_deciles_pareto",
+    "skyline_2d",
     "kmeans_inertia_sweep",
-    "association_rules",
-    "corpus_health_report",
-    "dau_wau_stickiness",
-    "langid_confusion",
-    "label_centroid_distances",
-    "weighted_median",
-    "point_in_time_join",
-    "time_to_convert",
-    "conversion_wilson_ci",
-    "gapfill_interpolated",
-    "session_landing_exit",
-    "top_movers",
-    "kmv_rolling_distinct",
-    "cuped_adjustment",
-    "mutual_information",
-    "streaming_metered_ingest",
-    "weekly_autocorrelation",
-    "benford_first_digit",
-    "revenue_reconciliation",
-    "ab_test_ttest",
-    "triangle_count",
-    "chi_square_independence",
-    "trend_slopes",
-    "cusum_changepoint",
+    "decontamination_report",
+    "dedup_clusters",
+    "dedup_canonical",
     "dup_graph_degrees",
-    "source_vocab_overlap",
-    "order_aging_report",
-    "spatial_knn",
-    "basket_size_distribution",
-    "forecast_accuracy",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "join_semi",
-    "join_anti",
-    "join_outer_agg",
-    "range_join_window",
-    "text_stats",
-    "quality_score_docs",
-    "langid_docs",
-    "token_count_by_source",
-    "doc_fingerprints",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "minhash_signatures",
     "knn_brute_force",
     "embedding_norms_by_label",
     "multimodal_payloads",

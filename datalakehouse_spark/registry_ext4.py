@@ -627,18 +627,30 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3/PaLM-style n-gram-overlap contamination check: the
     deterministic doc_id % 50 == 0 subset stands in for the benchmark
     suite; every other document is training data.  Benchmark n-gram
-    digests broadcast; the corpus never shuffles for the check."""
-    from datalakehouse_spark.operators.dedup import decontaminate
+    digests broadcast; the corpus never shuffles for the check.
+
+    Round-8 single-scan form (``decontamination_flags``): because
+    bench and train are complementary predicates over ONE table, the
+    corpus is tokenized once into a persisted tagged gram frame
+    instead of twice under complementary filters; the per-source
+    totals come from a column-pruned (doc_id, source) re-scan that
+    never touches text."""
+    from datalakehouse_spark.operators.dedup import decontamination_flags
 
     docs = load_table(spark, sf_dir, "documents")
-    bench = docs.where(F.col("doc_id") % 50 == 0)
-    train = docs.where(F.col("doc_id") % 50 != 0)
-    out = decontaminate(train, bench, ngram=_DECON_NGRAM)
+    flags = decontamination_flags(
+        docs, F.col("doc_id") % 50 == 0, ngram=_DECON_NGRAM
+    )
     return (
-        out.groupBy("source")
+        docs.where(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "source")
+        .join(flags, "doc_id", "left")
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+            F.sum(F.coalesce(F.col("contaminated"), F.lit(False)).cast("long")).alias(
+                "n_contaminated"
+            ),
         )
         .orderBy("source")
     )

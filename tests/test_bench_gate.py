@@ -1,0 +1,34 @@
+"""The bench regression gate as a pure function: >2x AND >0.5s over
+the per-entry reference median, only at the baseline's own scale
+factor, new entries exempt."""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import find_regressions
+
+
+BASE = {"sf": 0.1, "queries": {"fast": 0.1, "slow": 2.0, "mid": 0.4}}
+
+
+def test_flags_only_double_and_half_second():
+    timings = {
+        "fast": 0.3,   # 3x but only +0.2s -> jitter, not flagged
+        "slow": 4.6,   # 2.3x and +2.6s -> flagged
+        "mid": 0.95,   # 2.4x and +0.55s -> flagged
+        "new_entry": 9.9,  # no reference -> exempt
+    }
+    got = find_regressions(timings, BASE, 0.1)
+    assert set(got) == {"slow", "mid"}
+    assert got["slow"] == {"ref": 2.0, "now": 4.6}
+
+
+def test_clean_run_is_empty():
+    assert find_regressions({"fast": 0.11, "slow": 1.9}, BASE, 0.1) == {}
+
+
+def test_sf_mismatch_and_missing_baseline_disable_gate():
+    timings = {"slow": 99.0}
+    assert find_regressions(timings, BASE, 0.01) == {}
+    assert find_regressions(timings, None, 0.1) == {}
+    assert find_regressions(timings, {"queries": {}}, 0.1) == {}

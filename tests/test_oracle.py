@@ -18,3 +18,63 @@ def test_oracle_match(spark, sf_small, name, spec):
         f"{name}: rows {res.spark_rows}/{res.oracle_rows} "
         f"schema_match={res.schema_match} value_match={res.value_match} {res.detail}"
     )
+
+
+# ---------------------------------------------------------------------------
+# sf0.1 spot-sweep (opt-in): scale-sensitive entry classes
+# ---------------------------------------------------------------------------
+#
+# The driver only ever compares at sf0.01; failure classes that are a
+# FUNCTION of data volume — decimal staging overflowing its precision
+# on 10x larger sums, percentile/sketch drift, rank arithmetic at 10x
+# rows, dedup digest collisions — have no oracle coverage there.  This
+# sweep runs the representative entry of each such class bit-exact at
+# sf0.1.  Opt-in (SPARK_GRAFT_SF01_SWEEP=1): ~10x the fixture, minutes
+# not seconds, meant for the round's verification pass rather than the
+# inner loop.
+
+import os as _os
+
+SF_LARGE = "/root/testdata/sf0.1"
+
+_SCALE_SENSITIVE = [
+    # decimal-sum TPC-H aggregates (precision headroom under 10x sums)
+    "q1_pricing_summary",
+    "q18_large_orders",
+    "monthly_revenue",
+    "revenue_reconciliation",
+    # sketch / percentile (merge paths see more partials at 10x)
+    "kmv_distinct_sketch",
+    "kmv_rolling_distinct",
+    "exact_percentiles",
+    "weighted_median",
+    "approx_stats",
+    "stats_moments",
+    "value_stats_exact",
+    # global-rank arithmetic (bucket offsets at 10x rows)
+    "ntile_percent_rank",
+    "gini_coefficient",
+    "ltv_deciles_pareto",
+    # dedup basics (digest grouping at 10x corpus)
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "minhash_signatures",
+    "doc_fingerprints",
+    "chunk_dedup_stats",
+    "decontamination_report",
+]
+
+_SF01_CASES = [(n, REGISTRY[n]) for n in _SCALE_SENSITIVE if REGISTRY[n].sql]
+
+
+@pytest.mark.skipif(
+    _os.environ.get("SPARK_GRAFT_SF01_SWEEP") != "1",
+    reason="opt-in 10x-fixture sweep: set SPARK_GRAFT_SF01_SWEEP=1",
+)
+@pytest.mark.parametrize("name,spec", _SF01_CASES, ids=[n for n, _ in _SF01_CASES])
+def test_oracle_match_sf01(spark, name, spec):
+    res = compare_query(spark, SF_LARGE, name, spec.fn, spec.sql)
+    assert res.ok, (
+        f"{name} at sf0.1: rows {res.spark_rows}/{res.oracle_rows} "
+        f"schema_match={res.schema_match} value_match={res.value_match} {res.detail}"
+    )

@@ -121,3 +121,39 @@ def test_simhash_pairs_bucket_cap(spark):
     assert (
         simhash_near_dup_pairs(docs, max_bucket_size=10, hot_bucket="drop").count() == 0
     )
+
+
+def test_build_ivfpq_fused_matches_sequential_training(spark, tmp_path):
+    """Round-8 fusion: build_ivfpq_index trains coarse k-means and all
+    m PQ codebooks off ONE tagged pass per Lloyd iteration.  The model
+    and the persisted index must be bit-identical to the sequential
+    kmeans_clusters + pq_codebooks + encode-join composition, and the
+    fused job count per iteration is one (asserted by equivalence, the
+    contract that matters)."""
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    coarse_f, books_f, sub_f = S.build_ivfpq_index(
+        emb, path, n_clusters=8, kmeans_iters=2, m=4, codes=16
+    )
+    assign, coarse_s = S.kmeans_clusters(emb, k=8, iters=2)
+    books_s, sub_s = S.pq_codebooks(emb, m=4, codes=16, iters=2)
+    assert sub_f == sub_s
+    assert coarse_f == coarse_s
+    assert books_f == books_s
+    idx = spark.read.parquet(path)
+    composed = S.pq_encode(emb, books_s, sub_s).join(assign, "vec_id")
+    got = sorted(
+        (r["vec_id"], r["code_0"], r["code_1"], r["code_2"], r["code_3"], int(r["cluster"]))
+        for r in idx.collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["code_0"], r["code_1"], r["code_2"], r["code_3"], int(r["cluster"]))
+        for r in composed.collect()
+    )
+    assert got == want
+    # serving still composes: partition-pruned probe + ADC over codes
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    hits = S.ivfpq_search(
+        spark, path, coarse_f, books_f, sub_f, qv, k=5, n_probe=2, exclude_id=0
+    ).collect()
+    assert len(hits) == 5
