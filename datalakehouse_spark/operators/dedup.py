@@ -462,7 +462,22 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
             .distinct()
         )
 
+    def _fp(e: DataFrame) -> tuple:
+        """Order-insensitive edge-set fingerprint (count + hash sum):
+        ONE scan-side aggregate, no join.  Equal sets always fingerprint
+        equal, so gating the exact (exceptAll) fixpoint verification on
+        a fingerprint match can never miss convergence — it only skips
+        the expensive probes on rounds that certainly changed."""
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal staging: a long sum of 64-bit hashes overflows
+            # under ANSI; decimal(38,0) is exact at any edge count
+            F.sum(F.xxhash64("s", "d").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
     e = _sym(edges).localCheckpoint(eager=True)
+    fp_e = _fp(e)
     for _ in range(max_rounds):
         # large-star: per u over ALL neighbors, m = min(neighbors, u);
         # emit (v, m) for v > u
@@ -484,17 +499,22 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
         )
         e3 = _sym(small).localCheckpoint(eager=True)
         # fixpoint of BOTH operations (the paper's terminal state: a
-        # star forest centered at component minima) — each probe is a
-        # LIMIT 1 existence check, not a full count
-        changed = (
-            e2.exceptAll(e).limit(1).count()
-            + e.exceptAll(e2).limit(1).count()
-            + e3.exceptAll(e2).limit(1).count()
-            + e2.exceptAll(e3).limit(1).count()
-        )
-        e = e3
-        if changed == 0:
-            break
+        # star forest centered at component minima).  The exact
+        # exceptAll probes are the expensive part of a round, so they
+        # only run when the cheap fingerprints say e == e2 == e3 is
+        # plausible; each probe is then a LIMIT 1 existence check.
+        fp2, fp3 = _fp(e2), _fp(e3)
+        if fp_e == fp2 == fp3:
+            changed = (
+                e2.exceptAll(e).limit(1).count()
+                + e.exceptAll(e2).limit(1).count()
+                + e3.exceptAll(e2).limit(1).count()
+                + e2.exceptAll(e3).limit(1).count()
+            )
+            if changed == 0:
+                e = e3
+                break
+        e, fp_e = e3, fp3
     # star forest: each node's label is the min over itself and its
     # neighbors (centers label themselves)
     return e.groupBy(F.col("s").alias("nid")).agg(
