@@ -110,6 +110,8 @@ EAGER_BUILD_ENTRIES = frozenset(
         "repeat_purchase_intervals",
         "ltv_deciles_pareto",
         "skyline_2d",
+        # SemDeDup: the k-means build collects k x dim centroids
+        "semantic_dedup",
     }
 )
 
@@ -632,6 +634,9 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The ~31 slots after these 19 fall to registry insertion order —
 #: the round-4-era entries whose green rows are the oldest.
 _DRIVER_PRIORITY = [
+    # round-8 additions (never driver-checked)
+    "semantic_dedup",
+    "incremental_dedup_ingest",
     "ntile_percent_rank",
     "gini_coefficient",
     "repeat_purchase_intervals",

@@ -4874,3 +4874,178 @@ def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mdape"),
         F.round(F.max("ape"), 6).alias("worst_ape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup: SemDeDup — cluster-scoped embedding-cosine dedup (round 8)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.15
+
+
+def _semantic_dedup_sql() -> str:
+    from datalakehouse_spark.registry_ext import _ivf_assign_parts
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) "
+        "FOR i IN range(1, 65)]), (x, y) -> x + y)"
+    )
+    norm = lambda t: (  # noqa: E731
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE) "
+        "FOR i IN range(1, 65)]), (x, y) -> x + y))"
+    )
+    return f"""
+WITH {" ".join(_ivf_assign_parts(k=8, iters=2))},
+sub AS (SELECT vec_id, embedding, cluster FROM a2 WHERE vec_id % 10 = 0),
+dropped AS (
+    SELECT DISTINCT b.cluster, b.vec_id
+    FROM sub a JOIN sub b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    WHERE round({dot} / ({norm('a')} * {norm('b')}), 9) >= {_SEMDEDUP_TAU}
+)
+SELECT s.cluster,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       round(COUNT(d.vec_id) * 1.0 / COUNT(*), 6) AS dup_ratio
+FROM sub s LEFT JOIN dropped d ON s.cluster = d.cluster AND s.vec_id = d.vec_id
+GROUP BY s.cluster ORDER BY s.cluster
+"""
+
+
+@register(
+    "semantic_dedup",
+    _semantic_dedup_sql(),
+    "SemDeDup: k-means cluster-scoped cosine dedup, keep-lowest-id rule",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicates are found
+    by clustering embeddings and comparing pairs ONLY within a cluster
+    — the pairwise cost is Σ cluster_size², bounded by growing k with
+    the corpus, never corpus².  The seeded deterministic k-means
+    (operators/similarity.kmeans_clusters, same md5 init the IVF oracle
+    replays) partitions the space; within each cluster every vector
+    with a smaller-id neighbor at rounded cosine >= tau is dropped (the
+    deterministic keep-first rule; SemDeDup's keep-farthest-from-
+    centroid variant changes the pick, not the plumbing).  The id-mod
+    subsample stands in for the bounded-cluster regime at toy scale
+    exactly as in embedding_near_dup.  Output: per-cluster kept/dropped
+    accounting.  Eager class: the k-means build collects k x dim
+    centroids."""
+    from datalakehouse_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = S.kmeans_clusters(emb, k=8, iters=2)
+    sub = emb.where(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        S._argmin_cluster(S._dvec("embedding"), cents).alias("cluster"),
+        S._dvec("embedding").alias("v"),
+    )
+    a = sub.select(
+        F.col("vec_id").alias("id_a"), "cluster", F.col("v").alias("va")
+    )
+    b = sub.select(
+        F.col("vec_id").alias("id_b"), "cluster", F.col("v").alias("vb")
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.round(S.cosine(F.col("va"), F.col("vb")), 9) >= _SEMDEDUP_TAU
+        )
+        .select("cluster", F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        sub.select("vec_id", "cluster")
+        .join(dropped, ["cluster", "vec_id"], "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("__dropped").alias("n_dropped"),
+            F.round(F.count("__dropped") / F.count(F.lit(1)), 6).alias("dup_ratio"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental_dedup_ingest: new batch vs historical digest index (round 8)
+# ---------------------------------------------------------------------------
+
+_INCR_DEDUP_SQL = """
+WITH d AS (
+    SELECT doc_id, source,
+           md5(array_to_string(list_slice(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+               1, 5), ' ')) AS digest
+    FROM documents
+),
+hist AS (SELECT DISTINCT digest FROM d WHERE doc_id % 4 <> 3),
+batch AS (
+    SELECT doc_id, source, digest,
+           ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+    FROM d WHERE doc_id % 4 = 3
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN h.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_corpus,
+       CAST(SUM(CASE WHEN h.digest IS NULL AND b.rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_batch,
+       CAST(SUM(CASE WHEN h.digest IS NULL AND b.rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ingested
+FROM batch b LEFT JOIN hist h USING (digest)
+GROUP BY b.source ORDER BY b.source
+"""
+
+
+@register(
+    "incremental_dedup_ingest",
+    _INCR_DEDUP_SQL,
+    "incremental ingest dedup: new batch vs historical digest index + intra-batch",
+)
+def q_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production continuous-crawl shape: a NEW batch (the doc_id %
+    4 == 3 slice standing in for today's crawl) dedups against (a) the
+    HISTORICAL corpus's persisted normalized-digest index and (b)
+    itself (keep-first within the batch), and only the survivors
+    ingest.  Scale posture: the check is one equi-join keyed on digest
+    — Spark broadcasts the smaller side (a daily batch against a
+    bucketed historical index at 100 TB; either way no all-pairs, no
+    corpus shuffle beyond the digest distinct) — plus one window
+    PARTITIONED BY digest (bounded groups) for the intra-batch rule.
+    Per-source ingest accounting out."""
+    from datalakehouse_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        # 5-token prefix fingerprint: crawl boilerplate shares its
+        # opening tokens far more often than its full body, so the
+        # prefix digest is the index a continuous-ingest dedup keeps
+        # (full-body digests live in dedup_exact_normalized)
+        F.md5(
+            F.array_join(F.slice(F.split(normalize_text(F.col("text")), " "), 1, 5), " ")
+        ).alias("digest"),
+    )
+    hist = docs.where(F.col("doc_id") % 4 != 3).select("digest").distinct()
+    batch = docs.where(F.col("doc_id") % 4 == 3).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("digest").orderBy("doc_id")),
+    )
+    marked = batch.join(
+        hist.withColumn("__in_corpus", F.lit(1)), "digest", "left"
+    )
+    in_c = F.col("__in_corpus").isNotNull()
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(in_c.cast("long")).alias("n_dup_corpus"),
+            F.sum((~in_c & (F.col("rn") > 1)).cast("long")).alias("n_dup_batch"),
+            F.sum((~in_c & (F.col("rn") == 1)).cast("long")).alias("n_ingested"),
+        )
+        .orderBy("source")
+    )
