@@ -4929,10 +4929,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic keep-first rule; SemDeDup's keep-farthest-from-
     centroid variant changes the pick, not the plumbing).  The id-mod
     subsample stands in for the bounded-cluster regime at toy scale
-    exactly as in embedding_near_dup.  Output: per-cluster kept/dropped
-    accounting.  Eager class: the k-means build collects k x dim
-    centroids."""
+    exactly as in embedding_near_dup, and a DEGENERATE distribution
+    (every vector in one cluster) is handled the way the LSH tier
+    handles hot buckets: clusters over the cap are salted into bounded
+    sub-joins (``_bucketed_pair_sides`` — every pair still produced
+    exactly once, recall == uncapped, no size-squared task).  Output:
+    per-cluster kept/dropped accounting.  Eager class: the k-means
+    build collects k x dim centroids."""
     from datalakehouse_spark.operators import similarity as S
+    from datalakehouse_spark.operators.dedup import _bucketed_pair_sides
 
     emb = load_table(spark, sf_dir, "embeddings")
     _, cents = S.kmeans_clusters(emb, k=8, iters=2)
@@ -4941,14 +4946,17 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         S._argmin_cluster(S._dvec("embedding"), cents).alias("cluster"),
         S._dvec("embedding").alias("v"),
     )
-    a = sub.select(
-        F.col("vec_id").alias("id_a"), "cluster", F.col("v").alias("va")
+    left, right, jcols = _bucketed_pair_sides(
+        sub, ["cluster"], "vec_id", max_bucket_size=1000, hot_bucket="salt"
     )
-    b = sub.select(
-        F.col("vec_id").alias("id_b"), "cluster", F.col("v").alias("vb")
+    a = left.select(
+        F.col("vec_id").alias("id_a"), *jcols, F.col("v").alias("va")
+    )
+    b = right.select(
+        F.col("vec_id").alias("id_b"), *jcols, F.col("v").alias("vb")
     )
     dropped = (
-        a.join(b, "cluster")
+        a.join(b, jcols)
         .where(F.col("id_a") < F.col("id_b"))
         .where(
             F.round(S.cosine(F.col("va"), F.col("vb")), 9) >= _SEMDEDUP_TAU

@@ -222,3 +222,36 @@ def test_star_contraction_matches_union_find(spark):
     star = {r.nid: r.label for r in _star_contraction(sym).collect()}
     for v, lbl in star.items():
         assert lbl == want[v]
+
+
+def test_semantic_dedup_salting_preserves_drop_set(spark):
+    """semantic_dedup's hot-cluster guard: when one cluster holds the
+    whole (degenerate) corpus, the salted sub-joins must produce the
+    SAME dropped set as the uncapped within-cluster join."""
+    from datalakehouse_spark.operators.dedup import _bucketed_pair_sides
+
+    rows = spark.createDataFrame(
+        [(i, 0, [float(i % 4), 1.0]) for i in range(60)],
+        "vec_id long, cluster int, v array<double>",
+    )
+
+    def dropped(cap):
+        left, right, jcols = _bucketed_pair_sides(
+            rows, ["cluster"], "vec_id", max_bucket_size=cap, hot_bucket="salt"
+        )
+        a = left.select(F.col("vec_id").alias("id_a"), *jcols, F.col("v").alias("va"))
+        b = right.select(F.col("vec_id").alias("id_b"), *jcols, F.col("v").alias("vb"))
+        sim = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, d: acc + d
+        )
+        return {
+            r.id_b
+            for r in a.join(b, jcols)
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(sim >= 2.0)
+            .select("id_b")
+            .distinct()
+            .collect()
+        }
+
+    assert dropped(cap=7) == dropped(cap=10_000)
