@@ -435,7 +435,7 @@ def simhash_near_dup_pairs(
     )
 
 
-def _star_contraction(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+def _star_contraction(edges: DataFrame, max_rounds: int = 60) -> DataFrame:
     """Alternating large-star/small-star connected components — the
     provably-converging escalation path for :func:`connected_components`
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -478,6 +478,7 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
 
     e = _sym(edges).localCheckpoint(eager=True)
     fp_e = _fp(e)
+    converged = False
     for _ in range(max_rounds):
         # large-star: per u over ALL neighbors, m = min(neighbors, u);
         # emit (v, m) for v > u
@@ -513,8 +514,20 @@ def _star_contraction(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
             )
             if changed == 0:
                 e = e3
+                converged = True
                 break
         e, fp_e = e3, fp3
+    if not converged:
+        # the contraction is the BACKSTOP — returning min-over-neighbor
+        # labels from a non-fixpoint edge set would be exactly the
+        # silent-split-labels failure this function exists to prevent,
+        # so exhaustion is loud.  60 alternating rounds cover any graph
+        # a driver can hold (a path of n nodes converges in ~log2(n)
+        # rounds: 17 at 1e5 nodes, 19 at 1.6e6, measured).
+        raise RuntimeError(
+            f"large-star/small-star contraction did not reach its fixpoint "
+            f"within {max_rounds} rounds; raise max_rounds"
+        )
     # star forest: each node's label is the min over itself and its
     # neighbors (centers label themselves)
     return e.groupBy(F.col("s").alias("nid")).agg(
@@ -847,11 +860,16 @@ def decontamination_flags(
     """
     from datalakehouse_spark.operators.textstats import tokens
 
+    from pyspark import StorageLevel
+
     grams = docs.select(
         F.col(id_col),
         bench_pred.alias("is_bench"),
         F.explode(_ngram_hashes(tokens(text_col), ngram)).alias("h"),
-    ).persist()
+        # MEMORY_ONLY so copies from repeated calls in a long-lived
+        # driver stay LRU-evictable (the digests are deterministic, so
+        # a post-eviction recompute is bit-identical)
+    ).persist(StorageLevel.MEMORY_ONLY)
     bench_grams = grams.where(F.col("is_bench")).select("h").distinct()
     out = (
         grams.where(~F.col("is_bench"))

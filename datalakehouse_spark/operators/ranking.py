@@ -39,12 +39,23 @@ range key ranks identically to the single-partition window instead of
 silently collapsing into bucket 0 (the ``F.filter`` predicate would be
 NULL for every split).
 
-``cache=True`` persists the bucketed frame: the eager count job then
-materializes the cache and the returned plan reads it instead of
-re-running the upstream scan/aggregate.  The persisted frame is exposed
-on the result as ``df._ranking_cache`` — CALLERS OWN THE UNPERSIST after
-their consuming action (long-lived drivers that skip it accumulate
-cached partitions until LRU eviction).
+``cache=True`` persists the bucketed frame (MEMORY_ONLY — evictable,
+and eviction is correctness-free because bucket ids are literal-
+deterministic): the eager count job then materializes the cache and the
+returned plan reads it instead of re-running the upstream
+scan/aggregate.  The persisted frame is exposed on the result as
+``df._ranking_cache`` — CALLERS OWN THE UNPERSIST after their consuming
+action; a dropped handle degrades to LRU eviction, never to disk-pinned
+blocks.
+
+Binding contract (the ``repartitionByRange`` property): the returned
+plan embeds splits and counts OBSERVED AT BUILD TIME.  Consume it
+against the same immutable dataset snapshot and a deterministic order
+key; ranking a source that mutates between build and action — or a
+non-deterministic key (``rand()``-derived) — yields offsets that no
+longer describe the data (a row in an unseen bucket fails loudly via
+ANSI ``element_at``).  Spark's own sampled range partitioning carries
+the identical caveat.
 """
 
 from __future__ import annotations
@@ -189,7 +200,14 @@ def with_global_ranks(
     splits = _sample_splits(df, lead_col, n_buckets)
     bucketed = df.withColumn("__bucket", _bucket_col(lead_col, True, splits, n_buckets))
     if cache:
-        bucketed = bucketed.persist()
+        # MEMORY_ONLY, not the disk-backed default: cached copies from
+        # repeated builds in a long-lived driver must be LRU-EVICTABLE
+        # (disk blocks are not), and eviction is correctness-free here —
+        # bucket ids are a pure function of the literal splits, so a
+        # recompute reproduces the frame bit-identically
+        from pyspark import StorageLevel
+
+        bucketed = bucketed.persist(StorageLevel.MEMORY_ONLY)
     counts = {
         r["__bucket"]: r["__n"]
         for r in bucketed.groupBy("__bucket")
@@ -251,10 +269,21 @@ def with_prefix_max(
         r["__bucket"]: r["__m"]
         for r in bucketed.groupBy("__bucket").agg(F.max(value_col).alias("__m")).collect()
     }
+
+    def _spark_max(vals: list):
+        """Spark's MAX over doubles ranks NaN above every real value;
+        Python's max() is iteration-order-dependent with NaN — a bucket
+        whose max is NaN must poison every later bucket's prefix, like
+        the window form does."""
+        for v in vals:
+            if isinstance(v, float) and v != v:
+                return v
+        return max(vals)
+
     prev: dict[int, object] = {}
     for b in bmax:
         earlier = [bmax[bb] for bb in bmax if bb < b and bmax[bb] is not None]
-        prev[b] = max(earlier) if earlier else None
+        prev[b] = _spark_max(earlier) if earlier else None
     prev_lit = (
         F.element_at(
             F.create_map(*[x for k, v in prev.items() for x in (F.lit(k), F.lit(v))]),

@@ -91,6 +91,33 @@ def format_response_ts(col: Column | str, tz: str = "America/Mexico_City") -> Co
     )
 
 
+def compile_count_request(
+    df: DataFrame,
+    *,
+    device_id=None,
+    start: str | None = None,
+    end: str | None = None,
+    device_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Request -> COUNT plan, sharing the page path's instant handling
+    (main.py:281-299 pairs the count with the page over the SAME row
+    universe — compiling them through different parse/normalize code
+    invites silent drift)."""
+    from datalakehouse_spark.pipelines.serving import count_query
+
+    ts_start = parse_iso_instant(start).replace(tzinfo=None) if start else None
+    ts_end = parse_iso_instant(end).replace(tzinfo=None) if end else None
+    return count_query(
+        df,
+        device_col=device_col,
+        ts_col=ts_col,
+        device_id=device_id,
+        ts_start=ts_start,
+        ts_end=ts_end,
+    )
+
+
 def day_bounds_for_pruning(start: dt.datetime, end: dt.datetime) -> tuple[dt.date, dt.date]:
     """The redundant day-range predicate the API adds purely so the
     engine prunes day partitions (P6, main.py:258-259,275)."""

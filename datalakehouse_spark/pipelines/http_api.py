@@ -37,15 +37,17 @@ from urllib.parse import parse_qs
 
 from pyspark.sql import DataFrame
 
-from datalakehouse_spark.pipelines.api import BadRequest, compile_page_request
+from datalakehouse_spark.pipelines.api import (
+    BadRequest,
+    compile_count_request,
+    compile_page_request,
+)
 from datalakehouse_spark.pipelines.auth import (
     AccessRules,
     Forbidden,
     Unauthorized,
     require_token,
 )
-from datalakehouse_spark.pipelines.serving import count_query
-
 __all__ = ["ServingApp", "serve"]
 
 _STATUS = {
@@ -59,6 +61,10 @@ _STATUS = {
 
 
 def _jsonable(v):
+    """Recursive: temporal/Decimal/bytes values arrive nested inside
+    array/map/struct columns too (Row.asDict is shallow), and a value
+    json.dumps cannot serialize would otherwise escape as a raw WSGI
+    500 instead of this module's JSON contract."""
     if isinstance(v, dt.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, dt.date):
@@ -67,6 +73,12 @@ def _jsonable(v):
         return float(v)
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if hasattr(v, "asDict"):  # nested Row (struct column)
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
     return v
 
 
@@ -133,17 +145,13 @@ class ServingApp:
                 except ValueError as exc:
                     raise BadRequest(f"device_id must be integral: {device_id!r}") from exc
             if want_count:
-                from datalakehouse_spark.pipelines.api import parse_iso_instant
-
-                start = query.get("start")
-                end = query.get("end")
-                out = count_query(
+                out = compile_count_request(
                     df,
+                    device_id=device_id,
+                    start=query.get("start"),
+                    end=query.get("end"),
                     device_col=self._device_col,
                     ts_col=self._ts_col,
-                    device_id=device_id,
-                    ts_start=parse_iso_instant(start).replace(tzinfo=None) if start else None,
-                    ts_end=parse_iso_instant(end).replace(tzinfo=None) if end else None,
                 )
                 return 200, {"total": out.first()["total"]}
             columns = query.get("columns")

@@ -122,3 +122,30 @@ def test_live_socket_roundtrip(app):
             body = json.loads(resp.read())
         t.join(timeout=60)
     assert body["n"] == 3
+
+
+def test_jsonable_handles_nested_temporal_and_decimal():
+    """Row.asDict is shallow — struct/array/map columns carry their
+    datetimes/Decimals/bytes through, and they must serialize to the
+    JSON contract, not crash into a raw WSGI 500 (round-8 review)."""
+    import datetime as dt
+    import decimal
+
+    from datalakehouse_spark.pipelines.http_api import _jsonable
+
+    class FakeRow:
+        def asDict(self):
+            return {"ts": dt.datetime(2024, 1, 2, 3, 4, 5), "n": 1}
+
+    nested = {
+        "arr": [dt.date(2024, 1, 1), decimal.Decimal("1.50")],
+        "m": {"k": b"\x01\x02"},
+        "s": FakeRow(),
+    }
+    out = _jsonable(nested)
+    import json as _json
+
+    assert _json.dumps(out)  # serializes
+    assert out["arr"] == ["2024-01-01", 1.5]
+    assert out["m"]["k"] == "0102"
+    assert out["s"]["ts"] == "2024-01-02 03:04:05"

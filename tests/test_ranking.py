@@ -244,3 +244,25 @@ def test_with_global_rank_splits_are_literal_no_second_scan_branch(spark):
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "percentile_approx" not in plan
     assert "Join" not in plan
+
+
+def test_with_prefix_max_nan_poisons_prefix_like_window(spark):
+    """Spark's running MAX ranks NaN above every real value, so a NaN
+    in an early bucket must dominate every later row's prefix — the
+    driver-side prefix fold has to replicate that, not Python's
+    order-dependent max() (round-8 review finding, confirmed live)."""
+    rows = [(k, float("nan") if k == 3 else float(k * 10)) for k in range(10)]
+    df = spark.createDataFrame(rows, "id int, v double").repartition(3)
+    got = _collect_map(
+        with_prefix_max(df, [("id", True)], "v", out_col="m", n_buckets=4), "id", "m"
+    )
+    w = (
+        Window.orderBy(F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = _collect_map(df.select("id", F.max("v").over(w).alias("m")), "id", "m")
+
+    def norm(d):
+        return {k: ("nan" if isinstance(v, float) and v != v else v) for k, v in d.items()}
+
+    assert norm(got) == norm(want)

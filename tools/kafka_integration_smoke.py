@@ -184,7 +184,12 @@ def main() -> int:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError(
+                "availableNow drain did not finish within 120s — broker "
+                "slow/contended; partial-sink assertions would mislead"
+            )
         got = {r.event_id: r for r in spark.sql("SELECT * FROM kafka_smoke").collect()}
         assert len(got) == 3, f"expected 3 records, got {len(got)}"
         assert got[2].value == 3.0 and got[2].event_type == "view", got[2]

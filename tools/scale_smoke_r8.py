@@ -64,7 +64,9 @@ def measure(spark, sf_dir: str, mult: int) -> dict:
     out["global_rank_s"] = round(t_total, 2)
     out["global_rank_rows_per_s"] = int(n_ev / t_total)
 
-    t = run(decontamination_flags(docs, F.col("doc_id") % 50 == 0))
+    flags = decontamination_flags(docs, F.col("doc_id") % 50 == 0)
+    t = run(flags)
+    flags._gram_cache.unpersist()  # caller-owned, per the contract
     out["decon_s"] = round(t, 2)
     out["decon_docs_per_s"] = int(n_docs / t)
 
