@@ -62,6 +62,9 @@ _SCALE_SENSITIVE = [
     "doc_fingerprints",
     "chunk_dedup_stats",
     "decontamination_report",
+    # round-8 additions (semantic + incremental ingest dedup)
+    "semantic_dedup",
+    "incremental_dedup_ingest",
 ]
 
 _SF01_CASES = [(n, REGISTRY[n]) for n in _SCALE_SENSITIVE if REGISTRY[n].sql]
