@@ -724,3 +724,21 @@ def test_scalar_crossjoins_broadcast_the_scalar(spark):
                 f"{name}: cross join without a provable 1-row side:\n"
                 + node.toString()[:500]
             )
+
+
+def test_semantic_dedup_pairwise_is_cluster_equi_join(spark):
+    """SemDeDup's pairwise phase must be a plain equi join on the
+    (cluster, salt) key — a nested-loop/cartesian plan means the
+    cluster blocking broke and the pair space went corpus-squared."""
+    plan = plan_of(REGISTRY["semantic_dedup"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_dedup_is_digest_keyed(spark):
+    """The ingest check is one digest-keyed equi join plus a window
+    PARTITIONED BY digest — no nested loop, no unpartitioned window."""
+    plan = plan_of(REGISTRY["incremental_dedup_ingest"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(digest" in plan
