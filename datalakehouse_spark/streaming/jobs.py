@@ -206,6 +206,28 @@ def build_kafka_reader(
     return reader
 
 
+def build_socket_reader(spark: SparkSession, host: str, port: int):
+    """Live NETWORK streaming source over Spark's built-in socket
+    reader — no connector jar required.
+
+    Same unified-source contract as :func:`build_kafka_reader`: the
+    payload arrives as one string column (``value``) and the identical
+    ``from_json`` parse / DLQ split / normalize plan runs downstream,
+    so swapping Kafka for a raw TCP feed (or the file twin the scored
+    entries use) changes ONE builder call.  tests/test_socket_stream.py
+    drives this against a real in-process TCP server, closing the
+    live-network half of S1 that the Kafka probe documents as
+    jar-blocked (the Kafka-specific remainder is protocol plumbing:
+    offsets, partitions, consumer groups).  Socket is a dev/test
+    source (no replay, at-most-once) — production stays on Kafka.
+    """
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+    )
+
+
 def ingest_stream(events: DataFrame) -> DataFrame:
     """Streaming normalize: the same pure transform as the batch path
     (one transform, two contexts — the bucket contract holds in both)."""
