@@ -4934,13 +4934,18 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles hot buckets: clusters over the cap are salted into bounded
     sub-joins (``_bucketed_pair_sides`` — every pair still produced
     exactly once, recall == uncapped, no size-squared task).  Output:
-    per-cluster kept/dropped accounting.  Eager class: the k-means
-    build collects k x dim centroids."""
+    per-cluster kept/dropped accounting.  Eager class: the coarse
+    k-means build collects k x dim centroids — SHARED with the IVF
+    serving tier via the session index cache (identical k/iters/seed,
+    so the centroids are bit-identical to a retrain and to the
+    oracle's replay; the dedup pass and the ANN index amortize one
+    build, the production arrangement)."""
     from datalakehouse_spark.operators import similarity as S
     from datalakehouse_spark.operators.dedup import _bucketed_pair_sides
+    from datalakehouse_spark.registry_ext import ivf_index_for
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, cents = S.kmeans_clusters(emb, k=8, iters=2)
+    _, cents = ivf_index_for(spark, sf_dir, n_clusters=8, kmeans_iters=2)
     sub = emb.where(F.col("vec_id") % 10 == 0).select(
         "vec_id",
         S._argmin_cluster(S._dvec("embedding"), cents).alias("cluster"),
@@ -5022,9 +5027,10 @@ def q_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest.  Scale posture: the check is one equi-join keyed on digest
     — Spark broadcasts the smaller side (a daily batch against a
     bucketed historical index at 100 TB; either way no all-pairs, no
-    corpus shuffle beyond the digest distinct) — plus one window
-    PARTITIONED BY digest (bounded groups) for the intra-batch rule.
-    Per-source ingest accounting out."""
+    corpus shuffle beyond the digest distinct) — and the intra-batch
+    keep-first is a skew-immune min(doc_id) aggregate joined back,
+    never a per-digest sort window.  Per-source ingest accounting
+    out."""
     from datalakehouse_spark.operators.dedup import normalize_text
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -5039,21 +5045,25 @@ def q_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digest"),
     )
     hist = docs.where(F.col("doc_id") % 4 != 3).select("digest").distinct()
-    batch = docs.where(F.col("doc_id") % 4 == 3).withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("digest").orderBy("doc_id")),
-    )
-    marked = batch.join(
+    batch = docs.where(F.col("doc_id") % 4 == 3)
+    # keep-first WITHOUT a per-digest sort window: a boilerplate digest
+    # with millions of batch copies would funnel them through one
+    # window task; min(doc_id) per digest is a map-side-combined
+    # aggregate (skew-immune, the chunk_dedup precedent) and
+    # doc_id == keep_id is exactly rank-1 membership
+    keep = batch.groupBy("digest").agg(F.min("doc_id").alias("__keep_id"))
+    marked = batch.join(keep, "digest").join(
         hist.withColumn("__in_corpus", F.lit(1)), "digest", "left"
     )
     in_c = F.col("__in_corpus").isNotNull()
+    first = F.col("doc_id") == F.col("__keep_id")
     return (
         marked.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_new"),
             F.sum(in_c.cast("long")).alias("n_dup_corpus"),
-            F.sum((~in_c & (F.col("rn") > 1)).cast("long")).alias("n_dup_batch"),
-            F.sum((~in_c & (F.col("rn") == 1)).cast("long")).alias("n_ingested"),
+            F.sum((~in_c & ~first).cast("long")).alias("n_dup_batch"),
+            F.sum((~in_c & first).cast("long")).alias("n_ingested"),
         )
         .orderBy("source")
     )

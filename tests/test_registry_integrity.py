@@ -82,19 +82,24 @@ def test_eager_build_class_is_exact(spark):
         "events documents embeddings"
     ).split():
         load_table(spark, sf, t)
-    # clear the process-level ANN build memos: earlier tests in the same
-    # session may have warmed them, which would make the memoized eager
-    # entries build lazily here and trip the stale-listing direction
+    # clear the process-level ANN build memos before EVERY entry: the
+    # pinned contract is cold-session build behavior — with a single
+    # up-front clear, whichever memoized entry runs first warms the
+    # cache for its siblings (e.g. semantic_dedup sharing the IVF
+    # coarse build) and the sweep would misread them as lazy
     import datalakehouse_spark.registry_ext as _e1
     import datalakehouse_spark.registry_ext4 as _e4
 
-    _e1._QUERY_VEC_CACHE.clear()
-    _e1._IVF_INDEX_CACHE.clear()
-    _e4._PQ_INDEX_CACHE.clear()
-    _e4._IVFPQ_INDEX_CACHE.clear()
+    def _clear_memos():
+        _e1._QUERY_VEC_CACHE.clear()
+        _e1._IVF_INDEX_CACHE.clear()
+        _e4._PQ_INDEX_CACHE.clear()
+        _e4._IVFPQ_INDEX_CACHE.clear()
+
     sc = spark.sparkContext
     observed = set()
     for name, spec in REGISTRY.items():
+        _clear_memos()
         group = f"eagercheck-{name}"
         sc.setJobGroup(group, name)
         try:
