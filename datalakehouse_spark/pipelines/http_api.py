@@ -75,10 +75,12 @@ def _jsonable(v):
         return v.hex()
     if isinstance(v, dict):
         return {k: _jsonable(x) for k, x in v.items()}
-    if isinstance(v, (list, tuple)):
-        return [_jsonable(x) for x in v]
+    # Row BEFORE list/tuple: pyspark.sql.Row subclasses tuple, and the
+    # tuple branch would strip a struct's field names into a bare array
     if hasattr(v, "asDict"):  # nested Row (struct column)
         return {k: _jsonable(x) for k, x in v.asDict().items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
     return v
 
 

@@ -487,6 +487,34 @@ LIMIT 10"""
 _IVF_INDEX_CACHE: dict[tuple, tuple[str, list]] = {}
 
 
+_COARSE_CACHE: dict = {}
+
+
+def coarse_centroids_for(
+    spark: SparkSession, sf_dir: str, n_clusters: int = 8, kmeans_iters: int = 2
+) -> list:
+    """Session-memoized coarse k-means centroids WITHOUT the IVF index
+    write — for consumers that need only the quantizer (semantic_dedup).
+    Reuses an already-built IVF index's centroids when present (same
+    seed/k/iters => bit-identical); otherwise trains and collects just
+    the k x dim centroid list, no corpus repartition/persisted layout.
+    """
+    import os
+
+    key = (os.path.abspath(sf_dir), n_clusters, kmeans_iters)
+    if key in _IVF_INDEX_CACHE:
+        return _IVF_INDEX_CACHE[key][1]
+    if key not in _COARSE_CACHE:
+        from datalakehouse_spark.operators.similarity import kmeans_clusters
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        _, cents = kmeans_clusters(
+            emb, k=n_clusters, iters=kmeans_iters
+        )
+        _COARSE_CACHE[key] = cents
+    return _COARSE_CACHE[key]
+
+
 def ivf_index_for(
     spark: SparkSession, sf_dir: str, n_clusters: int = 8, kmeans_iters: int = 2
 ) -> tuple[str, list]:

@@ -4942,10 +4942,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     build, the production arrangement)."""
     from datalakehouse_spark.operators import similarity as S
     from datalakehouse_spark.operators.dedup import _bucketed_pair_sides
-    from datalakehouse_spark.registry_ext import ivf_index_for
+    from datalakehouse_spark.registry_ext import coarse_centroids_for
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, cents = ivf_index_for(spark, sf_dir, n_clusters=8, kmeans_iters=2)
+    cents = coarse_centroids_for(spark, sf_dir, n_clusters=8, kmeans_iters=2)
     sub = emb.where(F.col("vec_id") % 10 == 0).select(
         "vec_id",
         S._argmin_cluster(S._dvec("embedding"), cents).alias("cluster"),

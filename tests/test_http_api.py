@@ -131,16 +131,16 @@ def test_jsonable_handles_nested_temporal_and_decimal():
     import datetime as dt
     import decimal
 
-    from datalakehouse_spark.pipelines.http_api import _jsonable
+    from pyspark.sql import Row
 
-    class FakeRow:
-        def asDict(self):
-            return {"ts": dt.datetime(2024, 1, 2, 3, 4, 5), "n": 1}
+    from datalakehouse_spark.pipelines.http_api import _jsonable
 
     nested = {
         "arr": [dt.date(2024, 1, 1), decimal.Decimal("1.50")],
         "m": {"k": b"\x01\x02"},
-        "s": FakeRow(),
+        # a REAL Row: it subclasses tuple, so ordering of the Row vs
+        # list/tuple branches decides whether struct field names survive
+        "s": Row(ts=dt.datetime(2024, 1, 2, 3, 4, 5), n=1),
     }
     out = _jsonable(nested)
     import json as _json

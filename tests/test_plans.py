@@ -736,8 +736,9 @@ def test_semantic_dedup_pairwise_is_cluster_equi_join(spark):
 
 
 def test_incremental_dedup_is_digest_keyed(spark):
-    """The ingest check is one digest-keyed equi join plus a window
-    PARTITIONED BY digest — no nested loop, no unpartitioned window."""
+    """The ingest check is digest-keyed equi joins plus a skew-immune
+    min(doc_id) keep-first aggregate — no nested loop, no per-digest
+    sort window (a boilerplate digest must not funnel one task)."""
     plan = plan_of(REGISTRY["incremental_dedup_ingest"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

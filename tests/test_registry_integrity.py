@@ -93,6 +93,7 @@ def test_eager_build_class_is_exact(spark):
     def _clear_memos():
         _e1._QUERY_VEC_CACHE.clear()
         _e1._IVF_INDEX_CACHE.clear()
+        _e1._COARSE_CACHE.clear()
         _e4._PQ_INDEX_CACHE.clear()
         _e4._IVFPQ_INDEX_CACHE.clear()
 

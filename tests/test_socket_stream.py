@@ -11,7 +11,6 @@ socket, not just files.
 """
 
 import json
-import socket
 import socketserver
 import threading
 import time
