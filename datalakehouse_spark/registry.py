@@ -637,6 +637,7 @@ _DRIVER_PRIORITY = [
     # round-8 additions (never driver-checked)
     "semantic_dedup",
     "incremental_dedup_ingest",
+    "ingest_drift_psi",
     "ntile_percent_rank",
     "gini_coefficient",
     "repeat_purchase_intervals",

@@ -5067,3 +5067,101 @@ def q_incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# ingest_drift_psi: distribution drift between historical corpus and new batch
+# ---------------------------------------------------------------------------
+
+_DRIFT_SQL = """
+WITH binned AS (
+    SELECT source,
+           CAST(LEAST(FLOOR(n_chars / 50), 19) AS INT) AS bin,
+           CAST(SUM(CASE WHEN CAST(FLOOR(doc_id / 20) AS BIGINT) % 4 <> 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS h_n,
+           CAST(SUM(CASE WHEN CAST(FLOOR(doc_id / 20) AS BIGINT) % 4 = 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS b_n
+    FROM documents GROUP BY 1, 2
+),
+tot AS (
+    SELECT source, bin, h_n, b_n,
+           CAST(SUM(h_n) OVER (PARTITION BY source) AS BIGINT) AS th,
+           CAST(SUM(b_n) OVER (PARTITION BY source) AS BIGINT) AS tb,
+           CAST(SUM(h_n) OVER (PARTITION BY source ORDER BY bin
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ch,
+           CAST(SUM(b_n) OVER (PARTITION BY source ORDER BY bin
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+    FROM binned
+)
+SELECT source,
+       CAST(MIN(th) AS BIGINT) AS n_hist,
+       CAST(MIN(tb) AS BIGINT) AS n_batch,
+       round(CAST(SUM(CAST(round(
+           (GREATEST(CAST(h_n AS DOUBLE) / th, 0.000001)
+            - GREATEST(CAST(b_n AS DOUBLE) / tb, 0.000001))
+           * ln(GREATEST(CAST(h_n AS DOUBLE) / th, 0.000001)
+                / GREATEST(CAST(b_n AS DOUBLE) / tb, 0.000001)), 12)
+           AS DECIMAL(18,12))) AS DOUBLE), 6) AS psi,
+       round(CAST(MAX(ABS(ch * tb - cb * th)) AS DOUBLE)
+             / (CAST(MIN(th) AS DOUBLE) * MIN(tb)), 6) AS ks_d
+FROM tot GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "ingest_drift_psi",
+    _DRIFT_SQL,
+    "ingest drift monitor: PSI + binned KS of doc-length, historical vs new batch",
+)
+def q_ingest_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data-ops drift monitor: per source, how far the NEW
+    batch's document-length distribution (the floor(doc_id/20) % 4 == 3
+    block slice — every source contributes to both sides) has moved from the
+    HISTORICAL corpus — PSI (population stability index, the standard
+    ML-ops alarm: >0.1 investigate, >0.25 block the ingest) and the
+    binned two-sample KS statistic.
+
+    Scale shape: ONE hash aggregate over the corpus builds the
+    O(sources x 20) fixed-width histogram with BOTH sides as
+    conditional sums (no join, no second scan); totals and CDFs are
+    windows over that bounded frame.  Determinism: PSI terms are
+    ln's of double ratios rounded at 12 decimals and summed in DECIMAL
+    (the mutual_information convention), and the KS numerator stays in
+    exact BIGINT (|cum_h*Tb - cum_b*Th|) with one final divide."""
+    docs = load_table(spark, sf_dir, "documents")
+    binned = docs.groupBy(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 50), F.lit(19)).cast("int").alias("bin"),
+    ).agg(
+        F.sum((F.floor(F.col("doc_id") / 20) % 4 != 3).cast("long")).alias("h_n"),
+        F.sum((F.floor(F.col("doc_id") / 20) % 4 == 3).cast("long")).alias("b_n"),
+    )
+    w = Window.partitionBy("source")
+    wc = Window.partitionBy("source").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = (
+        binned.withColumn("th", F.sum("h_n").over(w))
+        .withColumn("tb", F.sum("b_n").over(w))
+        .withColumn("ch", F.sum("h_n").over(wc))
+        .withColumn("cb", F.sum("b_n").over(wc))
+    )
+    eps = F.lit(0.000001)
+    p = F.greatest(F.col("h_n").cast("double") / F.col("th"), eps)
+    q = F.greatest(F.col("b_n").cast("double") / F.col("tb"), eps)
+    term = F.round((p - q) * F.log(p / q), 12).cast("decimal(18,12)")
+    ks_num = F.abs(F.col("ch") * F.col("tb") - F.col("cb") * F.col("th"))
+    return (
+        tot.groupBy("source")
+        .agg(
+            F.min("th").alias("n_hist"),
+            F.min("tb").alias("n_batch"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
+            F.round(
+                F.max(ks_num).cast("double")
+                / (F.min("th").cast("double") * F.min("tb")),
+                6,
+            ).alias("ks_d"),
+        )
+        .orderBy("source")
+    )

@@ -65,6 +65,7 @@ _SCALE_SENSITIVE = [
     # round-8 additions (semantic + incremental ingest dedup)
     "semantic_dedup",
     "incremental_dedup_ingest",
+    "ingest_drift_psi",
 ]
 
 _SF01_CASES = [(n, REGISTRY[n]) for n in _SCALE_SENSITIVE if REGISTRY[n].sql]
