@@ -255,3 +255,55 @@ def test_semantic_dedup_salting_preserves_drop_set(spark):
         }
 
     assert dropped(cap=7) == dropped(cap=10_000)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 39), st.integers(0, 39)), min_size=0, max_size=60
+    ),
+    escalated=st.booleans(),
+)
+@settings(max_examples=10, deadline=None)
+def test_cc_random_graphs_match_union_find(spark, edges, escalated):
+    """Property: on arbitrary random graphs (self-loops, parallel and
+    reversed edges included) BOTH the pointer-jumping path and the
+    star-contraction escalation return exactly the union-find labels."""
+    from datalakehouse_spark.operators.dedup import connected_components
+
+    node_ids = list(range(40))
+    parent = {v: v for v in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in node_ids}
+
+    nodes = spark.createDataFrame([(v,) for v in node_ids], "id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long") if edges else (
+        spark.createDataFrame([], "id_a long, id_b long")
+    )
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore", RuntimeWarning)
+        cc = connected_components(
+            nodes,
+            pairs,
+            id_col="id",
+            # max_iters=1 + no pointer jump forces the escalation path
+            max_iters=1 if escalated else 20,
+            pointer_jump=not escalated,
+        )
+    got = {r.id: r.label for r in cc.collect()}
+    assert got == want
