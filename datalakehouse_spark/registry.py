@@ -638,6 +638,7 @@ _DRIVER_PRIORITY = [
     "semantic_dedup",
     "incremental_dedup_ingest",
     "ingest_drift_psi",
+    "embedding_drift",
     "ntile_percent_rank",
     "gini_coefficient",
     "repeat_purchase_intervals",

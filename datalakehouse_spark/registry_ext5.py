@@ -5165,3 +5165,97 @@ def q_ingest_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift: per-label centroid shift between historical and new batch
+# ---------------------------------------------------------------------------
+
+_EMB_DRIFT_SQL = """
+WITH ex AS (
+    SELECT label,
+           CAST(FLOOR(vec_id / 16) AS BIGINT) % 4 = 3 AS b,
+           UNNEST(range(1, 65)) AS pos,
+           UNNEST([CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)]) AS v
+    FROM embeddings
+),
+per AS (
+    SELECT label, pos,
+           SUM(CASE WHEN NOT b THEN v END)
+             / SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS mh,
+           SUM(CASE WHEN b THEN v END)
+             / SUM(CASE WHEN b THEN 1 ELSE 0 END) AS mb,
+           CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS nh,
+           CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS nb
+    FROM ex GROUP BY label, pos
+)
+SELECT label,
+       CAST(MIN(nh) AS BIGINT) AS n_hist,
+       CAST(MIN(nb) AS BIGINT) AS n_batch,
+       round(sqrt(CAST(SUM(CAST(round((mh - mb) * (mh - mb), 12)
+                                AS DECIMAL(18,12))) AS DOUBLE)), 6) AS centroid_l2,
+       round(CAST(SUM(CAST(round(mh * mb, 12) AS DECIMAL(18,12))) AS DOUBLE)
+             / sqrt(CAST(SUM(CAST(round(mh * mh, 12) AS DECIMAL(18,12))) AS DOUBLE)
+                    * CAST(SUM(CAST(round(mb * mb, 12) AS DECIMAL(18,12))) AS DOUBLE)),
+             6) AS centroid_cos
+FROM per GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "embedding_drift",
+    _EMB_DRIFT_SQL,
+    "embedding-space drift: per-label centroid L2 shift + cosine, hist vs batch",
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-space companion to ingest_drift_psi: per label,
+    how far the NEW batch's centroid (floor(vec_id/16) % 4 == 3 block)
+    has moved from the historical centroid — L2 shift and cosine.  A
+    representation drift alarm for a pipeline whose embedder (or
+    upstream corpus mix) changes between crawls.
+
+    Scale shape: posexplode to (label, pos) and ONE hash aggregate
+    computes both sides' per-dimension sums as conditional aggregates
+    (no join, no second scan; shuffle = labels x dim rows with
+    map-side combine).  Determinism: per-dimension mean products are
+    rounded at 12 decimals and summed in DECIMAL (the
+    mutual_information convention), so the 64-term reductions are
+    order-independent in both engines."""
+    from datalakehouse_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_b = (F.floor(F.col("vec_id") / 16) % 4 == 3).alias("b")
+    ex = emb.select(
+        "label", is_b, F.posexplode(S._dvec("embedding")).alias("pos", "v")
+    )
+    per = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.when(~F.col("b"), F.col("v")))
+            / F.sum(F.when(~F.col("b"), 1).otherwise(0))
+        ).alias("mh"),
+        (
+            F.sum(F.when(F.col("b"), F.col("v")))
+            / F.sum(F.when(F.col("b"), 1).otherwise(0))
+        ).alias("mb"),
+        F.sum(F.when(~F.col("b"), 1).otherwise(0)).cast("long").alias("nh"),
+        F.sum(F.when(F.col("b"), 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    dec = lambda c: F.round(c, 12).cast("decimal(18,12)")  # noqa: E731
+    d = F.col("mh") - F.col("mb")
+    return (
+        per.groupBy("label")
+        .agg(
+            F.min("nh").alias("n_hist"),
+            F.min("nb").alias("n_batch"),
+            F.round(F.sqrt(F.sum(dec(d * d)).cast("double")), 6).alias("centroid_l2"),
+            F.round(
+                F.sum(dec(F.col("mh") * F.col("mb"))).cast("double")
+                / F.sqrt(
+                    F.sum(dec(F.col("mh") * F.col("mh"))).cast("double")
+                    * F.sum(dec(F.col("mb") * F.col("mb"))).cast("double")
+                ),
+                6,
+            ).alias("centroid_cos"),
+        )
+        .orderBy("label")
+    )

@@ -66,6 +66,7 @@ _SCALE_SENSITIVE = [
     "semantic_dedup",
     "incremental_dedup_ingest",
     "ingest_drift_psi",
+    "embedding_drift",
 ]
 
 _SF01_CASES = [(n, REGISTRY[n]) for n in _SCALE_SENSITIVE if REGISTRY[n].sql]
