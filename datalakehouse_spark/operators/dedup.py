@@ -846,17 +846,21 @@ def decontamination_flags(
 
     :func:`decontaminate` tokenizes the table twice — once under the
     bench filter, once under its complement.  Here the corpus is
-    tokenized ONCE into a gram frame tagged ``is_bench`` and persisted;
-    the bench side collapses to DISTINCT digests and broadcasts, the
-    train side semi-joins the broadcast — tokenization cost is paid a
-    single time and the corpus still never shuffles for the check.
-    Returns ``(id_col, contaminated)`` for TRAINING docs only; join it
-    back to a column-pruned scan for doc-level attributes (cheap: no
-    re-tokenization).  The persisted gram frame is exposed as
-    ``result._gram_cache`` — callers own the unpersist after their
-    consuming action.  At 100 TB with a separately-staged eval suite,
-    prefer :func:`decontaminate`: its bench scan is tiny and nothing
-    corpus-sized needs caching.
+    tokenized ONCE into a gram frame tagged ``is_bench`` and persisted
+    for the duration of the call; the bench side collapses to DISTINCT
+    digests and broadcasts, the train side semi-joins the broadcast —
+    tokenization cost is paid a single time and the corpus still never
+    shuffles for the check.  Returns ``(id_col, contaminated)`` for
+    flagged TRAINING docs only — doc-level, tiny next to the gram
+    frame — eagerly materialized via ``localCheckpoint`` so the
+    corpus-sized gram cache is unpersisted BEFORE returning: the
+    caller receives a lineage-free frame and owns no cleanup (no cache
+    leak across repeated invocations in a long-lived driver; the
+    checkpoint blocks are freed by the ContextCleaner once the result
+    is dropped).  Join it back to a column-pruned scan for doc-level
+    attributes (cheap: no re-tokenization).  At 100 TB with a
+    separately-staged eval suite, prefer :func:`decontaminate`: its
+    bench scan is tiny and nothing corpus-sized needs caching.
     """
     from datalakehouse_spark.operators.textstats import tokens
 
@@ -866,17 +870,22 @@ def decontamination_flags(
         F.col(id_col),
         bench_pred.alias("is_bench"),
         F.explode(_ngram_hashes(tokens(text_col), ngram)).alias("h"),
-        # MEMORY_ONLY so copies from repeated calls in a long-lived
-        # driver stay LRU-evictable (the digests are deterministic, so
-        # a post-eviction recompute is bit-identical)
+        # MEMORY_ONLY so an oversized gram frame stays LRU-evictable
+        # (digests are deterministic, so a post-eviction recompute is
+        # bit-identical); released in the finally below
     ).persist(StorageLevel.MEMORY_ONLY)
-    bench_grams = grams.where(F.col("is_bench")).select("h").distinct()
-    out = (
-        grams.where(~F.col("is_bench"))
-        .join(F.broadcast(bench_grams), "h", "left_semi")
-        .select(id_col)
-        .distinct()
-        .withColumn("contaminated", F.lit(True))
-    )
-    out._gram_cache = grams  # caller-owned unpersist handle
+    try:
+        bench_grams = grams.where(F.col("is_bench")).select("h").distinct()
+        out = (
+            grams.where(~F.col("is_bench"))
+            .join(F.broadcast(bench_grams), "h", "left_semi")
+            .select(id_col)
+            .distinct()
+            .withColumn("contaminated", F.lit(True))
+            # eager: both reads of the persisted gram frame (bench
+            # distinct + train semi-join) run NOW, against the cache
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        grams.unpersist()
     return out

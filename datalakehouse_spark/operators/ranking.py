@@ -39,14 +39,15 @@ range key ranks identically to the single-partition window instead of
 silently collapsing into bucket 0 (the ``F.filter`` predicate would be
 NULL for every split).
 
-``cache=True`` persists the bucketed frame (MEMORY_ONLY — evictable,
-and eviction is correctness-free because bucket ids are literal-
-deterministic): the eager count job then materializes the cache and the
-returned plan reads it instead of re-running the upstream
-scan/aggregate.  The persisted frame is exposed on the result as
-``df._ranking_cache`` — CALLERS OWN THE UNPERSIST after their consuming
-action; a dropped handle degrades to LRU eviction, never to disk-pinned
-blocks.
+``cache=True`` materializes the bucketed frame once (eager
+``localCheckpoint`` — bit-deterministic because bucket ids are a pure
+function of the literal splits): the count job and the returned plan
+both read the checkpoint instead of re-running the upstream
+scan/aggregate, and the blocks are freed by the ContextCleaner when the
+result is dropped — no caller-owned unpersist, no cache leak across
+repeated builds in a long-lived driver.  At real scale prefer
+``cache=False``: recomputing from the columnar scan beats materializing
+the full-width frame.
 
 Binding contract (the ``repartitionByRange`` property): the returned
 plan embeds splits and counts OBSERVED AT BUILD TIME.  Consume it
@@ -180,10 +181,10 @@ def with_global_ranks(
     ``df`` (all windows share the bucket partitioning) and no joins
     (offsets are literal map lookups).
 
-    ``cache=True`` persists the bucketed frame — the eager count job
-    materializes it, the returned plan reads it, and the handle is
-    exposed as ``result._ranking_cache`` (callers own the unpersist
-    after their consuming action).
+    ``cache=True`` materializes the bucketed frame once via eager
+    ``localCheckpoint`` — the count job and every per-spec window read
+    the checkpoint, and its blocks are freed automatically when the
+    result is dropped (no caller-owned unpersist).
     """
     specs = list(orders.items())
     if not specs:
@@ -200,14 +201,13 @@ def with_global_ranks(
     splits = _sample_splits(df, lead_col, n_buckets)
     bucketed = df.withColumn("__bucket", _bucket_col(lead_col, True, splits, n_buckets))
     if cache:
-        # MEMORY_ONLY, not the disk-backed default: cached copies from
-        # repeated builds in a long-lived driver must be LRU-EVICTABLE
-        # (disk blocks are not), and eviction is correctness-free here —
-        # bucket ids are a pure function of the literal splits, so a
-        # recompute reproduces the frame bit-identically
-        from pyspark import StorageLevel
-
-        bucketed = bucketed.persist(StorageLevel.MEMORY_ONLY)
+        # localCheckpoint, not persist: truncates lineage so the counts
+        # job and each window spec read the materialized blocks, and —
+        # unlike a persist whose handle callers must remember to
+        # unpersist — the blocks are GC-freed with the result.  Bucket
+        # ids are a pure function of the literal splits, so the
+        # materialization is bit-deterministic.
+        bucketed = bucketed.localCheckpoint(eager=True)
     counts = {
         r["__bucket"]: r["__n"]
         for r in bucketed.groupBy("__bucket")
@@ -228,8 +228,6 @@ def with_global_ranks(
             rank_col, (_offset_expr(offsets) + F.row_number().over(w)).cast("long")
         )
     out = out.drop("__bucket")
-    if cache:
-        out._ranking_cache = bucketed  # caller-owned unpersist handle
     return out
 
 

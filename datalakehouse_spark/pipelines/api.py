@@ -118,6 +118,63 @@ def compile_count_request(
     )
 
 
+def compile_seek_request(
+    df: DataFrame,
+    *,
+    device_id=None,
+    start: str | None = None,
+    end: str | None = None,
+    columns: Sequence[str] | None = None,
+    limit=100,
+    after_ts: str | None = None,
+    after_id=None,
+    after_device=None,
+    device_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Keyset-pagination request -> plan: ``after_ts``/``after_id`` are
+    the previous page's last row (its sort key), echoed back by the
+    client — same validation and instant handling as the offset path."""
+    from datalakehouse_spark.pipelines.serving import page_after
+
+    limit, _ = validate_page(limit, 0)
+    if (after_ts is None) != (after_id is None):
+        raise BadRequest("after_ts and after_id must be passed together")
+    if after_ts is not None and device_id is None and after_device is None:
+        raise BadRequest("seek without device_id needs after_device")
+    if after_id is not None:
+        try:
+            after_id = int(after_id)
+        except ValueError as exc:
+            raise BadRequest(f"after_id must be integral: {after_id!r}") from exc
+    if after_device is not None:
+        try:
+            after_device = int(after_device)
+        except ValueError as exc:
+            raise BadRequest(
+                f"after_device must be integral: {after_device!r}"
+            ) from exc
+    last_ts = parse_iso_instant(after_ts).replace(tzinfo=None) if after_ts else None
+    cols = validate_columns(columns, df.columns)
+    ts_start = parse_iso_instant(start).replace(tzinfo=None) if start else None
+    ts_end = parse_iso_instant(end).replace(tzinfo=None) if end else None
+    return page_after(
+        df,
+        device_col=device_col,
+        ts_col=ts_col,
+        tiebreak_col=tiebreak_col,
+        device_id=device_id,
+        ts_start=ts_start,
+        ts_end=ts_end,
+        columns=cols,
+        limit=limit,
+        last_device=after_device,
+        last_ts=last_ts,
+        last_key=after_id,
+    )
+
+
 def day_bounds_for_pruning(start: dt.datetime, end: dt.datetime) -> tuple[dt.date, dt.date]:
     """The redundant day-range predicate the API adds purely so the
     engine prunes day partitions (P6, main.py:258-259,275)."""

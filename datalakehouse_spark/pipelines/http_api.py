@@ -18,7 +18,9 @@ real port when wanted.  A FastAPI/uvicorn deployment wraps the same
 Endpoints (query-string params mirror main.py:241-308):
 
 - ``GET /{table}``        -> page query  (device_id, start, end,
-                             columns, limit, offset)
+                             columns, limit, offset — or keyset:
+                             after_ts + after_id [+ after_device],
+                             mutually exclusive with offset)
 - ``GET /{table}/count``  -> pagination count
 - anything else           -> 404
 
@@ -32,6 +34,7 @@ from __future__ import annotations
 import datetime as dt
 import decimal
 import json
+import logging
 from collections.abc import Mapping
 from urllib.parse import parse_qs
 
@@ -41,6 +44,7 @@ from datalakehouse_spark.pipelines.api import (
     BadRequest,
     compile_count_request,
     compile_page_request,
+    compile_seek_request,
 )
 from datalakehouse_spark.pipelines.auth import (
     AccessRules,
@@ -50,6 +54,8 @@ from datalakehouse_spark.pipelines.auth import (
 )
 __all__ = ["ServingApp", "serve"]
 
+_LOG = logging.getLogger(__name__)
+
 _STATUS = {
     200: "200 OK",
     400: "400 Bad Request",
@@ -57,6 +63,7 @@ _STATUS = {
     403: "403 Forbidden",
     404: "404 Not Found",
     405: "405 Method Not Allowed",
+    500: "500 Internal Server Error",
 }
 
 
@@ -157,18 +164,39 @@ class ServingApp:
                 )
                 return 200, {"total": out.first()["total"]}
             columns = query.get("columns")
-            page = compile_page_request(
-                df,
-                device_id=device_id,
-                start=query.get("start"),
-                end=query.get("end"),
-                columns=[c.strip() for c in columns.split(",")] if columns else None,
-                limit=query.get("limit", 100),
-                offset=query.get("offset", 0),
-                device_col=self._device_col,
-                ts_col=self._ts_col,
-                tiebreak_col=self._tiebreak_col,
-            )
+            cols = [c.strip() for c in columns.split(",")] if columns else None
+            if "after_ts" in query or "after_id" in query:
+                # keyset (seek) page: constant cost at any depth — the
+                # client echoes the previous page's last sort key
+                if "offset" in query:
+                    raise BadRequest("offset and after_* are mutually exclusive")
+                page = compile_seek_request(
+                    df,
+                    device_id=device_id,
+                    start=query.get("start"),
+                    end=query.get("end"),
+                    columns=cols,
+                    limit=query.get("limit", 100),
+                    after_ts=query.get("after_ts"),
+                    after_id=query.get("after_id"),
+                    after_device=query.get("after_device"),
+                    device_col=self._device_col,
+                    ts_col=self._ts_col,
+                    tiebreak_col=self._tiebreak_col,
+                )
+            else:
+                page = compile_page_request(
+                    df,
+                    device_id=device_id,
+                    start=query.get("start"),
+                    end=query.get("end"),
+                    columns=cols,
+                    limit=query.get("limit", 100),
+                    offset=query.get("offset", 0),
+                    device_col=self._device_col,
+                    ts_col=self._ts_col,
+                    tiebreak_col=self._tiebreak_col,
+                )
             rows = [
                 {k: _jsonable(v) for k, v in r.asDict().items()} for r in page.collect()
             ]
@@ -179,6 +207,14 @@ class ServingApp:
             return 403, {"detail": str(exc)}
         except BadRequest as exc:
             return 400, {"detail": str(exc)}
+        except Exception:  # noqa: BLE001 — the JSON-contract backstop
+            # Py4J/AnalysisException at collect time, executor loss,
+            # anything unanticipated: stay inside the module's JSON
+            # contract (the reference's FastAPI layer does the same via
+            # its default 500 handler) and log the traceback for the
+            # operator; never leak internals to the client.
+            _LOG.exception("unhandled error serving %s %s", method, path)
+            return 500, {"detail": "internal error"}
 
     # -- WSGI glue -------------------------------------------------------
 

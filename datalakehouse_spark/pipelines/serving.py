@@ -79,6 +79,69 @@ def page_query(
     return out.limit(limit)
 
 
+def page_after(
+    df: DataFrame,
+    *,
+    device_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    device_id=None,
+    ts_start: dt.datetime | None = None,
+    ts_end: dt.datetime | None = None,
+    columns: Sequence[str] | None = None,
+    limit: int = 100,
+    last_device=None,
+    last_ts: dt.datetime | None = None,
+    last_key=None,
+) -> DataFrame:
+    """Keyset (seek) pagination — the deep-page scale path the
+    reference's OFFSET pagination (main.py:284) lacks.
+
+    OFFSET n re-sorts the full filtered universe and SKIPS n rows per
+    page: page p costs O(p·limit) and the API's 10 000-row cap only
+    papers over it.  Keyset instead takes the LAST ROW of the previous
+    page as a cursor ``(last_device, last_ts, last_key)`` and compiles
+    it into a strictly-after predicate in the page sort order
+    ``(device ASC, ts DESC, tiebreak ASC)``::
+
+        device > d  OR  (device = d AND (ts < t OR (ts = t AND key > k)))
+
+    so every page is filter + top-``limit`` — constant cost at any
+    depth, and the ``ts < t`` branch is a plain range predicate that
+    reaches the parquet scan (row-group skipping on min/max stats).
+    With ``device_id`` pinned (the common per-device feed), pass only
+    ``last_ts``/``last_key`` and the device branch collapses.
+
+    The plan stays TakeOrderedAndProject (asserted in
+    tests/test_plans.py): no offset node, no global sort.
+    """
+    limit, _ = clamp_page(limit, 0)
+    if (last_ts is None) != (last_key is None):
+        raise ValueError("last_ts and last_key must be passed together")
+    pred = _predicate(df, device_col, ts_col, device_id, ts_start, ts_end)
+    if last_ts is not None:
+        within = (F.col(ts_col) < F.lit(last_ts)) | (
+            (F.col(ts_col) == F.lit(last_ts)) & (F.col(tiebreak_col) > F.lit(last_key))
+        )
+        if last_device is not None:
+            pred = pred & (
+                (F.col(device_col) > F.lit(last_device))
+                | ((F.col(device_col) == F.lit(last_device)) & within)
+            )
+        else:
+            if device_id is None:
+                raise ValueError(
+                    "multi-device seek needs last_device (or pin device_id)"
+                )
+            pred = pred & within
+    out = df.where(pred).orderBy(
+        F.col(device_col).asc(), F.col(ts_col).desc(), F.col(tiebreak_col).asc()
+    )
+    if columns:
+        out = out.select(*columns)
+    return out.limit(limit)
+
+
 def count_query(
     df: DataFrame,
     *,

@@ -112,6 +112,10 @@ EAGER_BUILD_ENTRIES = frozenset(
         "skyline_2d",
         # SemDeDup: the k-means build collects k x dim centroids
         "semantic_dedup",
+        # single-scan decontamination: the doc-level flag frame is
+        # checkpointed eagerly so the corpus-sized gram cache can be
+        # released before the entry returns (leak-free, ADVICE r8)
+        "decontamination_report",
     }
 )
 
@@ -271,6 +275,68 @@ def q_serving_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts") < _ts_lit(ns1))
     )
     return ev.where(pred).agg(F.count(F.lit(1)).alias("total"))
+
+
+# events are dense around any mid-window instant at every SF; the cursor
+# need not coincide with a real row — the seek predicate is an order
+# comparison, not a lookup
+_SEEK_TS = "2024-01-15 12:00:00"
+_SEEK_KEY = 0
+
+_SERVING_SEEK_SQL = f"""
+SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS epoch_s, value
+FROM events
+WHERE user_id = {_PAGE_DEVICE}
+  AND ts >= TIMESTAMP '{_PAGE_T0}' AND ts < TIMESTAMP '{_PAGE_T1}'
+  AND (ts < TIMESTAMP '{_SEEK_TS}'
+       OR (ts = TIMESTAMP '{_SEEK_TS}' AND event_id > {_SEEK_KEY}))
+ORDER BY user_id ASC, ts DESC, event_id ASC
+LIMIT {_PAGE_LIMIT}
+"""
+
+
+@register(
+    "serving_page_seek",
+    _SERVING_SEEK_SQL,
+    "REST keyset page: strictly-after cursor predicate + top-k, no offset",
+)
+def q_serving_page_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination twin of ``serving_page`` —
+    pipelines/serving.py ``page_after`` compiles exactly this plan from
+    ``(last_ts, last_key)``; the entry pins the predicate with
+    TZ-independent literals (the ``_ts_lit`` idiom) so the oracle
+    compare holds in any driver timezone.
+
+    Scale contrast with the OFFSET entry: OFFSET p·50 sorts and skips
+    p·50 rows per page (O(p) per page, O(p²) for a full crawl); the
+    seek predicate keeps every page a pushed range scan +
+    TakeOrderedAndProject top-50 — constant at any depth, which is the
+    difference between "page 3" and "page 200 000" on a 100 TB feed
+    (reference main.py:284 caps OFFSET at 10 000 rows to hide this)."""
+    ev = load_table(spark, sf_dir, "events")
+    ns0, ns1 = _ns_bounds(_PAGE_T0, _PAGE_T1)
+    nsc, _ = _ns_bounds(_SEEK_TS, _SEEK_TS)
+    cursor = _ts_lit(nsc)
+    pred = (
+        (F.col("user_id") == _PAGE_DEVICE)
+        & (F.col("ts") >= _ts_lit(ns0))
+        & (F.col("ts") < _ts_lit(ns1))
+        & (
+            (F.col("ts") < cursor)
+            | ((F.col("ts") == cursor) & (F.col("event_id") > F.lit(_SEEK_KEY)))
+        )
+    )
+    return (
+        ev.where(pred)
+        .orderBy(F.col("user_id").asc(), F.col("ts").desc(), F.col("event_id").asc())
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("ts_ns div 1000000000").alias("epoch_s"),
+            "value",
+        )
+        .limit(_PAGE_LIMIT)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -618,46 +684,84 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver coverage rotation (round 7): the driver samples the FIRST ~50
-#: entries of queries() order per round.  After round 7, 195 of 204
-#: entries have a green driver row on current fixtures and ZERO ledger
-#: rows are red.  Round-8 order (tools/rotation_helper.py output):
-#:   (1) the 10 entries whose CODE changed this round — the five
-#:       global-ranking consumers (driver-side literal split points),
-#:       the fused/ordered k-means sweep, single-scan decontamination,
-#:       and the three connected-components consumers (escalation
-#:       path) — prior rows no longer describe the running code;
-#:   (2) the final 9 entries whose last driver row predates the
-#:       round-3 fixture regeneration — green in the bit-exact local
-#:       oracle sweep; their driver rows COMPLETE current-fixture
-#:       coverage of all 204 entries.
-#: The ~31 slots after these 19 fall to registry insertion order —
-#: the round-4-era entries whose green rows are the oldest.
+#: Driver coverage rotation (round 9): the driver samples the FIRST ~50
+#: entries of queries() order per round.  All 208 entries have a green
+#: driver row on current fixtures and zero ledger rows are red, so this
+#: round is pure FRESHNESS rotation (VERDICT r8 #1):
+#:   (1) entries whose CODE changed this round — the ANSI-safe drift
+#:       monitor (try_divide + one-sided NULL mask), the leak-free
+#:       checkpointing decontamination/global-rank consumers — prior
+#:       rows no longer describe the running code; plus the new
+#:       serving_page_seek keyset-pagination entry;
+#:   (2) the 36-entry cohort whose latest green driver row is round 4,
+#:       then the oldest of the round-5 cohort — ordered by
+#:       last-green-round ascending (ledger union, registry order as
+#:       tiebreak) so no entry's driver evidence ages past ~4 rounds.
 _DRIVER_PRIORITY = [
-    # round-8 additions (never driver-checked)
-    "semantic_dedup",
-    "incremental_dedup_ingest",
+    # (1) round-9 code-changed + new entries
+    "serving_page_seek",
     "ingest_drift_psi",
-    "embedding_drift",
-    "ntile_percent_rank",
-    "gini_coefficient",
-    "repeat_purchase_intervals",
-    "ltv_deciles_pareto",
-    "skyline_2d",
-    "kmeans_inertia_sweep",
     "decontamination_report",
-    "dedup_clusters",
-    "dedup_canonical",
-    "dup_graph_degrees",
-    "knn_brute_force",
-    "embedding_norms_by_label",
-    "multimodal_payloads",
-    "correlated_avg_filter",
-    "scalar_subquery_ratio",
-    "groupby_having",
-    "grouping_sets_sql",
-    "string_predicates",
-    "ann_multiprobe_search",
+    "ntile_percent_rank",
+    "ltv_deciles_pareto",
+    "repeat_purchase_intervals",
+    # (2) staleness tail: last green driver row = round 4
+    "asof_join_orders",
+    "sessionize_counts",
+    "running_windows",
+    "cube_type_user",
+    "streaming_windowed_append",
+    "pivot_daily_types",
+    "set_intersect",
+    "set_except",
+    "json_extract_props",
+    "leadlag_gaps",
+    "stateful_running_totals",
+    "streaming_dedup",
+    "streaming_session_windows",
+    "streaming_stream_join",
+    "schema_evolution_read",
+    "compaction_partition_sweep",
+    "doc_chunks",
+    "repetition_quality",
+    "tfidf_top_terms",
+    "sequence_packing",
+    "ann_recall_accounting",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_balance",
+    "streaming_static_enrich",
+    "csv_ingest_roundtrip",
+    "orc_ingest_roundtrip",
+    "zorder_key_accounting",
+    "graph_pagerank",
+    "funnel_conversion",
+    "cohort_retention",
+    "profile_table",
+    "weighted_sample_counts",
+    "near_dup_pairs",
+    "simhash_docs",
+    "simhash_near_dup_pairs",
+    "ivf_build_stats",
+    "ivf_search",
+    # staleness tail: oldest of the round-5 cohort
+    "merge_upsert_risk",
+    "approx_stats",
+    "corpus_prep_pipeline",
+    "char_ngram_jaccard",
+    "embedding_near_dup",
+    "ann_lsh_search",
+    "explode_wordcount_topk",
+    "value_histogram",
+    "monthly_revenue",
+    "array_agg_types",
+    "salted_agg_counts",
+    "quantize_embeddings_int8",
+    "exact_percentiles",
+    "value_stats_exact",
 ]
 
 

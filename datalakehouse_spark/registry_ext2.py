@@ -241,8 +241,9 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — two sorts over the same bucket partitioning, no re-join on
     the primary key (round-7 fix: the previous two independent passes
     re-scanned and re-bucketed orders, then joined; 2.4 s → sub-second
-    target).  ``cache=True`` persists the bucketed frame so the window
-    and bucket-count branches share one scan."""
+    target).  ``cache=True`` checkpoints the bucketed frame so the
+    window and bucket-count branches share one materialization (freed
+    automatically with the result)."""
     from datalakehouse_spark.operators.ranking import (
         ntile_from_rank,
         percent_rank_from_rank,

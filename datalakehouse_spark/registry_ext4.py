@@ -631,10 +631,11 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round-8 single-scan form (``decontamination_flags``): because
     bench and train are complementary predicates over ONE table, the
-    corpus is tokenized once into a persisted tagged gram frame
-    instead of twice under complementary filters; the per-source
-    totals come from a column-pruned (doc_id, source) re-scan that
-    never touches text."""
+    corpus is tokenized once into a tagged gram frame (cached only for
+    the duration of the call — the flag frame is checkpointed and the
+    gram cache released before returning) instead of twice under
+    complementary filters; the per-source totals come from a
+    column-pruned (doc_id, source) re-scan that never touches text."""
     from datalakehouse_spark.operators.dedup import decontamination_flags
 
     docs = load_table(spark, sf_dir, "documents")

@@ -4190,9 +4190,9 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y")
     )
-    # cache=True: the bucketed frame is O(users) rows — persisting it
-    # costs far less than re-running the corpus scan + user aggregate
-    # for the bucket-count branch
+    # cache=True: the bucketed frame is O(users) rows — one
+    # checkpointed materialization costs far less than re-running the
+    # corpus scan + user aggregate for the bucket-count branch
     ranked = with_global_rank(
         ltv, [("y", True), ("user_id", True)], rank_col="i", cache=True
     ).select("y", "i")
@@ -5096,14 +5096,16 @@ tot AS (
 SELECT source,
        CAST(MIN(th) AS BIGINT) AS n_hist,
        CAST(MIN(tb) AS BIGINT) AS n_batch,
+       CASE WHEN MIN(th) = 0 OR MIN(tb) = 0 THEN NULL ELSE
        round(CAST(SUM(CAST(round(
            (GREATEST(CAST(h_n AS DOUBLE) / th, 0.000001)
             - GREATEST(CAST(b_n AS DOUBLE) / tb, 0.000001))
            * ln(GREATEST(CAST(h_n AS DOUBLE) / th, 0.000001)
                 / GREATEST(CAST(b_n AS DOUBLE) / tb, 0.000001)), 12)
-           AS DECIMAL(18,12))) AS DOUBLE), 6) AS psi,
+           AS DECIMAL(18,12))) AS DOUBLE), 6) END AS psi,
+       CASE WHEN MIN(th) = 0 OR MIN(tb) = 0 THEN NULL ELSE
        round(CAST(MAX(ABS(ch * tb - cb * th)) AS DOUBLE)
-             / (CAST(MIN(th) AS DOUBLE) * MIN(tb)), 6) AS ks_d
+             / (CAST(MIN(th) AS DOUBLE) * MIN(tb)), 6) END AS ks_d
 FROM tot GROUP BY source ORDER BY source
 """
 
@@ -5147,21 +5149,37 @@ def q_ingest_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cb", F.sum("b_n").over(wc))
     )
     eps = F.lit(0.000001)
-    p = F.greatest(F.col("h_n").cast("double") / F.col("th"), eps)
-    q = F.greatest(F.col("b_n").cast("double") / F.col("tb"), eps)
+    # try_divide: a source present on only ONE side (brand-new or
+    # vanished — exactly the drift the monitor must flag) has th or tb
+    # = 0, which under ANSI mode would throw DIVIDE_BY_ZERO and crash
+    # the whole monitor.  try_divide yields NULL, greatest(NULL, eps)
+    # = eps, and the one-sided mask below reports psi/ks_d as NULL
+    # (drift undefined without a two-sided histogram; n_hist/n_batch
+    # still expose which side is empty).
+    p = F.greatest(F.try_divide(F.col("h_n").cast("double"), F.col("th")), eps)
+    q = F.greatest(F.try_divide(F.col("b_n").cast("double"), F.col("tb")), eps)
     term = F.round((p - q) * F.log(p / q), 12).cast("decimal(18,12)")
     ks_num = F.abs(F.col("ch") * F.col("tb") - F.col("cb") * F.col("th"))
+    one_sided = (F.min("th") == 0) | (F.min("tb") == 0)
     return (
         tot.groupBy("source")
         .agg(
             F.min("th").alias("n_hist"),
             F.min("tb").alias("n_batch"),
-            F.round(F.sum(term).cast("double"), 6).alias("psi"),
-            F.round(
-                F.max(ks_num).cast("double")
-                / (F.min("th").cast("double") * F.min("tb")),
-                6,
-            ).alias("ks_d"),
+            F.when(one_sided, F.lit(None).cast("double"))
+            .otherwise(F.round(F.sum(term).cast("double"), 6))
+            .alias("psi"),
+            F.when(one_sided, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.try_divide(
+                        F.max(ks_num).cast("double"),
+                        F.min("th").cast("double") * F.min("tb"),
+                    ),
+                    6,
+                )
+            )
+            .alias("ks_d"),
         )
         .orderBy("source")
     )

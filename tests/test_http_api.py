@@ -149,3 +149,60 @@ def test_jsonable_handles_nested_temporal_and_decimal():
     assert out["arr"] == ["2024-01-01", 1.5]
     assert out["m"]["k"] == "0102"
     assert out["s"]["ts"] == "2024-01-02 03:04:05"
+
+
+def test_unexpected_exception_maps_to_json_500(app, caplog):
+    """Anything beyond the typed auth/validation errors (Py4J analysis
+    failure, executor loss at collect time) must stay inside the JSON
+    contract as a 500 with a generic detail — never a raw WSGI crash or
+    a leaked traceback — and the underlying exception must be logged."""
+    import logging
+
+    broken = ServingApp(
+        {"events": _Exploding()}, TOKENS, RULES
+    )
+    with caplog.at_level(logging.ERROR, logger="datalakehouse_spark.pipelines.http_api"):
+        status, _, body = _call(broken, "/events", "limit=1", auth="Bearer sek-analyst")
+    assert status == 500
+    assert body == {"detail": "internal error"}
+    assert any("unhandled error" in r.message for r in caplog.records)
+    assert any(r.exc_info for r in caplog.records)  # traceback captured
+
+
+class _Exploding:
+    """DataFrame stand-in whose every attribute access raises — models a
+    Py4J failure surfacing inside the compile/collect path."""
+
+    def __getattr__(self, name):
+        raise RuntimeError("py4j went away")
+
+
+def test_seek_param_roundtrip_and_exclusivity(app):
+    """after_ts/after_id compile the keyset page over HTTP; mixing them
+    with offset is a 400 (two pagination modes, one request)."""
+    status, _, p1 = _call(
+        app,
+        "/events",
+        "device_id=7&limit=5&start=2024-01-05&end=2024-01-20",
+        auth="Bearer sek-analyst",
+    )
+    assert status == 200 and p1["n"] == 5
+    last = p1["rows"][-1]
+    status, _, p2 = _call(
+        app,
+        "/events",
+        "device_id=7&limit=5&start=2024-01-05&end=2024-01-20"
+        f"&after_ts={last['ts'].replace(' ', 'T')}&after_id={last['event_id']}",
+        auth="Bearer sek-analyst",
+    )
+    assert status == 200 and p2["n"] == 5
+    assert {r["event_id"] for r in p1["rows"]}.isdisjoint(
+        r["event_id"] for r in p2["rows"]
+    )
+    status, _, body = _call(
+        app,
+        "/events",
+        "device_id=7&limit=5&offset=5&after_ts=2024-01-10T00:00:00&after_id=1",
+        auth="Bearer sek-analyst",
+    )
+    assert status == 400 and "mutually exclusive" in body["detail"]

@@ -743,3 +743,40 @@ def test_incremental_dedup_is_digest_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "hashpartitioning(digest" in plan
+
+
+def test_serving_page_seek_stays_takeordered_with_pushed_cursor(spark):
+    """Keyset pagination's whole point at scale: the cursor compiles to
+    scan-pushed range predicates + TakeOrderedAndProject — no offset
+    node, no global sort, constant cost at any page depth."""
+    plan = plan_of(REGISTRY["serving_page_seek"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalLimit" not in plan  # no offset/skip stage
+    assert "EqualTo(user_id,7)" in plan, "device predicate must reach the scan"
+    # the cursor's ts < bound is a plain pushed range predicate
+    assert re.search(r"LessThan\(ts,2024-01-15", plan), "seek bound must reach the scan"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "props" not in m.group(1), "unprojected columns must be pruned"
+
+
+def test_page_after_helper_compiles_same_shape(spark):
+    """The serving-layer helper (pipelines/serving.page_after) — not just
+    the registry twin — must produce the TakeOrderedAndProject shape."""
+    import datetime as dt
+
+    from datalakehouse_spark.io import load_table
+    from datalakehouse_spark.pipelines.serving import page_after
+
+    ev = load_table(spark, SF, "events")
+    df = page_after(
+        ev,
+        device_id=7,
+        ts_start=dt.datetime(2024, 1, 5),
+        ts_end=dt.datetime(2024, 1, 20),
+        last_ts=dt.datetime(2024, 1, 15, 12, 0, 0),
+        last_key=0,
+        limit=50,
+    )
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no standalone global sort node

@@ -220,16 +220,22 @@ def test_with_global_rank_property(spark, vals, asc, n_buckets):
     assert got == want
 
 
-def test_with_global_ranks_cache_exposes_unpersist_handle(spark):
-    """cache=True must hand the persisted bucketed frame to the caller
-    (callers own the unpersist after their consuming action)."""
+def test_with_global_ranks_cache_is_leak_free_checkpoint(spark):
+    """cache=True materializes via localCheckpoint: the DataFrame-level
+    CacheManager (where a forgotten ``persist`` handle would pin an
+    entry until an explicit unpersist) gains nothing — checkpoint
+    blocks are RDD-level and freed by the ContextCleaner when the
+    result is dropped — and the result matches cache=False
+    bit-for-bit."""
     df = spark.createDataFrame([(i, float(i % 7)) for i in range(50)], "id int, v double")
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    was_empty = cm.isEmpty()
     out = with_global_ranks(df, {"r": [("v", True), ("id", True)]}, cache=True)
-    handle = out._ranking_cache
-    assert handle.storageLevel.useMemory  # actually persisted
-    out.count()
-    handle.unpersist(blocking=True)
-    assert not handle.storageLevel.useMemory
+    plain = with_global_ranks(df, {"r": [("v", True), ("id", True)]}, cache=False)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    assert cm.isEmpty() == was_empty  # no un-unpersistable entry left
+    # and the plan really reads the checkpointed frame, not the source
+    assert "LogicalRDD" in out._jdf.queryExecution().optimizedPlan().toString()
 
 
 def test_with_global_rank_splits_are_literal_no_second_scan_branch(spark):

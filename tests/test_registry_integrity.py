@@ -134,7 +134,7 @@ def test_rotation_helper_partitions_registry():
     )
     assert proc.returncode == 0, proc.stderr
     lines = proc.stdout.splitlines()
-    assert lines[0].startswith("# registry=208")
+    assert lines[0].startswith(f"# registry={len(REGISTRY)}")
     body = [l.strip().strip('",') for l in lines if l.startswith('    "')]
     assert body[0] == "ntile_percent_rank"
     assert len(body) == len(set(body)), "rotation must not repeat entries"

@@ -107,3 +107,67 @@ def test_backfill_chunks():
     lines = ["a,b,c", "", "d", " e , f "]
     chunks = list(backfill_chunks(lines, 0, 3))
     assert chunks == [["a", "b", "c"], ["d"], ["e", "f"]]
+
+
+# -- keyset (seek) pagination -------------------------------------------------
+
+
+def test_seek_page_equals_offset_page(spark, sf_small):
+    """The keyset contract: seeking from page N's last row reproduces
+    page N+1 of the OFFSET path exactly (same sort, same universe)."""
+    from datalakehouse_spark.pipelines.api import compile_seek_request
+
+    ev = load_table(spark, sf_small, "events")
+    kw = dict(device_id=7, start="2024-01-05", end="2024-01-20T00:00:00Z", limit=10)
+    page1 = compile_page_request(ev, offset=0, **kw).collect()
+    page2_offset = compile_page_request(ev, offset=10, **kw).collect()
+    last = page1[-1]
+    page2_seek = compile_seek_request(
+        ev,
+        after_ts=last["ts"].isoformat(),
+        after_id=last["event_id"],
+        **kw,
+    ).collect()
+    assert [r["event_id"] for r in page2_seek] == [
+        r["event_id"] for r in page2_offset
+    ]
+
+
+def test_seek_multi_device_crosses_device_boundary(spark, sf_small):
+    """Without a pinned device, the cursor's device branch must advance
+    ACROSS devices in (device ASC, ts DESC, id ASC) order — i.e. the
+    seek reproduces the offset page over the multi-device universe."""
+    from datalakehouse_spark.pipelines.api import compile_seek_request
+
+    ev = load_table(spark, sf_small, "events").where("user_id IN (3, 4)")
+    kw = dict(start="2024-01-05", end="2024-01-07T00:00:00Z", limit=500)
+    page1 = compile_page_request(ev, offset=0, **kw).collect()
+    # pick a cursor row near a device boundary: last row of device 3
+    idx = max(i for i, r in enumerate(page1) if r["user_id"] == 3)
+    cursor = page1[idx]
+    seek = compile_seek_request(
+        ev,
+        after_device=cursor["user_id"],
+        after_ts=cursor["ts"].isoformat(),
+        after_id=cursor["event_id"],
+        limit=5,
+        start=kw["start"],
+        end=kw["end"],
+    ).collect()
+    assert [r["event_id"] for r in seek] == [
+        r["event_id"] for r in page1[idx + 1 : idx + 6]
+    ]
+    assert seek[0]["user_id"] == 4  # really crossed the device boundary
+
+
+def test_seek_validation():
+    from datalakehouse_spark.pipelines.api import compile_seek_request
+
+    with pytest.raises(BadRequest):
+        compile_seek_request(None, device_id=7, after_ts="2024-01-05")  # no after_id
+    with pytest.raises(BadRequest):
+        compile_seek_request(None, after_ts="2024-01-05", after_id=1)  # no device anchor
+    with pytest.raises(BadRequest):
+        compile_seek_request(
+            None, device_id=7, after_ts="2024-01-05", after_id="xyz"
+        )
