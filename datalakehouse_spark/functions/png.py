@@ -1,0 +1,213 @@
+"""Pure-stdlib PNG codec — the real image-decode kernel for containers
+without Pillow.
+
+The multimodal operators (operators/multimodal.py) need a REAL decode
+path, but this build container ships no image library.  PNG is fully
+decodable with nothing beyond ``zlib`` + ``struct``: parse the chunk
+stream, inflate IDAT, reverse the five scanline filters, and expand the
+color type.  That is what this module does — no dependencies, runs on
+any executor's bare CPython.
+
+Supported: 8-bit greyscale (color type 0), truecolor (2), palette (3),
+grey+alpha (4), RGBA (6); 16-bit samples are accepted and truncated to
+their high byte (what Pillow's ``convert("L")`` path effectively does).
+Rejected loudly: interlaced images (Adam7 — rare in data pipelines and
+not worth the kernel complexity) and bit depths below 8.
+
+Luma uses Pillow's exact ITU-R 601-2 integer formula
+``(R*19595 + G*38470 + B*7471 + 0x8000) >> 16`` so a mixed fleet where
+some workers have Pillow and some fall back to this module produces
+bit-identical features.
+
+A minimal encoder (`encode_png`, filter 0, 8-bit grey/RGB/RGBA) is
+included for fixture generation and round-trip tests.
+
+Scale note: this kernel is called per payload inside Arrow-batched
+``mapInPandas`` — pure CPU, no GIL-released C loop, so it is ~10-50x
+slower than Pillow per image.  It exists for correctness and
+portability; deployments that decode billions of images install Pillow
+(the operators prefer it automatically).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: samples per pixel by color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngError(ValueError):
+    """Malformed or unsupported PNG payload."""
+
+
+def _chunks(data: bytes):
+    if not data.startswith(_SIGNATURE):
+        raise PngError("not a PNG: bad signature")
+    pos = len(_SIGNATURE)
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise PngError("truncated chunk")
+        yield ctype, body
+        pos += 12 + length  # length + type + body + crc
+        if ctype == b"IEND":
+            return
+    raise PngError("missing IEND")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp: int, stride: int) -> bytearray:
+    """Reverse per-scanline filtering (types 0-4) -> raw sample bytes."""
+    out = bytearray(height * stride)
+    pos = 0
+    prev_off = -stride
+    for y in range(height):
+        if pos >= len(raw):
+            raise PngError("truncated image data")
+        ftype = raw[pos]
+        pos += 1
+        line = raw[pos : pos + stride]
+        if len(line) != stride:
+            raise PngError("truncated scanline")
+        pos += stride
+        off = y * stride
+        if ftype == 0:  # None
+            out[off : off + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = out[off + x - bpp] if x >= bpp else 0
+                out[off + x] = (line[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                b = out[prev_off + off + x] if y else 0
+                out[off + x] = (line[x] + b) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = out[off + x - bpp] if x >= bpp else 0
+                b = out[prev_off + off + x] if y else 0
+                out[off + x] = (line[x] + ((a + b) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[off + x - bpp] if x >= bpp else 0
+                b = out[prev_off + off + x] if y else 0
+                c = out[prev_off + off + x - bpp] if (y and x >= bpp) else 0
+                out[off + x] = (line[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise PngError(f"unknown filter type {ftype}")
+    return out
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a PNG payload -> ``(width, height, luma_plane)``.
+
+    ``luma_plane`` is ``width*height`` bytes of 8-bit luma in row-major
+    order (greyscale images pass through; color converts via the
+    Pillow-identical ITU-R 601-2 integer formula).
+    """
+    width = height = None
+    bit_depth = color_type = None
+    palette = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if interlace:
+                raise PngError("interlaced (Adam7) PNG not supported")
+            if bit_depth not in (8, 16):
+                raise PngError(f"bit depth {bit_depth} not supported (need 8/16)")
+            if color_type not in _CHANNELS:
+                raise PngError(f"color type {color_type} not supported")
+            if color_type == 3 and bit_depth != 8:
+                raise PngError("palette PNG needs bit depth 8")
+        elif ctype == b"PLTE":
+            palette = [tuple(body[i : i + 3]) for i in range(0, len(body), 3)]
+        elif ctype == b"IDAT":
+            idat += body
+    if width is None:
+        raise PngError("missing IHDR")
+    if not idat:
+        raise PngError("missing IDAT")
+    raw = zlib.decompress(bytes(idat))
+    nch = _CHANNELS[color_type]
+    sample_bytes = bit_depth // 8
+    bpp = nch * sample_bytes
+    stride = width * bpp
+    px = _unfilter(raw, width, height, bpp, stride)
+
+    luma = bytearray(width * height)
+    step = bpp
+    if color_type == 0:  # grey (16-bit: take high byte)
+        for i in range(width * height):
+            luma[i] = px[i * step]
+    elif color_type == 4:  # grey + alpha
+        for i in range(width * height):
+            luma[i] = px[i * step]
+    elif color_type == 3:  # palette -> RGB -> luma
+        if palette is None:
+            raise PngError("palette image missing PLTE")
+        for i in range(width * height):
+            r, g, b = palette[px[i]]
+            luma[i] = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+    else:  # 2 (RGB) or 6 (RGBA); 16-bit: high bytes at offsets 0/sb/2sb
+        for i in range(width * height):
+            o = i * step
+            r, g, b = px[o], px[o + sample_bytes], px[o + 2 * sample_bytes]
+            luma[i] = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+    return width, height, bytes(luma)
+
+
+def png_luma_stats(data: bytes) -> tuple[int, int, float]:
+    """``(width, height, mean_luma)`` with mean_luma normalized to
+    [0, 1] — the ``decode_image`` kernel contract (sum of 8-bit luma /
+    (255 * n), matching the Pillow histogram path bit-for-bit)."""
+    width, height, luma = decode_png(data)
+    n = max(width * height, 1)
+    return width, height, sum(luma) / (255.0 * n)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
+    """Minimal encoder (8-bit, filter 0 on every scanline) for fixtures
+    and round-trip tests.  ``pixels`` is row-major samples: 1 byte/px
+    for grey (0), 3 for RGB (2), 4 for RGBA (6)."""
+    if color_type not in (0, 2, 6):
+        raise PngError("encoder supports color types 0, 2, 6")
+    nch = _CHANNELS[color_type]
+    if len(pixels) != width * height * nch:
+        raise PngError(
+            f"pixel buffer is {len(pixels)} bytes, need {width * height * nch}"
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * nch
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 9))
+        + _chunk(b"IEND", b"")
+    )

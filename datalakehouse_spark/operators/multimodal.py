@@ -5,12 +5,14 @@ opaque ``binary`` columns plus a typed ``meta`` struct, and run decode /
 feature-extract / resize / frame-sample as Arrow-batched pandas
 functions over ``mapInPandas``.
 
-The container ships no image/audio libraries, so the *decode kernels*
-are stubbed: ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (hash-derived
-"pixels") exercises the full Spark-side plumbing — schema, batch
-iteration, partition sizing — which is the part that has to be right at
-100 TB.
+Decode kernels (round 9): the image path is REAL everywhere — Pillow
+when importable (the fast C path), else the pure-stdlib PNG decoder
+(functions/png.py: zlib + struct + the five scanline filters), which
+runs on any executor's bare CPython.  Non-PNG image formats without
+Pillow, and the audio/video kernels, remain honestly probe-guarded
+(NotImplementedError); ``fake=True`` keeps the deterministic
+hash-derived decoder that exercises the full Spark-side plumbing —
+schema, batch iteration, partition sizing — independent of any codec.
 
 Scale notes:
 - binary payloads ride the normal columnar path; co-locate them with
@@ -64,25 +66,34 @@ def pil_available() -> bool:
 
 def decode_image(payload: bytes) -> tuple[int, int, float]:
     """REAL image decode kernel: ``(width, height, mean_luma)`` of an
-    encoded image payload via Pillow.  Import-guarded — raises
-    NotImplementedError where Pillow is absent, so callers get the same
-    honest stub contract as ``extract_features(fake=False)``."""
-    if not pil_available():
-        raise NotImplementedError(
-            "Pillow is not installed in this environment; decode_image "
-            "activates automatically where it is (pip install pillow)"
-        )
-    import io as _io
+    encoded image payload.  Pillow when importable (any format it
+    reads); otherwise the pure-stdlib PNG decoder — both use the same
+    ITU-R 601-2 integer luma, so a mixed fleet produces bit-identical
+    features.  Non-PNG payloads without Pillow raise
+    NotImplementedError (the honest probe contract)."""
+    if pil_available():
+        import io as _io
 
-    from PIL import Image
+        from PIL import Image
 
-    with Image.open(_io.BytesIO(payload)) as img:
-        gray = img.convert("L")
-        width, height = gray.size
-        hist = gray.histogram()
-        n = max(width * height, 1)
-        mean_luma = sum(i * c for i, c in enumerate(hist)) / (255.0 * n)
-    return width, height, mean_luma
+        with Image.open(_io.BytesIO(payload)) as img:
+            gray = img.convert("L")
+            width, height = gray.size
+            hist = gray.histogram()
+            n = max(width * height, 1)
+            mean_luma = sum(i * c for i, c in enumerate(hist)) / (255.0 * n)
+        return width, height, mean_luma
+    from datalakehouse_spark.functions.png import PngError, png_luma_stats
+
+    try:
+        return png_luma_stats(payload)
+    except PngError as exc:
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise NotImplementedError(
+                "non-PNG image decode needs Pillow (pip install pillow); "
+                "the stdlib kernel handles PNG only"
+            ) from exc
+        raise
 
 
 def _fake_decode(payload: bytes) -> tuple[float, int]:
@@ -102,26 +113,40 @@ def extract_features(
 ) -> DataFrame:
     """Decode/feature-extract pass over a media table via mapInPandas.
 
-    ``fake=True`` (the default, and the only mode exercisable in this
-    container) runs the deterministic hash-derived decoder.
-    ``fake=False`` runs the REAL Pillow kernel (``decode_image``) and
-    returns ``IMAGE_FEATURE_SCHEMA`` — it activates automatically where
-    Pillow is importable and raises NotImplementedError where it isn't
-    (golden test: tests/test_multimodal.py, skip-guarded offline).
+    ``fake=True`` (the default) runs the deterministic hash-derived
+    decoder — codec-independent plumbing exercise.  ``fake=False`` runs
+    the REAL kernel and returns ``IMAGE_FEATURE_SCHEMA``: Pillow per
+    worker when importable (any format), else the pure-stdlib PNG
+    decoder (functions/png.py) — real in every container since round 9.
+    Undecodable payloads yield ``(0, 0, NaN)`` rather than failing the
+    batch (a corrupt object must not kill a 100 TB pass).
     """
     if not fake:
-        if not pil_available():
-            raise NotImplementedError(
-                "image decode libraries (Pillow) are not available in "
-                "this container; call with fake=True to exercise the "
-                "pipeline, or install pillow to light up the real kernel"
-            )
 
         def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import hashlib as _hl
-            import io as _io
 
-            from PIL import Image
+            # per-WORKER capability probe: Pillow's C path when present,
+            # stdlib PNG otherwise — identical integer luma either way
+            try:
+                import io as _io
+
+                from PIL import Image
+
+                def _decode(data):
+                    with Image.open(_io.BytesIO(data)) as img:
+                        gray = img.convert("L")
+                        w, h = gray.size
+                        hist = gray.histogram()
+                        n = max(w * h, 1)
+                        return w, h, sum(
+                            i * c for i, c in enumerate(hist)
+                        ) / (255.0 * n)
+
+            except ImportError:
+                from datalakehouse_spark.functions.png import png_luma_stats
+
+                _decode = png_luma_stats
 
             def _chunks(frames):
                 for big in frames:
@@ -135,14 +160,7 @@ def extract_features(
                     shas.append(_hl.sha256(data).hexdigest())
                     sizes.append(len(data))
                     try:
-                        with Image.open(_io.BytesIO(data)) as img:
-                            gray = img.convert("L")
-                            w, h = gray.size
-                            hist = gray.histogram()
-                            n = max(w * h, 1)
-                            luma = sum(
-                                i * c for i, c in enumerate(hist)
-                            ) / (255.0 * n)
+                        w, h, luma = _decode(data)
                     except Exception:
                         w, h, luma = 0, 0, float("nan")
                     widths.append(w)

@@ -23,8 +23,12 @@ table state per version:
   cleanup.sql:19-31).
 - Branches are named refs onto the commit DAG (``_log/refs.json``):
   ``create_branch`` points a new name at any version, writes carry a
-  ``branch=`` and advance only that ref, ``merge_branch`` fast-forwards
-  — the Nessie "experiment on a branch, promote when good" workflow.
+  ``branch=`` and advance only that ref, and ``merge_branch``
+  fast-forwards when possible or creates a real THREE-WAY merge commit
+  when the branches diverged (file-level diff vs the common ancestor,
+  per-key conflict detection for recorded upserts, loud
+  ``MergeConflictError`` otherwise) — the Nessie "experiment on a
+  branch, promote when good" workflow.
 - ``incremental_read(from_v, to_v)`` scans only files ADDED between two
   versions (Iceberg incremental append scan): the CDC-style feed a
   downstream consumer uses to process just the delta.
@@ -52,6 +56,26 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Per-commit cap on recorded merge_upsert key tuples; beyond it the
+#: manifest stores null and a diverged merge degrades to
+#: partition-level conflict detection (bounded manifests beat
+#: unbounded key lists at 100 TB — Nessie itself detects conflicts at
+#: content granularity, not row granularity).
+_MERGE_KEY_CAP = 100_000
+
+
+class MergeConflictError(ValueError):
+    """Diverged-branch merge could not be resolved automatically.
+
+    ``keys`` carries the overlapping upsert key tuples (when per-key
+    detection ran), ``partitions`` the contested partition values."""
+
+    def __init__(self, message: str, keys=None, partitions=None):
+        super().__init__(message)
+        self.keys = keys or []
+        self.partitions = partitions or []
+
 
 #: Directory name Spark/Hive writes for a NULL partition value.
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -151,11 +175,14 @@ class VersionedTable:
         files: list[dict],
         parent: int,
         branch: str = DEFAULT_BRANCH,
+        extra: dict | None = None,
     ) -> int:
         """Write the manifest for the next version and advance the
         branch ref; the manifest rename is the atomic commit point.
         Version numbers are table-global; ``parent`` pointers form the
-        commit DAG the branches live on."""
+        commit DAG the branches live on.  ``extra`` carries operation
+        metadata (merge_upsert key sets, merge parents) the three-way
+        ``merge_branch`` consumes."""
         version = self._latest_version() + 1
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -165,6 +192,7 @@ class VersionedTable:
             "branch": branch,
             "operation": operation,
             "files": files,
+            **(extra or {}),
         }
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -215,20 +243,200 @@ class VersionedTable:
         return base
 
     def merge_branch(self, name: str, into: str = DEFAULT_BRANCH) -> int:
-        """Fast-forward ``into`` to ``name``'s head (promote the
-        experiment).  Requires ``into``'s head to be an ancestor of the
-        branch head — diverged branches need a real merge commit, which
-        is the catalog's (Nessie's) job, not this analog's."""
+        """Merge ``name`` into ``into`` (promote the experiment — the
+        Nessie workflow, reference create.sql:1-13, README:138).
+
+        Fast-forward when possible (``into``'s head is an ancestor of
+        the branch head); no-op when ``into`` already contains the
+        branch.  DIVERGED branches get a real three-way merge commit:
+
+        - merge base = nearest common ancestor on the commit DAG;
+        - each side's change set = file-level diff vs the base
+          (manifests only — no data comparison, no scan);
+        - sides that touched DISJOINT partitions (or only APPENDED —
+          added files without rewriting any) merge cleanly: base files
+          minus either side's removals plus both sides' additions;
+        - partitions REWRITTEN by one side and modified by the other
+          escalate to PER-KEY resolution when every commit involved is
+          a ``merge_upsert`` with a recorded key set: disjoint key sets
+          re-apply the branch's keyed rows on top of ``into``'s state
+          for just those partitions (one partition-pruned read per
+          side); overlapping keys raise :class:`MergeConflictError`
+          naming the offending keys;
+        - anything else (delete-vs-upsert on the same partition,
+          key sets beyond ``_MERGE_KEY_CAP``) raises
+          :class:`MergeConflictError` naming the partitions — loud,
+          never silent last-writer-wins.
+
+        The merge commit's ``parent`` is ``into``'s head (history stays
+        linear per branch) and ``merge_parent`` records the branch head,
+        so both lineages survive for time travel."""
         refs = self.refs()
         head, target = refs[name], refs.get(into, 0)
-        if target and target not in self._ancestry(head):
-            raise ValueError(
-                f"{into!r} (v{target}) has diverged from {name!r} (v{head}); "
-                "fast-forward merge impossible"
+        if target == 0 or target in self._ancestry(head):
+            refs[into] = head  # fast-forward
+            self._write_refs(refs)
+            return head
+        if head in self._ancestry(target):
+            return target  # already merged; nothing to do
+        return self._three_way_merge(name, head, into, target)
+
+    def _partition_of(self, entry: dict) -> tuple:
+        return tuple(entry["partition"].get(k) for k in (self.partition_by or []))
+
+    def _changes_since(self, head: int, base: int) -> tuple[dict, dict, list[int]]:
+        """File-level diff of ``head`` vs ``base``: ({path: entry}
+        added, {path: entry} removed, commits walked newest-first)."""
+        base_files = {
+            e["path"]: e for e in (self._load_manifest(base)["files"] if base else [])
+        }
+        head_files = {e["path"]: e for e in self._load_manifest(head)["files"]}
+        added = {p: e for p, e in head_files.items() if p not in base_files}
+        removed = {p: e for p, e in base_files.items() if p not in head_files}
+        commits = [
+            v for v in self._ancestry(head) if v not in set(self._ancestry(base))
+        ]
+        return added, removed, commits
+
+    def _upsert_keys_for(
+        self, commits: list[int], conflicted: set[tuple]
+    ) -> tuple[list[str], set[tuple]] | None:
+        """Union of recorded merge_upsert key tuples across ``commits``
+        that touched a conflicted partition; None when any such commit
+        is not a key-recorded upsert (per-key resolution impossible)."""
+        columns: list[str] | None = None
+        keys: set[tuple] = set()
+        for v in commits:
+            m = self._load_manifest(v)
+            parent_files = {
+                e["path"]: e
+                for e in (
+                    self._load_manifest(m["parent"])["files"] if m["parent"] else []
+                )
+            }
+            files = {e["path"]: e for e in m["files"]}
+            touched = {
+                self._partition_of(e)
+                for p, e in files.items()
+                if p not in parent_files
+            } | {
+                self._partition_of(e)
+                for p, e in parent_files.items()
+                if p not in files
+            }
+            if not (touched & conflicted):
+                continue
+            mk = m.get("merge_keys")
+            if m["operation"] != "merge_upsert" or not mk or mk["values"] is None:
+                return None
+            if columns is None:
+                columns = mk["columns"]
+            elif columns != mk["columns"]:
+                return None
+            keys.update(tuple(v) for v in mk["values"])
+        return (columns or [], keys)
+
+    def _three_way_merge(self, name: str, head: int, into: str, target: int) -> int:
+        anc_target = self._ancestry(target)
+        anc_set = set(anc_target)
+        base = next((v for v in self._ancestry(head) if v in anc_set), 0)
+        added_t, removed_t, commits_t = self._changes_since(target, base)
+        added_h, removed_h, commits_h = self._changes_since(head, base)
+
+        def parts(entries: dict) -> set[tuple]:
+            return {self._partition_of(e) for e in entries.values()}
+
+        rewrote_t, rewrote_h = parts(removed_t), parts(removed_h)
+        modified_t, modified_h = rewrote_t | parts(added_t), rewrote_h | parts(added_h)
+        conflicted = (rewrote_t & modified_h) | (rewrote_h & modified_t)
+
+        t_files = self._load_manifest(target)["files"]
+        h_files = self._load_manifest(head)["files"]
+        if not conflicted:
+            removed = set(removed_t) | set(removed_h)
+            base_entries = self._load_manifest(base)["files"] if base else []
+            files = (
+                [e for e in base_entries if e["path"] not in removed]
+                + list(added_t.values())
+                + list(added_h.values())
             )
-        refs[into] = head
-        self._write_refs(refs)
-        return head
+            return self._commit(
+                "merge",
+                files,
+                target,
+                into,
+                extra={"merge_parent": head, "merge_base": base},
+            )
+
+        # per-key escalation: every commit touching a conflicted
+        # partition on either side must be a key-recorded merge_upsert
+        kt = self._upsert_keys_for(commits_t, conflicted)
+        kh = self._upsert_keys_for(commits_h, conflicted)
+        if kt is None or kh is None or (kt[0] and kh[0] and kt[0] != kh[0]):
+            raise MergeConflictError(
+                f"branches {into!r} and {name!r} both rewrote partitions "
+                f"{sorted(conflicted)} with operations that defeat per-key "
+                "resolution (non-upsert commits, mismatched key columns, or "
+                f"key sets beyond {_MERGE_KEY_CAP}); rebase the branch or "
+                "resolve manually",
+                partitions=sorted(conflicted),
+            )
+        key_cols = kt[0] or kh[0]
+        overlap = kt[1] & kh[1]
+        if overlap:
+            shown = sorted(overlap)[:20]
+            raise MergeConflictError(
+                f"branches {into!r} and {name!r} upserted the same key(s) "
+                f"{shown}{'...' if len(overlap) > 20 else ''} "
+                f"(key columns {key_cols}); resolve by rebasing the branch",
+                keys=sorted(overlap),
+                partitions=sorted(conflicted),
+            )
+
+        # disjoint keys: re-apply the branch's keyed rows on top of
+        # into's state for just the conflicted partitions
+        sep, null = "\x1f", "\x00"
+
+        def canon_key_col():
+            return F.concat_ws(
+                sep,
+                *[
+                    F.coalesce(F.col(k).cast("string"), F.lit(null))
+                    for k in key_cols
+                ],
+            )
+
+        branch_key_strs = {
+            sep.join(null if v is None else v for v in t) for t in kh[1]
+        }
+        in_cp = lambda e: self._partition_of(e) in conflicted  # noqa: E731
+        into_cp = [e for e in t_files if in_cp(e)]
+        head_cp = [e for e in h_files if in_cp(e)]
+        into_rows = self._read_files(into_cp)
+        branch_rows = self._read_files(head_cp).where(
+            canon_key_col().isin(*branch_key_strs)
+        )
+        merged_rows = into_rows.where(
+            ~canon_key_col().isin(*branch_key_strs)
+        ).unionByName(branch_rows.select(*into_rows.columns))
+        new_files = self._write_new_files(merged_rows)
+
+        files = (
+            [
+                e
+                for e in t_files
+                if not in_cp(e) and e["path"] not in removed_h
+            ]
+            + [e for e in added_h.values() if not in_cp(e)]
+            + new_files
+        )
+        return self._commit(
+            "merge",
+            files,
+            target,
+            into,
+            extra={"merge_parent": head, "merge_base": base},
+        )
 
     # -- write path ---------------------------------------------------------
 
@@ -328,8 +536,25 @@ class VersionedTable:
             merged = kept_rows.unionByName(source.select(*kept_rows.columns))
         else:
             merged = source
+        # record the upserted key set (canonical strings, capped) so a
+        # later THREE-WAY merge_branch can do per-key conflict
+        # detection; above the cap the manifest stores null and merges
+        # degrade to partition-level conflicts (documented in
+        # merge_branch)
+        key_rows = (
+            source.select(*keys).distinct().limit(_MERGE_KEY_CAP + 1).collect()
+        )
+        merge_keys = (
+            None
+            if len(key_rows) > _MERGE_KEY_CAP
+            else sorted([_canon_value(r[k]) for k in keys] for r in key_rows)
+        )
         return self._commit(
-            "merge_upsert", kept_files + self._write_new_files(merged), cur, branch
+            "merge_upsert",
+            kept_files + self._write_new_files(merged),
+            cur,
+            branch,
+            extra={"merge_keys": {"columns": list(keys), "values": merge_keys}},
         )
 
     def delete_where(self, predicate, branch: str = DEFAULT_BRANCH) -> int:

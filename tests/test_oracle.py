@@ -27,11 +27,13 @@ def test_oracle_match(spark, sf_small, name, spec):
 # The driver only ever compares at sf0.01; failure classes that are a
 # FUNCTION of data volume — decimal staging overflowing its precision
 # on 10x larger sums, percentile/sketch drift, rank arithmetic at 10x
-# rows, dedup digest collisions — have no oracle coverage there.  This
-# sweep runs the representative entry of each such class bit-exact at
-# sf0.1.  Opt-in (SPARK_GRAFT_SF01_SWEEP=1): ~10x the fixture, minutes
-# not seconds, meant for the round's verification pass rather than the
-# inner loop.
+# rows, dedup digest collisions — have no oracle coverage there.
+# SPARK_GRAFT_SF01_SWEEP=1 runs the curated scale-sensitive class
+# representatives bit-exact at sf0.1 (~45 s);
+# SPARK_GRAFT_SF01_SWEEP=all sweeps EVERY SQL-expressible registry
+# entry at sf0.1 (~6-8 min) — volume-stability insurance for the
+# classes no one predicted.  Both are opt-in: for the round's
+# verification pass, not the inner loop.
 
 import os as _os
 
@@ -69,12 +71,16 @@ _SCALE_SENSITIVE = [
     "embedding_drift",
 ]
 
-_SF01_CASES = [(n, REGISTRY[n]) for n in _SCALE_SENSITIVE if REGISTRY[n].sql]
+_SWEEP_MODE = _os.environ.get("SPARK_GRAFT_SF01_SWEEP", "")
+if _SWEEP_MODE == "all":
+    _SF01_CASES = SQL_QUERIES
+else:
+    _SF01_CASES = [(n, REGISTRY[n]) for n in _SCALE_SENSITIVE if REGISTRY[n].sql]
 
 
 @pytest.mark.skipif(
-    _os.environ.get("SPARK_GRAFT_SF01_SWEEP") != "1",
-    reason="opt-in 10x-fixture sweep: set SPARK_GRAFT_SF01_SWEEP=1",
+    _SWEEP_MODE not in ("1", "all"),
+    reason="opt-in 10x-fixture sweep: set SPARK_GRAFT_SF01_SWEEP=1 (classes) or =all",
 )
 @pytest.mark.parametrize("name,spec", _SF01_CASES, ids=[n for n, _ in _SF01_CASES])
 def test_oracle_match_sf01(spark, name, spec):

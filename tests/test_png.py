@@ -1,0 +1,198 @@
+"""Pure-stdlib PNG codec (functions/png.py) — the real image-decode
+kernel for Pillow-less containers.
+
+Coverage: encoder round-trips (grey/RGB/RGBA), Pillow-identical ITU-R
+601-2 luma on pure colors, all five scanline filters (decoded against a
+forward-filter reference built here), 16-bit high-byte truncation,
+palette expansion, and loud rejection of interlaced/unsupported inputs.
+"""
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datalakehouse_spark.functions.png import (
+    PngError,
+    _CHANNELS,
+    decode_png,
+    encode_png,
+    png_luma_stats,
+)
+
+
+def _luma(r, g, b):
+    return (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+
+
+def test_grey_roundtrip_known_mean():
+    payload = encode_png(2, 2, bytes([0, 255, 255, 0]), color_type=0)
+    w, h, luma = decode_png(payload)
+    assert (w, h) == (2, 2)
+    assert list(luma) == [0, 255, 255, 0]
+    assert png_luma_stats(payload)[2] == pytest.approx(0.5)
+
+
+def test_rgb_pure_colors_match_pillow_luma():
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = encode_png(4, 1, px, color_type=2)
+    w, h, luma = decode_png(payload)
+    assert (w, h) == (4, 1)
+    assert list(luma) == [_luma(255, 0, 0), _luma(0, 255, 0), _luma(0, 0, 255), 255]
+    assert list(luma)[:3] == [76, 150, 29]  # the ITU-R 601-2 constants
+
+
+def test_rgba_alpha_ignored_for_luma():
+    px = bytes([10, 20, 30, 0, 10, 20, 30, 255])
+    payload = encode_png(2, 1, px, color_type=6)
+    _, _, luma = decode_png(payload)
+    assert list(luma) == [_luma(10, 20, 30)] * 2
+
+
+# -- scanline filters ---------------------------------------------------------
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _forward_filter(pixels, width, height, nch, ftypes):
+    """Reference forward filter (PNG spec) — what an encoder would emit."""
+    stride = width * nch
+    out = bytearray()
+    for y in range(height):
+        f = ftypes[y % len(ftypes)]
+        out.append(f)
+        for x in range(stride):
+            cur = pixels[y * stride + x]
+            a = pixels[y * stride + x - nch] if x >= nch else 0
+            b = pixels[(y - 1) * stride + x] if y else 0
+            c = pixels[(y - 1) * stride + x - nch] if (y and x >= nch) else 0
+            if f == 0:
+                v = cur
+            elif f == 1:
+                v = (cur - a) & 0xFF
+            elif f == 2:
+                v = (cur - b) & 0xFF
+            elif f == 3:
+                v = (cur - ((a + b) >> 1)) & 0xFF
+            else:
+                v = (cur - _paeth(a, b, c)) & 0xFF
+            out.append(v)
+    return bytes(out)
+
+
+def _chunk(ctype, body):
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _raw_png(width, height, bit_depth, color_type, idat_raw, plte=None):
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    parts = [sig, _chunk(b"IHDR", ihdr)]
+    if plte is not None:
+        parts.append(_chunk(b"PLTE", plte))
+    parts += [_chunk(b"IDAT", zlib.compress(idat_raw)), _chunk(b"IEND", b"")]
+    return b"".join(parts)
+
+
+@pytest.mark.parametrize("ftypes", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_all_filter_types_decode(ftypes):
+    width, height, nch = 5, 7, 3
+    pixels = bytes((x * 37 + 11) % 256 for x in range(width * height * nch))
+    raw = _forward_filter(pixels, width, height, nch, ftypes)
+    payload = _raw_png(width, height, 8, 2, raw)
+    w, h, luma = decode_png(payload)
+    assert (w, h) == (width, height)
+    want = [
+        _luma(pixels[i * 3], pixels[i * 3 + 1], pixels[i * 3 + 2])
+        for i in range(width * height)
+    ]
+    assert list(luma) == want
+
+
+def test_16bit_grey_high_byte():
+    # 2x1, 16-bit grey, filter 0: samples 0x1234 and 0xFF00
+    raw = b"\x00" + bytes([0x12, 0x34, 0xFF, 0x00])
+    payload = _raw_png(2, 1, 16, 0, raw)
+    w, h, luma = decode_png(payload)
+    assert (w, h) == (2, 1)
+    assert list(luma) == [0x12, 0xFF]
+
+
+def test_palette_expansion():
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = b"\x00" + bytes([0, 1, 2])  # one scanline of indices
+    payload = _raw_png(3, 1, 8, 3, raw, plte=plte)
+    _, _, luma = decode_png(payload)
+    assert list(luma) == [76, 150, 29]
+
+
+# -- rejection paths ----------------------------------------------------------
+
+
+def test_interlaced_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # interlace=1
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="interlaced"):
+        decode_png(payload)
+
+
+def test_not_a_png_and_truncation():
+    with pytest.raises(PngError, match="signature"):
+        decode_png(b"JFIF-ish bytes")
+    good = encode_png(4, 4, bytes(range(16)), color_type=0)
+    with pytest.raises(PngError):
+        decode_png(good[:30])  # inside IHDR chunk
+    with pytest.raises(PngError):
+        # valid chunks but IDAT shorter than the image needs
+        decode_png(_raw_png(4, 4, 8, 0, b"\x00" + bytes(4)))
+
+
+def test_encoder_validates():
+    with pytest.raises(PngError):
+        encode_png(2, 2, bytes(3), color_type=0)  # wrong buffer size
+    with pytest.raises(PngError):
+        encode_png(1, 1, bytes(1), color_type=3)  # palette not encodable
+
+
+# -- property round-trip ------------------------------------------------------
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ct=st.sampled_from([0, 2, 6]),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_roundtrip_property(w, h, ct, seed):
+    n = w * h * _CHANNELS[ct]
+    pixels = bytes((seed * 2654435761 + i * 40503) % 256 for i in range(n))
+    got_w, got_h, luma = decode_png(encode_png(w, h, pixels, color_type=ct))
+    assert (got_w, got_h) == (w, h)
+    if ct == 0:
+        assert bytes(luma) == pixels
+    else:
+        step = _CHANNELS[ct]
+        want = bytes(
+            _luma(pixels[i * step], pixels[i * step + 1], pixels[i * step + 2])
+            for i in range(w * h)
+        )
+        assert bytes(luma) == want

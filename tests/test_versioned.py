@@ -187,12 +187,90 @@ def test_branch_merge_fast_forward(spark, vt):
     assert vt.current_version() == vt.current_version("exp")
 
 
-def test_branch_merge_refuses_diverged(spark, vt):
+def test_diverged_merge_clean_disjoint_partitions(spark, vt):
+    """Diverged branches touching DISJOINT partitions get a real merge
+    commit: both sides' changes land, neither is lost, and both
+    pre-merge states stay time-travelable."""
     vt.create_branch("exp")
-    vt.append(_rows(spark, days=[5]), branch="exp")
-    vt.append(_rows(spark, days=[6]))  # main moves too -> diverged
-    with pytest.raises(ValueError, match="diverged"):
+    vt.append(_rows(spark, days=[5], score=50.0), branch="exp")
+    vt.append(_rows(spark, days=[6], score=60.0))  # main moves too -> diverged
+    v_main, v_exp = vt.current_version(), vt.current_version("exp")
+    main_snap, exp_snap = _state(vt.read()), _state(vt.read(ref="exp"))
+    merged_v = vt.merge_branch("exp")
+    got = _state(vt.read())
+    days = {r[1].day for r in got}
+    assert days == {1, 2, 5, 6}
+    assert len(got) == 12
+    # post-merge time travel: both pre-merge lineages intact
+    assert _state(vt.read(version=v_main)) == main_snap
+    assert _state(vt.read(version=v_exp)) == exp_snap
+    # history records a merge commit with both parents
+    m = vt._load_manifest(merged_v)
+    assert m["operation"] == "merge"
+    assert m["parent"] == v_main and m["merge_parent"] == v_exp
+
+
+def test_diverged_merge_upserts_same_partition_disjoint_keys(spark, vt):
+    """Both sides upserted the SAME partition but different keys:
+    per-key resolution applies the branch's keyed rows on top of
+    main's state instead of conflicting."""
+    vt.create_branch("exp")
+    up_main = spark.createDataFrame(
+        [("dev0", dt.date(2024, 1, 1), 111.0)],
+        "device_id string, report_date date, score double",
+    )
+    up_exp = spark.createDataFrame(
+        [("dev1", dt.date(2024, 1, 1), 222.0)],
+        "device_id string, report_date date, score double",
+    )
+    vt.merge_upsert(up_main, keys=["device_id", "report_date"])
+    vt.merge_upsert(up_exp, keys=["device_id", "report_date"], branch="exp")
+    vt.merge_branch("exp")
+    got = {
+        (r[0], r[1].day): r[2]
+        for r in _state(vt.read())
+    }
+    assert got[("dev0", 1)] == 111.0  # main's upsert kept
+    assert got[("dev1", 1)] == 222.0  # branch's upsert applied
+    assert got[("dev2", 1)] == 10.0  # untouched row survives once
+    assert len(got) == 6  # no duplicated rows from the double rewrite
+
+
+def test_diverged_merge_conflicting_keys_is_loud(spark, vt):
+    from datalakehouse_spark.versioned import MergeConflictError
+
+    vt.create_branch("exp")
+    up = spark.createDataFrame(
+        [("dev0", dt.date(2024, 1, 1), 1.0)],
+        "device_id string, report_date date, score double",
+    )
+    vt.merge_upsert(up, keys=["device_id", "report_date"])
+    vt.merge_upsert(up, keys=["device_id", "report_date"], branch="exp")
+    with pytest.raises(MergeConflictError, match="dev0") as ei:
         vt.merge_branch("exp")
+    assert ei.value.keys  # offending keys carried on the error
+
+
+def test_diverged_merge_delete_vs_upsert_conflicts_on_partition(spark, vt):
+    from datalakehouse_spark.versioned import MergeConflictError
+
+    vt.create_branch("exp")
+    vt.delete_where("report_date = DATE '2024-01-01'")
+    up = spark.createDataFrame(
+        [("dev1", dt.date(2024, 1, 1), 2.0)],
+        "device_id string, report_date date, score double",
+    )
+    vt.merge_upsert(up, keys=["device_id", "report_date"], branch="exp")
+    with pytest.raises(MergeConflictError, match="partitions"):
+        vt.merge_branch("exp")
+
+
+def test_merge_noop_when_into_contains_branch(spark, vt):
+    vt.create_branch("exp")
+    vt.append(_rows(spark, days=[5]))  # only main moves
+    v = vt.current_version()
+    assert vt.merge_branch("exp") == v  # branch adds nothing; no-op
+    assert vt.current_version() == v
 
 
 def test_incremental_read_returns_only_the_delta(spark, vt):
