@@ -8,6 +8,12 @@ local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 Each query executes end-to-end via the `noop` sink (full plan, no
 collect/write overhead). A warmup pass on sf0.001 first touches every
 code path so JVM/codegen warmup isn't billed to the measured run.
+
+Baseline policy (round 9): BENCH_BASELINE.json is refreshed only via
+tools/refresh_bench_baseline.py, which RATCHETS — per entry,
+min(previous reference, new median) — so a slow round can never
+silently loosen the regression gate; deliberate slowdowns need an
+explicit --waive naming the entry, recorded in the file.
 """
 
 from __future__ import annotations

@@ -700,6 +700,7 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # (1) round-9 code-changed + new entries
     "serving_page_seek",
+    "max_concurrency",
     "ingest_drift_psi",
     "decontamination_report",
     "ntile_percent_rank",

@@ -65,8 +65,12 @@ from datalakehouse_spark.registry import register
 
 _CONCURRENCY_SQL = """
 WITH iv AS (
+    -- trunc, not bare CAST: DuckDB's double->BIGINT cast ROUNDS while
+    -- Spark's truncates toward zero; at sf0.1 a 37.999...-second
+    -- session length lands on the peak and the engines diverge by one
+    -- (caught by the full-registry sf0.1 sweep, round 9)
     SELECT epoch_us(ts) AS s_us,
-           epoch_us(ts) + (60 + CAST(value * 10 AS BIGINT)) * 1000000 AS e_us
+           epoch_us(ts) + (60 + CAST(trunc(value * 10) AS BIGINT)) * 1000000 AS e_us
     FROM events
 ),
 deltas AS (

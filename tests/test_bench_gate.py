@@ -32,3 +32,36 @@ def test_sf_mismatch_and_missing_baseline_disable_gate():
     assert find_regressions(timings, BASE, 0.01) == {}
     assert find_regressions(timings, None, 0.1) == {}
     assert find_regressions(timings, {"queries": {}}, 0.1) == {}
+
+
+def test_baseline_ratchet_never_loosens():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from refresh_bench_baseline import ratchet
+
+    old = {"sf": 0.1, "queries": {"a": 1.0, "b": 2.0, "gone": 5.0}}
+    run = {"sf": 0.1, "queries": {"a": 1.5, "b": 1.2, "fresh": 0.7}}
+    out = ratchet(old, run)
+    assert out["queries"]["a"] == 1.0  # slower round cannot loosen
+    assert out["queries"]["b"] == 1.2  # faster round tightens
+    assert out["queries"]["fresh"] == 0.7  # new entry enters as measured
+    assert "gone" not in out["queries"]  # left the registry -> dropped
+    assert out["waived"] == []
+
+
+def test_baseline_ratchet_waiver_is_explicit_and_recorded():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from refresh_bench_baseline import ratchet
+
+    old = {"sf": 0.1, "queries": {"a": 1.0}}
+    run = {"sf": 0.1, "queries": {"a": 3.0}}
+    out = ratchet(old, run, waivers={"a"})
+    assert out["queries"]["a"] == 3.0
+    assert out["waived"] == ["a"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sf mismatch"):
+        ratchet(old, {"sf": 0.01, "queries": {"a": 0.1}})
