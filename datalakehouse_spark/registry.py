@@ -700,6 +700,8 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # (1) round-9 code-changed + new entries
     "serving_page_seek",
+    "dup_span_coverage",
+    "domain_mixture_weights",
     "max_concurrency",
     "ingest_drift_psi",
     "decontamination_report",
@@ -798,3 +800,4 @@ def _load_extensions() -> None:
     import datalakehouse_spark.registry_ext3  # noqa: F401
     import datalakehouse_spark.registry_ext4  # noqa: F401
     import datalakehouse_spark.registry_ext5  # noqa: F401
+    import datalakehouse_spark.registry_ext6  # noqa: F401

@@ -1,0 +1,203 @@
+"""Registry extensions, part 6 (round 9) — training-data pipeline depth.
+
+- **Cross-doc duplicated-span coverage** (``dup_span_coverage``): the
+  accounting pass of suffix-style substring dedup (Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better"): how much
+  of each source's token-span mass is duplicated VERBATIM across
+  documents.  Exact-substring dedup at 100 TB starts with exactly this
+  rolling-window digest pass; the coverage report is the go/no-go
+  signal before paying for span excision.
+- **Domain mixture weights** (``domain_mixture_weights``): the
+  temperature-smoothed sampling weights (share^alpha renormalized,
+  alpha = 0.7 — the multilingual-BERT/XLM exponent) a training run uses
+  to rebalance domains; reports natural share, smoothed weight, and the
+  oversample factor per source.
+
+Both are pure lazy plans (no eager builds), both oracle-checked, and
+both follow the house scale shapes: the span pass is
+explode -> distinct -> digest-keyed equi-join (never pair space), the
+mixture pass is one aggregate crossJoined with its own broadcast 1-row
+total (the scalar-subquery idiom, pinned broadcast by the plan sweep).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalakehouse_spark.io import load_table
+from datalakehouse_spark.registry import register
+from datalakehouse_spark.registry_ext import _TOKS
+
+# ---------------------------------------------------------------------------
+# dup_span_coverage: cross-document duplicated token spans per source
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 16  # rolling window length in tokens (Lee et al. use 50 BPE
+# tokens at web scale; 16 whitespace tokens keeps fixture docs in range)
+
+_DUP_SPAN_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+grams AS (
+    SELECT doc_id, source,
+           unnest([md5(array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' '))
+                   FOR i IN range(1, greatest(len(toks) - {_SPAN_N - 1}, 0) + 1)]) AS h
+    FROM t
+),
+dd AS (
+    SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY h
+    ) WHERE nd >= 2
+),
+marked AS (
+    SELECT g.doc_id, g.source, d.h IS NOT NULL AS is_dup
+    FROM grams g LEFT JOIN dd d USING (h)
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+       round(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_ratio,
+       CAST(COUNT(DISTINCT CASE WHEN is_dup THEN doc_id END) AS BIGINT)
+           AS n_docs_with_dup
+FROM marked GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "dup_span_coverage",
+    _DUP_SPAN_SQL,
+    "cross-doc duplicated 16-token spans per source (ExactSubstr accounting)",
+)
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 16-token span digests per document; a span duplicated in
+    >= 2 DISTINCT documents is verbatim cross-doc repetition — the mass
+    ExactSubstr dedup would excise.  Docs shorter than the window
+    contribute no spans (and so don't appear in ``n_docs``).
+
+    Scale shape: ONE explode of the corpus into (doc, digest); the
+    duplicated-digest set comes from a (digest, doc) DISTINCT followed
+    by a digest-keyed count — both map-side-combinable hash aggregates
+    — and rejoins the span stream on the digest key (equi-join, never
+    pair space).  Nothing is driver-side, nothing is quadratic: cost is
+    O(total tokens) shuffled by digest.  The self-repetition case
+    (same span twice in ONE doc) deliberately does not count — that is
+    ``repetition_quality``'s intra-doc metric; this operator measures
+    cross-document contamination pressure."""
+    from datalakehouse_spark.operators.dedup import _ngram_hashes
+    from datalakehouse_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_ngram_hashes(tokens("text"), _SPAN_N)).alias("h"),
+    )
+    dup_digests = (
+        grams.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    marked = grams.join(
+        dup_digests.withColumn("__dup", F.lit(True)), "h", "left"
+    ).withColumn("is_dup", F.coalesce(F.col("__dup"), F.lit(False)))
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_spans"),
+            F.round(
+                F.sum(F.col("is_dup").cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+            F.countDistinct(
+                F.when(F.col("is_dup"), F.col("doc_id"))
+            ).alias("n_docs_with_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain_mixture_weights: temperature-smoothed per-source sampling weights
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.7  # the multilingual sampling exponent (mBERT/XLM-R)
+
+_MIXTURE_SQL = f"""
+WITH per AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens,
+           CAST(round(pow(SUM(len({_TOKS})), {_MIX_ALPHA}), 12)
+                AS DECIMAL(28,12)) AS smoothed_raw
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           SUM(smoothed_raw) AS total_smoothed
+    FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS natural_share,
+       round(CAST(smoothed_raw AS DOUBLE) / CAST(total_smoothed AS DOUBLE), 6)
+           AS mixture_weight,
+       round((CAST(smoothed_raw AS DOUBLE) / CAST(total_smoothed AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS oversample
+FROM per CROSS JOIN tot ORDER BY source
+"""
+
+
+@register(
+    "domain_mixture_weights",
+    _MIXTURE_SQL,
+    "temperature-smoothed (alpha=0.7) per-source sampling weights + oversample",
+)
+def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights for a training run: per source, the natural
+    token share, the alpha=0.7 temperature-smoothed sampling weight
+    (share^alpha renormalized — upsamples the tail, damps the head; the
+    multilingual-BERT/XLM recipe), and the resulting oversample factor.
+
+    Determinism across engines: the smoothed mass is pow() rounded at
+    12 decimals and summed in DECIMAL (the psi/mutual-information
+    convention), so the renormalization denominator is bit-stable.
+    Scale shape: one corpus scan -> per-source hash aggregate (a
+    handful of rows) crossJoined with its own BROADCAST 1-row total —
+    the scalar-subquery idiom the plan sweep pins; no windows, no
+    second scan of the corpus (the per-source frame feeds both sides).
+    """
+    from datalakehouse_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens("text")).cast("long")).alias("n_tokens"),
+        F.round(F.pow(F.sum(F.size(tokens("text")).cast("long")), _MIX_ALPHA), 12)
+        .cast("decimal(28,12)")
+        .alias("smoothed_raw"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("smoothed_raw").alias("total_smoothed"),
+    )
+    w = F.col("smoothed_raw").cast("double") / F.col("total_smoothed").cast("double")
+    nat = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(nat, 6).alias("natural_share"),
+            F.round(w, 6).alias("mixture_weight"),
+            F.round(w / nat, 6).alias("oversample"),
+        )
+        .orderBy("source")
+    )
