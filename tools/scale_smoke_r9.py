@@ -68,7 +68,12 @@ def synthesize(spark, mult: int) -> str:
     """mult x documents+embeddings via one crossJoin with a copy-index
     range (a single plan — no mult-deep union)."""
     out = f"{WORK}/x{mult}"
-    if os.path.exists(os.path.join(out, "_DONE")):
+    done = os.path.exists(os.path.join(out, "_DONE"))
+    # _CUST_v2: the customer renumbering fix below — rebuild just the
+    # customer table in dirs synthesized before it
+    if done and not os.path.exists(os.path.join(out, "_CUST_v2")):
+        _synth_customer(spark, mult, out)
+    if done:
         return out
     shutil.rmtree(out, ignore_errors=True)
 
@@ -108,18 +113,29 @@ def synthesize(spark, mult: int) -> str:
         .write.mode("overwrite")
         .parquet(f"{out}/embeddings.parquet")
     )
+    _synth_customer(spark, mult, out)
+    open(os.path.join(out, "_DONE"), "w").close()
+    return out
+
+
+def _synth_customer(spark, mult: int, out: str) -> None:
     cust = load_table(spark, BASE_SF, "customer")
     n_c = cust.count()
+    copies = spark.range(mult).select(F.col("id").alias("__copy"))
     (
         cust.crossJoin(copies)
         .select(
             (F.col("c_custkey") + F.col("__copy") * n_c).alias("c_custkey"),
-            # copy index in the MIDDLE of the name: prefix blocks keep
-            # their size profile while the strings stay near-duplicates
-            F.concat(
-                F.substring(F.col("c_name"), 1, 9),
-                F.col("__copy"),
-                F.substring(F.col("c_name"), 10, 1000),
+            # renumber INSIDE the name format (Customer#%09d) so the
+            # 16-char prefix-block profile is preserved exactly: block
+            # COUNT grows with mult, block SIZE stays <=100 (the
+            # last-2-digit variants).  A first cut spliced the copy
+            # index into the middle of the string, which shifted the
+            # low-order digits past position 16 and silently grew
+            # blocks to ~10k rows (~10,000x the pair work) — a fixture
+            # bug masquerading as an operator scale failure.
+            F.format_string(
+                "Customer#%09d", F.col("c_custkey") + F.col("__copy") * n_c
             ).alias("c_name"),
             "c_nationkey",
             "c_acctbal",
@@ -129,8 +145,7 @@ def synthesize(spark, mult: int) -> str:
         .write.mode("overwrite")
         .parquet(f"{out}/customer.parquet")
     )
-    open(os.path.join(out, "_DONE"), "w").close()
-    return out
+    open(os.path.join(out, "_CUST_v2"), "w").close()
 
 
 def _clear_memos() -> None:
@@ -164,10 +179,26 @@ def run_entry(spark, name: str, sf_dir: str) -> tuple[float, frozenset]:
     t0 = time.perf_counter()
     df = REGISTRY[name].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0, fingerprint(df)
+    elapsed = time.perf_counter() - t0
+    fp = fingerprint(df)
+    # heavy entries localCheckpoint intermediates whose executor blocks
+    # are freed by the ContextCleaner only after GC notices the dropped
+    # references — at 100x volume, back-to-back entries in one JVM can
+    # otherwise OOM on blocks the PREVIOUS entry no longer needs
+    # (observed: dedup_canonical stage failure right after the
+    # dedup_clusters run).  Nudge both collectors and give the cleaner
+    # a beat to drain.
+    del df
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+    return elapsed, fp
 
 
 def main() -> None:
+    only = os.environ.get("SMOKE_ENTRIES")  # comma-separated filter
     mults = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
     spark = get_spark("scale_smoke_r9")
     spark.sparkContext.setLogLevel("ERROR")
@@ -181,6 +212,8 @@ def main() -> None:
         n_cust = load_table(spark, sf_dir, "customer").count()
         row: dict = {"mult": mult, "docs": n_docs, "vecs": n_vecs, "cust": n_cust}
         for name in DOC_ENTRIES + CUST_ENTRIES + EMB_ENTRIES:
+            if only and name not in only.split(","):
+                continue
             n = (
                 n_docs
                 if name in DOC_ENTRIES
