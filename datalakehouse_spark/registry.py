@@ -702,6 +702,7 @@ _DRIVER_PRIORITY = [
     "serving_page_seek",
     "dup_span_coverage",
     "domain_mixture_weights",
+    "mixture_downsample_plan",
     "max_concurrency",
     "ingest_drift_psi",
     "decontamination_report",

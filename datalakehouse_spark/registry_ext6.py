@@ -13,11 +13,17 @@
   to rebalance domains; reports natural share, smoothed weight, and the
   oversample factor per source.
 
-Both are pure lazy plans (no eager builds), both oracle-checked, and
-both follow the house scale shapes: the span pass is
+- **Mixture downsample plan** (``mixture_downsample_plan``): REALIZE
+  the alpha-smoothed mixture with a deterministic downsample-only
+  Bernoulli plan — per-source keep rates, md5-threshold doc decisions,
+  and the achieved token shares, all engine-portable and replayable.
+
+All are pure lazy plans (no eager builds), all oracle-checked, and
+all follow the house scale shapes: the span pass is
 explode -> distinct -> digest-keyed equi-join (never pair space), the
-mixture pass is one aggregate crossJoined with its own broadcast 1-row
-total (the scalar-subquery idiom, pinned broadcast by the plan sweep).
+mixture passes are corpus-scan hash aggregates crossJoined with their
+own broadcast 1-row totals (the scalar-subquery idiom, pinned
+broadcast by the plan sweep).
 """
 
 from __future__ import annotations
@@ -198,6 +204,165 @@ def q_domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nat, 6).alias("natural_share"),
             F.round(w, 6).alias("mixture_weight"),
             F.round(w / nat, 6).alias("oversample"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture_downsample_plan: realize the smoothed mixture by deterministic
+# downsampling (keep-rate per source + md5-threshold doc decisions)
+# ---------------------------------------------------------------------------
+
+_DS_SQL = f"""
+WITH t AS (SELECT doc_id, source, len({_TOKS}) AS n_tok FROM documents),
+per AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(round(pow(SUM(n_tok), 0.7), 12) AS DECIMAL(28,12)) AS r
+    FROM t GROUP BY source
+),
+anchor AS (
+    SELECT n_tokens AS tok_m, r AS r_m FROM per
+    ORDER BY CAST(n_tokens AS DOUBLE) / CAST(r AS DOUBLE), source LIMIT 1
+),
+srtot AS (SELECT SUM(r) AS sr FROM per),
+thr AS (
+    SELECT source, n_docs, n_tokens,
+           (CAST(r AS DOUBLE) * CAST(tok_m AS DOUBLE))
+               / (CAST(r_m AS DOUBLE) * CAST(n_tokens AS DOUBLE)) AS keep_rate,
+           round(CAST(r AS DOUBLE) / CAST(sr AS DOUBLE), 6) AS target_weight
+    FROM per CROSS JOIN anchor CROSS JOIN srtot
+),
+kept AS (
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(d.n_tok) AS BIGINT) AS kept_tokens
+    FROM t d JOIN thr USING (source)
+    WHERE thr.keep_rate >= 1.0
+       OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+          < lpad(lower(to_hex(CAST(floor(thr.keep_rate * 4294967296.0)
+                                   AS BIGINT))), 8, '0')
+    GROUP BY d.source
+),
+tot AS (SELECT CAST(SUM(kept_tokens) AS BIGINT) AS total_kept FROM kept)
+SELECT thr.source, thr.n_docs, thr.n_tokens,
+       round(thr.keep_rate, 6) AS keep_rate,
+       thr.target_weight,
+       COALESCE(kept.n_docs_kept, 0) AS n_docs_kept,
+       COALESCE(kept.kept_tokens, 0) AS kept_tokens,
+       round(CAST(COALESCE(kept.kept_tokens, 0) AS DOUBLE) / total_kept, 6)
+           AS achieved_share
+FROM thr LEFT JOIN kept USING (source) CROSS JOIN tot ORDER BY source
+"""
+
+
+@register(
+    "mixture_downsample_plan",
+    _DS_SQL,
+    "realize the alpha=0.7 mixture by deterministic md5-threshold downsampling",
+)
+def q_mixture_downsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn ``domain_mixture_weights`` into an executable sampling plan:
+    the maximum-data downsample-only realization keeps EVERY doc of the
+    most-upsampled source m (the argmin of tok^0.3 = tok/r) and keeps
+    source i with probability ``(r_i * tok_m) / (r_m * tok_i)`` — the
+    global totals cancel algebraically, so each rate is three IEEE
+    double ops over exact integer/DECIMAL inputs and therefore
+    bit-identical in any engine (no order-dependent float sums).
+
+    The doc decision is a deterministic uniform draw replayable at any
+    scale and on any engine: the first 8 hex chars of md5(doc_id)
+    compared lexicographically (== numerically, fixed-width lowercase
+    hex) against the rate mapped to a 32-bit threshold.  A re-run, a
+    backfill, or a second engine keeps EXACTLY the same documents — the
+    property a 100 TB mixture job needs for reproducible epochs.
+
+    Scale shape: two corpus scans (stat pass, decision pass) and NO
+    doc-level shuffle — the per-source threshold table (a handful of
+    rows) broadcasts onto the scan, the decision filters in place, and
+    only per-source aggregates move.  The three crossJoins each
+    broadcast a <=1-row frame (the pinned scalar-subquery idiom)."""
+    from datalakehouse_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    per = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.pow(F.sum("n_tok"), F.lit(0.7)), 12)
+        .cast("decimal(28,12)")
+        .alias("r"),
+    )
+    anchor = (
+        per.select(
+            F.col("n_tokens").alias("tok_m"),
+            F.col("r").alias("r_m"),
+            (F.col("n_tokens").cast("double") / F.col("r").cast("double")).alias(
+                "__ratio"
+            ),
+            "source",
+        )
+        .orderBy("__ratio", "source")
+        .limit(1)
+        .select("tok_m", "r_m")
+    )
+    srtot = per.agg(F.sum("r").alias("sr"))
+    keep_rate = (F.col("r").cast("double") * F.col("tok_m").cast("double")) / (
+        F.col("r_m").cast("double") * F.col("n_tokens").cast("double")
+    )
+    thr = (
+        per.crossJoin(F.broadcast(anchor))
+        .crossJoin(F.broadcast(srtot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            keep_rate.alias("keep_rate"),
+            F.round(F.col("r").cast("double") / F.col("sr").cast("double"), 6).alias(
+                "target_weight"
+            ),
+        )
+    )
+    thr_hex = F.lpad(
+        F.lower(
+            F.hex(F.floor(F.col("keep_rate") * F.lit(4294967296.0)).cast("bigint"))
+        ),
+        8,
+        "0",
+    )
+    kept = (
+        t.join(F.broadcast(thr.select("source", "keep_rate")), "source")
+        .where(
+            (F.col("keep_rate") >= 1.0)
+            | (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thr_hex)
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+    )
+    tot = kept.agg(F.sum("kept_tokens").alias("total_kept"))
+    return (
+        thr.join(kept, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            "target_weight",
+            F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            F.round(
+                F.coalesce("kept_tokens", F.lit(0)).cast("double")
+                / F.col("total_kept"),
+                6,
+            ).alias("achieved_share"),
         )
         .orderBy("source")
     )

@@ -1,0 +1,54 @@
+"""Invariants for the mixture operators (registry_ext6).
+
+The DuckDB oracle sweep pins cross-engine bit-exactness; these tests
+pin the SEMANTIC contract of the downsample plan — the properties a
+training-data job relies on that a value-hash can't express.
+"""
+
+import math
+
+from datalakehouse_spark.registry import REGISTRY, _load_extensions
+
+_load_extensions()
+
+_ALPHA = 0.7
+
+
+def _rows(spark, sf):
+    df = REGISTRY["mixture_downsample_plan"].fn(spark, sf)
+    return {r["source"]: r.asDict() for r in df.collect()}
+
+
+def test_downsample_anchor_keeps_everything(spark, sf_small):
+    rows = _rows(spark, sf_small)
+    anchors = [r for r in rows.values() if r["keep_rate"] == 1.0]
+    assert len(anchors) == 1, "exactly one most-upsampled anchor source"
+    a = anchors[0]
+    assert a["n_docs_kept"] == a["n_docs"]
+    assert a["kept_tokens"] == a["n_tokens"]
+
+
+def test_downsample_rates_realize_the_mixture(spark, sf_small):
+    """keep_rate_i == (r_i * tok_m) / (r_m * tok_i): after downsampling,
+    expected token mass is proportional to tok^alpha — the smoothed
+    mixture — and every rate stays in (0, 1]."""
+    rows = _rows(spark, sf_small)
+    m = min(rows.values(), key=lambda r: r["n_tokens"] / r["n_tokens"] ** _ALPHA)
+    for r in rows.values():
+        assert 0.0 < r["keep_rate"] <= 1.0
+        expected = (r["n_tokens"] ** _ALPHA * m["n_tokens"]) / (
+            m["n_tokens"] ** _ALPHA * r["n_tokens"]
+        )
+        assert math.isclose(r["keep_rate"], expected, rel_tol=1e-5)
+
+
+def test_downsample_is_deterministic_and_close_to_target(spark, sf_small):
+    first = _rows(spark, sf_small)
+    second = _rows(spark, sf_small)
+    assert first == second, "replayed plan must keep exactly the same docs"
+    # achieved shares sum to 1 and track targets within small-sample noise
+    assert math.isclose(sum(r["achieved_share"] for r in first.values()), 1.0, abs_tol=2e-5)
+    for r in first.values():
+        assert abs(r["achieved_share"] - r["target_weight"]) < 0.02
+        assert r["n_docs_kept"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["n_tokens"]
