@@ -703,6 +703,7 @@ _DRIVER_PRIORITY = [
     "dup_span_coverage",
     "domain_mixture_weights",
     "mixture_downsample_plan",
+    "split_leakage_audit",
     "max_concurrency",
     "ingest_drift_psi",
     "decontamination_report",

@@ -18,6 +18,12 @@
   Bernoulli plan — per-source keep rates, md5-threshold doc decisions,
   and the achieved token shares, all engine-portable and replayable.
 
+- **Split leakage audit** (``split_leakage_audit``): the
+  eval-contamination gate, run against the SAME deterministic 80/10/10
+  hash split ``dataset_split_counts`` (registry_ext2) defines — exact
+  normalized dups and shared 16-token prefixes (boilerplate)
+  straddling splits, per-split counts and rates.
+
 All are pure lazy plans (no eager builds), all oracle-checked, and
 all follow the house scale shapes: the span pass is
 explode -> distinct -> digest-keyed equi-join (never pair space), the
@@ -365,4 +371,139 @@ def q_mixture_downsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("achieved_share"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_audit: train/test contamination via shared content
+# ---------------------------------------------------------------------------
+
+_NORM6 = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+# the audited split IS the one ``dataset_split_counts``
+# (registry_ext2.py) defines: md5_hash60(source:doc_id) % 100 into
+# 80/10/10 — same hash, same buckets, so this entry is the
+# contamination gate for that entry's assignment, not a second split
+_BUCKET6 = (
+    "('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 100"
+)
+
+_LEAK_CASE = f"""CASE
+    WHEN {_BUCKET6} < 80 THEN 'train'
+    WHEN {_BUCKET6} < 90 THEN 'val'
+    ELSE 'test' END"""
+
+_LEAK_PREFIX_K = 16  # shared-prefix window (boilerplate/header class)
+
+_LEAK_SQL = f"""
+WITH s AS (
+    SELECT doc_id,
+           md5({_NORM6}) AS dg_exact,
+           md5(array_to_string(list_slice({_TOKS}, 1, {_LEAK_PREFIX_K}), ' '))
+               AS dg_prefix,
+           {_LEAK_CASE} AS split
+    FROM documents
+),
+ge AS (SELECT dg_exact, COUNT(DISTINCT split) AS ns FROM s GROUP BY dg_exact),
+gp AS (SELECT dg_prefix, COUNT(DISTINCT split) AS ns FROM s GROUP BY dg_prefix),
+j AS (
+    SELECT s.split, s.dg_prefix,
+           ge.ns >= 2 AS leak_exact, gp.ns >= 2 AS leak_prefix
+    FROM s JOIN ge USING (dg_exact) JOIN gp USING (dg_prefix)
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN leak_exact THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaked_exact,
+       CAST(SUM(CASE WHEN leak_prefix THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaked_prefix,
+       CAST(COUNT(DISTINCT CASE WHEN leak_prefix THEN dg_prefix END) AS BIGINT)
+           AS n_prefix_groups,
+       round(CAST(SUM(CASE WHEN leak_prefix THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS prefix_leak_rate
+FROM j GROUP BY split ORDER BY split
+"""
+
+
+def _leak_split_col() -> "F.Column":
+    """The dataset_split_counts assignment, verbatim (registry_ext2
+    `_sample_bucket`): 60-bit md5 of source:doc_id into 80/10/10."""
+    from datalakehouse_spark.operators.dedup import md5_hash60
+
+    bucket = md5_hash60(
+        F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))
+    ) % 100
+    return (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+
+
+@register(
+    "split_leakage_audit",
+    _LEAK_SQL,
+    "cross-split contamination audit: exact dups + shared prefixes",
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval-contamination audit every split must pass BEFORE
+    training, run against the SAME 80/10/10 hash assignment
+    ``dataset_split_counts`` defines: two leakage classes, (a) EXACT —
+    documents whose normalized full-text digest appears in more than
+    one split (a hash-of-id split scatters surviving duplicate groups
+    independently, so any dup group has a ~34% chance of straddling at
+    80/10/10 — dedup-then-split or this audit is mandatory), and (b)
+    PREFIX — documents sharing their first 16 normalized tokens across
+    splits (the boilerplate/header class that survives exact dedup but
+    still telegraphs eval content).  Reports, per split: total docs,
+    docs in exact-straddling groups, docs in prefix-straddling groups,
+    distinct straddling prefixes, and the prefix leak rate.
+
+    Scale shape: one scan to (dg_exact, dg_prefix, split), two
+    digest-keyed hash aggregates (the dedup_exact shuffle, twice), two
+    digest equi-joins back, one tiny (3-group) final aggregate.  Never
+    pair space, no window; swapping a digest for a MinHash cluster id
+    (operators/dedup.py) extends the same pass to near-dup leakage."""
+    from datalakehouse_spark.operators.dedup import normalize_text
+    from datalakehouse_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        F.md5(normalize_text("text")).alias("dg_exact"),
+        F.md5(
+            F.array_join(F.slice(tokens("text"), 1, _LEAK_PREFIX_K), " ")
+        ).alias("dg_prefix"),
+        _leak_split_col().alias("split"),
+    )
+    ge = s.groupBy("dg_exact").agg(F.countDistinct("split").alias("ns_e"))
+    gp = s.groupBy("dg_prefix").agg(F.countDistinct("split").alias("ns_p"))
+    j = (
+        s.join(ge, "dg_exact")
+        .join(gp, "dg_prefix")
+        .select(
+            "split",
+            "dg_prefix",
+            (F.col("ns_e") >= 2).alias("leak_exact"),
+            (F.col("ns_p") >= 2).alias("leak_prefix"),
+        )
+    )
+    return (
+        j.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("leak_exact"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked_exact"),
+            F.sum(F.when(F.col("leak_prefix"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked_prefix"),
+            F.countDistinct(F.when(F.col("leak_prefix"), F.col("dg_prefix"))).alias(
+                "n_prefix_groups"
+            ),
+            F.round(
+                F.sum(F.when(F.col("leak_prefix"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("prefix_leak_rate"),
+        )
+        .orderBy("split")
     )

@@ -52,3 +52,33 @@ def test_downsample_is_deterministic_and_close_to_target(spark, sf_small):
         assert abs(r["achieved_share"] - r["target_weight"]) < 0.02
         assert r["n_docs_kept"] <= r["n_docs"]
         assert r["kept_tokens"] <= r["n_tokens"]
+
+
+def test_split_leakage_audit_accounting(spark, sf_small):
+    from datalakehouse_spark.io import load_table
+
+    rows = {r["split"]: r for r in REGISTRY["split_leakage_audit"].fn(spark, sf_small).collect()}
+    n_docs = load_table(spark, sf_small, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    for r in rows.values():
+        assert 0 <= r["n_leaked_exact"] <= r["n_docs"]
+        assert 0 <= r["n_leaked_prefix"] <= r["n_docs"]
+        assert r["prefix_leak_rate"] <= 1.0
+    # each straddling prefix group has >= 2 docs spread over >= 2 splits,
+    # so globally docs-in-groups >= 2x any one split's group count
+    total_prefix_docs = sum(r["n_leaked_prefix"] for r in rows.values())
+    max_groups = max(r["n_prefix_groups"] for r in rows.values())
+    if max_groups:
+        assert total_prefix_docs >= 2 * max_groups
+
+
+def test_split_leakage_audits_the_dataset_split(spark, sf_small):
+    """The audited assignment must be IDENTICAL to the one
+    dataset_split_counts reports — same hash, same buckets — so the
+    audit gates that entry's split rather than inventing a second one."""
+    leak = {r["split"]: r["n_docs"] for r in REGISTRY["split_leakage_audit"].fn(spark, sf_small).collect()}
+    counts = REGISTRY["dataset_split_counts"].fn(spark, sf_small).collect()
+    per_split = {}
+    for r in counts:
+        per_split[r["split"]] = per_split.get(r["split"], 0) + r["n_docs"]
+    assert leak == per_split

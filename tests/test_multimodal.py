@@ -102,3 +102,105 @@ def test_real_decode_golden_when_pil_present(spark):
     assert (row.width, row.height) == (2, 2)
     assert row.mean_luma == pytest.approx(0.5)
     assert row.n_bytes == len(payload)
+
+
+def test_wav_kernel_roundtrip_and_formats():
+    """The stdlib WAV codec: encode→decode round trip with known RMS
+    (a full-scale sine has rms 1/sqrt(2)), plus the non-16-bit sample
+    formats assembled by hand."""
+    import math
+    import struct
+
+    from datalakehouse_spark.functions.wav import (
+        WavError,
+        encode_wav,
+        wav_pcm_stats,
+    )
+
+    n = 16000
+    sine = [math.sin(2 * math.pi * 440 * i / n) for i in range(n)]
+    payload = encode_wav(sine, sample_rate=n)
+    rate, n_ch, frames, dur, rms, peak = wav_pcm_stats(payload)
+    assert (rate, n_ch, frames) == (n, 1, n)
+    assert dur == pytest.approx(1000.0)
+    assert rms == pytest.approx(1 / math.sqrt(2), rel=1e-3)
+    assert peak == pytest.approx(1.0, rel=1e-3)
+
+    # stereo framing: frames = samples / channels
+    stereo = encode_wav([0.5, -0.5] * 100, sample_rate=8000, n_channels=2)
+    rate, n_ch, frames, dur, rms, peak = wav_pcm_stats(stereo)
+    assert (n_ch, frames) == (2, 100)
+    assert rms == pytest.approx(0.5, rel=1e-3)
+
+    # 32-bit IEEE float fmt (tag 3), hand-assembled
+    vals = struct.pack("<4f", 1.0, -1.0, 0.0, 0.0)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(vals)) + vals
+    )
+    f32 = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, n_ch, frames, dur, rms, peak = wav_pcm_stats(f32)
+    assert frames == 4 and peak == 1.0
+    assert rms == pytest.approx(math.sqrt(0.5))
+
+    # 8-bit unsigned: 128 is zero-centered silence
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body8 = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", 4) + bytes([128, 128, 128, 128])
+    )
+    w8 = b"RIFF" + struct.pack("<I", len(body8)) + body8
+    assert wav_pcm_stats(w8)[4] == 0.0
+
+    # compressed tags rejected loudly (honest probe)
+    fmt_mulaw = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    bodym = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt_mulaw)) + fmt_mulaw
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    mulaw = b"RIFF" + struct.pack("<I", len(bodym)) + bodym
+    with pytest.raises(WavError):
+        wav_pcm_stats(mulaw)
+
+
+def test_decode_audio_probe_contract():
+    """Non-RIFF payloads say 'needs a codec library'; RIFF-but-broken
+    payloads raise the parse error itself."""
+    from datalakehouse_spark.operators.multimodal import decode_audio
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\xff\xfb mp3-ish bytes")
+
+
+def test_real_audio_kernel_end_to_end(spark):
+    """extract_audio_features over mapInPandas: generated WAVs flow
+    through with exact stats; a corrupt payload degrades to a
+    zero-frame row with NULL rms instead of failing the batch."""
+    import math
+
+    from datalakehouse_spark.functions.wav import encode_wav
+    from datalakehouse_spark.operators.multimodal import extract_audio_features
+
+    tone = encode_wav(
+        [math.sin(2 * math.pi * 220 * i / 8000) for i in range(4000)],
+        sample_rate=8000,
+    )
+    silence = encode_wav([0.0] * 800, sample_rate=8000)
+    assets = spark.createDataFrame(
+        [
+            (1, "audio", tone),
+            (2, "audio", silence),
+            (3, "audio", b"corrupt \x00 bytes"),
+        ],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = {r.asset_id: r for r in extract_audio_features(assets).collect()}
+    assert rows[1].sample_rate == 8000
+    assert rows[1].n_frames == 4000
+    assert rows[1].duration_ms == pytest.approx(500.0)
+    assert rows[1].rms == pytest.approx(1 / math.sqrt(2), rel=1e-3)
+    assert rows[2].rms == 0.0 and rows[2].peak == 0.0
+    assert rows[3].n_frames == 0
+    assert rows[3].rms is None or math.isnan(rows[3].rms)
+    assert rows[3].n_bytes == len(b"corrupt \x00 bytes")
