@@ -243,7 +243,8 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanned and re-bucketed orders, then joined; 2.4 s → sub-second
     target).  ``cache=True`` checkpoints the bucketed frame so the
     window and bucket-count branches share one materialization (freed
-    automatically with the result)."""
+    automatically with the result; A/B-measured faster than recompute
+    when the full output flows through both window sorts)."""
     from datalakehouse_spark.operators.ranking import (
         ntile_from_rank,
         percent_rank_from_rank,

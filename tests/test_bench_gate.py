@@ -5,7 +5,7 @@ factor, new entries exempt."""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import find_regressions
+from bench import find_regressions, machine_factor
 
 
 BASE = {"sf": 0.1, "queries": {"fast": 0.1, "slow": 2.0, "mid": 0.4}}
@@ -20,7 +20,34 @@ def test_flags_only_double_and_half_second():
     }
     got = find_regressions(timings, BASE, 0.1)
     assert set(got) == {"slow", "mid"}
-    assert got["slow"] == {"ref": 2.0, "now": 4.6}
+    assert got["slow"] == {"ref": 2.0, "now": 4.6, "calib": 1.0}
+
+
+def test_machine_factor_calibrates_uniformly_slow_host():
+    """A host running the whole fleet 1.5x slower must not flag
+    unchanged entries, but a genuine 4x outlier on that host still
+    trips the calibrated gate."""
+    refs = {f"e{i}": 1.0 for i in range(30)}
+    base = {"sf": 0.1, "queries": refs}
+    uniform = {n: 1.5 for n in refs}
+    assert machine_factor(uniform, refs) == 1.5
+    # every entry is 1.5x = 0.75x the calibrated gate -> clean
+    assert find_regressions(uniform, base, 0.1) == {}
+    # one real regression on the slow host: 4x raw = 2.7x calibrated
+    outlier = dict(uniform, e0=4.0)
+    got = find_regressions(outlier, base, 0.1)
+    assert set(got) == {"e0"}
+    assert got["e0"]["calib"] == 1.5
+
+
+def test_machine_factor_never_loosens_on_fast_host_or_thin_data():
+    refs = {f"e{i}": 1.0 for i in range(30)}
+    fast = {n: 0.5 for n in refs}
+    assert machine_factor(fast, refs) == 1.0  # clamped: gate stays raw
+    assert machine_factor({"a": 9.0}, {"a": 1.0}) == 1.0  # <20 entries
+    # near-zero references don't vote (codegen jitter)
+    tiny = {f"t{i}": 0.04 for i in range(40)}
+    assert machine_factor({n: 0.4 for n in tiny}, tiny) == 1.0
 
 
 def test_clean_run_is_empty():
