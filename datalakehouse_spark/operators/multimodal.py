@@ -11,8 +11,11 @@ when importable (the fast C path), else the pure-stdlib PNG decoder
 runs on any executor's bare CPython.  The audio path is likewise REAL
 for WAV/PCM payloads (functions/wav.py: struct-only RIFF parse,
 8/16/24/32-bit int + 32/64-bit float, EXTENSIBLE) via
-``extract_audio_features``.  Non-PNG image formats without Pillow,
-compressed audio, and the video kernels remain honestly probe-guarded
+``extract_audio_features``, and the video path for AVI/BI_RGB payloads
+(functions/avi.py: RIFF chunk tree, DIB frames normalized to top-down
+RGB24) via ``decode_video`` / ``sample_frames(fake=False)``.  Non-PNG
+image formats without Pillow, compressed audio, and compressed video
+remain honestly probe-guarded
 (NotImplementedError); ``fake=True`` keeps the deterministic
 hash-derived decoder that exercises the full Spark-side plumbing —
 schema, batch iteration, partition sizing — independent of any codec.
@@ -300,6 +303,81 @@ def extract_audio_features(
     return df.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
+VIDEO_STATS_SCHEMA = (
+    "asset_id long, media_type string, n_bytes int, sha256 string, "
+    "width int, height int, fps double, n_frames int, duration_ms double"
+)
+
+
+def decode_video(payload: bytes) -> tuple[int, int, float, int, float]:
+    """REAL video decode kernel (metadata pass): ``(width, height, fps,
+    n_frames, duration_ms)`` of an AVI payload — pure stdlib
+    (functions/avi.py), so it runs on any executor.  Non-AVI containers
+    (mp4/mkv/webm...) raise NotImplementedError (the honest probe
+    contract: a real deployment adds ffmpeg; this container has none)."""
+    from datalakehouse_spark.functions.avi import AviError, avi_video_stats
+
+    try:
+        return avi_video_stats(payload)
+    except AviError as exc:
+        if payload[:4] != b"RIFF":
+            raise NotImplementedError(
+                "non-AVI video decode (mp4/mkv/webm/...) needs ffmpeg; "
+                "the stdlib kernel handles RIFF AVI only"
+            ) from exc
+        raise
+
+
+def extract_video_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    max_records_per_batch: int = 256,
+) -> DataFrame:
+    """Video metadata pass over a media table via mapInPandas — the REAL
+    AVI kernel (stdlib, every container), same batching contract as
+    ``extract_features``.  Undecodable payloads degrade to zero-frame
+    rows with NULL fps/duration instead of failing the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        from datalakehouse_spark.functions.avi import avi_video_stats
+
+        def _chunks(frames):
+            for big in frames:
+                for s in range(0, max(len(big), 1), max_records_per_batch):
+                    yield big.iloc[s : s + max_records_per_batch]
+
+        for pdf in _chunks(it):
+            cols: dict = {
+                "n_bytes": [], "sha256": [], "width": [], "height": [],
+                "fps": [], "n_frames": [], "duration_ms": [],
+            }
+            for payload in pdf[payload_col]:
+                data = payload or b""
+                cols["sha256"].append(_hl.sha256(data).hexdigest())
+                cols["n_bytes"].append(len(data))
+                try:
+                    w, h, fps, n, dur = avi_video_stats(data)
+                except Exception:
+                    w = h = n = 0
+                    fps = dur = float("nan")
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["fps"].append(fps)
+                cols["n_frames"].append(n)
+                cols["duration_ms"].append(dur)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    **cols,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=VIDEO_STATS_SCHEMA)
+
+
 FRAME_SCHEMA = "asset_id long, frame_idx int, frame_md5 string"
 
 
@@ -312,16 +390,22 @@ def sample_frames(
 ) -> DataFrame:
     """Frame-sampling pass: one asset row fans out to one row per
     sampled frame (every ``stride``-th), the 1->N mapInPandas shape a
-    video pipeline uses.  The decoder is the deterministic fake (frame
-    count and per-frame fingerprint derived from the payload hash);
-    a real deployment swaps in ffmpeg keyframe extraction — the Spark
-    contract (Arrow batch iteration, fan-out schema, no driver
-    traffic) is identical."""
-    if not fake:
-        raise NotImplementedError(
-            "video decode libraries are not available in this container; "
-            "call with fake=True to exercise the pipeline"
-        )
+    video pipeline uses.
+
+    ``fake=False`` runs the REAL kernel (functions/avi.py): each
+    sampled AVI/BI_RGB frame is normalized to top-down RGB24 and
+    fingerprinted with md5 — the frame-level dedup key — so two writers
+    encoding the same pixels at different bpp/row order fingerprint
+    identically.  Undecodable or compressed payloads contribute ZERO
+    rows (a corrupt object must not kill a 100 TB pass; count them via
+    ``extract_video_features`` where they surface as zero-frame rows).
+    A real deployment swaps in ffmpeg keyframe extraction for
+    compressed codecs — the Spark contract (Arrow batch iteration,
+    fan-out schema, no driver traffic) is identical.
+
+    ``fake=True`` keeps the deterministic hash-derived decoder (frame
+    count and fingerprints from the payload hash) for codec-independent
+    plumbing tests."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -331,15 +415,27 @@ def sample_frames(
                 for s in range(0, max(len(big), 1), max_records_per_batch):
                     yield big.iloc[s : s + max_records_per_batch]
 
+        if not fake:
+            from datalakehouse_spark.functions.avi import avi_iter_frames
+
         for pdf in _chunks(it):
             ids, idxs, fps = [], [], []
             for asset_id, payload in zip(pdf["asset_id"], pdf[payload_col]):
-                sha = hashlib.sha256(payload or b"").hexdigest()
-                n_frames = 1 + int(sha[2:4], 16) % 32
-                for i in range(0, n_frames, stride):
-                    ids.append(asset_id)
-                    idxs.append(i)
-                    fps.append(hashlib.md5(f"{sha}:{i}".encode()).hexdigest())
+                if fake:
+                    sha = hashlib.sha256(payload or b"").hexdigest()
+                    n_frames = 1 + int(sha[2:4], 16) % 32
+                    for i in range(0, n_frames, stride):
+                        ids.append(asset_id)
+                        idxs.append(i)
+                        fps.append(hashlib.md5(f"{sha}:{i}".encode()).hexdigest())
+                    continue
+                try:
+                    for i, rgb in avi_iter_frames(payload or b"", stride):
+                        ids.append(asset_id)
+                        idxs.append(i)
+                        fps.append(hashlib.md5(rgb).hexdigest())
+                except Exception:
+                    pass  # undecodable asset -> zero rows, pass survives
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_md5": fps})
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)

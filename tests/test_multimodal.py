@@ -204,3 +204,88 @@ def test_real_audio_kernel_end_to_end(spark):
     assert rows[3].n_frames == 0
     assert rows[3].rms is None or math.isnan(rows[3].rms)
     assert rows[3].n_bytes == len(b"corrupt \x00 bytes")
+
+
+def test_avi_kernel_roundtrip_and_normalization():
+    """The stdlib AVI codec: the encoder writes bottom-up BGR DIB rows
+    with 4-byte padding, the decoder must return top-down unpadded
+    RGB24 — a round trip proves the normalization, and stats count the
+    real movi chunks."""
+    from datalakehouse_spark.functions.avi import (
+        AviError,
+        avi_iter_frames,
+        avi_video_stats,
+        encode_avi,
+    )
+
+    # width 5 -> stride 15 pads to 16: the padding path is exercised
+    frames = [bytes((k * 37 + i) % 256 for i in range(5 * 3 * 3)) for k in range(4)]
+    payload = encode_avi(frames, 5, 3, fps=8)
+    assert avi_video_stats(payload) == (5, 3, 8.0, 4, 500.0)
+    decoded = list(avi_iter_frames(payload, stride=1))
+    assert [i for i, _ in decoded] == [0, 1, 2, 3]
+    assert all(decoded[k][1] == frames[k] for k in range(4))
+    # stride sampling picks every stride-th frame, bytes intact
+    sampled = list(avi_iter_frames(payload, stride=3))
+    assert [i for i, _ in sampled] == [0, 3]
+    assert sampled[1][1] == frames[3]
+
+    with pytest.raises(AviError):
+        avi_video_stats(b"not an avi")
+
+    # compressed fourcc: stats fine (metadata pass), frames rejected
+    import struct
+
+    strf_at = payload.find(struct.pack("<Ii", 40, 5))
+    compressed = (
+        payload[: strf_at + 16]
+        + struct.pack("<I", 0x34363248)  # 'H264'
+        + payload[strf_at + 20 :]
+    )
+    assert avi_video_stats(compressed)[3] == 4
+    with pytest.raises(AviError, match="codec"):
+        list(avi_iter_frames(compressed))
+
+
+def test_decode_video_probe_contract():
+    """Non-RIFF containers say 'needs ffmpeg'; RIFF-but-broken payloads
+    raise the parse error itself."""
+    from datalakehouse_spark.operators.multimodal import decode_video
+
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x20ftypisom mp4-ish bytes")
+
+
+def test_real_video_kernel_end_to_end(spark):
+    """sample_frames(fake=False) + extract_video_features over
+    mapInPandas: a generated AVI fans out to per-frame md5 rows that
+    match a local decode; corrupt payloads contribute zero frame rows
+    but still surface (zero-frame, NaN fps) in the stats pass."""
+    import hashlib
+    import math
+
+    from datalakehouse_spark.functions.avi import avi_iter_frames, encode_avi
+    from datalakehouse_spark.operators.multimodal import (
+        extract_video_features,
+        sample_frames,
+    )
+
+    frames = [bytes((k * 11 + i) % 256 for i in range(4 * 2 * 3)) for k in range(6)]
+    payload = encode_avi(frames, 4, 2, fps=12)
+    expected = {
+        i: hashlib.md5(rgb).hexdigest() for i, rgb in avi_iter_frames(payload, 2)
+    }
+    assets = spark.createDataFrame(
+        [(1, "video", payload), (2, "video", b"corrupt \x00 bytes")],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = sample_frames(assets, stride=2, fake=False).collect()
+    assert {r.asset_id for r in out} == {1}
+    assert {r.frame_idx: r.frame_md5 for r in out} == expected
+
+    stats = {r.asset_id: r for r in extract_video_features(assets).collect()}
+    assert (stats[1].width, stats[1].height, stats[1].n_frames) == (4, 2, 6)
+    assert stats[1].fps == pytest.approx(12.0)
+    assert stats[1].duration_ms == pytest.approx(500.0)
+    assert stats[2].n_frames == 0
+    assert stats[2].fps is None or math.isnan(stats[2].fps)
