@@ -704,6 +704,7 @@ _DRIVER_PRIORITY = [
     "domain_mixture_weights",
     "mixture_downsample_plan",
     "split_leakage_audit",
+    "near_dup_decontamination",
     "max_concurrency",
     "ingest_drift_psi",
     "decontamination_report",

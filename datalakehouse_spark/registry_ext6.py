@@ -507,3 +507,145 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# near_dup_decontamination: MinHash-LSH contamination vs the bench split
+# ---------------------------------------------------------------------------
+
+_NEAR_DECON_T = 0.5  # exact-Jaccard verify threshold (gate, so < dedup's 0.6)
+
+
+def _near_dup_decon_sql() -> str:
+    """DuckDB twin: the shared minhash core (registry_ext), bands
+    split into bench (doc_id % 50 = 0, decontamination_report's split)
+    vs train, band-key equi-join for candidates, exact shingle Jaccard
+    to verify, per-source accounting."""
+    import datalakehouse_spark.operators.dedup as D
+    from datalakehouse_spark.registry_ext import _minhash_sql_core
+
+    n_bands = D.N_PERM_DEFAULT // D.BAND_SIZE_DEFAULT
+    band_selects = []
+    for bnd in range(n_bands):
+        cols = ", ".join(
+            f"mh{bnd * D.BAND_SIZE_DEFAULT + j}" for j in range(D.BAND_SIZE_DEFAULT)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band, concat_ws('_', {cols}) AS key FROM sig"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return _minhash_sql_core() + f""",
+bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+    WHERE l.doc_id % 50 <> 0 AND r.doc_id % 50 = 0
+),
+jac AS (
+    SELECT c.id_a,
+           len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+           / greatest(len(sa.sh) + len(sb.sh)
+                      - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))), 1)
+               AS jaccard
+    FROM cand c JOIN s sa ON sa.doc_id = c.id_a JOIN s sb ON sb.doc_id = c.id_b
+),
+flagged AS (SELECT DISTINCT id_a AS doc_id FROM jac WHERE jaccard >= {_NEAR_DECON_T}),
+train AS (SELECT doc_id, source FROM documents WHERE doc_id % 50 <> 0)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_near_contaminated,
+       round(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS near_rate
+FROM train LEFT JOIN flagged f USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "near_dup_decontamination",
+    _near_dup_decon_sql(),
+    "near-dup contamination: train docs MinHash-similar to the eval split",
+)
+def q_near_dup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-duplicate tier of benchmark decontamination: exact
+    n-gram overlap (``decontamination_report``) misses eval documents
+    that were lightly paraphrased or re-wrapped before landing in the
+    training crawl, so the gate is re-run at the MinHash-LSH tier —
+    training docs sharing any LSH band with a benchmark doc
+    (doc_id % 50 == 0, the SAME split decontamination_report checks)
+    are candidates, verified by exact shingle Jaccard >= 0.5 (looser
+    than dedup's 0.6: a contamination gate prefers false positives to
+    leaked eval data).  Reports per training source: docs, verified
+    near-dup-contaminated docs, rate.
+
+    Scale shape: the corpus pays ONE signature pass (the shared
+    explode -> md5 -> K partial-MIN aggregate of
+    ``minhash_signatures_df``); the bench side's band keys are tiny
+    (eval suites are small by definition) and BROADCAST, so candidate
+    generation never shuffles the corpus — same posture as
+    ``decontaminate``'s broadcast of bench n-grams.  Verification
+    joins shingle sets only for candidate (train, bench) pairs —
+    collision-bounded, never pair space."""
+    import datalakehouse_spark.operators.dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    sigs = D.minhash_signatures_df(docs)
+    band_size = D.BAND_SIZE_DEFAULT
+    n_bands = D.N_PERM_DEFAULT // band_size
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{b * band_size + j}")
+                                for j in range(band_size)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    bench_bands = (
+        bands.where(is_bench)
+        .select(F.col("doc_id").alias("id_b"), "band", "key")
+        .distinct()
+    )
+    cand = (
+        bands.where(~is_bench)
+        .join(F.broadcast(bench_bands), ["band", "key"])
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    flagged = (
+        D.jaccard_pairs(docs, cand)
+        .where(F.col("jaccard") >= _NEAR_DECON_T)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("near_contaminated", F.lit(True))
+    )
+    return (
+        docs.where(~is_bench)
+        .select("doc_id", "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(
+                F.coalesce(F.col("near_contaminated"), F.lit(False)).cast("long")
+            ).alias("n_near_contaminated"),
+        )
+        .withColumn(
+            "near_rate",
+            F.round(F.col("n_near_contaminated") / F.col("n_train_docs"), 6),
+        )
+        .orderBy("source")
+    )
