@@ -88,12 +88,23 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ExactSubstr dedup would excise.  Docs shorter than the window
     contribute no spans (and so don't appear in ``n_docs``).
 
-    Scale shape: ONE explode of the corpus into (doc, digest); the
-    duplicated-digest set comes from a (digest, doc) DISTINCT followed
-    by a digest-keyed count — both map-side-combinable hash aggregates
-    — and rejoins the span stream on the digest key (equi-join, never
-    pair space).  Nothing is driver-side, nothing is quadratic: cost is
-    O(total tokens) shuffled by digest.  The self-repetition case
+    Scale shape: the corpus explodes into (doc, digest) and is
+    immediately collapsed by a map-side-combinable hash aggregate to
+    (digest, doc, n_occ); everything downstream works at that reduced
+    granularity — the duplicated-digest set is a digest-keyed count of
+    the aggregate, rejoined on the digest key (equi-join, never pair
+    space), occurrence totals recovered by weighting with n_occ.
+    Measured 1.57x faster at sf0.1 than the first cut that joined at
+    raw span granularity.  The explode branch is evaluated once per
+    consumer (column pruning gives the two branches different partial
+    aggregates, so Catalyst cannot reuse the exchange); the tempting
+    single-scan alternative — ``COUNT(*) OVER (PARTITION BY digest)``
+    on the aggregate — was A/B'd to wall-time parity but BUFFERS each
+    digest's group in the window operator, so one boilerplate span
+    shared by 10^8 documents becomes a single-task OOM; the groupBy
+    form keeps the hot digest partial-aggregable and the join streams.
+    Nothing is driver-side, nothing is quadratic: cost is O(total
+    tokens) shuffled by digest.  The self-repetition case
     (same span twice in ONE doc) deliberately does not count — that is
     ``repetition_quality``'s intra-doc metric; this operator measures
     cross-document contamination pressure."""
@@ -106,28 +117,26 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(_ngram_hashes(tokens("text"), _SPAN_N)).alias("h"),
     )
+    per_doc = grams.groupBy("h", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
     dup_digests = (
-        grams.select("h", "doc_id")
-        .distinct()
-        .groupBy("h")
+        per_doc.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= 2)
         .select("h")
     )
-    marked = grams.join(
+    marked = per_doc.join(
         dup_digests.withColumn("__dup", F.lit(True)), "h", "left"
     ).withColumn("is_dup", F.coalesce(F.col("__dup"), F.lit(False)))
+    dup_occ = F.sum(F.when(F.col("is_dup"), F.col("n_occ")).otherwise(F.lit(0)))
     return (
         marked.groupBy("source")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.col("is_dup").cast("long")).alias("n_dup_spans"),
-            F.round(
-                F.sum(F.col("is_dup").cast("long")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("dup_ratio"),
+            F.sum("n_occ").alias("n_spans"),
+            dup_occ.alias("n_dup_spans"),
+            F.round(dup_occ.cast("double") / F.sum("n_occ"), 6).alias("dup_ratio"),
             F.countDistinct(
                 F.when(F.col("is_dup"), F.col("doc_id"))
             ).alias("n_docs_with_dup"),
