@@ -705,6 +705,7 @@ _DRIVER_PRIORITY = [
     "mixture_downsample_plan",
     "split_leakage_audit",
     "near_dup_decontamination",
+    "dup_span_excision_stats",
     "max_concurrency",
     "ingest_drift_psi",
     "decontamination_report",

@@ -658,3 +658,130 @@ def q_near_dup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# dup_span_excision_stats: how many tokens ExactSubstr dedup would remove
+# ---------------------------------------------------------------------------
+
+_EXCISION_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+sp AS (
+    SELECT doc_id, source,
+           unnest([{{'i': i, 'h': md5(array_to_string(
+                        list_slice(toks, i, i + {_SPAN_N - 1}), ' '))}}
+                   FOR i IN range(1, greatest(len(toks) - {_SPAN_N - 1}, 0) + 1)])
+               AS s
+    FROM t
+),
+spans AS (SELECT doc_id, source, s.i AS i, s.h AS h FROM sp),
+dd AS (
+    SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h
+    ) WHERE nd >= 2
+),
+ds AS (SELECT doc_id, source, i FROM spans JOIN dd USING (h)),
+cov AS (
+    SELECT doc_id, source,
+           least({_SPAN_N},
+                 coalesce(lead(i) OVER (PARTITION BY doc_id ORDER BY i) - i,
+                          {_SPAN_N})) AS c
+    FROM ds
+),
+per_doc AS (SELECT doc_id, source, SUM(c) AS covered FROM cov GROUP BY doc_id, source),
+tot AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+    FROM t GROUP BY source
+)
+SELECT tot.source, n_docs, n_tokens,
+       CAST(coalesce(SUM(covered), 0) AS BIGINT) AS excised_tokens,
+       CAST(COUNT(per_doc.doc_id) AS BIGINT) AS n_docs_excised,
+       round(coalesce(SUM(covered), 0) / CAST(n_tokens AS DOUBLE), 6)
+           AS excise_ratio
+FROM tot LEFT JOIN per_doc USING (source)
+GROUP BY tot.source, n_docs, n_tokens
+ORDER BY source
+"""
+
+
+@register(
+    "dup_span_excision_stats",
+    _EXCISION_SQL,
+    "ExactSubstr excision accounting: tokens under cross-doc duplicated spans",
+)
+def q_dup_span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The excision pass ``dup_span_coverage`` is the go/no-go signal
+    for: per source, how many TOKENS fall under at least one cross-doc
+    duplicated {span} window — i.e. the mass ExactSubstr dedup (Lee et
+    al. 2022) would actually cut, which is less than n_dup_spans x 16
+    because overlapping duplicated windows share tokens.
+
+    The per-document interval union exploits the fixed window length:
+    with duplicated starts sorted, each start covers
+    ``min(16, next_start - start)`` NEW tokens (16 for the last) — a
+    lead() over a per-document window, no interval-merge loop.
+
+    Scale shape: the span stream carries positions, so the duplicated
+    -digest set (same digest-keyed aggregate as dup_span_coverage)
+    inner-joins it down to duplicated spans only; the union runs in a
+    window PARTITIONED BY doc (bounded by tokens-per-doc, never global)
+    and collapses immediately to one row per doc.  Token denominators
+    come from a separate column-pruned scan that never tokenizes into
+    spans.  Cost: O(total tokens) shuffled by digest + by doc."""
+    from datalakehouse_spark.operators.dedup import _ngram_hashes
+    from datalakehouse_spark.operators.textstats import tokens
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    spans = t.select(
+        "doc_id",
+        "source",
+        F.posexplode(_ngram_hashes(F.col("toks"), _SPAN_N)).alias("p", "h"),
+    )
+    dup = (
+        spans.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    per_doc = (
+        spans.join(dup, "h")
+        .withColumn(
+            "c",
+            F.least(
+                F.lit(_SPAN_N),
+                F.coalesce(F.lead("p").over(w) - F.col("p"), F.lit(_SPAN_N)),
+            ),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.sum("c").alias("covered"))
+    )
+    totals = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("n_tokens"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("covered").alias("excised_tokens"),
+        F.count(F.lit(1)).alias("n_docs_excised"),
+    )
+    return (
+        totals.join(agg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.coalesce(F.col("excised_tokens"), F.lit(0)).alias("excised_tokens"),
+            F.coalesce(F.col("n_docs_excised"), F.lit(0)).alias("n_docs_excised"),
+            F.round(
+                F.coalesce(F.col("excised_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("excise_ratio"),
+        )
+        .orderBy("source")
+    )
