@@ -706,6 +706,7 @@ _DRIVER_PRIORITY = [
     "split_leakage_audit",
     "near_dup_decontamination",
     "dup_span_excision_stats",
+    "bm25_topk",
     "max_concurrency",
     "ingest_drift_psi",
     "decontamination_report",

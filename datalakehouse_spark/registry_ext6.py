@@ -785,3 +785,107 @@ def q_dup_span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk: scored lexical retrieval (the text twin of the ANN entries)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "window", "hash")  # fixture-vocabulary query terms
+_BM25_K = 20
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+_BM25_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, avg(len(toks)) AS avgdl FROM t
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+    WHERE term IN ({_BM25_TERMS_SQL})
+    GROUP BY doc_id, term
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id,
+           SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)))
+               AS score,
+           CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+    FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 6) AS score, n_terms_hit
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT {_BM25_K}
+"""
+
+
+@register(
+    "bm25_topk",
+    _BM25_SQL,
+    "BM25 scored retrieval: top-k docs for a fixed query",
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, the Lucene idf form
+    ln((N-df+0.5)/(df+0.5)+1) so scores stay positive) for a fixed
+    query — the lexical-retrieval twin of the ANN entries, and with
+    ``knn_brute_force`` the two halves of a hybrid-retrieval stack.
+
+    Scale shape: the exploded token stream filters to the QUERY TERMS
+    before anything aggregates, so only matching postings ever shuffle
+    (a |q|-term query touches |q| posting lists, not the corpus
+    vocabulary); df and the (N, avgdl) scalars are tiny frames joined
+    by broadcast (the scalar crossJoin idiom); the per-(doc, term)
+    scores collapse doc-keyed and the final order is
+    TakeOrderedAndProject — never a global sort.  Ordering ties are
+    broken on the ROUNDED score then doc_id, so the top-k frontier is
+    engine-portable (raw IEEE sums may differ in the last ulp)."""
+    from datalakehouse_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("toks"))
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    stats = t.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(F.size("toks")).alias("avgdl"),
+    )
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .where(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(idf * (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / norm).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", F.round("score", 6).alias("score"), "n_terms_hit"
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_K)
+    )
