@@ -707,6 +707,7 @@ _DRIVER_PRIORITY = [
     "near_dup_decontamination",
     "dup_span_excision_stats",
     "bm25_topk",
+    "hybrid_rrf_fusion",
     "max_concurrency",
     "ingest_drift_psi",
     "decontamination_report",

@@ -798,7 +798,7 @@ _BM25_K = 20
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY)
 
-_BM25_SQL = f"""
+_BM25_CORE_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 dl AS (SELECT doc_id, len(toks) AS dl FROM t),
 stats AS (
@@ -821,7 +821,9 @@ scored AS (
            CAST(COUNT(*) AS BIGINT) AS n_terms_hit
     FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats
     GROUP BY tf.doc_id
-)
+)"""
+
+_BM25_SQL = f"""{_BM25_CORE_SQL}
 SELECT doc_id, round(score, 6) AS score, n_terms_hit
 FROM scored
 ORDER BY round(score, 6) DESC, doc_id
@@ -849,6 +851,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — never a global sort.  Ordering ties are
     broken on the ROUNDED score then doc_id, so the top-k frontier is
     engine-portable (raw IEEE sums may differ in the last ulp)."""
+    scored = _bm25_scored(spark, sf_dir)
+    return (
+        scored.select(
+            "doc_id", F.round("score", 6).alias("score"), "n_terms_hit"
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, n_terms_hit) for every document matching at
+    least one _BM25_QUERY term — the shared scoring core of
+    ``bm25_topk`` and ``hybrid_rrf_fusion``."""
     from datalakehouse_spark.operators.textstats import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -872,7 +888,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.col("tf") + F.lit(_BM25_K1) * (
         F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -882,10 +898,121 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid_rrf_fusion: reciprocal-rank fusion of the lexical + vector lists
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+_RRF_TOP = 50  # per-list candidate depth
+_RRF_OUT = 10
+
+
+def _rrf_sql() -> str:
+    from datalakehouse_spark.registry_ext import (
+        _DOT_COMPREHENSION,
+        _NORM_E,
+        _NORM_Q,
+    )
+
+    return f"""{_BM25_CORE_SQL},
+lex AS (
+    SELECT doc_id, round(score, 6) AS s FROM scored
+    ORDER BY round(score, 6) DESC, doc_id LIMIT {_RRF_TOP}
+),
+lexr AS (
+    SELECT doc_id AS item_id,
+           CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+               AS bm25_rank
+    FROM lex
+),
+knn AS (
+    SELECT e.vec_id,
+           round({_DOT_COMPREHENSION} / ({_NORM_E} * {_NORM_Q}), 9) AS cosine_sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine_sim DESC, e.vec_id ASC LIMIT {_RRF_TOP}
+),
+vecr AS (
+    SELECT vec_id AS item_id,
+           CAST(row_number() OVER (ORDER BY cosine_sim DESC, vec_id) AS BIGINT)
+               AS cos_rank
+    FROM knn
+),
+fused AS (
+    SELECT coalesce(l.item_id, v.item_id) AS item_id, l.bm25_rank, v.cos_rank
+    FROM lexr l FULL JOIN vecr v ON l.item_id = v.item_id
+)
+SELECT item_id,
+       round(coalesce(1.0 / ({_RRF_C} + bm25_rank), 0)
+             + coalesce(1.0 / ({_RRF_C} + cos_rank), 0), 9) AS rrf_score,
+       bm25_rank, cos_rank
+FROM fused
+ORDER BY rrf_score DESC, item_id
+LIMIT {_RRF_OUT}
+"""
+
+
+@register(
+    "hybrid_rrf_fusion",
+    _rrf_sql(),
+    "hybrid retrieval: reciprocal-rank fusion of BM25 + cosine top-k",
+)
+def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical (``bm25_topk``'s scoring
+    core, same fixed query) and vector (``knn_brute_force``'s cosine
+    vs the vec_id=0 query) candidate lists with reciprocal-rank fusion
+    — score(d) = sum over lists of 1/(60 + rank_d) — the standard
+    score-scale-free way to combine retrievers whose raw scores are
+    incomparable.  The fixtures key a document's embedding by the same
+    id (dense 0..N in both tables), so item_id joins the two lists.
+
+    Scale shape: each list is already a TakeOrderedAndProject top-50,
+    so the fusion operates on two k-row frames — the full outer join
+    and both rank windows are bounded by the LITERAL candidate depth
+    (O(k) rows at ANY corpus size; the rank windows are allowlisted in
+    the unpartitioned-window sweep on exactly that ground).  Ranks come
+    from integer row numbers, so 1/(60+r) is bit-identical on any
+    engine regardless of raw score ulps."""
+    from pyspark.sql import Window
+
+    from datalakehouse_spark.operators.similarity import knn_brute_force
+    from datalakehouse_spark.registry_ext import _query_vec
+
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", F.round("score", 6).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_RRF_TOP)
+    )
+    lexr = lex.select(
+        F.col("doc_id").alias("item_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = knn_brute_force(emb, _query_vec(spark, sf_dir), k=_RRF_TOP)
+    vecr = knn.select(
+        F.col("vec_id").alias("item_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id")))
+        .cast("long")
+        .alias("cos_rank"),
+    )
+    fused = lexr.join(vecr, "item_id", "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_C) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col("cos_rank")), F.lit(0.0))
     return (
-        scored.select(
-            "doc_id", F.round("score", 6).alias("score"), "n_terms_hit"
+        fused.select(
+            "item_id",
+            F.round(rrf, 9).alias("rrf_score"),
+            "bm25_rank",
+            "cos_rank",
         )
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(_BM25_K)
+        .orderBy(F.col("rrf_score").desc(), "item_id")
+        .limit(_RRF_OUT)
     )

@@ -609,6 +609,9 @@ _GLOBAL_WINDOW_OK = {
     "running_distinct_users",  # registry_ext4: cumulative over O(days)
     "max_concurrency",  # registry_ext5: day-level carry prefix sum
     "growth_rates",  # registry_ext5: week-over-week lag over O(weeks)
+    # registry_ext6: rank over two LIMIT-50 candidate frames — bounded
+    # by the literal candidate depth at ANY corpus size
+    "hybrid_rrf_fusion",
 }
 
 #: Diagnostic/build-advisory entries that execute eager actions at
