@@ -713,8 +713,14 @@ _DRIVER_PRIORITY = [
     "decontamination_report",
     "ntile_percent_rank",
     "ltv_deciles_pareto",
-    "repeat_purchase_intervals",
-    # (2) staleness tail: last green driver row = round 4
+    # (2) staleness tail: last green driver row = round 4.
+    # weighted_sample_counts leads — it is the LAST remaining r4 row
+    # and round-9 late additions pushed it past the ~50-entry driver
+    # window; its slot came from repeat_purchase_intervals (demoted
+    # below the window: ntile/ltv/repeat all exercise the same round-9
+    # rank-cache change, so two representatives are enough and repeat
+    # holds a green r8 row).
+    "weighted_sample_counts",
     "asof_join_orders",
     "sessionize_counts",
     "running_windows",
@@ -750,7 +756,7 @@ _DRIVER_PRIORITY = [
     "funnel_conversion",
     "cohort_retention",
     "profile_table",
-    "weighted_sample_counts",
+    "repeat_purchase_intervals",
     "near_dup_pairs",
     "simhash_docs",
     "simhash_near_dup_pairs",
