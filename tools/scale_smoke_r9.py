@@ -54,7 +54,18 @@ _load_extensions()
 BASE_SF = "/root/testdata/sf0.1"
 WORK = "/tmp/scale_smoke_r9"
 
-DOC_ENTRIES = ["dedup_clusters", "dedup_canonical"]
+DOC_ENTRIES = [
+    "dedup_clusters",
+    "dedup_canonical",
+    # round-9 late additions (doc-backed; hybrid_rrf_fusion also reads
+    # embeddings, but its volume driver is the BM25 corpus side)
+    "dup_span_coverage",
+    "dup_span_excision_stats",
+    "near_dup_decontamination",
+    "split_leakage_audit",
+    "bm25_topk",
+    "hybrid_rrf_fusion",
+]
 CUST_ENTRIES = ["fuzzy_dup_candidates"]
 EMB_ENTRIES = [
     "ivf_build_stats",
