@@ -78,6 +78,7 @@ EAGER_BUILD_ENTRIES = frozenset(
         "streaming_incremental_mv",
         # ANN build/serve splits
         "knn_brute_force",
+        "hybrid_rrf_fusion",  # its vector list collects the 1-row query vec
         "ivf_build_stats",
         "ivf_search",
         "ivf_search_indexed",
