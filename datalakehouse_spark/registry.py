@@ -709,18 +709,21 @@ _DRIVER_PRIORITY = [
     "dup_span_excision_stats",
     "bm25_topk",
     "hybrid_rrf_fusion",
+    "quality_threshold_sweep",
+    "cross_source_dup_matrix",
     "max_concurrency",
     "ingest_drift_psi",
-    "decontamination_report",
     "ntile_percent_rank",
-    "ltv_deciles_pareto",
-    # (2) staleness tail: last green driver row = round 4.
-    # weighted_sample_counts leads — it is the LAST remaining r4 row
-    # and round-9 late additions pushed it past the ~50-entry driver
-    # window; its slot came from repeat_purchase_intervals (demoted
-    # below the window: ntile/ltv/repeat all exercise the same round-9
-    # rank-cache change, so two representatives are enough and repeat
-    # holds a green r8 row).
+    # (2) staleness tail: last green driver row = round 4.  The 11 new
+    # entries above squeezed the ~50-entry driver window, so the
+    # results-identical round-9 changes with green r8 rows yielded
+    # their slots (repeat_purchase_intervals / ltv_deciles_pareto /
+    # decontamination_report — the rank-cache and gram-cache fixes
+    # change CACHING, not results, and ntile_percent_rank stays as the
+    # rank-cache representative; max_concurrency and ingest_drift_psi
+    # stay because their RESULTS/oracles changed this round).  That
+    # keeps every round-4 row — weighted_sample_counts was the last —
+    # inside the window.
     "weighted_sample_counts",
     "asof_join_orders",
     "sessionize_counts",
@@ -758,6 +761,8 @@ _DRIVER_PRIORITY = [
     "cohort_retention",
     "profile_table",
     "repeat_purchase_intervals",
+    "ltv_deciles_pareto",
+    "decontamination_report",
     "near_dup_pairs",
     "simhash_docs",
     "simhash_near_dup_pairs",

@@ -1016,3 +1016,191 @@ def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "item_id")
         .limit(_RRF_OUT)
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_threshold_sweep: calibrate the quality-filter cutoff
+# ---------------------------------------------------------------------------
+
+_QT_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]  # 0.1 .. 0.9
+
+
+def _quality_sweep_sql() -> str:
+    from datalakehouse_spark.registry_ext import _ratio_sql
+
+    ts = ", ".join(str(t) for t in _QT_THRESHOLDS)
+    return f"""
+WITH n AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+f AS (
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) / greatest(len(toks), 1) AS diversity,
+           {_ratio_sql("en")} AS sw_en,
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / greatest(length(text), 1) AS punct_ratio
+    FROM n
+),
+q AS (
+    SELECT doc_id, n_tokens, round(
+          0.3 * (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                      THEN 1.0 ELSE 0.2 END)
+        + 0.3 * diversity
+        + 0.3 * least(sw_en * 4, 1.0)
+        + 0.1 * (1.0 - least(punct_ratio * 5, 1.0)), 6) AS quality_score
+    FROM f
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM q
+)
+SELECT t.threshold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS kept_tokens,
+       round(COUNT(*) / CAST(tot.total_docs AS DOUBLE), 6) AS doc_keep_rate,
+       round(SUM(q.n_tokens) / CAST(tot.total_tokens AS DOUBLE), 6)
+           AS token_keep_rate
+FROM q CROSS JOIN (SELECT unnest([{ts}]) AS threshold) t CROSS JOIN tot
+WHERE q.quality_score >= t.threshold
+GROUP BY t.threshold, tot.total_docs, tot.total_tokens
+ORDER BY t.threshold
+"""
+
+
+@register(
+    "quality_threshold_sweep",
+    _quality_sweep_sql(),
+    "quality-filter calibration: kept docs/tokens at each cutoff",
+)
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration sweep for the quality filter: for each candidate
+    cutoff 0.1..0.9, how many documents and tokens survive
+    ``quality_score >= t`` — the survivorship curve a pipeline operator
+    reads BEFORE committing a cutoff (the reference decision in every
+    published web-text filter is exactly this trade between corpus mass
+    and quality).
+
+    Scale shape: ONE corpus scan computes the score, then each doc row
+    fans out to the (literal, 9-element) threshold list — a bounded
+    explode, never data-sized — and collapses straight into a
+    9-group map-side-combinable aggregate; totals for the rates are a
+    broadcast 1-row scalar (the crossJoin idiom).  No window, no
+    second scan, no driver state."""
+    from datalakehouse_spark.operators.textstats import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality_score")
+    tot = q.agg(
+        F.count(F.lit(1)).cast("long").alias("total_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    thresholds = F.array(*[F.lit(t) for t in _QT_THRESHOLDS])
+    return (
+        q.select(
+            "n_tokens",
+            "quality_score",
+            F.explode(thresholds).alias("threshold"),
+        )
+        .where(F.col("quality_score") >= F.col("threshold"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("threshold", "total_docs", "total_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        )
+        .select(
+            "threshold",
+            "n_docs_kept",
+            "kept_tokens",
+            F.round(F.col("n_docs_kept") / F.col("total_docs").cast("double"), 6)
+                .alias("doc_keep_rate"),
+            F.round(F.col("kept_tokens") / F.col("total_tokens").cast("double"), 6)
+                .alias("token_keep_rate"),
+        )
+        .orderBy("threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross_source_dup_matrix: which sources duplicate which
+# ---------------------------------------------------------------------------
+
+_XSRC_SQL = f"""
+WITH s AS (
+    SELECT DISTINCT 'e' AS kind, md5({_NORM6}) AS h, source FROM documents
+    UNION
+    SELECT DISTINCT 'p' AS kind,
+           md5(array_to_string(list_slice({_TOKS}, 1, {_LEAK_PREFIX_K}), ' '))
+               AS h,
+           source
+    FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(SUM(CASE WHEN a.kind = 'e' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_exact,
+       CAST(SUM(CASE WHEN a.kind = 'p' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_prefix
+FROM s a JOIN s b ON a.kind = b.kind AND a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY n_shared_prefix DESC, n_shared_exact DESC, source_a, source_b
+"""
+
+
+@register(
+    "cross_source_dup_matrix",
+    _XSRC_SQL,
+    "provenance: per source pair, shared exact-dup + shared-prefix digests",
+)
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication provenance: for every ordered pair of sources, how
+    many distinct content digests appear in BOTH — exact normalized
+    text (mirrors/syndication) and shared 16-token prefixes (common
+    boilerplate/templates) — the matrix that tells a pipeline operator
+    which domains copy from which (licensing exposure, crawl overlap,
+    mirror detection) before a global dedup silently collapses the
+    evidence.
+
+    Scale shape: one (kind, digest, source) DISTINCT (the dedup_exact
+    shuffle, tagged), then a digest-keyed self-equi-join — the
+    per-digest fan is bounded by the NUMBER OF SOURCES carrying it
+    (domains, not documents: a digest in 10^6 docs across 3 sources
+    contributes 3 rows/side), so pair work is
+    O(digests x sources-per-digest^2), never document-pair space."""
+    from datalakehouse_spark.operators.dedup import normalize_text
+    from datalakehouse_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select(
+            F.lit("e").alias("kind"),
+            F.md5(normalize_text("text")).alias("h"),
+            "source",
+        )
+        .unionByName(
+            docs.select(
+                F.lit("p").alias("kind"),
+                F.md5(
+                    F.array_join(F.slice(tokens("text"), 1, _LEAK_PREFIX_K), " ")
+                ).alias("h"),
+                "source",
+            )
+        )
+        .distinct()
+    )
+    a = s.select("kind", "h", F.col("source").alias("source_a"))
+    b = s.select("kind", "h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, ["kind", "h"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum((F.col("kind") == "e").cast("long")).alias("n_shared_exact"),
+            F.sum((F.col("kind") == "p").cast("long")).alias("n_shared_prefix"),
+        )
+        .orderBy(
+            F.col("n_shared_prefix").desc(),
+            F.col("n_shared_exact").desc(),
+            "source_a",
+            "source_b",
+        )
+    )
