@@ -711,19 +711,19 @@ _DRIVER_PRIORITY = [
     "hybrid_rrf_fusion",
     "quality_threshold_sweep",
     "cross_source_dup_matrix",
+    "multimodal_real_decode_stats",
     "max_concurrency",
     "ingest_drift_psi",
-    "ntile_percent_rank",
-    # (2) staleness tail: last green driver row = round 4.  The 11 new
+    # (2) staleness tail: last green driver row = round 4.  The 12 new
     # entries above squeezed the ~50-entry driver window, so the
     # results-identical round-9 changes with green r8 rows yielded
-    # their slots (repeat_purchase_intervals / ltv_deciles_pareto /
-    # decontamination_report — the rank-cache and gram-cache fixes
-    # change CACHING, not results, and ntile_percent_rank stays as the
-    # rank-cache representative; max_concurrency and ingest_drift_psi
-    # stay because their RESULTS/oracles changed this round).  That
-    # keeps every round-4 row — weighted_sample_counts was the last —
-    # inside the window.
+    # their slots (ntile_percent_rank / repeat_purchase_intervals /
+    # ltv_deciles_pareto / decontamination_report — the rank-cache and
+    # gram-cache fixes change CACHING, not results, and all four are
+    # re-verified bit-exact locally at sf0.01 AND sf0.1 this round;
+    # max_concurrency and ingest_drift_psi stay because their
+    # RESULTS/oracles changed).  That keeps every round-4 row —
+    # weighted_sample_counts was the last — inside the window.
     "weighted_sample_counts",
     "asof_join_orders",
     "sessionize_counts",
@@ -761,6 +761,7 @@ _DRIVER_PRIORITY = [
     "cohort_retention",
     "profile_table",
     "repeat_purchase_intervals",
+    "ntile_percent_rank",
     "ltv_deciles_pareto",
     "decontamination_report",
     "near_dup_pairs",

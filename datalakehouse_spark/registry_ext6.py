@@ -1204,3 +1204,131 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_b",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_real_decode_stats: the REAL codecs on the oracle surface
+# ---------------------------------------------------------------------------
+
+_MRD_N = 100
+_MRD_PNG_W, _MRD_PNG_H = 16, 4  # 64 grey pixels
+_MRD_WAV_N = 64  # samples
+_MRD_AVI_PX = 48  # 4x4 RGB24 bytes
+
+_MRD_BYTES = f"[CAST(unicode(substr(t, i, 1)) AS DOUBLE) FOR i IN range(1, {_MRD_PNG_W * _MRD_PNG_H + 1})]"
+
+_MRD_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_MRD_N})
+    WHERE length(text) >= {_MRD_PNG_W * _MRD_PNG_H}
+      AND regexp_matches(text, '^[ -~]*$')
+),
+b AS (SELECT doc_id, {_MRD_BYTES} AS bv, t FROM d)
+SELECT doc_id AS asset_id,
+       {_MRD_PNG_W} AS png_w, {_MRD_PNG_H} AS png_h,
+       round(list_reduce(bv, (a, x) -> a + x)
+             / (255.0 * {_MRD_PNG_W * _MRD_PNG_H}), 9) AS png_mean_luma,
+       {_MRD_WAV_N} AS wav_frames,
+       round(sqrt(list_reduce(
+                 [pow((x - 128) / 256.0, 2)
+                  FOR x IN list_slice(bv, 1, {_MRD_WAV_N})],
+                 (a, x) -> a + x) / {_MRD_WAV_N}), 9) AS wav_rms,
+       round(list_max([abs(x - 128) / 256.0
+                       FOR x IN list_slice(bv, 1, {_MRD_WAV_N})]), 9)
+           AS wav_peak,
+       1 AS avi_frames,
+       md5(substr(t, 1, {_MRD_AVI_PX})) AS frame0_md5
+FROM b ORDER BY asset_id
+"""
+
+
+@register(
+    "multimodal_real_decode_stats",
+    _MRD_SQL,
+    "REAL codec round trip on the oracle surface: PNG/WAV/AVI stats == byte math",
+)
+def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Puts the REAL stdlib decode kernels (functions/png.py, wav.py,
+    avi.py) on the bit-exact oracle surface: each document's leading
+    text bytes are ENCODED into a grey PNG, a 16-bit WAV, and a 1-frame
+    BI_RGB AVI, then DECODED with the real kernels inside mapInPandas.
+    The encode parameters are chosen so the round trip cancels into
+    plain byte arithmetic — grey-pixel luma == the pixel byte, WAV
+    samples land on exact 16-bit values ((b-128)*128, decoding to the
+    dyadic (b-128)/256), and the AVI frame must hand back the exact
+    input bytes — so DuckDB can verify every decoded statistic from the
+    text alone, and ANY codec defect (filter math, sample scaling, row
+    order, padding) breaks a hash-compared equality instead of hiding
+    behind a rows-only check.
+
+    Scale shape: a bounded 100-asset mapInPandas pass (the multimodal
+    contract: Arrow batches, no driver traffic); ASCII/length filters
+    are applied identically on both engines after the same ORDER
+    BY/LIMIT."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_MRD_N)
+        .where(
+            (F.length("text") >= _MRD_PNG_W * _MRD_PNG_H)
+            & F.col("text").rlike("^[ -~]*$")
+        )
+        .select("doc_id", "text")
+    )
+
+    schema = (
+        "asset_id long, png_w int, png_h int, png_mean_luma double, "
+        "wav_frames int, wav_rms double, wav_peak double, "
+        "avi_frames int, frame0_md5 string"
+    )
+
+    def batches(it):
+        import hashlib as _hl
+
+        from datalakehouse_spark.functions.avi import (
+            avi_iter_frames,
+            avi_video_stats,
+            encode_avi,
+        )
+        from datalakehouse_spark.functions.png import encode_png
+        from datalakehouse_spark.functions.wav import encode_wav, wav_pcm_stats
+        from datalakehouse_spark.operators.multimodal import decode_image
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bts = text.encode("utf-8")
+                pix = bts[: _MRD_PNG_W * _MRD_PNG_H]
+                w, h, luma = decode_image(
+                    encode_png(_MRD_PNG_W, _MRD_PNG_H, pix, color_type=0)
+                )
+                samples = [
+                    (x - 128) * 128.0 / 32767.0 for x in bts[:_MRD_WAV_N]
+                ]
+                _, _, frames, _, rms, peak = wav_pcm_stats(
+                    encode_wav(samples, sample_rate=8000)
+                )
+                rgb = bts[:_MRD_AVI_PX]
+                avi = encode_avi([rgb], 4, 4, fps=10)
+                _, _, _, n_frames, _ = avi_video_stats(avi)
+                ((_, frame0),) = avi_iter_frames(avi)
+                rows.append(
+                    (
+                        doc_id, w, h, round(luma, 9),
+                        frames, round(rms, 9), round(peak, 9),
+                        n_frames, _hl.md5(frame0).hexdigest(),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "png_w", "png_h", "png_mean_luma",
+                    "wav_frames", "wav_rms", "wav_peak",
+                    "avi_frames", "frame0_md5",
+                ],
+            )
+
+    return d.mapInPandas(batches, schema=schema).orderBy("asset_id")
