@@ -384,3 +384,126 @@ def test_branch_schema_evolution_merge_and_read_both(spark, tmp_path):
     assert [r.value for r in merged] == [10.0, 20.0, 30.0]
     # time travel to the pre-evolution commit keeps the v1 schema
     assert "quality" not in t.read(version=v1).columns
+
+
+# ---------------------------------------------------------------------------
+# Property-based three-way merge: random divergence vs a Python model
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _mk_table(spark, base_dir, tag):
+    rows = [
+        (f"dev{d}", dt.date(2024, 1, day), 10.0)
+        for d in range(6)
+        for day in (1, 2)
+    ]
+    df = spark.createDataFrame(
+        rows, "device_id string, report_date date, score double"
+    )
+    t = VersionedTable(
+        spark, os.path.join(base_dir, f"pvt_{tag}"), partition_by=["report_date"]
+    )
+    t.create(df)
+    return t
+
+
+def _up(spark, dev, day, score):
+    return spark.createDataFrame(
+        [(f"dev{dev}", dt.date(2024, 1, day), score)],
+        "device_id string, report_date date, score double",
+    )
+
+
+_K = ["device_id", "report_date"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    main_ops=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 3), st.integers(11, 99)),
+        min_size=1, max_size=3,
+    ),
+    exp_ops=st.lists(
+        st.tuples(st.integers(3, 5), st.integers(1, 3), st.integers(11, 99)),
+        min_size=1, max_size=3,
+    ),
+    main_append=st.booleans(),
+    exp_append=st.booleans(),
+)
+def test_diverged_merge_matches_model(
+    spark, tmp_path_factory, main_ops, exp_ops, main_append, exp_append
+):
+    """Random multi-commit divergence — main upserts keys from dev0-2,
+    exp from dev3-5 (disjoint by construction), over OVERLAPPING
+    partitions (days 1-3, so both clean-union and per-key paths fire
+    depending on the draw), plus optional appends of brand-new days —
+    and the merged state must equal the obvious Python model: base
+    state + every op applied, branch order irrelevant because the key
+    pools are disjoint.  One property run covers commit-DAG walking,
+    file-diff classification, per-key re-application, and manifest
+    carry-over in combination, where the scenario tests pin each path
+    in isolation."""
+    base = str(tmp_path_factory.mktemp("pvt"))
+    t = _mk_table(spark, base, "model")
+    t.create_branch("exp")
+
+    model = {
+        (f"dev{d}", dt.date(2024, 1, day)): 10.0
+        for d in range(6)
+        for day in (1, 2)
+    }
+    for dev, day, s in main_ops:
+        t.merge_upsert(_up(spark, dev, day, float(s)), keys=_K)
+        model[(f"dev{dev}", dt.date(2024, 1, day))] = float(s)
+    for dev, day, s in exp_ops:
+        t.merge_upsert(_up(spark, dev, day, float(s)), keys=_K, branch="exp")
+        model[(f"dev{dev}", dt.date(2024, 1, day))] = float(s)
+    if main_append:
+        t.append(_up(spark, 0, 7, 70.0))
+        model[("dev0", dt.date(2024, 1, 7))] = 70.0
+    if exp_append:
+        t.append(_up(spark, 5, 8, 80.0), branch="exp")
+        model[("dev5", dt.date(2024, 1, 8))] = 80.0
+
+    pre_main, pre_exp = t.current_version(), t.current_version("exp")
+    snap_main, snap_exp = _state(t.read()), _state(t.read(ref="exp"))
+
+    t.merge_branch("exp")
+    got = {(r[0], r[1]): r[2] for r in _state(t.read())}
+    assert got == model
+    # row count check catches silent duplication the dict would mask
+    assert t.read().count() == len(model)
+    # both pre-merge lineages stay time-travelable
+    assert _state(t.read(version=pre_main)) == snap_main
+    assert _state(t.read(version=pre_exp)) == snap_exp
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    dev=st.integers(0, 5),
+    day=st.integers(1, 2),
+    extra_main=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 3)), max_size=2
+    ),
+)
+def test_diverged_merge_shared_key_always_conflicts(
+    spark, tmp_path_factory, dev, day, extra_main
+):
+    """ANY draw where both sides upsert the same (device, day) must
+    raise MergeConflictError carrying that key — regardless of what
+    other commits surround it."""
+    from datalakehouse_spark.versioned import MergeConflictError
+
+    base = str(tmp_path_factory.mktemp("pvtc"))
+    t = _mk_table(spark, base, "conflict")
+    t.create_branch("exp")
+    for d2, day2 in extra_main:
+        t.merge_upsert(_up(spark, d2, day2, 55.0), keys=_K)
+    t.merge_upsert(_up(spark, dev, day, 1.0), keys=_K)
+    t.merge_upsert(_up(spark, dev, day, 2.0), keys=_K, branch="exp")
+    with pytest.raises(MergeConflictError) as ei:
+        t.merge_branch("exp")
+    assert any(f"dev{dev}" in str(k) for k in (ei.value.keys or []))
