@@ -50,7 +50,12 @@ def machine_factor(timings: dict, refs: dict) -> float:
     )
     if len(ratios) < 20:  # too few entries to estimate host speed
         return 1.0
-    return max(1.0, ratios[len(ratios) // 2])
+    # Capped at 1.5: past that, a "uniformly slower host" is at least as
+    # likely to be a fleet-wide code regression (a slowdown in a shared
+    # path — tokenizer, load_table — moves every entry too), so the
+    # gate refuses to loosen further and the flags surface for human
+    # adjudication instead of being silently calibrated away.
+    return max(1.0, min(ratios[len(ratios) // 2], 1.5))
 
 
 def find_regressions(timings: dict, baseline: dict | None, sf) -> dict:
@@ -152,17 +157,32 @@ def main() -> None:
             baseline = json.load(f)
     except (OSError, json.JSONDecodeError):
         baseline = None
-    regressions = find_regressions(timings, baseline, sf)
     # Suspect re-run: an entry can inherit GC/scheduler debt from a
     # heavy predecessor that a median-of-3 taken in place doesn't shed
     # (round-9 episode: ntile_percent_rank recorded a 2.13 s in-fleet
     # median vs 1.27 s isolated).  Re-time each flagged entry twice in
     # the now-quiet JVM and keep the best evidence before recording a
     # regression — a real regression survives, context noise doesn't.
-    for name in list(regressions):
-        timings[name] = round(min(timings[name], _timed(name), _timed(name)), 3)
+    # Runs to a FIXPOINT: re-timing lowers the median ratio, which can
+    # newly flag borderline entries under the recalibrated gate — they
+    # get their re-run too.  BUILD_ONCE entries are never re-timed: in
+    # the warm session their index is cached, so a re-run would record
+    # a cache hit for the one entry whose first-run build cost IS the
+    # metric — a flagged build regression must stand.
+    retimed: set[str] = set()
+    while True:
+        regressions = find_regressions(timings, baseline, sf)
+        fresh = [
+            n for n in regressions if n not in retimed and n not in BUILD_ONCE
+        ]
+        if not fresh:
+            break
+        for name in fresh:
+            retimed.add(name)
+            timings[name] = round(
+                min(timings[name], _timed(name), _timed(name)), 3
+            )
         total = round(sum(timings.values()), 3)
-    regressions = find_regressions(timings, baseline, sf)
     calib = machine_factor(timings, (baseline or {}).get("queries", {}))
 
     payload = {
@@ -176,7 +196,7 @@ def main() -> None:
         "ncpus": os.cpu_count(),
         "regressions": regressions,
         "machine_factor": round(calib, 3),
-        "timing": "median-of-3 for entries <3s; min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries; regressions = entries >2x and >0.5s over machine_factor x their BENCH_BASELINE.json reference median (machine_factor = median now/ref ratio clamped >=1, so a uniformly slower host does not flag the fleet)",
+        "timing": "median-of-3 for entries <3s; min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries; regressions = entries >2x and >0.5s over machine_factor x their BENCH_BASELINE.json reference median (machine_factor = median now/ref ratio clamped to [1, 1.5] so a slower host does not flag the fleet but a fleet-wide code regression still surfaces); flagged entries are re-timed in the quiet post-fleet JVM to a fixpoint, except build-once entries whose first-run cost is the metric",
     }
     # Compact separators keep the line short enough for tail-capture
     # harnesses; the full map is also persisted to bench_out.json.

@@ -58,10 +58,13 @@ def _chunks(data: bytes, pos: int, end: int):
         pos += 8 + length + (length & 1)  # chunks are word-aligned
 
 
-def _parse_headers(data: bytes) -> tuple[int, int, float, int, int, int]:
-    """Return (width, height, fps, n_frames_declared, bpp, compression)
-    for the FIRST ``vids`` stream, plus locate nothing else — the movi
-    walk is separate so stats never touch frame bytes."""
+def _parse_headers(data: bytes) -> tuple[int, int, float, int, int, int, int]:
+    """Return (width, height, fps, n_frames_declared, bpp, compression,
+    stream_idx) for the FIRST ``vids`` stream — ``stream_idx`` is its
+    ordinal among the ``strl`` lists, which is the ``##`` prefix its
+    movi chunks carry (a second stream's ``01db`` frames must never be
+    decoded with stream 0's geometry).  The movi walk is separate so
+    stats never touch frame bytes."""
     _expect(
         len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"AVI ",
         "not an AVI: bad RIFF/AVI header",
@@ -69,6 +72,8 @@ def _parse_headers(data: bytes) -> tuple[int, int, float, int, int, int]:
     avih = None
     vids: tuple[int, int] | None = None  # (rate, scale) of the vids stream
     strf: bytes | None = None
+    vids_idx = -1
+    stream_no = -1
     for cid, start, length in _chunks(data, 12, len(data)):
         if cid != b"LIST" or data[start : start + 4] != b"hdrl":
             continue
@@ -76,11 +81,10 @@ def _parse_headers(data: bytes) -> tuple[int, int, float, int, int, int]:
             if hcid == b"avih" and avih is None:
                 _expect(hlen >= 40, "avih too short")
                 avih = struct.unpack("<10I", data[hstart : hstart + 40])
-            elif (
-                hcid == b"LIST"
-                and data[hstart : hstart + 4] == b"strl"
-                and strf is None
-            ):
+            elif hcid == b"LIST" and data[hstart : hstart + 4] == b"strl":
+                stream_no += 1
+                if strf is not None:
+                    continue  # vids stream already captured
                 is_vids = False
                 for scid, sstart, slen in _chunks(
                     data, hstart + 4, hstart + hlen
@@ -93,6 +97,7 @@ def _parse_headers(data: bytes) -> tuple[int, int, float, int, int, int]:
                         )
                         if is_vids:
                             vids = (rate, scale)
+                            vids_idx = stream_no
                     elif scid == b"strf" and is_vids:
                         strf = data[sstart : sstart + slen]
         break  # hdrl is the first LIST; one pass is enough
@@ -107,20 +112,22 @@ def _parse_headers(data: bytes) -> tuple[int, int, float, int, int, int]:
         fps = 1e6 / usec_per_frame
     else:
         fps = 0.0
-    return w, h, fps, total_frames, bpp, compression
+    return w, h, fps, total_frames, bpp, compression, vids_idx
 
 
-def _movi_frames(data: bytes) -> Iterator[tuple[int, int]]:
-    """Yield (start, length) of each video frame chunk (``##db`` raw /
-    ``##dc`` "compressed" slot, which BI_RGB writers also use), walking
-    into ``rec `` grouping LISTs.  Audio (``##wb``) chunks are skipped.
-    """
+def _movi_frames(data: bytes, stream_idx: int) -> Iterator[tuple[int, int]]:
+    """Yield (start, length) of each frame chunk of stream
+    ``stream_idx`` (``##db`` raw / ``##dc`` "compressed" slot, which
+    BI_RGB writers also use; ``##`` is the zero-padded stream ordinal),
+    walking into ``rec `` grouping LISTs.  Audio (``##wb``) and other
+    streams' chunks are skipped."""
+    prefix = b"%02d" % stream_idx
 
     def walk(pos: int, end: int) -> Iterator[tuple[int, int]]:
         for cid, start, length in _chunks(data, pos, end):
             if cid == b"LIST" and data[start : start + 4] == b"rec ":
                 yield from walk(start + 4, start + length)
-            elif cid[2:4] in (b"db", b"dc") and cid[:2].isdigit():
+            elif cid[2:4] in (b"db", b"dc") and cid[:2] == prefix:
                 yield start, length
 
     for cid, start, length in _chunks(data, 12, len(data)):
@@ -128,44 +135,51 @@ def _movi_frames(data: bytes) -> Iterator[tuple[int, int]]:
             yield from walk(start + 4, start + length)
 
 
+def _swap_rb(row: bytes, px_bytes: int) -> bytes:
+    """BGR(X) row → unpadded RGB24 via slice assignment (memcpy-bound,
+    no per-pixel Python loop)."""
+    n_px = len(row) // px_bytes
+    out = bytearray(n_px * 3)
+    out[0::3] = row[2::px_bytes]
+    out[1::3] = row[1::px_bytes]
+    out[2::3] = row[0::px_bytes]
+    return bytes(out)
+
+
 def _frame_rgb(body: bytes, width: int, height: int, bpp: int) -> bytes:
     """One DIB frame → top-down, unpadded RGB24 bytes."""
     top_down = height < 0
     h = -height if top_down else height
-    stride = ((width * (bpp // 8)) + 3) & ~3  # DIB rows pad to 4 bytes
+    px = bpp // 8
+    stride = ((width * px) + 3) & ~3  # DIB rows pad to 4 bytes
     _expect(len(body) >= stride * h, "frame chunk shorter than dimensions")
     rows = []
     for r in range(h):
         src = r if top_down else h - 1 - r
-        row = body[src * stride : src * stride + width * (bpp // 8)]
-        if bpp == 24:
-            # BGR -> RGB without a per-pixel Python loop
-            rows.append(bytes(ch for px in zip(row[2::3], row[1::3], row[0::3]) for ch in px))
-        else:  # 32: BGRX -> RGB
-            rows.append(bytes(ch for px in zip(row[2::4], row[1::4], row[0::4]) for ch in px))
+        rows.append(_swap_rb(body[src * stride : src * stride + width * px], px))
     return b"".join(rows)
 
 
 def avi_video_stats(payload: bytes) -> tuple[int, int, float, int, float]:
     """REAL video decode (metadata pass): ``(width, height, fps,
     n_frames, duration_ms)`` of an AVI payload.  ``n_frames`` counts the
-    actual ``movi`` video chunks (the declared avih total is advisory
-    and wrong in the wild); no frame bytes are touched.  Compressed
-    fourccs parse fine here — rejecting them is the FRAME reader's job.
-    """
-    w, h, fps, _declared, _bpp, _comp = _parse_headers(payload)
-    n = sum(1 for _ in _movi_frames(payload))
+    vids stream's actual ``movi`` chunks (the declared avih total is
+    advisory and wrong in the wild); no frame bytes are touched.
+    Compressed fourccs parse fine here — rejecting them is the FRAME
+    reader's job."""
+    w, h, fps, _declared, _bpp, _comp, vids_idx = _parse_headers(payload)
+    n = sum(1 for _ in _movi_frames(payload, vids_idx))
     return abs(w), abs(h), fps, n, (n * 1000.0 / fps if fps else 0.0)
 
 
 def avi_iter_frames(
     payload: bytes, stride: int = 1
 ) -> Iterator[tuple[int, bytes]]:
-    """Yield ``(frame_idx, rgb_bytes)`` for every ``stride``-th video
-    frame, normalized to top-down unpadded RGB24.  Raises
+    """Yield ``(frame_idx, rgb_bytes)`` for every ``stride``-th frame of
+    the vids stream, normalized to top-down unpadded RGB24.  Raises
     :class:`AviError` for compressed streams (biCompression != 0) and
     unsupported bit depths — the honest probe contract."""
-    w, h, _fps, _n, bpp, compression = _parse_headers(payload)
+    w, h, _fps, _n, bpp, compression, vids_idx = _parse_headers(payload)
     if compression != BI_RGB:
         raise AviError(
             f"compressed AVI (biCompression={compression:#x}) needs a codec "
@@ -173,7 +187,7 @@ def avi_iter_frames(
         )
     _expect(bpp in (24, 32), f"unsupported BI_RGB bit depth {bpp}")
     _expect(stride >= 1, "stride must be >= 1")
-    for idx, (start, length) in enumerate(_movi_frames(payload)):
+    for idx, (start, length) in enumerate(_movi_frames(payload, vids_idx)):
         if idx % stride:
             continue
         yield idx, _frame_rgb(payload[start : start + length], w, h, bpp)
@@ -195,10 +209,7 @@ def encode_avi(
         rows = []
         for r in range(height - 1, -1, -1):  # bottom-up
             row = rgb[r * width * 3 : (r + 1) * width * 3]
-            rows.append(
-                bytes(ch for px in zip(row[2::3], row[1::3], row[0::3]) for ch in px)
-                + pad
-            )
+            rows.append(_swap_rb(row, 3) + pad)  # RGB<->BGR is symmetric
         body = b"".join(rows)
         movi.append(b"00db" + struct.pack("<I", len(body)) + body)
         if len(body) & 1:

@@ -16,10 +16,10 @@ matching subformat GUID.  Rejected loudly: compressed format tags
 (mu-law, ADPCM, mp3, ...), truncated chunks, missing fmt/data.
 
 Features are computed over samples normalized to [-1, 1] and pooled
-across channels: RMS, peak absolute amplitude, and (for silence/clip
-triage) the fraction of samples within 1 ULP of full scale.  All
-arithmetic is a single left-to-right pass over the payload, so the
-result is deterministic for a given byte string on any platform.
+across channels: RMS and peak absolute amplitude (peak == 1.0 is the
+clip-triage signal; silence is rms == 0).  All arithmetic is a single
+left-to-right pass over the payload, so the result is deterministic
+for a given byte string on any platform.
 
 A minimal encoder (``encode_wav``, 16-bit PCM) is included for fixture
 generation and round-trip tests.

@@ -57,6 +57,20 @@ IMAGE_FEATURE_SCHEMA = (
 )
 
 
+def _rebatch(
+    frames: Iterator[pd.DataFrame], max_records: int
+) -> Iterator[pd.DataFrame]:
+    """Re-chunk incoming Arrow batches to ``max_records`` rows so
+    processing/output batch size is bounded (see the module doc's
+    memory note).  Used by the real-kernel wrappers; the fake-capable
+    closures (``extract_features(fake=True)``, ``sample_frames``) keep
+    a local copy so they stay stdlib-only picklable to workers without
+    this package installed."""
+    for big in frames:
+        for s in range(0, max(len(big), 1), max_records):
+            yield big.iloc[s : s + max_records]
+
+
 def pil_available() -> bool:
     """True when a real image decoder (Pillow) is importable.  The
     container this repo is developed in ships none — the real kernel
@@ -154,12 +168,7 @@ def extract_features(
 
                 _decode = png_luma_stats
 
-            def _chunks(frames):
-                for big in frames:
-                    for s in range(0, max(len(big), 1), max_records_per_batch):
-                        yield big.iloc[s : s + max_records_per_batch]
-
-            for pdf in _chunks(it):
+            for pdf in _rebatch(it, max_records_per_batch):
                 widths, heights, lumas, shas, sizes = [], [], [], [], []
                 for payload in pdf[payload_col]:
                     data = payload or b""
@@ -197,8 +206,8 @@ def extract_features(
             h = hashlib.sha256(payload).digest()
             return h[0] / 255.0, 1 + h[1] % 32
 
-        def _chunks(frames):
-            for big in frames:
+        def _chunks(frames):  # local twin of _rebatch: keeps the fake
+            for big in frames:  # closure stdlib-only picklable
                 for s in range(0, max(len(big), 1), max_records_per_batch):
                     yield big.iloc[s : s + max_records_per_batch]
 
@@ -266,12 +275,7 @@ def extract_audio_features(
 
         from datalakehouse_spark.functions.wav import wav_pcm_stats
 
-        def _chunks(frames):
-            for big in frames:
-                for s in range(0, max(len(big), 1), max_records_per_batch):
-                    yield big.iloc[s : s + max_records_per_batch]
-
-        for pdf in _chunks(it):
+        for pdf in _rebatch(it, max_records_per_batch):
             cols: dict = {
                 "n_bytes": [], "sha256": [], "sample_rate": [],
                 "n_channels": [], "n_frames": [], "duration_ms": [],
@@ -343,12 +347,7 @@ def extract_video_features(
 
         from datalakehouse_spark.functions.avi import avi_video_stats
 
-        def _chunks(frames):
-            for big in frames:
-                for s in range(0, max(len(big), 1), max_records_per_batch):
-                    yield big.iloc[s : s + max_records_per_batch]
-
-        for pdf in _chunks(it):
+        for pdf in _rebatch(it, max_records_per_batch):
             cols: dict = {
                 "n_bytes": [], "sha256": [], "width": [], "height": [],
                 "fps": [], "n_frames": [], "duration_ms": [],
@@ -429,13 +428,20 @@ def sample_frames(
                         idxs.append(i)
                         fps.append(hashlib.md5(f"{sha}:{i}".encode()).hexdigest())
                     continue
+                # buffer per asset and commit only on full success: a
+                # payload truncated MID-stream must contribute ZERO
+                # rows (the documented contract), not the frames
+                # decoded before the parse error
+                asset_rows = []
                 try:
                     for i, rgb in avi_iter_frames(payload or b"", stride):
-                        ids.append(asset_id)
-                        idxs.append(i)
-                        fps.append(hashlib.md5(rgb).hexdigest())
+                        asset_rows.append((i, hashlib.md5(rgb).hexdigest()))
                 except Exception:
-                    pass  # undecodable asset -> zero rows, pass survives
+                    continue  # undecodable asset -> zero rows
+                for i, digest in asset_rows:
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    fps.append(digest)
             yield pd.DataFrame({"asset_id": ids, "frame_idx": idxs, "frame_md5": fps})
 
     return df.mapInPandas(batches, schema=FRAME_SCHEMA)

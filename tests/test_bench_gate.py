@@ -50,6 +50,20 @@ def test_machine_factor_never_loosens_on_fast_host_or_thin_data():
     assert machine_factor({n: 0.4 for n in tiny}, tiny) == 1.0
 
 
+def test_machine_factor_cap_surfaces_fleet_wide_regressions():
+    """A uniform 3.5x slowdown must NOT be calibrated away as 'slow
+    host': the factor caps at 1.5 and every entry flags — a shared-path
+    code regression moves the whole fleet exactly like a slow host
+    does, and past 1.5x the gate refuses to guess in the code's
+    favor."""
+    refs = {f"e{i}": 1.0 for i in range(30)}
+    base = {"sf": 0.1, "queries": refs}
+    uniform = {n: 3.5 for n in refs}
+    assert machine_factor(uniform, refs) == 1.5
+    got = find_regressions(uniform, base, 0.1)
+    assert set(got) == set(refs)  # 3.5 > 2 * 1.5 * 1.0 -> all flagged
+
+
 def test_clean_run_is_empty():
     assert find_regressions({"fast": 0.11, "slow": 1.9}, BASE, 0.1) == {}
 

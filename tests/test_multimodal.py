@@ -289,3 +289,80 @@ def test_real_video_kernel_end_to_end(spark):
     assert stats[1].duration_ms == pytest.approx(500.0)
     assert stats[2].n_frames == 0
     assert stats[2].fps is None or math.isnan(stats[2].fps)
+
+
+def test_sample_frames_truncated_midstream_contributes_zero_rows(spark):
+    """A payload cut INSIDE the movi list (partial download) must
+    contribute ZERO frame rows — not the frames decoded before the
+    parse error — or frame-level dedup treats two byte-identical
+    videos differently depending on where truncation hit."""
+    from datalakehouse_spark.functions.avi import encode_avi
+    from datalakehouse_spark.operators.multimodal import sample_frames
+
+    frames = [bytes((k * 7 + i) % 256 for i in range(4 * 2 * 3)) for k in range(4)]
+    payload = encode_avi(frames, 4, 2, fps=10)
+    truncated = payload[: len(payload) - 30]  # cuts the last frame chunk
+    assets = spark.createDataFrame(
+        [(1, "video", payload), (2, "video", truncated)],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = sample_frames(assets, stride=1, fake=False).collect()
+    assert {r.asset_id for r in out} == {1}
+    assert len(out) == 4
+
+
+def test_avi_multi_stream_decodes_only_the_vids_stream():
+    """An AVI with an audio stream FIRST (vids is stream 01): frame
+    chunks are tagged 01db and the 00wb audio chunks must be skipped —
+    both by stats (no double counting) and by the frame reader (no
+    decoding audio bytes with video geometry)."""
+    import struct
+
+    from datalakehouse_spark.functions.avi import (
+        avi_iter_frames,
+        avi_video_stats,
+        encode_avi,
+    )
+
+    frames = [bytes((k * 13 + i) % 256 for i in range(3 * 2 * 3)) for k in range(2)]
+    base = encode_avi(frames, 3, 2, fps=10)
+
+    # rebuild: insert an 'auds' strl BEFORE the vids strl and an 00wb
+    # chunk in movi; retag the video frames 00db -> 01db
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    auds_strh = (
+        b"auds" + b"\x00" * 4
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 100, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, 0, 0)
+    )
+    auds_strl = b"strl" + chunk(b"strh", auds_strh) + chunk(b"strf", struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8))
+
+    # locate pieces of the original file
+    hdrl_at = base.find(b"LIST")
+    (hdrl_len,) = struct.unpack_from("<I", base, hdrl_at + 4)
+    hdrl_body = base[hdrl_at + 8 : hdrl_at + 8 + hdrl_len]  # 'hdrl' + avih + vids strl
+    (avih_len,) = struct.unpack_from("<I", hdrl_body, 8)
+    avih_end = 4 + 8 + avih_len + (avih_len & 1)  # 'hdrl' tag + avih chunk
+    new_hdrl = (
+        hdrl_body[:avih_end]
+        + b"LIST" + struct.pack("<I", len(auds_strl)) + auds_strl
+        + hdrl_body[avih_end:]
+    )
+    movi_at = base.find(b"LIST", hdrl_at + 8 + hdrl_len)
+    (movi_len,) = struct.unpack_from("<I", base, movi_at + 4)
+    movi_body = base[movi_at + 8 : movi_at + 8 + movi_len]
+    new_movi = (b"movi" + chunk(b"00wb", b"\xaa" * 37)
+                + movi_body[4:].replace(b"00db", b"01db"))
+    rebuilt = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(new_hdrl) + 8 + len(new_movi)) + b"AVI "
+        + b"LIST" + struct.pack("<I", len(new_hdrl)) + new_hdrl
+        + b"LIST" + struct.pack("<I", len(new_movi)) + new_movi
+    )
+
+    w, h, fps, n, dur = avi_video_stats(rebuilt)
+    assert (w, h, n) == (3, 2, 2)  # audio chunk NOT counted
+    decoded = list(avi_iter_frames(rebuilt))
+    assert [i for i, _ in decoded] == [0, 1]
+    assert all(decoded[k][1] == frames[k] for k in range(2))
