@@ -160,9 +160,16 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     elif color_type == 3:  # palette -> RGB -> luma
         if palette is None:
             raise PngError("palette image missing PLTE")
-        for i in range(width * height):
-            r, g, b = palette[px[i]]
-            luma[i] = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+        try:
+            for i in range(width * height):
+                r, g, b = palette[px[i]]
+                luma[i] = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+        except (IndexError, ValueError) as exc:
+            # out-of-range palette index / truncated PLTE entry: keep
+            # the documented malformed-payload contract (PngError, not
+            # a leaked IndexError) so decode_image's corrupt→(0,0,NULL)
+            # degradation path fires
+            raise PngError(f"invalid palette reference: {exc}") from exc
     else:  # 2 (RGB) or 6 (RGBA); 16-bit: high bytes at offsets 0/sb/2sb
         for i in range(width * height):
             o = i * step

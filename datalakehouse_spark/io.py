@@ -148,6 +148,21 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet size of a fixture table — a ZERO-JOB size probe
+    for adaptive plan selection (the same signal Spark's own CBO/AQE
+    thresholds key on: ``autoBroadcastJoinThreshold`` is bytes too).
+    Sums part files when the table is a directory.  Returns 0 for a
+    missing path (callers treat unknown as small)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 

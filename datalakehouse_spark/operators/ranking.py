@@ -184,7 +184,14 @@ def with_global_ranks(
     ``cache=True`` materializes the bucketed frame once via eager
     ``localCheckpoint`` — the count job and every per-spec window read
     the checkpoint, and its blocks are freed automatically when the
-    result is dropped (no caller-owned unpersist).
+    result is dropped (no caller-owned unpersist).  Tradeoff:
+    ``localCheckpoint`` TRUNCATES lineage and stores blocks only on
+    executors, so an executor loss fails the job instead of
+    recomputing; on a long-lived 1000-executor run prefer reliable
+    ``checkpoint()`` (HDFS-backed) or plain persist-with-unpersist for
+    results that must survive node churn — the same tradeoff applies
+    to the other ``localCheckpoint`` sites (dedup connected
+    components, decontamination gram cache).
     """
     specs = list(orders.items())
     if not specs:

@@ -222,6 +222,12 @@ def q_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Below this on-disk size the global-rank entries use plain global
+#: windows (one single-partition sort stage is cheaper than the
+#: distributed ranker's fixed jobs); at/above it they switch to the
+#: bucketed ranker.  Module-level so tests can force the large path.
+_NTILE_DISTRIBUTED_MIN_BYTES = 256 * 1024 * 1024
+
 _NTILE_SQL = """
 SELECT o_orderkey, o_totalprice,
        ntile(4) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_quartile,
@@ -232,19 +238,50 @@ FROM orders
 
 @register("ntile_percent_rank", _NTILE_SQL, "ntile + percent_rank analytics")
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global NTILE/PERCENT_RANK without the single-partition window
-    (the round-5 scale-killer): both functions reduce to arithmetic on a
-    global row_number, which ``with_global_ranks`` computes distributed
-    (range-bucket → partitioned window → broadcast offsets).  The two
-    rank orders differ beyond reversal (DESC price but ASC key tiebreak)
-    but share the leading column, so BOTH ranks come off ONE bucketing
-    pass — two sorts over the same bucket partitioning, no re-join on
-    the primary key (round-7 fix: the previous two independent passes
-    re-scanned and re-bucketed orders, then joined; 2.4 s → sub-second
-    target).  ``cache=True`` checkpoints the bucketed frame so the
-    window and bucket-count branches share one materialization (freed
-    automatically with the result; A/B-measured faster than recompute
-    when the full output flows through both window sorts)."""
+    """Global NTILE/PERCENT_RANK, plan chosen by INPUT SIZE (round 10):
+
+    - **small** (on-disk parquet < 256 MiB ≈ one executor-core sort
+      territory): native ``F.ntile``/``F.percent_rank`` over global
+      windows — two sorts in one single-partition stage, none of the
+      bucketed ranker's fixed costs (split-sample job, checkpoint,
+      counts collect).  A ≤256 MiB sort is sub-second on ONE core of
+      any executor; forcing the distributed machinery here only adds
+      latency.  Same size-keyed reasoning as
+      ``autoBroadcastJoinThreshold``, decided by a zero-job file-size
+      probe (``io.table_bytes``), so the decision itself costs nothing.
+    - **large** (the 100 TB posture — the round-5 single-partition
+      scale-killer fix): both functions reduce to arithmetic on a
+      global row_number, which ``with_global_ranks`` computes
+      distributed (range-bucket → partitioned window → broadcast
+      offsets).  The two rank orders differ beyond reversal (DESC
+      price but ASC key tiebreak) but share the leading column, so
+      BOTH ranks come off ONE bucketing pass — two sorts over the same
+      bucket partitioning, no re-join on the primary key.
+      ``cache=True`` checkpoints the bucketed frame so the window and
+      bucket-count branches share one materialization.
+
+    Both plans implement identical semantics (unique total order ⇒
+    row_number arithmetic ≡ native ntile/percent_rank), pinned by the
+    shared DuckDB oracle; tests/test_ranking.py exercises the large
+    path explicitly via the threshold override."""
+    from datalakehouse_spark.io import table_bytes
+
+    if table_bytes(sf_dir, "orders") < _NTILE_DISTRIBUTED_MIN_BYTES:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        w_desc = Window.orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        w_asc = Window.orderBy(
+            F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+        )
+        return orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.ntile(4).over(w_desc).alias("price_quartile"),
+            F.round(F.percent_rank().over(w_asc), 9).alias("pr"),
+        )
     from datalakehouse_spark.operators.ranking import (
         ntile_from_rank,
         percent_rank_from_rank,

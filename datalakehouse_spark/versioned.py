@@ -57,12 +57,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: Per-commit cap on recorded merge_upsert key tuples; beyond it the
-#: manifest stores null and a diverged merge degrades to
-#: partition-level conflict detection (bounded manifests beat
-#: unbounded key lists at 100 TB — Nessie itself detects conflicts at
-#: content granularity, not row granularity).
-_MERGE_KEY_CAP = 100_000
+#: How many overlapping key tuples a MergeConflictError names in its
+#: message / ``keys`` payload (the full overlap may be arbitrarily
+#: large; the error shows a bounded, deterministic sample).
+_CONFLICT_KEY_SAMPLE = 20
 
 
 class MergeConflictError(ValueError):
@@ -258,15 +256,17 @@ class VersionedTable:
           minus either side's removals plus both sides' additions;
         - partitions REWRITTEN by one side and modified by the other
           escalate to PER-KEY resolution when every commit involved is
-          a ``merge_upsert`` with a recorded key set: disjoint key sets
+          a ``merge_upsert`` with a recorded key sidecar (a typed
+          parquet key set — any cardinality): disjoint key sets
           re-apply the branch's keyed rows on top of ``into``'s state
           for just those partitions (one partition-pruned read per
-          side); overlapping keys raise :class:`MergeConflictError`
-          naming the offending keys;
-        - anything else (delete-vs-upsert on the same partition,
-          key sets beyond ``_MERGE_KEY_CAP``) raises
-          :class:`MergeConflictError` naming the partitions — loud,
-          never silent last-writer-wins.
+          side, typed null-safe joins); overlapping keys raise
+          :class:`MergeConflictError` naming a sample of the
+          offending keys;
+        - anything else (delete-vs-upsert on the same partition, an
+          expired common ancestor) raises :class:`MergeConflictError`
+          naming the partitions — loud, never silent
+          last-writer-wins.
 
         The merge commit's ``parent`` is ``into``'s head (history stays
         linear per branch) and ``merge_parent`` records the branch head,
@@ -300,12 +300,15 @@ class VersionedTable:
 
     def _upsert_keys_for(
         self, commits: list[int], conflicted: set[tuple]
-    ) -> tuple[list[str], set[tuple]] | None:
-        """Union of recorded merge_upsert key tuples across ``commits``
-        that touched a conflicted partition; None when any such commit
-        is not a key-recorded upsert (per-key resolution impossible)."""
+    ) -> tuple[list[str], DataFrame | None] | None:
+        """Union (as a typed DataFrame) of recorded merge_upsert key
+        sidecars across ``commits`` that touched a conflicted
+        partition; None when any such commit is not a key-recorded
+        upsert (per-key resolution impossible).  The DataFrame slot is
+        None when NO commit in the list touched a conflicted partition
+        (that side contributes no keyed rows)."""
         columns: list[str] | None = None
-        keys: set[tuple] = set()
+        sidecars: list[str] = []
         for v in commits:
             m = self._load_manifest(v)
             parent_files = {
@@ -327,19 +330,43 @@ class VersionedTable:
             if not (touched & conflicted):
                 continue
             mk = m.get("merge_keys")
-            if m["operation"] != "merge_upsert" or not mk or mk["values"] is None:
+            if m["operation"] != "merge_upsert" or not mk or not mk.get("path"):
                 return None
             if columns is None:
                 columns = mk["columns"]
             elif columns != mk["columns"]:
                 return None
-            keys.update(tuple(v) for v in mk["values"])
-        return (columns or [], keys)
+            sidecars.append(os.path.join(self.log_dir, mk["path"]))
+        if not sidecars:
+            return (columns or [], None)
+        return (
+            columns or [],
+            self.spark.read.parquet(*sidecars).distinct(),
+        )
+
+    def _truncated(self, chain: list[int]) -> bool:
+        """True when an ancestry chain stops at an EXPIRED manifest
+        (oldest surviving commit claims a parent that no longer
+        exists) rather than at the table root."""
+        return bool(chain) and self._load_manifest(chain[-1])["parent"] != 0
 
     def _three_way_merge(self, name: str, head: int, into: str, target: int) -> int:
         anc_target = self._ancestry(target)
+        anc_head = self._ancestry(head)
         anc_set = set(anc_target)
-        base = next((v for v in self._ancestry(head) if v in anc_set), 0)
+        base = next((v for v in anc_head if v in anc_set), 0)
+        if base == 0 and (self._truncated(anc_head) or self._truncated(anc_target)):
+            # the real common ancestor was expired (expire_versions
+            # with a live diverged branch): diffing against an empty
+            # base would classify BOTH sides' inherited files as
+            # additions and silently duplicate every shared row —
+            # refuse instead (loud, never silent)
+            raise MergeConflictError(
+                f"cannot merge {name!r} into {into!r}: the common ancestor "
+                "commit was expired (expire_versions ran while the branches "
+                "were diverged), so a three-way diff is impossible; rebase "
+                "the branch or resolve manually"
+            )
         added_t, removed_t, commits_t = self._changes_since(target, base)
         added_h, removed_h, commits_h = self._changes_since(head, base)
 
@@ -376,49 +403,56 @@ class VersionedTable:
             raise MergeConflictError(
                 f"branches {into!r} and {name!r} both rewrote partitions "
                 f"{sorted(conflicted)} with operations that defeat per-key "
-                "resolution (non-upsert commits, mismatched key columns, or "
-                f"key sets beyond {_MERGE_KEY_CAP}); rebase the branch or "
-                "resolve manually",
+                "resolution (non-upsert commits or mismatched key columns); "
+                "rebase the branch or resolve manually",
                 partitions=sorted(conflicted),
             )
         key_cols = kt[0] or kh[0]
-        overlap = kt[1] & kh[1]
-        if overlap:
-            shown = sorted(overlap)[:20]
-            raise MergeConflictError(
-                f"branches {into!r} and {name!r} upserted the same key(s) "
-                f"{shown}{'...' if len(overlap) > 20 else ''} "
-                f"(key columns {key_cols}); resolve by rebasing the branch",
-                keys=sorted(overlap),
-                partitions=sorted(conflicted),
-            )
+        kt_df, kh_df = kt[1], kh[1]
+
+        def _keyed_join(rows: DataFrame, keys_df: DataFrame, how: str) -> DataFrame:
+            # typed, null-safe semi/anti join against the recorded key
+            # set — Spark plans <=> equi-keys as a hash join, and the
+            # key side is a small sidecar (broadcast candidate), so no
+            # IN-list literals and no string canonicalization anywhere
+            cond = None
+            for c in key_cols:
+                clause = rows[c].eqNullSafe(keys_df[c])
+                cond = clause if cond is None else (cond & clause)
+            return rows.join(keys_df, cond, how)
+
+        if kt_df is not None and kh_df is not None:
+            overlap = _keyed_join(kt_df, kh_df, "left_semi")
+            sample = overlap.limit(_CONFLICT_KEY_SAMPLE + 1).collect()
+            if sample:
+                shown = sorted(
+                    (tuple(r) for r in sample),
+                    key=lambda t: tuple(repr(x) for x in t),
+                )[:_CONFLICT_KEY_SAMPLE]
+                raise MergeConflictError(
+                    f"branches {into!r} and {name!r} upserted the same key(s) "
+                    f"{shown}{'...' if len(sample) > _CONFLICT_KEY_SAMPLE else ''} "
+                    f"(key columns {key_cols}); resolve by rebasing the branch",
+                    keys=shown,
+                    partitions=sorted(conflicted),
+                )
 
         # disjoint keys: re-apply the branch's keyed rows on top of
         # into's state for just the conflicted partitions
-        sep, null = "\x1f", "\x00"
-
-        def canon_key_col():
-            return F.concat_ws(
-                sep,
-                *[
-                    F.coalesce(F.col(k).cast("string"), F.lit(null))
-                    for k in key_cols
-                ],
-            )
-
-        branch_key_strs = {
-            sep.join(null if v is None else v for v in t) for t in kh[1]
-        }
         in_cp = lambda e: self._partition_of(e) in conflicted  # noqa: E731
         into_cp = [e for e in t_files if in_cp(e)]
         head_cp = [e for e in h_files if in_cp(e)]
         into_rows = self._read_files(into_cp)
-        branch_rows = self._read_files(head_cp).where(
-            canon_key_col().isin(*branch_key_strs)
-        )
-        merged_rows = into_rows.where(
-            ~canon_key_col().isin(*branch_key_strs)
-        ).unionByName(branch_rows.select(*into_rows.columns))
+        if kh_df is None:
+            # branch side never upserted into the conflicted
+            # partitions (its rewrites were pure target-side); into's
+            # state stands as-is for those partitions
+            merged_rows = into_rows
+        else:
+            branch_rows = _keyed_join(self._read_files(head_cp), kh_df, "left_semi")
+            merged_rows = _keyed_join(into_rows, kh_df, "left_anti").unionByName(
+                branch_rows.select(*into_rows.columns)
+            )
         new_files = self._write_new_files(merged_rows)
 
         files = (
@@ -536,25 +570,24 @@ class VersionedTable:
             merged = kept_rows.unionByName(source.select(*kept_rows.columns))
         else:
             merged = source
-        # record the upserted key set (canonical strings, capped) so a
-        # later THREE-WAY merge_branch can do per-key conflict
-        # detection; above the cap the manifest stores null and merges
-        # degrade to partition-level conflicts (documented in
-        # merge_branch)
-        key_rows = (
-            source.select(*keys).distinct().limit(_MERGE_KEY_CAP + 1).collect()
-        )
-        merge_keys = (
-            None
-            if len(key_rows) > _MERGE_KEY_CAP
-            else sorted([_canon_value(r[k]) for k in keys] for r in key_rows)
+        # record the upserted key set as a TYPED parquet sidecar under
+        # _log/keys/ so a later THREE-WAY merge_branch can do per-key
+        # conflict detection at ANY key cardinality: the write is
+        # distributed (no driver collect, no cap), the merge compares
+        # keys as typed Spark joins (no str()-vs-cast('string')
+        # canonical-form mismatch), and the hot write path carries one
+        # extra pass over the (already-distinct) key projection instead
+        # of embedding a bounded key list in the manifest JSON
+        key_sidecar = os.path.join("keys", uuid.uuid4().hex)
+        source.select(*keys).distinct().write.parquet(
+            os.path.join(self.log_dir, key_sidecar)
         )
         return self._commit(
             "merge_upsert",
             kept_files + self._write_new_files(merged),
             cur,
             branch,
-            extra={"merge_keys": {"columns": list(keys), "values": merge_keys}},
+            extra={"merge_keys": {"columns": list(keys), "path": key_sidecar}},
         )
 
     def delete_where(self, predicate, branch: str = DEFAULT_BRANCH) -> int:
@@ -676,6 +709,13 @@ class VersionedTable:
                 continue
             p = self._manifest_path(v)
             if os.path.exists(p):
+                # an expired merge_upsert's key sidecar goes with it
+                # (sidecar dirs are commit-unique, never shared)
+                mk = self._load_manifest(v).get("merge_keys") or {}
+                if mk.get("path"):
+                    shutil.rmtree(
+                        os.path.join(self.log_dir, mk["path"]), ignore_errors=True
+                    )
                 os.remove(p)
                 removed_manifests.append(v)
         removed_files = []

@@ -272,3 +272,18 @@ def test_with_prefix_max_nan_poisons_prefix_like_window(spark):
         return {k: ("nan" if isinstance(v, float) and v != v else v) for k, v in d.items()}
 
     assert norm(got) == norm(want)
+
+
+def test_ntile_entry_small_and_large_paths_agree(spark, monkeypatch):
+    """The size-adaptive ntile_percent_rank entry (round 10) must
+    produce IDENTICAL rows from its small (native global windows) and
+    large (bucketed distributed ranker) plans — forced via the
+    module-level threshold."""
+    import datalakehouse_spark.registry_ext2 as ext2
+
+    sf = "/root/testdata/sf0.001"
+    small = sorted(map(tuple, ext2.q_ntile(spark, sf).collect()))
+    monkeypatch.setattr(ext2, "_NTILE_DISTRIBUTED_MIN_BYTES", 0)
+    large = sorted(map(tuple, ext2.q_ntile(spark, sf).collect()))
+    assert small == large
+    assert len(small) > 0

@@ -507,3 +507,121 @@ def test_diverged_merge_shared_key_always_conflicts(
     with pytest.raises(MergeConflictError) as ei:
         t.merge_branch("exp")
     assert any(f"dev{dev}" in str(k) for k in (ei.value.keys or []))
+
+
+# -- round 10: typed key sidecars + expired-ancestor guard ------------------
+
+
+def test_diverged_merge_large_disjoint_key_sets(spark, tmp_path):
+    """1M disjoint upsert keys per side in the SAME partition merge
+    cleanly — the key sidecar is a typed parquet set, not a collected
+    / capped driver list, so per-key resolution holds at any upsert
+    cardinality (the former 100k cap degraded this merge to a
+    partition-level conflict)."""
+    t = VersionedTable(spark, str(tmp_path / "big"), partition_by=["report_date"])
+    day = dt.date(2024, 1, 1)
+
+    def ids(lo, hi, score):
+        return (
+            spark.range(lo, hi)
+            .select(
+                F.concat(F.lit("dev"), F.col("id")).alias("device_id"),
+                F.lit(day).alias("report_date"),
+                F.lit(score).alias("score"),
+            )
+        )
+
+    t.create(ids(0, 10, 1.0))
+    t.create_branch("exp")
+    t.merge_upsert(ids(0, 1_000_000, 2.0), keys=["device_id", "report_date"])
+    t.merge_upsert(
+        ids(1_000_000, 2_000_000, 3.0),
+        keys=["device_id", "report_date"],
+        branch="exp",
+    )
+    t.merge_branch("exp")
+    out = t.read()
+    assert out.count() == 2_000_000
+    agg = {
+        r["score"]: r["n"]
+        for r in out.groupBy("score").agg(F.count("*").alias("n")).collect()
+    }
+    assert agg == {2.0: 1_000_000, 3.0: 1_000_000}
+
+
+def test_diverged_merge_typed_keys_no_canonical_form_mismatch(spark, tmp_path):
+    """Boolean + fractional-second timestamp key columns: recorded keys
+    are compared as TYPED values, so forms Python str() and Spark
+    cast('string') disagree on (True vs true, 00:00:00.500000 vs
+    00:00:00.5) still match and the branch's rows survive the merge."""
+    from datalakehouse_spark.versioned import MergeConflictError
+
+    t = VersionedTable(spark, str(tmp_path / "typed"), partition_by=["report_date"])
+    day = dt.date(2024, 1, 1)
+    ts_half = dt.datetime(2024, 1, 1, 0, 0, 0, 500000)
+    ts_other = dt.datetime(2024, 1, 1, 0, 0, 0, 250000)
+    schema = "flag boolean, event_ts timestamp, report_date date, score double"
+    t.create(
+        spark.createDataFrame(
+            [(True, ts_half, day, 0.0), (False, ts_other, day, 0.0)], schema
+        )
+    )
+    t.create_branch("exp")
+    keys = ["flag", "event_ts", "report_date"]
+    t.merge_upsert(
+        spark.createDataFrame([(True, ts_half, day, 1.0)], schema), keys=keys
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(False, ts_other, day, 2.0)], schema),
+        keys=keys,
+        branch="exp",
+    )
+    t.merge_branch("exp")
+    got = {(r["flag"]): r["score"] for r in t.read().collect()}
+    # branch row APPLIED (score 2.0), main row KEPT (1.0) — before the
+    # typed-sidecar fix the branch row was silently dropped
+    assert got == {True: 1.0, False: 2.0}
+    # and a genuine overlap on such keys still conflicts loudly
+    t.create_branch("exp2")
+    t.merge_upsert(
+        spark.createDataFrame([(True, ts_half, day, 3.0)], schema), keys=keys
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(True, ts_half, day, 4.0)], schema),
+        keys=keys,
+        branch="exp2",
+    )
+    with pytest.raises(MergeConflictError):
+        t.merge_branch("exp2")
+
+
+def test_merge_after_ancestor_expired_refuses_loudly(spark, vt):
+    """expire_versions(keep_last=1) with a live diverged branch kills
+    the common ancestor; a later merge must REFUSE rather than diff
+    against an empty base and duplicate every shared row."""
+    from datalakehouse_spark.versioned import MergeConflictError
+
+    vt.create_branch("exp")
+    vt.append(_rows(spark, days=[3]))
+    vt.append(_rows(spark, days=[4]), branch="exp")
+    vt.expire_versions(keep_last=1)  # drops v1, the common ancestor
+    with pytest.raises(MergeConflictError, match="ancestor"):
+        vt.merge_branch("exp")
+    # both heads remain readable and correct after the refusal
+    assert vt.read().count() == 9
+    assert vt.read(ref="exp").count() == 9
+
+
+def test_expire_versions_removes_key_sidecars(spark, vt):
+    vt.merge_upsert(
+        _rows(spark, days=[1], score=50.0), keys=["device_id", "report_date"]
+    )
+    vt.merge_upsert(
+        _rows(spark, days=[2], score=60.0), keys=["device_id", "report_date"]
+    )
+    keys_dir = os.path.join(vt.log_dir, "keys")
+    assert len(os.listdir(keys_dir)) == 2
+    vt.expire_versions(keep_last=1)
+    # v2's sidecar expired with its manifest; v3 (head) keeps its own
+    assert len(os.listdir(keys_dir)) == 1
+    assert vt.read().count() == 6
