@@ -1332,3 +1332,90 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
             )
 
     return d.mapInPandas(batches, schema=schema).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# S1 live path: the real readStream.format(...) reader over the filebus
+# broker emulator (round 10)
+# ---------------------------------------------------------------------------
+
+_FILEBUS_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM (SELECT * FROM events ORDER BY event_id LIMIT 400)
+"""
+
+
+@register(
+    "filebus_kafka_ingest",
+    _FILEBUS_SQL,
+    "S1 live: readStream.format('filebus') Kafka-shaped source, offsets+checkpoint",
+)
+def q_filebus_kafka_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming-source API path for S1 (create.sql:72-121),
+    executed live: 400 fixture events are produced onto a 3-partition
+    directory-backed topic log, then ``build_kafka_reader`` — the
+    production Kafka builder, format string swapped to the pure-Python
+    ``filebus`` DataSource — drains them through readStream → Kafka
+    wire schema → value.cast(string) → from_json, with offsets flowing
+    through a real checkpoint.  The oracle is the same 400 rows read
+    relationally: what went onto the bus must come back typed and
+    bit-identical through the streaming plan.
+
+    Scale: parallelism = topic partitions (Kafka's model); the JSON
+    payload round-trip preserves doubles exactly (shortest-repr emit,
+    exact parse).  Python DataSource streams lack availableNow, so the
+    drain runs the documented single-batch fallback — semantics, not
+    cadence, are under test here.
+    """
+    import json as _json
+    import uuid as _uuid
+
+    from datalakehouse_spark.scratch import fresh_scratch
+    from datalakehouse_spark.sources.filebus import (
+        FileBusProducer,
+        register_filebus,
+    )
+    from datalakehouse_spark.streaming.jobs import build_kafka_reader, drain_confs
+
+    register_filebus(spark)
+    root = fresh_scratch("filebus_ingest")
+    bus = root + "/bus"
+    prod = FileBusProducer(bus)
+    prod.create_topic("events", partitions=3)
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .orderBy("event_id")
+        .limit(400)
+        .select("event_id", "user_id", "event_type", "value")
+        .collect()  # bounded: exactly 400 rows feed the producer
+    )
+    for r in rows:
+        prod.send(
+            "events",
+            _json.dumps(
+                {
+                    "event_id": r.event_id,
+                    "user_id": r.user_id,
+                    "event_type": r.event_type,
+                    "value": r.value,
+                }
+            ),
+            key=str(r.user_id),
+            ts_us=int(r.event_id),
+        )
+    name = "fbus_" + _uuid.uuid4().hex[:10]
+    schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+    with drain_confs(spark):
+        q = (
+            build_kafka_reader(spark, bus, "events", source_format="filebus")
+            .load()
+            .select(F.from_json(F.col("value").cast("string"), schema).alias("j"))
+            .select("j.*")
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select("event_id", "user_id", "event_type", "value")

@@ -186,17 +186,24 @@ def build_kafka_reader(
     topic: str,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = 500_000,
+    source_format: str = "kafka",
 ):
-    """Production source: Kafka JSON topic -> parsed columns.
+    """Production source: Kafka JSON topic -> Kafka wire columns.
 
     Mirrors the reference's consumer tuning surface (create.sql:103-113):
     group-offsets resume == checkpoint-tracked offsets; fetch caps ==
-    maxOffsetsPerTrigger. Requires the kafka connector jar on the
-    classpath — raises a clear error here when absent (not shipped in
-    this container).
+    maxOffsetsPerTrigger.  The real ``format("kafka")`` needs the
+    connector jar (not shipped in this container); ``source_format=
+    "filebus"`` swaps in the pure-Python broker emulator
+    (:mod:`datalakehouse_spark.sources.filebus`, registered via
+    ``register_filebus``) which accepts the IDENTICAL option keys —
+    ``bootstrap_servers`` then names the bus root directory — and
+    yields the identical Kafka wire schema, so THIS builder and the
+    whole downstream parse plan are exercised live in-container
+    (tests/test_filebus_stream.py), not via a twin function.
     """
     reader = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(source_format)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
