@@ -36,6 +36,78 @@ _load_extensions()
 WARMUP_DIR = "/root/testdata/sf0.001"
 
 
+#: Off-host absolute anchor (round 10).  Two fixed CPU microbenchmarks
+#: that contain ZERO engine code — a pure-Python arithmetic loop and a
+#: pure-JVM whole-stage-codegen sum — timed once per bench session.
+#: Their ratio to the constants below (recorded on the BENCH_BASELINE
+#: host at version 1, load_1m < 0.5) measures HOST speed independently
+#: of the repo, which splits the one ambiguity machine_factor has: a
+#: fleet-wide ≤1.5x CODE regression moves every entry ratio but leaves
+#: the anchors flat, while a slow HOST moves both together.  Bump
+#: ANCHOR_VERSION whenever the workload or constants change.
+ANCHOR_VERSION = 1
+ANCHOR_REF = {"python_s": 0.1447, "jvm_s": 0.1765}
+
+
+def cpu_anchor(spark=None) -> dict:
+    """Time the fixed anchor workloads (best-of-3; JVM skipped without
+    a session).  Deliberately tiny (<2 s total) — it's a speedometer,
+    not a benchmark."""
+
+    def py_once() -> float:
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += (i * i) % 7
+        assert acc >= 0
+        return time.perf_counter() - t0
+
+    out = {"python_s": round(min(py_once() for _ in range(3)), 4), "jvm_s": None}
+    if spark is not None:
+
+        def jvm_once() -> float:
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr("sum(id % 7) as s").collect()
+            return time.perf_counter() - t0
+
+        jvm_once()  # codegen warmup isn't host speed
+        out["jvm_s"] = round(min(jvm_once() for _ in range(3)), 4)
+    return out
+
+
+def host_factor(anchor: dict) -> float:
+    """Geometric mean of anchor now/ref ratios — the repo-independent
+    host-speed estimate (1.0 = the baseline host; floored at 1.0 like
+    machine_factor so a fast host never loosens anything)."""
+    ratios = [
+        anchor[k] / ANCHOR_REF[k]
+        for k in ("python_s", "jvm_s")
+        if anchor.get(k) and ANCHOR_REF.get(k)
+    ]
+    if not ratios:
+        return 1.0
+    prod = 1.0
+    for r in ratios:
+        prod *= r
+    return max(1.0, prod ** (1.0 / len(ratios)))
+
+
+def calibration_alert(machine: float, host: float) -> str | None:
+    """The divergence alarm: entry ratios claim the fleet runs
+    ``machine``x slower than baseline, but the engine-free anchors say
+    the host itself is only ``host``x slower.  When the gap exceeds
+    15% (and the claim is non-trivial), the surplus is code, not
+    silicon — exactly the fleet-wide ≤1.5x regression the
+    machine_factor cap alone cannot distinguish."""
+    if machine > 1.1 and machine > 1.15 * host:
+        return (
+            f"machine_factor {machine:.2f} exceeds anchor host_factor "
+            f"{host:.2f} by >15%: uniform slowdown not explained by host "
+            "speed — suspect fleet-wide code regression"
+        )
+    return None
+
+
 def machine_factor(timings: dict, refs: dict) -> float:
     """Host-speed calibration: the MEDIAN now/reference ratio over every
     entry with a reference (≥0.05 s, so codegen-compile jitter on
@@ -184,6 +256,9 @@ def main() -> None:
             )
         total = round(sum(timings.values()), 3)
     calib = machine_factor(timings, (baseline or {}).get("queries", {}))
+    anchor = cpu_anchor(spark)
+    hf = host_factor(anchor)
+    alert = calibration_alert(calib, hf)
 
     payload = {
         "metric": "registry_total_runtime",
@@ -196,6 +271,9 @@ def main() -> None:
         "ncpus": os.cpu_count(),
         "regressions": regressions,
         "machine_factor": round(calib, 3),
+        "cpu_anchor": {**anchor, "version": ANCHOR_VERSION},
+        "host_factor": round(hf, 3),
+        "calibration_alert": alert,
         "timing": "median-of-3 for entries <3s; min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries; regressions = entries >2x and >0.5s over machine_factor x their BENCH_BASELINE.json reference median (machine_factor = median now/ref ratio clamped to [1, 1.5] so a slower host does not flag the fleet but a fleet-wide code regression still surfaces); flagged entries are re-timed in the quiet post-fleet JVM to a fixpoint, except build-once entries whose first-run cost is the metric",
     }
     # Compact separators keep the line short enough for tail-capture

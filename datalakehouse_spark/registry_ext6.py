@@ -1419,3 +1419,162 @@ def q_filebus_kafka_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name).select("event_id", "user_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# dup_span_excision_apply: MATERIALIZE the ExactSubstr-cleaned corpus
+# (round 10 — the pipeline step users actually run after the stats gate)
+# ---------------------------------------------------------------------------
+
+_EXCISION_APPLY_SQL = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+sp AS (
+    SELECT doc_id, source,
+           unnest([{{'i': i, 'h': md5(array_to_string(
+                        list_slice(toks, i, i + {_SPAN_N - 1}), ' '))}}
+                   FOR i IN range(1, greatest(len(toks) - {_SPAN_N - 1}, 0) + 1)])
+               AS s
+    FROM t
+),
+spans AS (SELECT doc_id, s.i AS i, s.h AS h FROM sp),
+dd AS (
+    SELECT h FROM (
+        SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h
+    ) WHERE nd >= 2
+),
+ds AS (SELECT DISTINCT doc_id, i FROM spans JOIN dd USING (h)),
+cov AS (
+    SELECT DISTINCT doc_id, pos FROM (
+        SELECT doc_id, unnest([i + x FOR x IN range({_SPAN_N})]) AS pos FROM ds
+    )
+),
+tp AS (
+    SELECT doc_id, source, u.p AS pos, u.tok AS tok
+    FROM (
+        SELECT doc_id, source,
+               unnest([{{'p': i, 'tok': toks[i]}}
+                       FOR i IN range(1, len(toks) + 1)]) AS u
+        FROM t
+    )
+),
+kept AS (SELECT tp.* FROM tp ANTI JOIN cov USING (doc_id, pos)),
+docagg AS (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+           CAST(COUNT(*) AS BIGINT) AS kept
+    FROM kept GROUP BY doc_id
+),
+per_doc AS (
+    SELECT t.doc_id, t.source,
+           CAST(len(t.toks) AS BIGINT) AS before,
+           coalesce(d.kept, 0) AS after,
+           md5(coalesce(d.txt, '')) AS dmd5
+    FROM t LEFT JOIN docagg d USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(before) AS BIGINT) AS tokens_before,
+       CAST(SUM(after) AS BIGINT) AS tokens_after,
+       CAST(SUM(CAST(CAST(('0x' || substr(dmd5, 1, 15)) AS BIGINT)
+                     AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS corpus_digest,
+       round((SUM(before) - SUM(after)) / CAST(SUM(before) AS DOUBLE), 6)
+           AS excise_ratio
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "dup_span_excision_apply",
+    _EXCISION_APPLY_SQL,
+    "ExactSubstr excision APPLIED: cleaned corpus, per-source digest of kept text",
+)
+def q_dup_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dup_span_excision_stats`` reports what ExactSubstr dedup (Lee
+    et al. 2022) WOULD remove; this entry REMOVES it — per document,
+    every token under at least one cross-doc duplicated 16-token span
+    is excised, the surviving tokens (original order) form the cleaned
+    text, and the result rolls up per source as (n_docs,
+    tokens_before, tokens_after, corpus_digest, excise_ratio).
+
+    The content proof is ``corpus_digest``: SUM over documents of a
+    60-bit integer cut from md5(cleaned_text), accumulated as
+    DECIMAL(38,0) (2^60 x 10^9 docs still fits; BIGINT would
+    overflow) — an ORDER-FREE pure aggregate, so it never buffers
+    per-source text or doc lists (a sorted string_agg of 10^9 md5s
+    would), yet any single-token difference in any cleaned document
+    moves it.  tokens_after is
+    guaranteed = tokens_before − excised_tokens of the stats entry
+    (tests/test_mixture_ops.py pins the identity).
+
+    Scale shape: duplicated-digest detection is the stats entry's
+    digest-keyed aggregate; coverage positions explode each duplicated
+    START into ≤16 (doc, pos) rows (O(dup_spans·16), distinct-ed);
+    token removal is a (doc_id, pos) LEFT ANTI equi-join against the
+    posexploded corpus (O(total tokens), shuffled by doc — never pair
+    space); per-doc reassembly sorts only WITHIN a document
+    (collect_list bounded by doc length).  No driver-side state."""
+    from datalakehouse_spark.operators.dedup import _ngram_hashes
+    from datalakehouse_spark.operators.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    spans = t.select(
+        "doc_id", F.posexplode(_ngram_hashes(F.col("toks"), _SPAN_N)).alias("p", "h")
+    )
+    dup = (
+        spans.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        spans.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.lit(_SPAN_N - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tp = t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    kept = tp.join(cov, ["doc_id", "pos"], "left_anti")
+    docagg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("txt"),
+        F.count(F.lit(1)).alias("kept"),
+    )
+    per_doc = t.join(docagg, "doc_id", "left").select(
+        "source",
+        F.size("toks").cast("long").alias("before"),
+        F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("after"),
+        F.md5(F.coalesce(F.col("txt"), F.lit(""))).alias("dmd5"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("before").alias("tokens_before"),
+            F.sum("after").alias("tokens_after"),
+            F.sum(
+                F.conv(F.substring("dmd5", 1, 15), 16, 10)
+                .cast("decimal(38,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("corpus_digest"),
+            F.round(
+                (F.sum("before") - F.sum("after"))
+                / F.sum("before").cast("double"),
+                6,
+            ).alias("excise_ratio"),
+        )
+        .orderBy("source")
+    )

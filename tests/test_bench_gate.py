@@ -106,3 +106,28 @@ def test_baseline_ratchet_waiver_is_explicit_and_recorded():
 
     with _pytest.raises(ValueError, match="sf mismatch"):
         ratchet(old, {"sf": 0.01, "queries": {"a": 0.1}})
+
+
+def test_calibration_alert_pins_code_vs_host_divergence():
+    """The round-10 off-host anchor: entry ratios say 1.4x but the
+    engine-free anchors say the host is flat -> alarm (fleet-wide code
+    regression can't masquerade as host speed); when the anchors agree
+    the host is slow, no alarm."""
+    from bench import calibration_alert
+
+    assert calibration_alert(1.4, 1.0) is not None  # code, not silicon
+    assert calibration_alert(1.4, 1.35) is None  # host really is slow
+    assert calibration_alert(1.05, 1.0) is None  # trivial claim: quiet
+    assert calibration_alert(1.0, 1.0) is None
+
+
+def test_host_factor_floors_at_one_and_handles_missing_jvm():
+    from bench import ANCHOR_REF, host_factor
+
+    fast = {k: v / 2 for k, v in ANCHOR_REF.items()}
+    assert host_factor(fast) == 1.0  # fast host never loosens
+    slow = {k: v * 2 for k, v in ANCHOR_REF.items()}
+    assert abs(host_factor(slow) - 2.0) < 1e-9
+    py_only = {"python_s": ANCHOR_REF["python_s"] * 1.3, "jvm_s": None}
+    assert abs(host_factor(py_only) - 1.3) < 1e-9
+    assert host_factor({"python_s": None, "jvm_s": None}) == 1.0

@@ -82,3 +82,29 @@ def test_split_leakage_audits_the_dataset_split(spark, sf_small):
     for r in counts:
         per_split[r["split"]] = per_split.get(r["split"], 0) + r["n_docs"]
     assert leak == per_split
+
+
+def test_excision_apply_matches_stats_accounting(spark, sf_small):
+    """The APPLIED excision (cleaned corpus) must remove exactly the
+    token mass the stats entry predicted: per source,
+    tokens_before - tokens_after == excised_tokens, and
+    tokens_before == n_tokens."""
+    from datalakehouse_spark.registry_ext6 import (
+        q_dup_span_excision_apply,
+        q_dup_span_excision_stats,
+    )
+
+    stats = {
+        r["source"]: r
+        for r in q_dup_span_excision_stats(spark, sf_small).collect()
+    }
+    applied = {
+        r["source"]: r
+        for r in q_dup_span_excision_apply(spark, sf_small).collect()
+    }
+    assert set(stats) == set(applied) and stats
+    for src, a in applied.items():
+        s = stats[src]
+        assert a["tokens_before"] == s["n_tokens"]
+        assert a["tokens_before"] - a["tokens_after"] == s["excised_tokens"]
+        assert a["n_docs"] == s["n_docs"]
