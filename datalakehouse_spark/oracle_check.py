@@ -206,5 +206,17 @@ def run_all(spark, sf_dir: str, names=None) -> list[CompareResult]:
             continue
         if spec.sql is None:
             continue
-        results.append(compare_query(spark, sf_dir, name, spec.fn, spec.sql))
+        try:
+            results.append(compare_query(spark, sf_dir, name, spec.fn, spec.sql))
+        except Exception as exc:  # one broken entry must not kill the sweep
+            broken = CompareResult(
+                name=name,
+                row_match=False,
+                schema_match=False,
+                value_match=False,
+                spark_rows=-1,
+                oracle_rows=-1,
+            )
+            broken.detail = f"entry raised: {type(exc).__name__}: {exc}"[:500]
+            results.append(broken)
     return results

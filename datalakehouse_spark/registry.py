@@ -76,6 +76,11 @@ EAGER_BUILD_ENTRIES = frozenset(
         "versioned_branch_evolution",
         "incremental_mv_maintenance",
         "streaming_incremental_mv",
+        # streaming harness: produces a bounded 400-row feed then drains
+        # the filebus Python DataSource stream into a memory sink at
+        # build time (sources/filebus.py; the V2 reader path itself runs
+        # lazily per micro-batch on executors)
+        "filebus_kafka_ingest",
         # ANN build/serve splits
         "knn_brute_force",
         "hybrid_rrf_fusion",  # its vector list collects the 1-row query vec
@@ -105,8 +110,13 @@ EAGER_BUILD_ENTRIES = frozenset(
         # distributed global ranking: the range-bucket split sample +
         # per-bucket count are small eager jobs embedded as literals
         # (the repartitionByRange trade — see operators/ranking.py
-        # module doc; round 8 removed the exchange-reuse dependency)
-        "ntile_percent_rank",
+        # module doc; round 8 removed the exchange-reuse dependency).
+        # NOTE ntile_percent_rank left this class in round 10: its
+        # size-adaptive plan (io.table_bytes probe, zero Spark jobs)
+        # takes the lazy native-window path below 256 MiB, which is
+        # what the fixture-scale contract test observes; above the
+        # threshold it runs the same eager bucketed ranker as the
+        # entries listed here.
         "gini_coefficient",
         "repeat_purchase_intervals",
         "ltv_deciles_pareto",
@@ -685,46 +695,190 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver coverage rotation (round 9): the driver samples the FIRST ~50
-#: entries of queries() order per round.  All 208 entries have a green
-#: driver row on current fixtures and zero ledger rows are red, so this
-#: round is pure FRESHNESS rotation (VERDICT r8 #1):
-#:   (1) entries whose CODE changed this round — the ANSI-safe drift
-#:       monitor (try_divide + one-sided NULL mask), the leak-free
-#:       checkpointing decontamination/global-rank consumers — prior
-#:       rows no longer describe the running code; plus the new
-#:       serving_page_seek keyset-pagination entry;
-#:   (2) the 36-entry cohort whose latest green driver row is round 4,
-#:       then the oldest of the round-5 cohort — ordered by
-#:       last-green-round ascending (ledger union, registry order as
-#:       tiebreak) so no entry's driver evidence ages past ~4 rounds.
+#: Driver coverage rotation (round 11, generated by
+#: tools/rotation_helper.py — now ordering the current-fixture tail by
+#: last-green-round ASCENDING so evidence can't silently age):
+#:   (1) round-10/11 code-changed + the two never-driver-checked
+#:       entries (filebus_kafka_ingest, dup_span_excision_apply — both
+#:       local sf0.01 oracle-green, formally untested by the driver);
+#:   (2) the 49-entry cohort whose latest green driver row is round 5
+#:       (the staleness debt VERDICT r10 flagged twice), then r6, r7,
+#:       r8, r10 cohorts in ledger order.
 _DRIVER_PRIORITY = [
-    # (1) round-9 code-changed + new entries
-    "serving_page_seek",
-    "dup_span_coverage",
-    "domain_mixture_weights",
-    "mixture_downsample_plan",
-    "split_leakage_audit",
-    "near_dup_decontamination",
-    "dup_span_excision_stats",
-    "bm25_topk",
-    "hybrid_rrf_fusion",
-    "quality_threshold_sweep",
-    "cross_source_dup_matrix",
+    "filebus_kafka_ingest",
+    "dup_span_excision_apply",
+    "ntile_percent_rank",
+    "time_travel_read",
+    "version_incremental_read",
+    "versioned_branch_evolution",
     "multimodal_real_decode_stats",
-    "max_concurrency",
-    "ingest_drift_psi",
-    # (2) staleness tail: last green driver row = round 4.  The 12 new
-    # entries above squeezed the ~50-entry driver window, so the
-    # results-identical round-9 changes with green r8 rows yielded
-    # their slots (ntile_percent_rank / repeat_purchase_intervals /
-    # ltv_deciles_pareto / decontamination_report — the rank-cache and
-    # gram-cache fixes change CACHING, not results, and all four are
-    # re-verified bit-exact locally at sf0.01 AND sf0.1 this round;
-    # max_concurrency and ingest_drift_psi stay because their
-    # RESULTS/oracles changed).  That keeps every round-4 row —
-    # weighted_sample_counts was the last — inside the window.
-    "weighted_sample_counts",
+    "near_dup_pairs",
+    "simhash_docs",
+    "simhash_near_dup_pairs",
+    "ivf_build_stats",
+    "ivf_search",
+    "merge_upsert_risk",
+    "approx_stats",
+    "corpus_prep_pipeline",
+    "char_ngram_jaccard",
+    "embedding_near_dup",
+    "ann_lsh_search",
+    "explode_wordcount_topk",
+    "value_histogram",
+    "monthly_revenue",
+    "array_agg_types",
+    "salted_agg_counts",
+    "quantize_embeddings_int8",
+    "exact_percentiles",
+    "value_stats_exact",
+    "zscore_normalize",
+    "disjunctive_predicates",
+    "min_per_group_joinback",
+    "risk_serving_page",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "gapfill_daily_counts",
+    "unpivot_daily",
+    "hourly_heatmap",
+    "null_semantics_agg",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "pairwise_topk_blocked",
+    "scd2_customer_history",
+    "stratified_sample",
+    "dataset_split_counts",
+    "jsonl_ingest_roundtrip",
+    "coordinate_parse_swap",
+    "null_safe_join",
+    "event_sequences",
+    "quantized_knn",
+    "media_frame_sample",
+    "knn_batch_queries",
+    "ivf_search_indexed",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_value",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q20_surplus_suppliers",
+    "q21_sole_blame",
+    "incremental_mv_maintenance",
+    "chunk_dedup_stats",
+    "streaming_incremental_mv",
+    "rolling_time_window",
+    "stats_moments",
+    "pq_build_stats",
+    "pq_search",
+    "ivf_pq_search",
+    "pq_recall_accounting",
+    "trip_distance_daily",
+    "speeding_segments",
+    "running_distinct_users",
+    "markov_transitions",
+    "ewma_daily",
+    "token_entropy",
+    "pii_redaction",
+    "engagement_bitmap",
+    "grid_density",
+    "prefix_dedup_stats",
+    "kmv_distinct_sketch",
+    "dq_expectations",
+    "growth_rates",
+    "mad_outliers",
+    "shingle_novelty_daily",
+    "distribution_rebalance",
+    "fuzzy_dup_candidates",
+    "hierarchy_rollup",
+    "debounce_events",
+    "purchase_attribution",
+    "dow_seasonality",
+    "anomaly_days",
+    "bloom_membership_accounting",
+    "bigram_logprob_quality",
+    "containment_near_dup",
+    "winback_users",
+    "zipf_token_ranks",
+    "dau_wau_stickiness",
+    "langid_confusion",
+    "label_centroid_distances",
+    "weighted_median",
+    "point_in_time_join",
+    "time_to_convert",
+    "conversion_wilson_ci",
+    "gapfill_interpolated",
+    "session_landing_exit",
+    "top_movers",
+    "kmv_rolling_distinct",
+    "cuped_adjustment",
+    "mutual_information",
+    "streaming_metered_ingest",
+    "weekly_autocorrelation",
+    "benford_first_digit",
+    "revenue_reconciliation",
+    "lsh_recall_accounting",
+    "ab_test_ttest",
+    "triangle_count",
+    "chi_square_independence",
+    "association_rules",
+    "trend_slopes",
+    "cusum_changepoint",
+    "source_vocab_overlap",
+    "corpus_health_report",
+    "order_aging_report",
+    "spatial_knn",
+    "basket_size_distribution",
+    "forecast_accuracy",
+    "risk_score_daily",
+    "ingest_normalize",
+    "bucket_distribution",
+    "serving_page",
+    "serving_count",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "join_semi",
+    "join_anti",
+    "join_outer_agg",
+    "range_join_window",
+    "latest_per_key",
+    "topk_global",
+    "topk_per_group",
+    "union_vendor_split",
+    "distinct_daily",
+    "rollup_daily",
+    "retention_filter",
+    "text_stats",
+    "quality_score_docs",
+    "langid_docs",
+    "token_count_by_source",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "minhash_signatures",
+    "knn_brute_force",
+    "embedding_norms_by_label",
+    "multimodal_payloads",
+    "correlated_avg_filter",
+    "scalar_subquery_ratio",
+    "groupby_having",
+    "grouping_sets_sql",
+    "string_predicates",
+    "ann_multiprobe_search",
+    "dedup_clusters",
+    "dedup_canonical",
+    "decontamination_report",
+    "ltv_deciles_pareto",
+    "skyline_2d",
+    "dup_graph_degrees",
+    "gini_coefficient",
+    "kmeans_inertia_sweep",
+    "repeat_purchase_intervals",
+    "semantic_dedup",
+    "incremental_dedup_ingest",
+    "embedding_drift",
+    "serving_page_seek",
     "asof_join_orders",
     "sessionize_counts",
     "running_windows",
@@ -760,30 +914,19 @@ _DRIVER_PRIORITY = [
     "funnel_conversion",
     "cohort_retention",
     "profile_table",
-    "repeat_purchase_intervals",
-    "ntile_percent_rank",
-    "ltv_deciles_pareto",
-    "decontamination_report",
-    "near_dup_pairs",
-    "simhash_docs",
-    "simhash_near_dup_pairs",
-    "ivf_build_stats",
-    "ivf_search",
-    # staleness tail: oldest of the round-5 cohort
-    "merge_upsert_risk",
-    "approx_stats",
-    "corpus_prep_pipeline",
-    "char_ngram_jaccard",
-    "embedding_near_dup",
-    "ann_lsh_search",
-    "explode_wordcount_topk",
-    "value_histogram",
-    "monthly_revenue",
-    "array_agg_types",
-    "salted_agg_counts",
-    "quantize_embeddings_int8",
-    "exact_percentiles",
-    "value_stats_exact",
+    "weighted_sample_counts",
+    "max_concurrency",
+    "ingest_drift_psi",
+    "dup_span_coverage",
+    "domain_mixture_weights",
+    "mixture_downsample_plan",
+    "split_leakage_audit",
+    "near_dup_decontamination",
+    "dup_span_excision_stats",
+    "bm25_topk",
+    "hybrid_rrf_fusion",
+    "quality_threshold_sweep",
+    "cross_source_dup_matrix",
 ]
 
 

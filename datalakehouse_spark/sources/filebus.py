@@ -192,7 +192,37 @@ class FileBusStreamReader(DataSourceStreamReader):
     them into the checkpoint, giving group-offsets resume for free.
     ``maxOffsetsPerTrigger`` caps each micro-batch's admission,
     distributed across partitions proportionally to backlog — Kafka's
-    own split rule."""
+    own split rule.
+
+    **Restart safety** (ADVICE r10): the admission base must never sit
+    below the checkpointed start, or a capped first-post-restart batch
+    would plan an end BELOW the checkpoint — partitions() would skip
+    it, the offset log would regress, and the next batch would re-read
+    committed records.  Three defenses, layered:
+
+    * ``commit(end)`` persists committed offsets broker-side
+      (``<topic>/_consumer_offsets/<group>.json``, atomic rename) —
+      the literal Kafka group-offsets store; a fresh reader instance
+      seeds its base from it (group id from ``kafka.group.id``,
+      Kafka's own option key);
+    * every offset dict Spark hands us (``partitions`` start/end,
+      ``commit`` end) raises an in-memory floor, covering the
+      restart-with-uncommitted-batch replay where ``partitions`` runs
+      before any ``latestOffset``;
+    * admitted offsets are clamped element-wise to ``>= base`` and the
+      base itself to ``<= cur`` (a truncated/recreated log must not
+      plan ends past EOF, which would skip later appends).
+
+    **Trigger.AvailableNow analog**: Spark's PythonMicroBatchStream
+    does not implement SupportsTriggerAvailableNow (passing
+    ``trigger(availableNow=True)`` falls back to one uncapped batch,
+    with a warning).  ``filebus.snapshot=true`` gives the same
+    contract under a processing-time trigger: the first
+    ``latestOffset`` call snapshots the topic's end offsets, every
+    later call is clamped to the snapshot, so a
+    ``query.processAllAvailable()`` drain terminates deterministically
+    after ceil(backlog/cap) capped micro-batches and never admits
+    records produced after the stream started."""
 
     def __init__(self, options) -> None:
         self.root = options.get("kafka.bootstrap.servers") or options.get("path")
@@ -207,7 +237,47 @@ class FileBusStreamReader(DataSourceStreamReader):
         self.starting = (options.get("startingOffsets") or "earliest").lower()
         cap = options.get("maxOffsetsPerTrigger")
         self.cap = int(cap) if cap else None
+        self.group = options.get("kafka.group.id") or "filebus-default"
+        self.snapshot_mode = (options.get("filebus.snapshot") or "").lower() in (
+            "true",
+            "1",
+        )
+        self._snapshot: dict[str, int] | None = None
         self._last_end: dict[str, int] | None = None
+        #: floor learned from Spark's own calls (checkpointed starts /
+        #: planned+committed ends) — admission may never end below it
+        self._floor: dict[str, int] = {}
+
+    # -- broker-side committed-offset store (Kafka __consumer_offsets) --
+
+    def _offsets_path(self) -> str:
+        return os.path.join(
+            self.root, self.topic, "_consumer_offsets", f"{self.group}.json"
+        )
+
+    def _load_committed(self) -> dict[str, int]:
+        try:
+            with open(self._offsets_path(), encoding="utf-8") as fh:
+                return {str(k): int(v) for k, v in json.load(fh).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _store_committed(self, end: dict) -> None:
+        path = self._offsets_path()
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump({str(k): int(v) for k, v in end.items()}, fh)
+            os.replace(tmp, path)  # atomic on POSIX
+        except OSError:
+            pass  # the store is an optimization; the checkpoint is truth
+
+    def _raise_floor(self, offs: dict) -> None:
+        for p, v in offs.items():
+            p = str(p)
+            if int(v) > self._floor.get(p, 0):
+                self._floor[p] = int(v)
 
     def initialOffset(self) -> dict:
         if self.starting == "latest":
@@ -216,14 +286,27 @@ class FileBusStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         cur = _end_offsets(self.root, self.topic)
+        if self.snapshot_mode:
+            if self._snapshot is None:
+                self._snapshot = dict(cur)
+            cur = {p: min(cur.get(p, 0), self._snapshot.get(p, 0)) for p in cur}
+        if self._last_end is None:
+            # fresh reader instance: seed the base from the broker-side
+            # group offsets so a clean restart with backlog > cap can't
+            # plan below the checkpointed start
+            self._raise_floor(self._load_committed())
+        base = dict(self._last_end or self.initialOffset())
+        for p in cur:
+            base[p] = max(base.get(p, 0), self._floor.get(p, 0))
+            base[p] = min(base[p], cur[p])  # never plan past EOF
         if self.cap is None:
-            self._last_end = cur
-            return cur
-        base = self._last_end or self.initialOffset()
+            admitted = {p: max(cur[p], base.get(p, 0)) for p in cur}
+            self._last_end = admitted
+            return admitted
         backlog = {p: max(cur[p] - base.get(p, 0), 0) for p in cur}
         total = sum(backlog.values())
         if total <= self.cap:
-            admitted = cur
+            admitted = {p: max(cur[p], base.get(p, 0)) for p in cur}
         else:
             # proportional admission, remainder to the largest backlogs
             share = {
@@ -241,6 +324,11 @@ class FileBusStreamReader(DataSourceStreamReader):
         return admitted
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Spark's starts/ends are authoritative (offset-log replay on
+        # restart lands here before any latestOffset call) — absorb
+        # them into the admission floor
+        self._raise_floor(start)
+        self._raise_floor(end)
         out = []
         for pdir in _partition_dirs(self.root, self.topic):
             pid = str(int(os.path.basename(pdir)[1:]))
@@ -260,8 +348,11 @@ class FileBusStreamReader(DataSourceStreamReader):
         return _read_slice(partition)
 
     def commit(self, end: dict) -> None:
-        # offsets live in Spark's checkpoint; nothing broker-side to ack
-        pass
+        # checkpoint holds the offsets Spark trusts; mirror them into
+        # the broker-side group-offset store so the NEXT reader
+        # instance (query restart) seeds its admission base correctly
+        self._raise_floor(end)
+        self._store_committed(self._floor)
 
 
 class FileBusBatchReader(DataSourceReader):
@@ -295,5 +386,21 @@ class FileBusDataSource(DataSource):
 
 
 def register_filebus(spark) -> None:
-    """Idempotent registration of the filebus format on a session."""
+    """Idempotent registration of the filebus format on a session.
+
+    The DataSource class is registered for BY-VALUE cloudpickle
+    serialization first: Spark's ``python_streaming_source_runner``
+    (the driver-side offset-management process for Python streaming
+    sources) is launched WITHOUT the session's addPyFile/userFiles
+    sys.path entries, so a by-reference pickle of this class dies there
+    with ModuleNotFoundError whenever the repo is only on the driver's
+    sys.path — exactly how the correctness driver invokes us (caught by
+    a /tmp-cwd vanilla-session verify, round 11).  By-value pickling
+    makes the class and this module's helper functions self-contained;
+    executor-side ``read()`` work needs no import either."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(FileBusDataSource)

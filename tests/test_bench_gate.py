@@ -117,8 +117,33 @@ def test_calibration_alert_pins_code_vs_host_divergence():
 
     assert calibration_alert(1.4, 1.0) is not None  # code, not silicon
     assert calibration_alert(1.4, 1.35) is None  # host really is slow
-    assert calibration_alert(1.05, 1.0) is None  # trivial claim: quiet
+    assert calibration_alert(1.04, 1.0) is None  # below the WARN band
     assert calibration_alert(1.0, 1.0) is None
+
+
+def test_calibration_alert_hysteresis_band_boundaries():
+    """VERDICT r10 #4: machine 1.099 / host 1.0 stayed silent by 0.001
+    under the hard >1.1 trigger.  The WARN band (machine >= 1.05 while
+    >= 5% above host) must surface that regime; the hard alert still
+    owns > 1.1."""
+    from bench import calibration_alert
+
+    # the exact boundary cohort the verdict asked for, host = 1.0
+    warn_109 = calibration_alert(1.09, 1.0)
+    warn_110 = calibration_alert(1.10, 1.0)
+    warn_111 = calibration_alert(1.11, 1.0)
+    assert warn_109 is not None and warn_109.startswith("WARN")
+    assert warn_110 is not None and warn_110.startswith("WARN")
+    # 1.11 clears the >1.1 leg but not the >1.15*host leg at host=1.0:
+    # still the WARN band; the hard alert owns machine > 1.15*host
+    assert warn_111 is not None and warn_111.startswith("WARN")
+    hard_116 = calibration_alert(1.16, 1.0)
+    assert hard_116 is not None and not hard_116.startswith("WARN")
+    # band entry point
+    warn_105 = calibration_alert(1.05, 1.0)
+    assert warn_105 is not None and warn_105.startswith("WARN")
+    # a matching slow host silences the band (silicon, not code)
+    assert calibration_alert(1.09, 1.08) is None
 
 
 def test_host_factor_floors_at_one_and_handles_missing_jvm():

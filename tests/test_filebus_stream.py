@@ -194,3 +194,165 @@ def test_starting_offsets_latest_skips_backlog(spark, tmp_path):
         else 0
     )
     assert written == 0
+
+
+# ---------------------------------------------------------------------------
+# Round 11: restart admission clamp (ADVICE r10 medium) + availableNow
+# snapshot semantics
+# ---------------------------------------------------------------------------
+
+
+def _reader_opts(root, topic="events", **kw):
+    opts = {"kafka.bootstrap.servers": root, "subscribe": topic}
+    opts.update(kw)
+    return opts
+
+
+def test_fresh_reader_seeds_admission_base_from_group_offsets(tmp_path):
+    """The ADVICE r10 scenario, clean-restart variant: after a commit,
+    a FRESH reader instance (query restart) with backlog > cap must
+    plan its first end AT OR ABOVE the committed offsets — never below
+    the checkpoint (which would regress the offset log and re-read
+    committed records)."""
+    from datalakehouse_spark.sources.filebus import FileBusStreamReader
+
+    root, prod = _mk_bus(tmp_path, partitions=1)
+    _send_events(prod, "events", range(20))
+
+    r1 = FileBusStreamReader(_reader_opts(root, maxOffsetsPerTrigger="5"))
+    assert r1.latestOffset() == {"0": 5}
+    r1.commit({"0": 5})
+    r1.latestOffset()
+    r1.commit({"0": 10})
+
+    # restart: new instance, _last_end is None, backlog (10) > cap (5)
+    r2 = FileBusStreamReader(_reader_opts(root, maxOffsetsPerTrigger="5"))
+    first = r2.latestOffset()
+    assert first["0"] >= 10, f"planned below checkpointed start: {first}"
+    assert first == {"0": 15}  # committed 10 + cap 5
+
+
+def test_uncommitted_replay_raises_admission_floor(tmp_path):
+    """Restart with an uncommitted batch: Spark replays it via
+    partitions(start, end) BEFORE any latestOffset call; the replayed
+    range must floor subsequent admission even with no broker-side
+    group offsets (different group id)."""
+    from datalakehouse_spark.sources.filebus import FileBusStreamReader
+
+    root, prod = _mk_bus(tmp_path, partitions=1)
+    _send_events(prod, "events", range(20))
+
+    r = FileBusStreamReader(
+        _reader_opts(root, maxOffsetsPerTrigger="5", **{"kafka.group.id": "g2"})
+    )
+    # offset-log replay of the uncommitted batch [10, 12)
+    r.partitions({"0": 10}, {"0": 12})
+    nxt = r.latestOffset()
+    assert nxt["0"] >= 12, f"planned below replayed batch end: {nxt}"
+    assert nxt == {"0": 17}  # replayed end 12 + cap 5
+
+
+def test_admission_base_clamped_to_log_end(tmp_path):
+    """A recreated/truncated log must not make the reader plan ends
+    past EOF (appends after the truncation would be silently skipped):
+    the base is clamped to the current end offsets."""
+    from datalakehouse_spark.sources.filebus import FileBusStreamReader
+
+    root, prod = _mk_bus(tmp_path, partitions=1)
+    _send_events(prod, "events", range(8))
+    r1 = FileBusStreamReader(_reader_opts(root))
+    r1.latestOffset()
+    r1.commit({"0": 8})
+
+    # recreate the topic shorter than the committed group offsets
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "bus" / "events"))
+    prod.create_topic("events", partitions=1)
+    _send_events(prod, "events", range(3))
+
+    r2 = FileBusStreamReader(_reader_opts(root, maxOffsetsPerTrigger="5"))
+    assert r2.latestOffset() == {"0": 3}  # not 8, not 13
+
+
+def test_snapshot_mode_freezes_end_offsets(tmp_path):
+    """filebus.snapshot=true: records produced AFTER the first
+    latestOffset are not admitted (Trigger.AvailableNow's contract)."""
+    from datalakehouse_spark.sources.filebus import FileBusStreamReader
+
+    root, prod = _mk_bus(tmp_path, partitions=1)
+    _send_events(prod, "events", range(10))
+    r = FileBusStreamReader(_reader_opts(root, **{"filebus.snapshot": "true"}))
+    assert r.latestOffset() == {"0": 10}
+    _send_events(prod, "events", range(10, 30))
+    assert r.latestOffset() == {"0": 10}  # frozen at the snapshot
+
+
+def test_snapshot_drain_completes_in_capped_micro_batches(spark, tmp_path):
+    """The availableNow analog end-to-end: cap 100 over 400 records
+    drains in exactly 4 capped micro-batches under a processing-time
+    trigger + processAllAvailable, terminating at the snapshot (no
+    single-batch fallback, no availableNow warning path)."""
+    register_filebus(spark)
+    root, prod = _mk_bus(tmp_path, partitions=4)
+    _send_events(prod, "events", range(400))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    reader = build_kafka_reader(
+        spark, root, "events", max_offsets_per_trigger=100, source_format="filebus"
+    ).option("filebus.snapshot", "true")
+    parsed = reader.load().select(F.col("value").cast("string").alias("raw"))
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 400
+    batch_rows = [
+        p["numInputRows"] for p in (q.recentProgress or []) if p["numInputRows"] > 0
+    ]
+    assert batch_rows == [100, 100, 100, 100]
+
+
+def test_capped_resume_no_duplicates_end_to_end(spark, tmp_path):
+    """The full ADVICE r10 scenario on the real checkpoint machinery:
+    a capped drain, a stop, a backlog append, a capped restart on the
+    SAME checkpoint — every record lands exactly once."""
+    register_filebus(spark)
+    root, prod = _mk_bus(tmp_path, partitions=2)
+    _send_events(prod, "events", range(12))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def _capped_drain():
+        reader = build_kafka_reader(
+            spark, root, "events", max_offsets_per_trigger=4,
+            source_format="filebus",
+        ).option("filebus.snapshot", "true")
+        parsed = reader.load().select(
+            F.col("value").cast("string").alias("raw")
+        ).select(F.from_json("raw", SCHEMA).alias("j")).select("j.*")
+        q = (
+            parsed.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _capped_drain()
+    assert spark.read.parquet(out).count() == 12
+    _send_events(prod, "events", range(12, 24))
+    _capped_drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 24
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert sorted(ids) == list(range(24)), "duplicate or skipped records"

@@ -612,6 +612,14 @@ _GLOBAL_WINDOW_OK = {
     # registry_ext6: rank over two LIMIT-50 candidate frames — bounded
     # by the literal candidate depth at ANY corpus size
     "hybrid_rrf_fusion",
+    # registry_ext2 + operators/ranking.py: SIZE-ADAPTIVE — a zero-job
+    # on-disk size probe (io.table_bytes) picks the native global
+    # window only below 256 MiB (what this fixture-scale sweep
+    # observes); above the threshold the same entry builds the
+    # distributed range-bucketed ranker with no global window.  The
+    # threshold contract is pinned by
+    # test_ntile_entry_small_and_large_paths_agree in tests/test_ranking.py.
+    "ntile_percent_rank",
 }
 
 #: Diagnostic/build-advisory entries that execute eager actions at

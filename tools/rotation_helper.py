@@ -80,10 +80,17 @@ def main() -> None:
         n for n in names if n not in red and n not in current and n not in last_green
     ]
     stale = [n for n in names if n not in red and n not in current and n in last_green]
+    # freshness tail: even current-fixture-green entries age; order them
+    # by last-green-round ascending (registry order as tiebreak) so the
+    # oldest evidence re-enters the ~50-entry driver window first.
+    aging = sorted(
+        (n for n in names if n in current),
+        key=lambda n: (last_green.get(n, 0), names.index(n)),
+    )
 
     seen: set[str] = set()
     out: list[str] = []
-    for n in changed + red + never + stale:
+    for n in changed + red + never + stale + aging:
         if n not in seen:
             seen.add(n)
             out.append(n)
