@@ -1,0 +1,789 @@
+"""Pure-stdlib baseline JPEG (SOF0) codec — the compressed-image decode
+kernel for containers without Pillow.
+
+Closes the last probe-guarded image gap (round 9/10 verdicts): PNG has
+been real since round 9 (functions/png.py); JPEG payloads previously
+raised the honest ``NotImplementedError``.  Baseline sequential JPEG is
+fully decodable with nothing beyond ``struct`` + integer/float math:
+parse the marker stream, build the canonical Huffman tables (DHT),
+entropy-decode each MCU's blocks (DC differential + AC run/size with
+ZRL/EOB), dequantize (DQT), inverse zigzag, 2-D IDCT, level-shift, and
+reassemble component planes with sampling-factor upsampling.  That is
+what this module does — no dependencies, runs on any executor's bare
+CPython.
+
+Supported: 8-bit baseline DCT (SOF0), grayscale and 3-component YCbCr
+with sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), multiple
+DQT/DHT segments, 16-bit quant values, restart markers (DRI/RSTn).
+Rejected via ``JpegUnsupported`` (a real JPEG this kernel honestly
+cannot decode — progressive SOF2, arithmetic coding, 12-bit precision,
+hierarchical); structurally malformed payloads raise ``JpegError`` so
+the multimodal corrupt->(0,0,NULL) degradation path fires.
+
+Luma contract: grayscale images hand back Y directly.  Color images
+convert YCbCr->RGB with the JFIF/BT.601 full-range formula
+(round-half-up, clamped) and then apply Pillow's exact ITU-R 601-2
+integer luma ``(R*19595 + G*38470 + B*7471 + 0x8000) >> 16`` — the
+same formula the PNG kernel uses.  Honesty note (unlike PNG): JPEG
+decoding is only spec-*accurate*, not implementation-identical —
+libjpeg's fast integer IDCT differs from the normative float IDCT by
+up to ±1/pixel, so a Pillow worker and this kernel may disagree on the
+low bit of individual pixels of AC-heavy blocks.  Constant 8x8 blocks
+(DC-only) are EXACT under any conforming IDCT, which is what the
+oracle fixtures use (see registry_ext6 ``multimodal_real_decode_stats``:
+encode parameters chosen so the round trip cancels into byte math).
+
+A minimal encoder (``encode_jpeg``: grayscale or 4:4:4/4:2:0 YCbCr,
+spec Annex K standard Huffman tables, caller-supplied quant tables
+defaulting to all-ones) is included for fixture generation and
+round-trip tests.
+
+Scale note: the per-block IDCT is a precomputed-cosine separable pass
+(1024 multiply-adds/block) in pure Python — ~20-50x slower than
+libjpeg per image.  It exists for correctness and portability;
+deployments that decode billions of JPEGs install Pillow (the
+multimodal operators prefer it automatically, per-worker probed).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+__all__ = [
+    "JpegError",
+    "JpegUnsupported",
+    "decode_jpeg",
+    "jpeg_luma_stats",
+    "encode_jpeg",
+]
+
+
+class JpegError(ValueError):
+    """Structurally malformed JPEG payload."""
+
+
+class JpegUnsupported(JpegError):
+    """A real JPEG this baseline kernel honestly cannot decode
+    (progressive, arithmetic, 12-bit, hierarchical)."""
+
+
+# --------------------------------------------------------------------------
+# shared constants
+# --------------------------------------------------------------------------
+
+#: zigzag scan order: ZIGZAG[k] = raster index of the k-th coefficient
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: normative 1-D DCT basis A[u][x] = C(u)/2 * cos((2x+1) u pi / 16)
+_A = [
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0)
+        / 2.0
+        * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+# standard Huffman tables, JPEG spec (ITU-T T.81) Annex K.3 —
+# (BITS counts for code lengths 1..16, then HUFFVAL symbol list)
+_STD_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """BITS/HUFFVAL -> {(length, code): symbol} (spec C.2 order)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise JpegError("huffman table BITS/HUFFVAL mismatch")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _idct_2d(coef: list[float]) -> list[float]:
+    """Normative separable 2-D IDCT over a raster-order 64-list."""
+    # rows of the coefficient matrix are frequency v; first pass over v
+    tmp = [0.0] * 64
+    for u in range(8):
+        base = u * 8
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                c = coef[base + v]
+                if c:
+                    s += _A[v][y] * c
+            tmp[base + y] = s
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                t = tmp[u * 8 + y]
+                if t:
+                    s += _A[u][x] * t
+            out[x * 8 + y] = s
+    return out
+
+
+def _fdct_2d(block: list[float]) -> list[float]:
+    """Normative separable 2-D forward DCT over a raster 64-list."""
+    tmp = [0.0] * 64
+    for u in range(8):
+        for y in range(8):
+            s = 0.0
+            for x in range(8):
+                s += _A[u][x] * block[x * 8 + y]
+            tmp[u * 8 + y] = s
+    out = [0.0] * 64
+    for u in range(8):
+        base = u * 8
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += _A[v][y] * tmp[base + y]
+            out[base + v] = s
+    return out
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing; stops
+    at any non-stuffed marker (the caller inspects/consumes it)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise JpegError("entropy data ran past end of payload")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # a real marker: pad with 1-bits per spec F.2.2.5 so the
+                # current (final) codes can finish decoding
+                self.marker = nxt
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> int | None:
+        """Drop pad bits; return the next marker code (consuming it)
+        if one is adjacent."""
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and d[p] == 0xFF:
+            m = d[p + 1]
+            if m == 0x00:
+                break
+            if m == 0xFF:  # fill byte
+                p += 1
+                continue
+            self.pos = p + 2
+            return m
+        self.pos = p
+        return None
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegError("invalid huffman code in entropy stream")
+
+
+def _extend(v: int, t: int) -> int:
+    """Spec F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+class _Component:
+    __slots__ = (
+        "cid", "h", "v", "tq", "td", "ta", "pred",
+        "bw", "bh", "plane",
+    )
+
+    def __init__(self, cid: int, h: int, v: int, tq: int) -> None:
+        self.cid, self.h, self.v, self.tq = cid, h, v, tq
+        self.td = self.ta = 0
+        self.pred = 0
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline JPEG -> ``(width, height, luma_plane)``.
+
+    ``luma_plane`` is ``width*height`` bytes of 8-bit luma in row-major
+    order — the same contract as ``png.decode_png`` (grayscale passes Y
+    through; color converts via the Pillow-identical ITU-R 601-2
+    integer formula after the JFIF YCbCr->RGB step).
+    """
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise JpegError("not a JPEG: missing SOI")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame: tuple[int, int, list[_Component]] | None = None
+
+    while True:
+        if pos + 4 > len(data):
+            raise JpegError("truncated marker stream")
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at {pos}, got {data[pos]:#x}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD8:  # stray SOI
+            continue
+        if marker == 0xD9:
+            raise JpegError("EOI before SOS: no image data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn bare
+            continue
+        (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seg_len]
+        if len(seg) != seg_len - 2:
+            raise JpegError("truncated segment")
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            kinds = {0xC2: "progressive (SOF2)", 0xC9: "arithmetic",
+                     0xCA: "progressive arithmetic"}
+            raise JpegUnsupported(
+                f"{kinds.get(marker, f'SOF{marker - 0xC0}')} JPEG not "
+                "supported by the baseline kernel"
+            )
+        if marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                if len(vals) != n:
+                    raise JpegError("truncated DHT")
+                table = _canonical_codes(bits, vals)
+                if tc_th >> 4 == 0:
+                    huff_dc[tc_th & 0x0F] = table
+                else:
+                    huff_ac[tc_th & 0x0F] = table
+                p += 17 + n
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                prec, tid = pq_tq >> 4, pq_tq & 0x0F
+                p += 1
+                if prec == 0:
+                    vals = list(seg[p : p + 64])
+                    p += 64
+                elif prec == 1:
+                    vals = list(struct.unpack(">64H", seg[p : p + 128]))
+                    p += 128
+                else:
+                    raise JpegError(f"bad DQT precision {prec}")
+                if len(vals) != 64:
+                    raise JpegError("truncated DQT")
+                qt[tid] = vals
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise JpegUnsupported(f"{prec}-bit precision not supported")
+            if ncomp not in (1, 3):
+                raise JpegUnsupported(f"{ncomp}-component JPEG not supported")
+            if width == 0 or height == 0:
+                raise JpegError("zero image dimension")
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 2 and 1 <= v <= 2):
+                    raise JpegUnsupported(f"sampling factor {h}x{v}")
+                comps.append(_Component(cid, h, v, tq))
+            frame = (width, height, comps)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF0")
+            width, height, comps = frame
+            ns = seg[0]
+            if ns != len(comps):
+                raise JpegUnsupported("multi-scan / partial-scan JPEG")
+            by_id = {c.cid: c for c in comps}
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
+                c = by_id.get(cs)
+                if c is None:
+                    raise JpegError(f"SOS references unknown component {cs}")
+                c.td, c.ta = tdta >> 4, tdta & 0x0F
+            pos += seg_len
+            return _decode_scan(
+                data, pos, width, height, comps, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / others: skip
+        pos += seg_len
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    comps: list[_Component],
+    qt: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> tuple[int, int, bytes]:
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c.bw = mcus_x * c.h  # blocks per row
+        c.bh = mcus_y * c.v
+        c.plane = bytearray(c.bw * 8 * c.bh * 8)
+        if c.tq not in qt:
+            raise JpegError(f"component references missing quant table {c.tq}")
+        if c.td not in huff_dc or c.ta not in huff_ac:
+            raise JpegError("component references missing huffman table")
+
+    br = _BitReader(data, pos)
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                m = br.align_to_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise JpegError("expected restart marker")
+                for c in comps:
+                    c.pred = 0
+            for c in comps:
+                q = qt[c.tq]
+                dc_t, ac_t = huff_dc[c.td], huff_ac[c.ta]
+                for bv in range(c.v):
+                    for bh in range(c.h):
+                        coef = [0.0] * 64
+                        t = _huff_decode(br, dc_t)
+                        if t > 15:
+                            raise JpegError(f"bad DC category {t}")
+                        diff = _extend(br.receive(t), t)
+                        c.pred += diff
+                        coef[0] = c.pred * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegError("AC run past block end")
+                            coef[ZIGZAG[k]] = _extend(br.receive(s), s) * q[k]
+                            k += 1
+                        px = _idct_2d(coef)
+                        _store_block(
+                            c, (my * c.v + bv), (mx * c.h + bh), px
+                        )
+            mcu_index += 1
+
+    if len(comps) == 1:
+        c = comps[0]
+        return width, height, _crop(c, width, height)
+
+    # color: upsample chroma to full res, then YCbCr -> RGB -> luma
+    y_c, cb_c, cr_c = comps[0], comps[1], comps[2]
+    yw = y_c.bw * 8
+    out = bytearray(width * height)
+    for yy in range(height):
+        yrow = yy * yw
+        cb_row = (yy * cb_c.v // vmax) * (cb_c.bw * 8)
+        cr_row = (yy * cr_c.v // vmax) * (cr_c.bw * 8)
+        for xx in range(width):
+            yv = y_c.plane[yrow + xx]
+            cb = cb_c.plane[cb_row + (xx * cb_c.h // hmax)] - 128
+            cr = cr_c.plane[cr_row + (xx * cr_c.h // hmax)] - 128
+            # JFIF full-range BT.601, round-half-up then clamp
+            r = yv + 1.402 * cr
+            g = yv - 0.344136 * cb - 0.714136 * cr
+            b = yv + 1.772 * cb
+            r = 0 if r < 0 else (255 if r > 255 else int(r + 0.5))
+            g = 0 if g < 0 else (255 if g > 255 else int(g + 0.5))
+            b = 0 if b < 0 else (255 if b > 255 else int(b + 0.5))
+            out[yy * width + xx] = (
+                r * 19595 + g * 38470 + b * 7471 + 0x8000
+            ) >> 16
+    return width, height, bytes(out)
+
+
+def _store_block(c: _Component, brow: int, bcol: int, px: list[float]) -> None:
+    stride = c.bw * 8
+    base = brow * 8 * stride + bcol * 8
+    plane = c.plane
+    for x in range(8):  # px is indexed [x*8 + y] = (row x, col y)
+        off = base + x * stride
+        row = px[x * 8 : x * 8 + 8]
+        for y in range(8):
+            v = row[y] + 128.0
+            plane[off + y] = 0 if v < 0 else (255 if v > 254.5 else int(v + 0.5))
+
+
+def _crop(c: _Component, width: int, height: int) -> bytes:
+    stride = c.bw * 8
+    if stride == width and c.bh * 8 == height:
+        return bytes(c.plane)
+    out = bytearray(width * height)
+    for yy in range(height):
+        out[yy * width : (yy + 1) * width] = c.plane[
+            yy * stride : yy * stride + width
+        ]
+    return bytes(out)
+
+
+def jpeg_luma_stats(data: bytes) -> tuple[int, int, float]:
+    """``(width, height, mean_luma)`` with mean_luma normalized to
+    [0, 1] — the ``decode_image`` kernel contract (sum of 8-bit luma /
+    (255 * n)), mirroring ``png.png_luma_stats``."""
+    width, height, luma = decode_jpeg(data)
+    n = max(width * height, 1)
+    return width, height, sum(luma) / (255.0 * n)
+
+
+# --------------------------------------------------------------------------
+# encoder (fixtures / round-trip tests)
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _encode_table(bits_vals) -> dict[int, tuple[int, int]]:
+    """BITS/HUFFVAL -> {symbol: (code, length)}."""
+    table = _canonical_codes(*bits_vals)
+    return {sym: (code, length) for (length, code), sym in table.items()}
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _encode_block(
+    bw: _BitWriter,
+    block: list[float],
+    q: list[int],
+    pred: int,
+    dc_t: dict,
+    ac_t: dict,
+) -> int:
+    coefs = _fdct_2d(block)
+    zz = [int(round(coefs[ZIGZAG[k]] / q[k])) for k in range(64)]
+    diff = zz[0] - pred
+    t = _category(diff)
+    code, length = dc_t[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_t[0xF0]  # ZRL
+            bw.write(zc, zl)
+            run -= 16
+        s = _category(v)
+        code, length = ac_t[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_t[0x00]  # EOB
+        bw.write(code, length)
+    return zz[0]
+
+
+def _dht_segment(tc: int, th: int, bits_vals) -> bytes:
+    bits, vals = bits_vals
+    body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def _dqt_segment(tid: int, q: list[int]) -> bytes:
+    if max(q) > 255:
+        body = bytes([0x10 | tid]) + struct.pack(">64H", *q)
+    else:
+        body = bytes([tid]) + bytes(q)
+    return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+
+def _comp_plane_blocks(
+    plane: list[float], w: int, h: int, brow: int, bcol: int
+) -> list[float]:
+    """Extract the 8x8 block at block-coords (brow, bcol), edge-padding
+    by clamping, as a raster [x*8+y] list matching _fdct_2d's layout."""
+    out = [0.0] * 64
+    for x in range(8):
+        sy = min(brow * 8 + x, h - 1)
+        for y in range(8):
+            sx = min(bcol * 8 + y, w - 1)
+            out[x * 8 + y] = plane[sy * w + sx]
+    return out
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color: bool = False,
+    quant_luma: list[int] | None = None,
+    quant_chroma: list[int] | None = None,
+    subsampling: str = "444",
+) -> bytes:
+    """Minimal baseline encoder for fixtures and round-trip tests.
+
+    ``pixels`` is row-major 8-bit samples: 1 byte/px grayscale
+    (``color=False``) or 3 bytes/px RGB (``color=True``; encoded as
+    full-range JFIF YCbCr at 4:4:4 or 4:2:0).  Quant tables default to
+    all-ones, under which constant 8x8 blocks round-trip EXACTLY (the
+    oracle-fixture property: a constant block has only a DC
+    coefficient, 8*(v-128), an exact integer under q=1 and exact under
+    any conforming IDCT)."""
+    ql = quant_luma or [1] * 64
+    if len(ql) != 64 or min(ql) < 1:
+        raise JpegError("quant table must be 64 positive ints")
+    nch = 3 if color else 1
+    if len(pixels) != width * height * nch:
+        raise JpegError(
+            f"pixel buffer is {len(pixels)} bytes, need {width * height * nch}"
+        )
+    if subsampling not in ("444", "420"):
+        raise JpegError("subsampling must be '444' or '420'")
+
+    dc_l, ac_l = _encode_table(_STD_DC_LUM), _encode_table(_STD_AC_LUM)
+    head = bytearray(b"\xff\xd8")  # SOI
+    head += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"  # version 1.1, density units 0
+        + struct.pack(">HHBB", 1, 1, 0, 0)  # 1x1 aspect, no thumbnail
+    )
+    head += _dqt_segment(0, ql)
+
+    if not color:
+        lum = [float(p) - 128.0 for p in pixels]
+        bw_blocks = (width + 7) // 8
+        bh_blocks = (height + 7) // 8
+        head += b"\xff\xc0" + struct.pack(
+            ">HBHHB", 8 + 3, 8, height, width, 1
+        ) + bytes([1, 0x11, 0])
+        head += _dht_segment(0, 0, _STD_DC_LUM)
+        head += _dht_segment(1, 0, _STD_AC_LUM)
+        head += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1) + bytes([1, 0x00, 0, 63, 0])
+        bw = _BitWriter()
+        pred = 0
+        for brow in range(bh_blocks):
+            for bcol in range(bw_blocks):
+                block = _comp_plane_blocks(lum, width, height, brow, bcol)
+                pred = _encode_block(bw, block, ql, pred, dc_l, ac_l)
+        return bytes(head) + bw.flush() + b"\xff\xd9"
+
+    qc = quant_chroma or [1] * 64
+    if len(qc) != 64 or min(qc) < 1:
+        raise JpegError("quant table must be 64 positive ints")
+    head += _dqt_segment(1, qc)
+    dc_c, ac_c = _encode_table(_STD_DC_CHR), _encode_table(_STD_AC_CHR)
+
+    # RGB -> full-range YCbCr (JFIF), kept as floats for the DCT
+    n = width * height
+    yp = [0.0] * n
+    cbp = [0.0] * n
+    crp = [0.0] * n
+    for i in range(n):
+        r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+        yp[i] = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cbp[i] = -0.168736 * r - 0.331264 * g + 0.5 * b
+        crp[i] = 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    if subsampling == "444":
+        hs = vs = 1
+        cw, ch = width, height
+    else:
+        hs = vs = 2
+        cw, ch = (width + 1) // 2, (height + 1) // 2
+        # 2x2 mean downsample (clamped at edges)
+        for plane in (cbp, crp):
+            small = [0.0] * (cw * ch)
+            for yy in range(ch):
+                for xx in range(cw):
+                    acc = cnt = 0
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            sy, sx = yy * 2 + dy, xx * 2 + dx
+                            if sy < height and sx < width:
+                                acc += plane[sy * width + sx]
+                                cnt += 1
+                    small[yy * cw + xx] = acc / cnt
+            plane[: cw * ch] = small
+            del plane[cw * ch :]
+
+    head += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 9, 8, height, width, 3)
+    head += bytes([1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1])
+    head += _dht_segment(0, 0, _STD_DC_LUM)
+    head += _dht_segment(1, 0, _STD_AC_LUM)
+    head += _dht_segment(0, 1, _STD_DC_CHR)
+    head += _dht_segment(1, 1, _STD_AC_CHR)
+    head += b"\xff\xda" + struct.pack(">HB", 10 + 2, 3) + bytes(
+        [1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
+    )
+
+    bw = _BitWriter()
+    mcus_x = (width + 8 * hs - 1) // (8 * hs)
+    mcus_y = (height + 8 * vs - 1) // (8 * vs)
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for bv in range(vs):
+                for bh_i in range(hs):
+                    block = _comp_plane_blocks(
+                        yp, width, height, my * vs + bv, mx * hs + bh_i
+                    )
+                    preds[0] = _encode_block(bw, block, ql, preds[0], dc_l, ac_l)
+            for ci, plane in ((1, cbp), (2, crp)):
+                block = _comp_plane_blocks(plane, cw, ch, my, mx)
+                preds[ci] = _encode_block(bw, block, qc, preds[ci], dc_c, ac_c)
+    return bytes(head) + bw.flush() + b"\xff\xd9"

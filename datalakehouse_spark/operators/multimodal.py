@@ -5,16 +5,19 @@ opaque ``binary`` columns plus a typed ``meta`` struct, and run decode /
 feature-extract / resize / frame-sample as Arrow-batched pandas
 functions over ``mapInPandas``.
 
-Decode kernels (round 9): the image path is REAL everywhere — Pillow
-when importable (the fast C path), else the pure-stdlib PNG decoder
-(functions/png.py: zlib + struct + the five scanline filters), which
-runs on any executor's bare CPython.  The audio path is likewise REAL
+Decode kernels (round 9; JPEG round 11): the image path is REAL
+everywhere — Pillow when importable (the fast C path), else the
+pure-stdlib PNG decoder (functions/png.py: zlib + struct + the five
+scanline filters) and the pure-stdlib baseline-JPEG decoder
+(functions/jpeg.py: Huffman + dequant + IDCT + YCbCr, grayscale and
+4:4:4/4:2:2/4:2:0 color), which run on any executor's bare CPython.  The audio path is likewise REAL
 for WAV/PCM payloads (functions/wav.py: struct-only RIFF parse,
 8/16/24/32-bit int + 32/64-bit float, EXTENSIBLE) via
 ``extract_audio_features``, and the video path for AVI/BI_RGB payloads
 (functions/avi.py: RIFF chunk tree, DIB frames normalized to top-down
-RGB24) via ``decode_video`` / ``sample_frames(fake=False)``.  Non-PNG
-image formats without Pillow, compressed audio, and compressed video
+RGB24) via ``decode_video`` / ``sample_frames(fake=False)``.  Image formats
+beyond PNG/baseline-JPEG without Pillow (progressive JPEG, webp, ...),
+compressed audio, and compressed video
 remain honestly probe-guarded
 (NotImplementedError); ``fake=True`` keeps the deterministic
 hash-derived decoder that exercises the full Spark-side plumbing —
@@ -84,13 +87,47 @@ def pil_available() -> bool:
         return False
 
 
+def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
+    """Dispatch the stdlib image kernels by magic number: PNG
+    (functions/png.py) or baseline JPEG (functions/jpeg.py, round 11).
+    Malformed payloads of a supported format raise their codec error
+    (PngError/JpegError -> the corrupt->(0,0,NULL) degradation path);
+    formats neither kernel handles — and real JPEGs outside the
+    baseline profile (progressive/arithmetic/12-bit) — raise
+    NotImplementedError (the honest probe contract)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from datalakehouse_spark.functions.png import png_luma_stats
+
+        return png_luma_stats(payload)
+    if payload[:2] == b"\xff\xd8":
+        from datalakehouse_spark.functions.jpeg import (
+            JpegUnsupported,
+            jpeg_luma_stats,
+        )
+
+        try:
+            return jpeg_luma_stats(payload)
+        except JpegUnsupported as exc:
+            raise NotImplementedError(
+                f"JPEG outside the baseline profile needs Pillow: {exc}"
+            ) from exc
+    raise NotImplementedError(
+        "non-PNG/JPEG image decode needs Pillow (pip install pillow); "
+        "the stdlib kernels handle PNG and baseline JPEG only"
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, float]:
     """REAL image decode kernel: ``(width, height, mean_luma)`` of an
     encoded image payload.  Pillow when importable (any format it
-    reads); otherwise the pure-stdlib PNG decoder — both use the same
-    ITU-R 601-2 integer luma, so a mixed fleet produces bit-identical
-    features.  Non-PNG payloads without Pillow raise
-    NotImplementedError (the honest probe contract)."""
+    reads); otherwise the pure-stdlib PNG/baseline-JPEG decoders.  For
+    PNG the two paths use the same ITU-R 601-2 integer luma and are
+    bit-identical; for JPEG the stdlib kernel is spec-accurate but may
+    differ from libjpeg's fast integer IDCT by the low bit of
+    AC-heavy pixels (see functions/jpeg.py's honesty note) — DC-only
+    blocks, which the oracle fixtures use, are exact everywhere.
+    Unsupported formats raise NotImplementedError (the honest probe
+    contract)."""
     if pil_available():
         import io as _io
 
@@ -103,17 +140,7 @@ def decode_image(payload: bytes) -> tuple[int, int, float]:
             n = max(width * height, 1)
             mean_luma = sum(i * c for i, c in enumerate(hist)) / (255.0 * n)
         return width, height, mean_luma
-    from datalakehouse_spark.functions.png import PngError, png_luma_stats
-
-    try:
-        return png_luma_stats(payload)
-    except PngError as exc:
-        if payload[:8] != b"\x89PNG\r\n\x1a\n":
-            raise NotImplementedError(
-                "non-PNG image decode needs Pillow (pip install pillow); "
-                "the stdlib kernel handles PNG only"
-            ) from exc
-        raise
+    return stdlib_image_stats(payload)
 
 
 def _fake_decode(payload: bytes) -> tuple[float, int]:
@@ -164,9 +191,11 @@ def extract_features(
                         ) / (255.0 * n)
 
             except ImportError:
-                from datalakehouse_spark.functions.png import png_luma_stats
+                from datalakehouse_spark.operators.multimodal import (
+                    stdlib_image_stats,
+                )
 
-                _decode = png_luma_stats
+                _decode = stdlib_image_stats
 
             for pdf in _rebatch(it, max_records_per_batch):
                 widths, heights, lumas, shas, sizes = [], [], [], [], []

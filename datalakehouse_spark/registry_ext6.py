@@ -1229,6 +1229,9 @@ SELECT doc_id AS asset_id,
        {_MRD_PNG_W} AS png_w, {_MRD_PNG_H} AS png_h,
        round(list_reduce(bv, (a, x) -> a + x)
              / (255.0 * {_MRD_PNG_W * _MRD_PNG_H}), 9) AS png_mean_luma,
+       {_MRD_PNG_W * 8} AS jpeg_w, {_MRD_PNG_H * 8} AS jpeg_h,
+       round(list_reduce(bv, (a, x) -> a + x)
+             / (255.0 * {_MRD_PNG_W * _MRD_PNG_H}), 9) AS jpeg_mean_luma,
        {_MRD_WAV_N} AS wav_frames,
        round(sqrt(list_reduce(
                  [pow((x - 128) / 256.0, 2)
@@ -1262,6 +1265,16 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
     order, padding) breaks a hash-compared equality instead of hiding
     behind a rows-only check.
 
+    JPEG slice (round 11, functions/jpeg.py): each text byte becomes
+    one CONSTANT 8x8 block of a grayscale baseline JPEG (image
+    8*W x 8*H) encoded with all-ones quant tables; a constant block
+    has only a DC coefficient, 8*(b-128) — an exact integer — so the
+    lossy-in-general DCT round trip is EXACT here under any conforming
+    IDCT, and the 64-fold pixel replication cancels in the mean:
+    jpeg_mean_luma == png_mean_luma == sum(bytes)/(255*n).  Any defect
+    in Huffman tables, DC prediction, dequant, IDCT scaling, or block
+    placement shifts the mean and breaks the hash compare.
+
     Scale shape: a bounded 100-asset mapInPandas pass (the multimodal
     contract: Arrow batches, no driver traffic); ASCII/length filters
     are applied identically on both engines after the same ORDER
@@ -1281,6 +1294,7 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
 
     schema = (
         "asset_id long, png_w int, png_h int, png_mean_luma double, "
+        "jpeg_w int, jpeg_h int, jpeg_mean_luma double, "
         "wav_frames int, wav_rms double, wav_peak double, "
         "avi_frames int, frame0_md5 string"
     )
@@ -1293,9 +1307,21 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
             avi_video_stats,
             encode_avi,
         )
+        from datalakehouse_spark.functions.jpeg import encode_jpeg, jpeg_luma_stats
         from datalakehouse_spark.functions.png import encode_png
         from datalakehouse_spark.functions.wav import encode_wav, wav_pcm_stats
         from datalakehouse_spark.operators.multimodal import decode_image
+
+        def _block_replicate(pix: bytes, bw: int, bh: int) -> bytes:
+            # byte i -> constant 8x8 block at (i // bw, i % bw)
+            width = bw * 8
+            out = bytearray(width * bh * 8)
+            for i, v in enumerate(pix):
+                brow, bcol = divmod(i, bw)
+                for x in range(8):
+                    off = (brow * 8 + x) * width + bcol * 8
+                    out[off : off + 8] = bytes([v]) * 8
+            return bytes(out)
 
         for pdf in it:
             rows = []
@@ -1304,6 +1330,13 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                 pix = bts[: _MRD_PNG_W * _MRD_PNG_H]
                 w, h, luma = decode_image(
                     encode_png(_MRD_PNG_W, _MRD_PNG_H, pix, color_type=0)
+                )
+                jw, jh, jluma = jpeg_luma_stats(
+                    encode_jpeg(
+                        _MRD_PNG_W * 8,
+                        _MRD_PNG_H * 8,
+                        _block_replicate(pix, _MRD_PNG_W, _MRD_PNG_H),
+                    )
                 )
                 samples = [
                     (x - 128) * 128.0 / 32767.0 for x in bts[:_MRD_WAV_N]
@@ -1318,6 +1351,7 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                 rows.append(
                     (
                         doc_id, w, h, round(luma, 9),
+                        jw, jh, round(jluma, 9),
                         frames, round(rms, 9), round(peak, 9),
                         n_frames, _hl.md5(frame0).hexdigest(),
                     )
@@ -1326,6 +1360,7 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                 rows,
                 columns=[
                     "asset_id", "png_w", "png_h", "png_mean_luma",
+                    "jpeg_w", "jpeg_h", "jpeg_mean_luma",
                     "wav_frames", "wav_rms", "wav_peak",
                     "avi_frames", "frame0_md5",
                 ],
@@ -1363,9 +1398,12 @@ def q_filebus_kafka_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: parallelism = topic partitions (Kafka's model); the JSON
     payload round-trip preserves doubles exactly (shortest-repr emit,
-    exact parse).  Python DataSource streams lack availableNow, so the
-    drain runs the documented single-batch fallback — semantics, not
-    cadence, are under test here.
+    exact parse).  Python DataSource streams can't declare
+    Trigger.AvailableNow support, so the drain uses the filebus
+    snapshot mode (``filebus.snapshot=true``: end offsets frozen at
+    stream start, ``processAllAvailable`` terminates at the snapshot)
+    — the same run-to-current-end-then-stop contract, multi-batch
+    under ``maxOffsetsPerTrigger``, no fallback warning.
     """
     import json as _json
     import uuid as _uuid
@@ -1408,16 +1446,20 @@ def q_filebus_kafka_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with drain_confs(spark):
         q = (
             build_kafka_reader(spark, bus, "events", source_format="filebus")
+            .option("filebus.snapshot", "true")
             .load()
             .select(F.from_json(F.col("value").cast("string"), schema).alias("j"))
             .select("j.*")
             .writeStream.format("memory")
             .queryName(name)
             .option("checkpointLocation", root + "/ckpt")
-            .trigger(availableNow=True)
+            .trigger(processingTime="0 seconds")
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.processAllAvailable()  # terminates at the snapshot end offsets
+        finally:
+            q.stop()
     return spark.table(name).select("event_id", "user_id", "event_type", "value")
 
 

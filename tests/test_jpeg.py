@@ -1,0 +1,339 @@
+"""Pure-stdlib baseline JPEG codec (functions/jpeg.py) — the
+compressed-image decode kernel for Pillow-less containers (round 11).
+
+Coverage: exact round trips for constant-block images (the DC-only
+oracle-fixture property, grayscale AND color at 4:4:4/4:2:0), bounded
+error for general images under all-ones quant tables, an independent
+numpy IDCT cross-check of the separable pure-Python IDCT, restart
+markers, 16-bit quant tables, non-multiple-of-8 dimensions, the
+Huffman table builder against spec examples, and loud rejection of
+progressive/arithmetic/truncated/corrupt payloads — including the
+decode_image dispatch contract (JpegError for corrupt baseline,
+NotImplementedError for out-of-profile)."""
+
+import random
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datalakehouse_spark.functions.jpeg import (
+    ZIGZAG,
+    JpegError,
+    JpegUnsupported,
+    _canonical_codes,
+    _idct_2d,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_luma_stats,
+)
+
+
+def _block_image(values, blocks_per_row):
+    """One constant 8x8 block per byte -> (width, height, pixels)."""
+    n = len(values)
+    assert n % blocks_per_row == 0
+    rows = n // blocks_per_row
+    width = blocks_per_row * 8
+    pix = bytearray(width * rows * 8)
+    for i, v in enumerate(values):
+        brow, bcol = divmod(i, blocks_per_row)
+        for x in range(8):
+            off = (brow * 8 + x) * width + bcol * 8
+            pix[off : off + 8] = bytes([v]) * 8
+    return width, rows * 8, bytes(pix)
+
+
+# ---------------------------------------------------------------------------
+# exact round trips (the oracle-fixture property)
+# ---------------------------------------------------------------------------
+
+
+def test_gray_constant_blocks_roundtrip_exact():
+    rng = random.Random(11)
+    vals = bytes(rng.randrange(256) for _ in range(64))
+    w, h, pix = _block_image(vals, 16)
+    got_w, got_h, luma = decode_jpeg(encode_jpeg(w, h, pix))
+    assert (got_w, got_h) == (w, h)
+    assert luma == pix  # bit-exact: DC-only blocks under q=1
+
+
+def test_gray_constant_blocks_mean_matches_byte_math():
+    vals = bytes(range(64))
+    w, h, pix = _block_image(vals, 8)
+    gw, gh, mean = jpeg_luma_stats(encode_jpeg(w, h, pix))
+    assert (gw, gh) == (w, h)
+    assert mean == sum(vals) / (255.0 * len(vals))
+
+
+@given(st.binary(min_size=4, max_size=16))
+@settings(max_examples=20, deadline=None)
+def test_gray_constant_blocks_roundtrip_exact_property(vals):
+    vals = vals[: 4 * (len(vals) // 4)]
+    if not vals:
+        vals = b"\x00\x40\x80\xff"
+    w, h, pix = _block_image(vals, 4)
+    assert decode_jpeg(encode_jpeg(w, h, pix))[2] == pix
+
+
+def test_color_constant_roundtrip_exact_444_and_420():
+    # constant RGB -> constant YCbCr -> DC-only everywhere; both
+    # subsamplings must agree exactly and match the reference math
+    r, g, b = 200, 30, 90
+    pix = bytes([r, g, b]) * (16 * 16)
+    for sub in ("444", "420"):
+        w, h, luma = decode_jpeg(
+            encode_jpeg(16, 16, pix, color=True, subsampling=sub)
+        )
+        assert (w, h) == (16, 16)
+        assert len(set(luma)) == 1, f"constant image not constant under {sub}"
+        # reference: encoder's float YCbCr, decoder's round-half-up
+        # RGB reconstruction, then the ITU-R 601-2 integer luma
+        yv = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        rr = min(255, max(0, int(round(yv) + 1.402 * round(cr) + 0.5)))
+        gg = min(
+            255,
+            max(
+                0,
+                int(
+                    round(yv)
+                    - 0.344136 * round(cb)
+                    - 0.714136 * round(cr)
+                    + 0.5
+                ),
+            ),
+        )
+        bb = min(255, max(0, int(round(yv) + 1.772 * round(cb) + 0.5)))
+        expect = (rr * 19595 + gg * 38470 + bb * 7471 + 0x8000) >> 16
+        assert abs(luma[0] - expect) <= 1
+
+
+# ---------------------------------------------------------------------------
+# general images: bounded error, independent IDCT reference
+# ---------------------------------------------------------------------------
+
+
+def test_gray_general_roundtrip_bounded_error_odd_dims():
+    rng = random.Random(23)
+    w, h = 23, 17  # forces edge padding in both axes
+    pix = bytes(rng.randrange(256) for _ in range(w * h))
+    gw, gh, luma = decode_jpeg(encode_jpeg(w, h, pix))
+    assert (gw, gh) == (w, h)
+    err = max(abs(a - b) for a, b in zip(pix, luma))
+    assert err <= 2  # q=1: only DCT/quant rounding noise
+
+
+def test_color_general_roundtrip_bounded_error_444():
+    rng = random.Random(29)
+    w, h = 24, 16
+    pix = bytes(rng.randrange(256) for _ in range(3 * w * h))
+    _, _, luma = decode_jpeg(encode_jpeg(w, h, pix, color=True))
+    # reference luma via the direct formula; random-noise blocks
+    # accumulate per-coefficient quantize rounding across 64 ACs x
+    # 3 channels (chroma gains up to 1.77 recombine back into luma
+    # with near-cancelling weights), so individual pixels can be off
+    # by a few counts — bound the max and the mean
+    errs = []
+    for i in range(w * h):
+        r, g, b = pix[3 * i], pix[3 * i + 1], pix[3 * i + 2]
+        expect = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+        errs.append(abs(luma[i] - expect))
+    assert max(errs) <= 5
+    assert sum(errs) / len(errs) <= 1.0
+
+
+def test_idct_matches_numpy_reference():
+    """The separable pure-Python IDCT against an independent dense
+    numpy implementation of the normative formula."""
+    np = pytest.importorskip("numpy")
+    rng = random.Random(31)
+    A = np.array(
+        [
+            [
+                (np.sqrt(0.5) if u == 0 else 1.0)
+                / 2.0
+                * np.cos((2 * x + 1) * u * np.pi / 16.0)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    for _ in range(10):
+        F = np.array(
+            [[rng.randrange(-512, 512) for _ in range(8)] for _ in range(8)],
+            dtype=float,
+        )
+        ref = A.T @ F @ A  # f(x,y) = sum_uv A[u,x] F[u,v] A[v,y]
+        coef = [0.0] * 64
+        for u in range(8):
+            for v in range(8):
+                coef[u * 8 + v] = F[u, v]
+        got = _idct_2d(coef)
+        for x in range(8):
+            for y in range(8):
+                assert abs(got[x * 8 + y] - ref[x, y]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# decoder features: restart markers, 16-bit DQT, huffman builder
+# ---------------------------------------------------------------------------
+
+
+def test_restart_markers_decode():
+    """Insert DRI + RSTn into an encoder stream re-encoded MCU-by-MCU:
+    build the same image as independent per-MCU scans stitched with
+    restart markers and absolute (reset) DC predictors."""
+    from datalakehouse_spark.functions import jpeg as J
+
+    vals = bytes([10, 250, 40, 200])
+    w, h, pix = _block_image(vals, 4)  # 32x8: 4 MCUs of one block each
+    base = encode_jpeg(w, h, pix)
+
+    # re-encode the entropy segment with a restart after every MCU
+    dc_t = J._encode_table(J._STD_DC_LUM)
+    ac_t = J._encode_table(J._STD_AC_LUM)
+    segments = []
+    for i, v in enumerate(vals):
+        bw = J._BitWriter()
+        block = [float(v) - 128.0] * 64
+        J._encode_block(bw, block, [1] * 64, 0, dc_t, ac_t)  # pred reset
+        segments.append(bw.flush())
+    scan = b""
+    for i, seg in enumerate(segments):
+        scan += seg
+        if i < len(segments) - 1:
+            scan += bytes([0xFF, 0xD0 + (i % 8)])
+
+    sos_at = base.index(b"\xff\xda")
+    (sos_len,) = struct.unpack(">H", base[sos_at + 2 : sos_at + 4])
+    head = base[: sos_at + 2 + sos_len]
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)  # restart interval 1
+    payload = head[:sos_at] + dri + head[sos_at:] + scan + b"\xff\xd9"
+    got_w, got_h, luma = decode_jpeg(payload)
+    assert (got_w, got_h) == (w, h)
+    assert luma == pix
+
+
+def test_16bit_quant_table_accepted():
+    q = [1] * 64
+    q[0] = 300  # forces Pq=1 (16-bit) DQT emission
+    vals = bytes([128] * 4)  # level-shifted DC = 0: exact under any q
+    w, h, pix = _block_image(vals, 4)
+    got = decode_jpeg(encode_jpeg(w, h, pix, quant_luma=q))
+    assert got[2] == pix
+
+
+def test_canonical_huffman_builder_spec_shape():
+    bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    table = _canonical_codes(bits, list(range(12)))
+    # 12 codes, prefix-free, lengths follow BITS
+    assert len(table) == 12
+    lengths = sorted(length for (length, _code) in table)
+    assert lengths == [2, 3, 3, 3, 3, 3, 4, 5, 6, 7, 8, 9]
+    # spec K.3.1: category 0 -> code 00 (length 2)
+    assert table[(2, 0)] == 0
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+# ---------------------------------------------------------------------------
+# rejection: malformed + out-of-profile
+# ---------------------------------------------------------------------------
+
+
+def test_rejects_non_jpeg_and_truncations():
+    with pytest.raises(JpegError):
+        decode_jpeg(b"")
+    with pytest.raises(JpegError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    good = encode_jpeg(*(_block_image(bytes([7, 8, 9, 10]), 4)))
+    with pytest.raises(JpegError):
+        decode_jpeg(good[:20])  # truncated in the marker stream
+    with pytest.raises(JpegError):
+        decode_jpeg(good[:-24])  # truncated mid-entropy
+    with pytest.raises(JpegError):
+        decode_jpeg(good[:2] + b"\xff\xd9")  # EOI before SOS
+
+
+def test_rejects_progressive_and_unsupported_profiles():
+    w, h, pix = _block_image(bytes([1, 2, 3, 4]), 4)
+    good = bytearray(encode_jpeg(w, h, pix))
+    sof = good.index(b"\xff\xc0")
+    for marker, exc_match in [
+        (0xC2, "progressive"),
+        (0xC9, "arithmetic"),
+        (0xC1, "SOF1"),
+    ]:
+        bad = bytearray(good)
+        bad[sof + 1] = marker
+        with pytest.raises(JpegUnsupported, match=exc_match):
+            decode_jpeg(bytes(bad))
+
+
+def test_decode_image_dispatch_contract():
+    """decode_image (Pillow-less container): baseline JPEG decodes
+    for real, corrupt baseline raises (codec error -> (0,0,NULL)
+    degradation in extract_features), progressive maps to
+    NotImplementedError, unknown magic stays probe-guarded."""
+    from datalakehouse_spark.operators.multimodal import (
+        decode_image,
+        pil_available,
+    )
+
+    if pil_available():  # the stdlib dispatch only runs Pillow-less
+        pytest.skip("Pillow present: dispatch not reachable")
+    vals = bytes([60] * 4)
+    w, h, pix = _block_image(vals, 4)
+    payload = encode_jpeg(w, h, pix)
+    gw, gh, mean = decode_image(payload)
+    assert (gw, gh) == (w, h)
+    assert mean == 60 / 255.0
+    # corrupt: entropy stream chopped -> codec error, NOT NotImplemented
+    with pytest.raises(JpegError):
+        decode_image(payload[:-24])
+    # out-of-profile real JPEG -> honest probe contract
+    prog = bytearray(payload)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline profile"):
+        decode_image(bytes(prog))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFX not an image")
+
+
+def test_extract_features_real_kernel_decodes_jpeg(spark):
+    """The mapInPandas real-kernel path (extract_features fake=False)
+    over a mixed PNG/JPEG/corrupt asset table."""
+    from datalakehouse_spark.functions.png import encode_png
+    from datalakehouse_spark.operators.multimodal import extract_features
+
+    w, h, pix = _block_image(bytes([100, 200]), 2)
+    jpeg_payload = encode_jpeg(w, h, pix)
+    png_payload = encode_png(4, 1, bytes([100, 200, 100, 200]), color_type=0)
+    rows = [
+        (1, "image", jpeg_payload),
+        (2, "image", png_payload),
+        (3, "image", b"\xff\xd8garbage"),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media_type string, payload binary")
+    got = {
+        r["asset_id"]: r
+        for r in extract_features(df, fake=False).collect()
+    }
+    assert (got[1]["width"], got[1]["height"]) == (w, h)
+    assert abs(got[1]["mean_luma"] - 150 / 255.0) < 1e-12
+    assert abs(got[2]["mean_luma"] - 150 / 255.0) < 1e-12
+    assert got[3]["width"] == 0 and got[3]["height"] == 0
+
+
+def test_encoder_input_validation():
+    with pytest.raises(JpegError):
+        encode_jpeg(4, 4, b"\x00" * 15)  # wrong buffer size
+    with pytest.raises(JpegError):
+        encode_jpeg(4, 4, b"\x00" * 16, quant_luma=[0] * 64)
+    with pytest.raises(JpegError):
+        encode_jpeg(4, 4, b"\x00" * 48, color=True, subsampling="422")

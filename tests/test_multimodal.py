@@ -32,14 +32,22 @@ def test_feature_extraction_deterministic(spark, sf_small):
     assert a == b
 
 
-def test_non_png_without_pillow_is_explicitly_stubbed():
-    """Honest-probe contract: only the PNG path is stdlib-decodable;
-    other image formats still need Pillow and must say so."""
+def test_unsupported_format_without_pillow_is_explicitly_stubbed():
+    """Honest-probe contract: PNG and baseline JPEG are
+    stdlib-decodable (round 9 / round 11); formats beyond those still
+    need Pillow and must say so.  A JPEG-magic payload now routes to
+    the real baseline kernel — corrupt ones raise the codec error
+    (the (0,0,NULL) degradation path), not NotImplementedError."""
+    from datalakehouse_spark.functions.jpeg import JpegError
     from datalakehouse_spark.operators.multimodal import decode_image, pil_available
 
     if pil_available():
         pytest.skip("Pillow present: every format it reads lights up instead")
     with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a not decodable here")
+    with pytest.raises(JpegError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
 
 
