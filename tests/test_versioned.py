@@ -595,6 +595,47 @@ def test_diverged_merge_typed_keys_no_canonical_form_mismatch(spark, tmp_path):
         t.merge_branch("exp2")
 
 
+def test_sidecar_key_types_normalized_across_commits(spark, tmp_path):
+    """ADVICE r10: source frames carrying NARROWER key types than the
+    table (int vs long device ids) across different commits must still
+    merge per-key — sidecars are cast to the TABLE schema's types at
+    write time, so the multi-path sidecar union in _upsert_keys_for
+    can neither fail nor silently coerce."""
+    t = VersionedTable(spark, str(tmp_path / "drift"), partition_by=["report_date"])
+    day = dt.date(2024, 1, 1)
+
+    def frame(dev_type, dev, score):
+        return spark.createDataFrame(
+            [(dev, day, score)],
+            f"device_id {dev_type}, report_date date, score double",
+        )
+
+    t.create(frame("long", 1, 0.0).unionByName(frame("long", 2, 0.0)))
+    t.create_branch("exp")
+    # main upserts with an INT-typed source, exp with LONG — disjoint
+    # keys in the SAME partition, so per-key resolution must engage
+    # and union both sidecars (one int-written-as-long, one long)
+    t.merge_upsert(frame("int", 1, 1.0), keys=["device_id", "report_date"])
+    t.merge_upsert(
+        frame("long", 2, 2.0), keys=["device_id", "report_date"], branch="exp"
+    )
+    # a second main commit, int-typed again, to force a multi-sidecar
+    # union on the main side as well
+    t.merge_upsert(frame("int", 1, 3.0), keys=["device_id", "report_date"])
+    t.merge_branch("exp")
+    got = {r["device_id"]: r["score"] for r in t.read().collect()}
+    assert got == {1: 3.0, 2: 2.0}
+    # the committed data files carry the TABLE's long type (the 0-row
+    # target union widens the int source before the write), so the
+    # key frames _upsert_keys_for derives from them union cleanly
+    for v in (2, 4):  # the two int-sourced main upserts
+        mk = t._load_manifest(v)["merge_keys"]
+        kf = spark.read.option("basePath", t.data_dir).parquet(
+            *[f"{t.data_dir}/{p}" for p in mk["src_files"]]
+        )
+        assert dict(kf.dtypes)["device_id"] == "bigint", v
+
+
 def test_merge_after_ancestor_expired_refuses_loudly(spark, vt):
     """expire_versions(keep_last=1) with a live diverged branch kills
     the common ancestor; a later merge must REFUSE rather than diff
@@ -613,15 +654,41 @@ def test_merge_after_ancestor_expired_refuses_loudly(spark, vt):
 
 
 def test_expire_versions_removes_key_sidecars(spark, vt):
+    """Round 11: merge_upsert records POINTERS to its own source data
+    files (merge_keys.src_files) — no separate sidecar exists to GC,
+    and expire keeps a surviving commit's key-source files exactly as
+    long as its manifest.  The LEGACY merge_keys.path parquet sidecar
+    (pre-round-11 tables) must still be GC'd with its manifest."""
+    import json as _json
+
     vt.merge_upsert(
         _rows(spark, days=[1], score=50.0), keys=["device_id", "report_date"]
     )
     vt.merge_upsert(
         _rows(spark, days=[2], score=60.0), keys=["device_id", "report_date"]
     )
+    # new format: no keys dir, src_files recorded and part of the
+    # commit's own file list
     keys_dir = os.path.join(vt.log_dir, "keys")
-    assert len(os.listdir(keys_dir)) == 2
+    assert not os.path.isdir(keys_dir) or not os.listdir(keys_dir)
+    m2 = vt._load_manifest(2)
+    assert m2["merge_keys"]["src_files"]
+    manifest_paths = {e["path"] for e in m2["files"]}
+    assert set(m2["merge_keys"]["src_files"]) <= manifest_paths
+
+    # fabricate a LEGACY sidecar on the to-be-expired commit and check
+    # the old GC path still fires
+    legacy_rel = os.path.join("keys", "legacy-fixture")
+    spark.createDataFrame(
+        [("d1", dt.date(2024, 1, 1))], "device_id string, report_date date"
+    ).write.parquet(os.path.join(vt.log_dir, legacy_rel))
+    m2["merge_keys"] = {
+        "columns": ["device_id", "report_date"],
+        "path": legacy_rel,
+    }
+    with open(vt._manifest_path(2), "w") as fh:
+        _json.dump(m2, fh)
+
     vt.expire_versions(keep_last=1)
-    # v2's sidecar expired with its manifest; v3 (head) keeps its own
-    assert len(os.listdir(keys_dir)) == 1
+    assert not os.path.exists(os.path.join(vt.log_dir, legacy_rel))
     assert vt.read().count() == 6
