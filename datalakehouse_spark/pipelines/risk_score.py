@@ -95,6 +95,30 @@ def risk_score_daily(
     )
 
 
+def device_source_predicate(device_id: str, device_col: str = "user_id"):
+    """Transpose a risk-table ``device_id`` equality back onto the
+    SOURCE column it derives from.
+
+    ``device_id = CAST(user_id AS STRING)`` is injective, so a serving
+    lookup ``device_id = '7'`` matches exactly the source rows with
+    ``user_id = 7`` — and a TYPED long equality reaches the parquet
+    scan as a pushed filter (row-group min/max pruning), while the
+    string form stays a post-scan ``cast(user_id as string) = '7'``
+    that forces reading every row group.  At 100 TB this is the
+    difference between a point lookup and a full-table scan under the
+    aggregate.  Non-canonical strings ('07', 'x', out-of-range) can
+    never equal a cast result, so they yield a constant-false
+    predicate (empty page), matching the string filter's semantics."""
+    try:
+        uid = int(device_id)
+        canonical = str(uid) == device_id and -(2**63) <= uid < 2**63
+    except (TypeError, ValueError):
+        canonical = False
+    if not canonical:
+        return F.lit(False)
+    return F.col(device_col) == F.lit(uid)
+
+
 def risk_score_daily_oracle_sql(
     *,
     report_types: Sequence[str] = DEFAULT_REPORT_TYPES,

@@ -905,9 +905,26 @@ LIMIT 10
     "GET /risk_score_daily page: filter + sort + limit over the risk table",
 )
 def q_risk_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from datalakehouse_spark.pipelines.risk_score import risk_score_daily
+    """Serving page over the risk aggregate for one device.
 
-    risk = risk_score_daily(load_table(spark, sf_dir, "events"))
+    Round 11 (VERDICT r10 #3): the device lookup is TRANSPOSED through
+    the derived-column mapping onto the source — device_id is
+    CAST(user_id AS STRING), an injective map, so `device_id = '7'`
+    becomes the typed `user_id = 7` BELOW the aggregate and reaches the
+    parquet scan as a pushed filter (PushedFilters: EqualTo(user_id,7),
+    row-group pruning), where the string form stayed a post-scan cast
+    compare over every row group.  The string filter is kept above the
+    aggregate as the literal serving contract (free: it sees only the
+    one device's rows).  Plan asserted in tests/test_plans.py."""
+    from datalakehouse_spark.pipelines.risk_score import (
+        device_source_predicate,
+        risk_score_daily,
+    )
+
+    events = load_table(spark, sf_dir, "events").where(
+        device_source_predicate("7")
+    )
+    risk = risk_score_daily(events)
     return (
         risk.where(F.col("device_id") == "7")
         .orderBy(F.col("device_id").asc(), F.col("report_date").desc())
