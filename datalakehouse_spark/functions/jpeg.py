@@ -177,6 +177,13 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict:
 
 def _idct_2d(coef: list[float]) -> list[float]:
     """Normative separable 2-D IDCT over a raster-order 64-list."""
+    # DC-only closed form: f(x,y) = F(0,0)/8 everywhere (the exact
+    # analytic inverse; the general float path approaches it within
+    # 1e-13, which the +128/round pixel quantization maps to the same
+    # byte).  Dominant case for constant-block fixtures and flat image
+    # regions — skips 1024 multiply-adds per block.
+    if not any(coef[1:]):
+        return [coef[0] / 8.0] * 64
     # rows of the coefficient matrix are frequency v; first pass over v
     tmp = [0.0] * 64
     for u in range(8):
@@ -202,6 +209,15 @@ def _idct_2d(coef: list[float]) -> list[float]:
 
 def _fdct_2d(block: list[float]) -> list[float]:
     """Normative separable 2-D forward DCT over a raster 64-list."""
+    # uniform-block closed form: F(0,0) = 8*s, every AC exactly 0 (the
+    # analytic value the general path approaches within ~1e-12, which
+    # quantization rounds to the same integers) — the common case for
+    # the oracle fixtures' constant blocks, ~8x fewer flops per block
+    first = block[0]
+    if all(v == first for v in block):
+        out = [0.0] * 64
+        out[0] = 8.0 * first
+        return out
     tmp = [0.0] * 64
     for u in range(8):
         for y in range(8):

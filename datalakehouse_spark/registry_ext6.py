@@ -1212,6 +1212,7 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MRD_N = 100
 _MRD_PNG_W, _MRD_PNG_H = 16, 4  # 64 grey pixels
+_MRD_JPEG_BW = 4  # 4x4 constant 8x8 blocks -> 32x32 px from 16 bytes
 _MRD_WAV_N = 64  # samples
 _MRD_AVI_PX = 48  # 4x4 RGB24 bytes
 
@@ -1229,9 +1230,10 @@ SELECT doc_id AS asset_id,
        {_MRD_PNG_W} AS png_w, {_MRD_PNG_H} AS png_h,
        round(list_reduce(bv, (a, x) -> a + x)
              / (255.0 * {_MRD_PNG_W * _MRD_PNG_H}), 9) AS png_mean_luma,
-       {_MRD_PNG_W * 8} AS jpeg_w, {_MRD_PNG_H * 8} AS jpeg_h,
-       round(list_reduce(bv, (a, x) -> a + x)
-             / (255.0 * {_MRD_PNG_W * _MRD_PNG_H}), 9) AS jpeg_mean_luma,
+       {_MRD_JPEG_BW * 8} AS jpeg_w, {_MRD_JPEG_BW * 8} AS jpeg_h,
+       round(list_reduce(list_slice(bv, 1, {_MRD_JPEG_BW * _MRD_JPEG_BW}),
+                         (a, x) -> a + x)
+             / (255.0 * {_MRD_JPEG_BW * _MRD_JPEG_BW}), 9) AS jpeg_mean_luma,
        {_MRD_WAV_N} AS wav_frames,
        round(sqrt(list_reduce(
                  [pow((x - 128) / 256.0, 2)
@@ -1265,13 +1267,13 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
     order, padding) breaks a hash-compared equality instead of hiding
     behind a rows-only check.
 
-    JPEG slice (round 11, functions/jpeg.py): each text byte becomes
-    one CONSTANT 8x8 block of a grayscale baseline JPEG (image
-    8*W x 8*H) encoded with all-ones quant tables; a constant block
+    JPEG slice (round 11, functions/jpeg.py): each of the first 16
+    text bytes becomes one CONSTANT 8x8 block of a 32x32 grayscale
+    baseline JPEG encoded with all-ones quant tables; a constant block
     has only a DC coefficient, 8*(b-128) — an exact integer — so the
     lossy-in-general DCT round trip is EXACT here under any conforming
     IDCT, and the 64-fold pixel replication cancels in the mean:
-    jpeg_mean_luma == png_mean_luma == sum(bytes)/(255*n).  Any defect
+    jpeg_mean_luma == sum(first 16 bytes)/(255*16).  Any defect
     in Huffman tables, DC prediction, dequant, IDCT scaling, or block
     placement shifts the mean and breaks the hash compare.
 
@@ -1290,6 +1292,14 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
             & F.col("text").rlike("^[ -~]*$")
         )
         .select("doc_id", "text")
+        # the global LIMIT collapses to one partition; spread the
+        # bounded asset set so the pure-Python codec work runs on
+        # multiple cores (row order is irrelevant — the final orderBy
+        # sorts).  4 slices balance codec parallelism against the
+        # per-task Arrow/scheduling overhead at this 100-asset size;
+        # at real corpus scale the repartition width scales with the
+        # asset count.
+        .repartition(4)
     )
 
     schema = (
@@ -1333,9 +1343,13 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                 )
                 jw, jh, jluma = jpeg_luma_stats(
                     encode_jpeg(
-                        _MRD_PNG_W * 8,
-                        _MRD_PNG_H * 8,
-                        _block_replicate(pix, _MRD_PNG_W, _MRD_PNG_H),
+                        _MRD_JPEG_BW * 8,
+                        _MRD_JPEG_BW * 8,
+                        _block_replicate(
+                            pix[: _MRD_JPEG_BW * _MRD_JPEG_BW],
+                            _MRD_JPEG_BW,
+                            _MRD_JPEG_BW,
+                        ),
                     )
                 )
                 samples = [
