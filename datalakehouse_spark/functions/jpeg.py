@@ -33,7 +33,7 @@ low bit of individual pixels of AC-heavy blocks.  Constant 8x8 blocks
 oracle fixtures use (see registry_ext6 ``multimodal_real_decode_stats``:
 encode parameters chosen so the round trip cancels into byte math).
 
-A minimal encoder (``encode_jpeg``: grayscale or 4:4:4/4:2:0 YCbCr,
+A minimal encoder (``encode_jpeg``: grayscale or 4:4:4/4:2:2/4:2:0 YCbCr,
 spec Annex K standard Huffman tables, caller-supplied quant tables
 defaulting to all-ones) is included for fixture generation and
 round-trip tests.
@@ -694,7 +694,8 @@ def encode_jpeg(
 
     ``pixels`` is row-major 8-bit samples: 1 byte/px grayscale
     (``color=False``) or 3 bytes/px RGB (``color=True``; encoded as
-    full-range JFIF YCbCr at 4:4:4 or 4:2:0).  Quant tables default to
+    full-range JFIF YCbCr at 4:4:4, 4:2:2 or 4:2:0).  Quant tables
+    default to
     all-ones, under which constant 8x8 blocks round-trip EXACTLY (the
     oracle-fixture property: a constant block has only a DC
     coefficient, 8*(v-128), an exact integer under q=1 and exact under
@@ -707,8 +708,8 @@ def encode_jpeg(
         raise JpegError(
             f"pixel buffer is {len(pixels)} bytes, need {width * height * nch}"
         )
-    if subsampling not in ("444", "420"):
-        raise JpegError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "422", "420"):
+        raise JpegError("subsampling must be '444', '422' or '420'")
 
     dc_l, ac_l = _encode_table(_STD_DC_LUM), _encode_table(_STD_AC_LUM)
     head = bytearray(b"\xff\xd8")  # SOI
@@ -755,21 +756,19 @@ def encode_jpeg(
         cbp[i] = -0.168736 * r - 0.331264 * g + 0.5 * b
         crp[i] = 0.5 * r - 0.418688 * g - 0.081312 * b
 
-    if subsampling == "444":
-        hs = vs = 1
-        cw, ch = width, height
-    else:
-        hs = vs = 2
-        cw, ch = (width + 1) // 2, (height + 1) // 2
-        # 2x2 mean downsample (clamped at edges)
+    hs, vs = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+    cw = (width + hs - 1) // hs
+    ch = (height + vs - 1) // vs
+    if subsampling != "444":
+        # hs x vs mean downsample (clamped at edges)
         for plane in (cbp, crp):
             small = [0.0] * (cw * ch)
             for yy in range(ch):
                 for xx in range(cw):
                     acc = cnt = 0
-                    for dy in (0, 1):
-                        for dx in (0, 1):
-                            sy, sx = yy * 2 + dy, xx * 2 + dx
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            sy, sx = yy * vs + dy, xx * hs + dx
                             if sy < height and sx < width:
                                 acc += plane[sy * width + sx]
                                 cnt += 1

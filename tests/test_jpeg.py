@@ -77,12 +77,13 @@ def test_gray_constant_blocks_roundtrip_exact_property(vals):
     assert decode_jpeg(encode_jpeg(w, h, pix))[2] == pix
 
 
-def test_color_constant_roundtrip_exact_444_and_420():
-    # constant RGB -> constant YCbCr -> DC-only everywhere; both
+def test_color_constant_roundtrip_exact_all_subsamplings():
+    # constant RGB -> constant YCbCr -> DC-only everywhere; all three
     # subsamplings must agree exactly and match the reference math
+    # (422 exercises the decoder's asymmetric Hi=2,Vi=1 MCU layout)
     r, g, b = 200, 30, 90
     pix = bytes([r, g, b]) * (16 * 16)
-    for sub in ("444", "420"):
+    for sub in ("444", "422", "420"):
         w, h, luma = decode_jpeg(
             encode_jpeg(16, 16, pix, color=True, subsampling=sub)
         )
@@ -336,4 +337,22 @@ def test_encoder_input_validation():
     with pytest.raises(JpegError):
         encode_jpeg(4, 4, b"\x00" * 16, quant_luma=[0] * 64)
     with pytest.raises(JpegError):
-        encode_jpeg(4, 4, b"\x00" * 48, color=True, subsampling="422")
+        encode_jpeg(4, 4, b"\x00" * 48, color=True, subsampling="411")
+
+
+def test_color_general_roundtrip_422_luma_close_to_444():
+    """4:2:2 halves chroma horizontally only; luma must track the
+    4:4:4 encode within chroma-rounding noise on a structured image
+    (vertical color bands aligned to the 2px chroma grid -> the
+    horizontal mean downsample is lossless and the decode exact)."""
+    bands = [(250, 10, 10), (10, 250, 10), (10, 10, 250), (128, 128, 128)]
+    w, h = 32, 16
+    pix = bytearray()
+    for yy in range(h):
+        for xx in range(w):
+            pix.extend(bands[(xx // 8) % 4])
+    d444 = decode_jpeg(encode_jpeg(w, h, bytes(pix), color=True))[2]
+    d422 = decode_jpeg(
+        encode_jpeg(w, h, bytes(pix), color=True, subsampling="422")
+    )[2]
+    assert max(abs(a - b) for a, b in zip(d444, d422)) <= 1
