@@ -11,6 +11,7 @@ progressive/arithmetic/truncated/corrupt payloads — including the
 decode_image dispatch contract (JpegError for corrupt baseline,
 NotImplementedError for out-of-profile)."""
 
+import os
 import random
 import struct
 
@@ -329,6 +330,45 @@ def test_extract_features_real_kernel_decodes_jpeg(spark):
     assert abs(got[1]["mean_luma"] - 150 / 255.0) < 1e-12
     assert abs(got[2]["mean_luma"] - 150 / 255.0) < 1e-12
     assert got[3]["width"] == 0 and got[3]["height"] == 0
+
+
+_SPARK_IMAGES = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SPARK_IMAGES), reason="Spark mllib sample images absent"
+)
+def test_decodes_real_libjpeg_photos():
+    """Interop against real-world libjpeg output: the baseline photos
+    shipped with Spark's mllib samples (full AC content, subsampled
+    chroma, optimized Huffman tables — nothing our own encoder
+    produced).  Dimensions are objective facts of the files; the mean
+    luma values are regression pins from this kernel (libjpeg's fast
+    integer IDCT could differ by well under the 0.01 band)."""
+    expected = {
+        "kittens/29.5.a_b_EGDP022204.jpg": (300, 200, 0.5082),
+        "kittens/54893.jpg": (300, 311, 0.6447),
+        "kittens/DP153539.jpg": (300, 296, 0.4850),
+        "kittens/DP802813.jpg": (199, 313, 0.7777),
+        "multi-channel/chr30.4.184.jpg": (300, 215, 0.5692),
+    }
+    for rel, (ew, eh, emean) in expected.items():
+        with open(os.path.join(_SPARK_IMAGES, rel), "rb") as fh:
+            w, h, luma = decode_jpeg(fh.read())
+        assert (w, h) == (ew, eh), rel
+        assert len(luma) == w * h, rel
+        mean = sum(luma) / (255.0 * w * h)
+        assert abs(mean - emean) < 0.01, (rel, mean)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SPARK_IMAGES), reason="Spark mllib sample images absent"
+)
+def test_real_progressive_jpeg_rejected_loudly():
+    with open(os.path.join(_SPARK_IMAGES, "multi-channel/grayscale.jpg"), "rb") as fh:
+        data = fh.read()
+    with pytest.raises(JpegUnsupported, match="progressive"):
+        decode_jpeg(data)
 
 
 def test_encoder_input_validation():
