@@ -1530,8 +1530,9 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(before) AS BIGINT) AS tokens_before,
        CAST(SUM(after) AS BIGINT) AS tokens_after,
-       CAST(SUM(CAST(CAST(('0x' || substr(dmd5, 1, 15)) AS BIGINT)
-                     AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS corpus_digest,
+       CAST(CAST(SUM(CAST(CAST(('0x' || substr(dmd5, 1, 15)) AS BIGINT)
+                          AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+           AS corpus_digest,
        round((SUM(before) - SUM(after)) / CAST(SUM(before) AS DOUBLE), 6)
            AS excise_ratio
 FROM per_doc
@@ -1556,7 +1557,12 @@ def q_dup_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     The content proof is ``corpus_digest``: SUM over documents of a
     60-bit integer cut from md5(cleaned_text), accumulated as
     DECIMAL(38,0) (2^60 x 10^9 docs still fits; BIGINT would
-    overflow) — an ORDER-FREE pure aggregate, so it never buffers
+    overflow) and EMITTED AS ITS DECIMAL-DIGIT STRING — the sum
+    crosses 2^53 already at sf0.1, where a float64 materialization
+    (DuckDB's .df() renders hugeint sums as doubles) silently rounds
+    the low digits; string emission keeps the comparison exact at any
+    volume (caught by the sf0.1 sweep) — an ORDER-FREE pure
+    aggregate, so it never buffers
     per-source text or doc lists (a sorted string_agg of 10^9 md5s
     would), yet any single-token difference in any cleaned document
     moves it.  tokens_after is
@@ -1620,11 +1626,17 @@ def q_dup_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("before").alias("tokens_before"),
             F.sum("after").alias("tokens_after"),
+            # the digest crosses 2^63 at volume; emit its DECIMAL(38)
+            # value as a STRING so BOTH engines compare exact digits —
+            # DuckDB's .df() materializes a hugeint sum as float64,
+            # which silently rounds above 2^53 (caught by the sf0.1
+            # sweep: bit-green at sf0.01, 17-digit drift at sf0.1)
             F.sum(
                 F.conv(F.substring("dmd5", 1, 15), 16, 10)
                 .cast("decimal(38,0)")
             )
             .cast("decimal(38,0)")
+            .cast("string")
             .alias("corpus_digest"),
             F.round(
                 (F.sum("before") - F.sum("after"))
