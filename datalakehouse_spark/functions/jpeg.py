@@ -12,13 +12,21 @@ reassemble component planes with sampling-factor upsampling.  That is
 what this module does — no dependencies, runs on any executor's bare
 CPython.
 
-Supported: 8-bit baseline DCT (SOF0), grayscale and 3-component YCbCr
-with sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), multiple
-DQT/DHT segments, 16-bit quant values, restart markers (DRI/RSTn).
-Rejected via ``JpegUnsupported`` (a real JPEG this kernel honestly
-cannot decode — progressive SOF2, arithmetic coding, 12-bit precision,
-hierarchical); structurally malformed payloads raise ``JpegError`` so
-the multimodal corrupt->(0,0,NULL) degradation path fires.
+Supported: 8-bit baseline DCT (SOF0) and — since round 11 —
+PROGRESSIVE DCT (SOF2: spectral selection, successive approximation,
+DC first/refine and AC first/refine scans with EOB runs, spec
+G.1/G.2), grayscale and 3-component YCbCr with sampling factors up to
+2x2 (4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments, 16-bit quant
+values, restart markers (DRI/RSTn).  Rejected via ``JpegUnsupported``
+(a real JPEG this kernel honestly cannot decode — arithmetic coding,
+12-bit precision, hierarchical); structurally malformed payloads raise
+``JpegError`` so the multimodal corrupt->(0,0,NULL) degradation path
+fires.  Validated against real libjpeg output: the baseline photos and
+all three progressive sample images shipped with this container's
+Spark/nodejs docs decode (the progressive fixtures jointly exercise
+every scan kind), and a hand-crafted progressive stream carrying the
+baseline encoder's exact coefficients decodes bit-identically to its
+baseline twin.
 
 Luma contract: grayscale images hand back Y directly.  Color images
 convert YCbCr->RGB with the JFIF/BT.601 full-range formula
@@ -285,6 +293,19 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def end_of_scan_pos(self) -> int:
+        """Position of the next true marker (pointing AT its 0xFF)
+        after the current entropy segment — pad bits and stuffed bytes
+        skipped, RSTn NOT consumed (callers treating a stray RST as an
+        error see it)."""
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d):
+            if d[p] == 0xFF and d[p + 1] not in (0x00, 0xFF):
+                return p
+            p += 1
+        raise JpegError("entropy data ran past end of payload")
+
     def align_to_marker(self) -> int | None:
         """Drop pad bits; return the next marker code (consuming it)
         if one is adjacent."""
@@ -326,7 +347,7 @@ def _extend(v: int, t: int) -> int:
 class _Component:
     __slots__ = (
         "cid", "h", "v", "tq", "td", "ta", "pred",
-        "bw", "bh", "plane",
+        "bw", "bh", "plane", "coef", "nbw", "nbh",
     )
 
     def __init__(self, cid: int, h: int, v: int, tq: int) -> None:
@@ -336,12 +357,21 @@ class _Component:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline JPEG -> ``(width, height, luma_plane)``.
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG ->
+    ``(width, height, luma_plane)``.
 
     ``luma_plane`` is ``width*height`` bytes of 8-bit luma in row-major
     order — the same contract as ``png.decode_png`` (grayscale passes Y
     through; color converts via the Pillow-identical ITU-R 601-2
     integer formula after the JFIF YCbCr->RGB step).
+
+    Baseline decodes scan-streaming (one pass, pixels materialize per
+    block).  Progressive accumulates a full DCT-coefficient store
+    across its scans (spectral selection + successive approximation,
+    spec G.1/G.2: interleaved or single-component DC first/refine, AC
+    first/refine with EOB runs) and reconstructs at EOI — memory is
+    O(blocks * 64) ints for the whole image, the inherent cost of the
+    format's multi-pass layout.
     """
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegError("not a JPEG: missing SOI")
@@ -351,9 +381,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame: tuple[int, int, list[_Component]] | None = None
+    progressive = False
+    store_ready = False
 
     while True:
-        if pos + 4 > len(data):
+        if pos + 2 > len(data):
             raise JpegError("truncated marker stream")
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}, got {data[pos]:#x}")
@@ -362,20 +394,26 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         if marker == 0xD8:  # stray SOI
             continue
         if marker == 0xD9:
+            if progressive and store_ready:
+                width, height, comps = frame
+                return _reconstruct_from_coefficients(
+                    width, height, comps, qt
+                )
             raise JpegError("EOI before SOS: no image data")
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn bare
             continue
+        if pos + 2 > len(data):
+            raise JpegError("truncated marker stream")
         (seg_len,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seg_len]
         if len(seg) != seg_len - 2:
             raise JpegError("truncated segment")
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
-            kinds = {0xC2: "progressive (SOF2)", 0xC9: "arithmetic",
-                     0xCA: "progressive arithmetic"}
+            kinds = {0xC9: "arithmetic", 0xCA: "progressive arithmetic"}
             raise JpegUnsupported(
                 f"{kinds.get(marker, f'SOF{marker - 0xC0}')} JPEG not "
-                "supported by the baseline kernel"
+                "supported by this kernel"
             )
         if marker == 0xC4:  # DHT (possibly several tables)
             p = 0
@@ -409,7 +447,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 if len(vals) != 64:
                     raise JpegError("truncated DQT")
                 qt[tid] = vals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegUnsupported(f"{prec}-bit precision not supported")
@@ -429,23 +468,42 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise JpegError("SOS before SOF0")
+                raise JpegError("SOS before SOF")
             width, height, comps = frame
             ns = seg[0]
-            if ns != len(comps):
-                raise JpegUnsupported("multi-scan / partial-scan JPEG")
+            if len(seg) < 1 + 2 * ns + 3:
+                raise JpegError("truncated SOS header")
             by_id = {c.cid: c for c in comps}
+            scan_comps = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 c = by_id.get(cs)
                 if c is None:
                     raise JpegError(f"SOS references unknown component {cs}")
                 c.td, c.ta = tdta >> 4, tdta & 0x0F
+                scan_comps.append(c)
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             pos += seg_len
-            return _decode_scan(
-                data, pos, width, height, comps, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                if ns != len(comps):
+                    raise JpegUnsupported(
+                        "multi-scan baseline (non-interleaved) JPEG"
+                    )
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise JpegError("baseline scan must cover 0..63")
+                return _decode_scan(
+                    data, pos, width, height, comps, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            if not store_ready:
+                _init_coefficient_store(width, height, comps)
+                store_ready = True
+            pos = _decode_progressive_scan(
+                data, pos, width, height, comps, scan_comps,
+                ss, se, ah, al, huff_dc, huff_ac, restart_interval,
             )
+            continue
         # APPn / COM / others: skip
         pos += seg_len
 
@@ -516,11 +574,20 @@ def _decode_scan(
                         )
             mcu_index += 1
 
+    return _finish_planes(width, height, comps)
+
+
+def _finish_planes(
+    width: int, height: int, comps: list
+) -> tuple[int, int, bytes]:
+    """Shared final stage of both decode paths: crop a grayscale plane
+    or upsample chroma + convert YCbCr -> RGB -> ITU-R 601-2 luma."""
     if len(comps) == 1:
         c = comps[0]
         return width, height, _crop(c, width, height)
 
-    # color: upsample chroma to full res, then YCbCr -> RGB -> luma
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
     y_c, cb_c, cr_c = comps[0], comps[1], comps[2]
     yw = y_c.bw * 8
     out = bytearray(width * height)
@@ -567,6 +634,233 @@ def _crop(c: _Component, width: int, height: int) -> bytes:
             yy * stride : yy * stride + width
         ]
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) scan machinery — spec G.1/G.2
+# --------------------------------------------------------------------------
+
+
+def _init_coefficient_store(width: int, height: int, comps: list) -> None:
+    """Allocate the per-component DCT-coefficient grids.  The grid is
+    MCU-padded (interleaved DC scans address it by MCU); non-interleaved
+    scans iterate only the component's own ceil(size/8) block dims
+    (``nbw``/``nbh``), a subset of the padded grid."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c.bw = mcus_x * c.h
+        c.bh = mcus_y * c.v
+        cw = (width * c.h + hmax - 1) // hmax
+        ch = (height * c.v + vmax - 1) // vmax
+        c.nbw = (cw + 7) // 8
+        c.nbh = (ch + 7) // 8
+        c.coef = [[0] * 64 for _ in range(c.bw * c.bh)]
+        c.pred = 0
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    comps: list,
+    scan_comps: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan's entropy data into the coefficient
+    store; returns the stream position of the next marker.
+
+    Scan kinds (validated per spec G.1.1.1.1): DC first (Ss=Se=0,
+    Ah=0, interleaved or single-component), DC refine (Ah>0, one bit
+    per block), AC first (Ss>=1, single component, EOB runs), AC
+    refine (correction bits for known coefficients + sign bits for
+    newly nonzero ones)."""
+    if ss == 0 and se != 0:
+        raise JpegError("progressive scan mixing DC and AC bands")
+    if ss > 0 and len(scan_comps) != 1:
+        raise JpegError("progressive AC scan must be single-component")
+    if se > 63 or ss > 63 or se < ss:
+        raise JpegError(f"bad spectral range {ss}..{se}")
+    if ah not in range(14) or al not in range(14) or (ah and ah != al + 1):
+        raise JpegError(f"bad successive approximation {ah}/{al}")
+    dc_scan = ss == 0
+    for c in scan_comps:
+        if dc_scan and c.td not in huff_dc and ah == 0:
+            raise JpegError("DC scan references missing huffman table")
+        if not dc_scan and c.ta not in huff_ac:
+            raise JpegError("AC scan references missing huffman table")
+
+    br = _BitReader(data, pos)
+    eobrun = 0
+    for c in comps:
+        c.pred = 0
+
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        hmax = max(c.h for c in comps)
+        vmax = max(c.v for c in comps)
+        mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+        units = mcus_x * mcus_y
+    else:
+        c0 = scan_comps[0]
+        units = c0.nbw * c0.nbh
+
+    def _unit_blocks(u: int):
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            for c in scan_comps:
+                for bv in range(c.v):
+                    for bh in range(c.h):
+                        yield c, (my * c.v + bv) * c.bw + (mx * c.h + bh)
+        else:
+            brow, bcol = divmod(u, c0.nbw)
+            yield c0, brow * c0.bw + bcol
+
+    for u in range(units):
+        if restart_interval and u and u % restart_interval == 0:
+            m = br.align_to_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                raise JpegError("expected restart marker in scan")
+            for c in comps:
+                c.pred = 0
+            eobrun = 0
+        if dc_scan:
+            for c, bidx in _unit_blocks(u):
+                coef = c.coef[bidx]
+                if ah == 0:  # DC first
+                    t = _huff_decode(br, huff_dc[c.td])
+                    if t > 15:
+                        raise JpegError(f"bad DC category {t}")
+                    c.pred += _extend(br.receive(t), t)
+                    coef[0] = c.pred << al
+                else:  # DC refine: one correction bit
+                    if br.read_bit():
+                        coef[0] |= 1 << al
+        else:
+            c, bidx = next(_unit_blocks(u))
+            coef = c.coef[bidx]
+            if ah == 0:
+                eobrun = _ac_first(br, coef, huff_ac[c.ta], ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(br, coef, huff_ac[c.ta], ss, se, al, eobrun)
+
+    return br.end_of_scan_pos()
+
+
+def _ac_first(br, coef, table, ss, se, al, eobrun) -> int:
+    """AC first scan for one block (spec G.1.2.2): run/size pairs with
+    ZRL and EOBn run-length codes; new coefficients enter at << Al."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += br.receive(r)
+            return eobrun - 1  # this block is the first of the EOB run
+        k += r
+        if k > se:
+            raise JpegError("AC run past spectral band end")
+        coef[ZIGZAG[k]] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, coef, table, ss, se, al, eobrun) -> int:
+    """AC refinement scan for one block (spec G.1.2.3): correction bits
+    for already-nonzero coefficients, sign-bit insertion for new ones,
+    EOB runs covering whole blocks of corrections."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(idx) -> None:
+        if br.read_bit() and (coef[idx] & p1) == 0:
+            coef[idx] += p1 if coef[idx] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break  # remaining coefficients handled below
+                # r == 15: skip 16 zero-history coefficients
+            elif s == 1:
+                newval = p1 if br.read_bit() else m1
+            else:
+                raise JpegError("AC refinement size must be 0 or 1")
+            # advance past r zero-history coefficients, correcting
+            # nonzero-history ones on the way; place newval after
+            while k <= se:
+                idx = ZIGZAG[k]
+                if coef[idx] != 0:
+                    correct(idx)
+                else:
+                    if r == 0:
+                        if newval:
+                            coef[idx] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+            else:
+                if newval:
+                    raise JpegError("AC refinement ran past band end")
+    if eobrun:
+        while k <= se:
+            idx = ZIGZAG[k]
+            if coef[idx] != 0:
+                correct(idx)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct_from_coefficients(
+    width: int, height: int, comps: list, qt: dict
+) -> tuple[int, int, bytes]:
+    """Dequantize + IDCT the accumulated progressive coefficient store
+    and hand off to the shared plane-assembly/color path."""
+    for c in comps:
+        if c.tq not in qt:
+            raise JpegError(f"component references missing quant table {c.tq}")
+        q = qt[c.tq]
+        c.plane = bytearray(c.bw * 8 * c.bh * 8)
+        for brow in range(c.bh):
+            for bcol in range(c.bw):
+                raw = c.coef[brow * c.bw + bcol]
+                deq = [0.0] * 64
+                nonzero = False
+                for k in range(64):
+                    v = raw[ZIGZAG[k]]
+                    if v:
+                        deq[ZIGZAG[k]] = v * q[k]
+                        nonzero = True
+                px = _idct_2d(deq) if nonzero else [0.0] * 64
+                _store_block(c, brow, bcol, px)
+        c.coef = None  # release
+    return _finish_planes(width, height, comps)
 
 
 def jpeg_luma_stats(data: bytes) -> tuple[int, int, float]:

@@ -8,7 +8,7 @@ functions over ``mapInPandas``.
 Decode kernels (round 9; JPEG round 11): the image path is REAL
 everywhere — Pillow when importable (the fast C path), else the
 pure-stdlib PNG decoder (functions/png.py: zlib + struct + the five
-scanline filters) and the pure-stdlib baseline-JPEG decoder
+scanline filters) and the pure-stdlib baseline+progressive JPEG decoder
 (functions/jpeg.py: Huffman + dequant + IDCT + YCbCr, grayscale and
 4:4:4/4:2:2/4:2:0 color), which run on any executor's bare CPython.  The audio path is likewise REAL
 for WAV/PCM payloads (functions/wav.py: struct-only RIFF parse,
@@ -16,8 +16,8 @@ for WAV/PCM payloads (functions/wav.py: struct-only RIFF parse,
 ``extract_audio_features``, and the video path for AVI/BI_RGB payloads
 (functions/avi.py: RIFF chunk tree, DIB frames normalized to top-down
 RGB24) via ``decode_video`` / ``sample_frames(fake=False)``.  Image formats
-beyond PNG/baseline-JPEG without Pillow (progressive JPEG, webp, ...),
-compressed audio, and compressed video
+beyond PNG and baseline/progressive JPEG without Pillow (webp, gif,
+arithmetic-coded JPEG, ...), compressed audio, and compressed video
 remain honestly probe-guarded
 (NotImplementedError); ``fake=True`` keeps the deterministic
 hash-derived decoder that exercises the full Spark-side plumbing —
@@ -89,11 +89,12 @@ def pil_available() -> bool:
 
 def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
     """Dispatch the stdlib image kernels by magic number: PNG
-    (functions/png.py) or baseline JPEG (functions/jpeg.py, round 11).
-    Malformed payloads of a supported format raise their codec error
-    (PngError/JpegError -> the corrupt->(0,0,NULL) degradation path);
-    formats neither kernel handles — and real JPEGs outside the
-    baseline profile (progressive/arithmetic/12-bit) — raise
+    (functions/png.py) or baseline/progressive JPEG
+    (functions/jpeg.py, round 11).  Malformed payloads of a supported
+    format raise their codec error (PngError/JpegError -> the
+    corrupt->(0,0,NULL) degradation path); formats neither kernel
+    handles — and real JPEGs outside the supported profiles
+    (arithmetic coding, 12-bit, hierarchical) — raise
     NotImplementedError (the honest probe contract)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from datalakehouse_spark.functions.png import png_luma_stats
@@ -109,11 +110,11 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
             return jpeg_luma_stats(payload)
         except JpegUnsupported as exc:
             raise NotImplementedError(
-                f"JPEG outside the baseline profile needs Pillow: {exc}"
+                f"JPEG outside the supported profile needs Pillow: {exc}"
             ) from exc
     raise NotImplementedError(
         "non-PNG/JPEG image decode needs Pillow (pip install pillow); "
-        "the stdlib kernels handle PNG and baseline JPEG only"
+        "the stdlib kernels handle PNG and baseline/progressive JPEG only"
     )
 
 

@@ -262,12 +262,11 @@ def test_rejects_non_jpeg_and_truncations():
         decode_jpeg(good[:2] + b"\xff\xd9")  # EOI before SOS
 
 
-def test_rejects_progressive_and_unsupported_profiles():
+def test_rejects_unsupported_profiles():
     w, h, pix = _block_image(bytes([1, 2, 3, 4]), 4)
     good = bytearray(encode_jpeg(w, h, pix))
     sof = good.index(b"\xff\xc0")
     for marker, exc_match in [
-        (0xC2, "progressive"),
         (0xC9, "arithmetic"),
         (0xC1, "SOF1"),
     ]:
@@ -275,12 +274,19 @@ def test_rejects_progressive_and_unsupported_profiles():
         bad[sof + 1] = marker
         with pytest.raises(JpegUnsupported, match=exc_match):
             decode_jpeg(bytes(bad))
+    # flipping SOF0->SOF2 yields a PROGRESSIVE frame whose single scan
+    # illegally spans 0..63 (DC and AC bands mixed): structural error,
+    # not an unsupported profile
+    bad = bytearray(good)
+    bad[sof + 1] = 0xC2
+    with pytest.raises(JpegError, match="mixing DC and AC"):
+        decode_jpeg(bytes(bad))
 
 
 def test_decode_image_dispatch_contract():
     """decode_image (Pillow-less container): baseline JPEG decodes
     for real, corrupt baseline raises (codec error -> (0,0,NULL)
-    degradation in extract_features), progressive maps to
+    degradation in extract_features), arithmetic coding maps to
     NotImplementedError, unknown magic stays probe-guarded."""
     from datalakehouse_spark.operators.multimodal import (
         decode_image,
@@ -298,11 +304,11 @@ def test_decode_image_dispatch_contract():
     # corrupt: entropy stream chopped -> codec error, NOT NotImplemented
     with pytest.raises(JpegError):
         decode_image(payload[:-24])
-    # out-of-profile real JPEG -> honest probe contract
-    prog = bytearray(payload)
-    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline profile"):
-        decode_image(bytes(prog))
+    # out-of-profile real JPEG (arithmetic coding) -> honest probe
+    arith = bytearray(payload)
+    arith[arith.index(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="profile"):
+        decode_image(bytes(arith))
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFX not an image")
 
@@ -364,11 +370,145 @@ def test_decodes_real_libjpeg_photos():
 @pytest.mark.skipif(
     not os.path.isdir(_SPARK_IMAGES), reason="Spark mllib sample images absent"
 )
-def test_real_progressive_jpeg_rejected_loudly():
-    with open(os.path.join(_SPARK_IMAGES, "multi-channel/grayscale.jpg"), "rb") as fh:
-        data = fh.read()
-    with pytest.raises(JpegUnsupported, match="progressive"):
-        decode_jpeg(data)
+def test_decodes_real_progressive_jpegs():
+    """Round 11: real libjpeg PROGRESSIVE streams decode.  The three
+    fixtures jointly exercise every scan kind (grayscale.jpg: DC first
+    Al=1, AC first over two bands Al=2, AC refine Ah=2->1, DC refine,
+    AC refine Ah=1->0); the stripe images are color progressive.
+    Dimensions are objective; means are regression pins."""
+    cases = {
+        os.path.join(_SPARK_IMAGES, "multi-channel/grayscale.jpg"): (
+            300, 215, 0.5574
+        ),
+        "/usr/share/doc/nodejs/full-white-stripe.jpg": (493, 312, 0.9813),
+        "/usr/share/doc/nodejs/thin-white-stripe.jpg": (493, 58, 0.9233),
+    }
+    for path, (ew, eh, emean) in cases.items():
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as fh:
+            w, h, luma = decode_jpeg(fh.read())
+        assert (w, h) == (ew, eh), path
+        mean = sum(luma) / (255.0 * w * h)
+        assert abs(mean - emean) < 0.01, (path, mean)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SPARK_IMAGES), reason="Spark mllib sample images absent"
+)
+def test_progressive_twin_tracks_baseline_twin():
+    """grayscale.jpg (progressive) is the grayscale re-encode of
+    chr30.4.184.jpg (baseline) at identical dimensions: two different
+    lossy encodings of the same photo must agree closely — a
+    cross-path consistency check between the streaming baseline
+    decoder and the coefficient-store progressive decoder."""
+    base = os.path.join(_SPARK_IMAGES, "multi-channel")
+    with open(os.path.join(base, "chr30.4.184.jpg"), "rb") as fh:
+        w1, h1, a = decode_jpeg(fh.read())
+    with open(os.path.join(base, "grayscale.jpg"), "rb") as fh:
+        w2, h2, b = decode_jpeg(fh.read())
+    assert (w1, h1) == (w2, h2) == (300, 215)
+    diffs = [abs(x - y) for x, y in zip(a, b)]
+    assert sum(diffs) / len(diffs) < 5.0  # same scene, different encodes
+
+
+def _encode_progressive_gray(width, height, pixels, al_dc=1):
+    """Test-only progressive writer over the module's own primitives:
+    SOF2 + three scans — DC first at Al=al_dc, DC refine to Al=0, one
+    AC 1..63 first scan (per-block EOB, run/size codes) — carrying the
+    SAME quantized coefficients as the baseline encoder, so decode
+    must be bit-identical to the baseline decode."""
+    from datalakehouse_spark.functions import jpeg as J
+
+    bw_blocks = (width + 7) // 8
+    bh_blocks = (height + 7) // 8
+    lum = [float(p) - 128.0 for p in pixels]
+    blocks = []
+    for brow in range(bh_blocks):
+        for bcol in range(bw_blocks):
+            blk = J._comp_plane_blocks(lum, width, height, brow, bcol)
+            coefs = J._fdct_2d(blk)
+            blocks.append([int(round(coefs[J.ZIGZAG[k]])) for k in range(64)])
+
+    head = bytearray(b"\xff\xd8")
+    head += J._dqt_segment(0, [1] * 64)
+    head += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3, 8, height, width, 1)
+    head += bytes([1, 0x11, 0])
+    head += J._dht_segment(0, 0, J._STD_DC_LUM)
+    head += J._dht_segment(1, 0, J._STD_AC_LUM)
+    dc_t = J._encode_table(J._STD_DC_LUM)
+    ac_t = J._encode_table(J._STD_AC_LUM)
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [1, 0x00, ss, se, (ah << 4) | al]
+        )
+
+    out = bytes(head)
+    # scan 1: DC first, point transform al_dc
+    bw = J._BitWriter()
+    pred = 0
+    for zz in blocks:
+        v = zz[0] >> al_dc
+        diff = v - pred
+        pred = v
+        t = J._category(diff)
+        code, length = dc_t[t]
+        bw.write(code, length)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    out += sos(0, 0, 0, al_dc) + bw.flush()
+    # scan 2: DC refinement down to Al=0 (one bit per block per level)
+    for al in range(al_dc - 1, -1, -1):
+        bw = J._BitWriter()
+        for zz in blocks:
+            bw.write((zz[0] >> al) & 1, 1)
+        out += sos(0, 0, al + 1, al) + bw.flush()
+    # scan 3: AC 1..63 first, Al=0, per-block EOB (run length 1)
+    bw = J._BitWriter()
+    for zz in blocks:
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                zc, zl = ac_t[0xF0]
+                bw.write(zc, zl)
+                run -= 16
+            s = J._category(v)
+            code, length = ac_t[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, length = ac_t[0x00]  # EOB (run of 1 block)
+            bw.write(code, length)
+    out += sos(1, 63, 0, 0) + bw.flush()
+    return out + b"\xff\xd9"
+
+
+def test_handcrafted_progressive_matches_baseline_bitexact():
+    """A progressive stream carrying the SAME quantized coefficients
+    as the baseline encoder (DC split across successive-approximation
+    scans, AC in one first scan) must decode to the IDENTICAL pixels —
+    the coefficient store, DC refine accumulation, and AC band decode
+    are exact, not approximate."""
+    rng = random.Random(47)
+    w, h = 24, 16
+    pix = bytes(rng.randrange(256) for _ in range(w * h))
+    base = decode_jpeg(encode_jpeg(w, h, pix))
+    prog = decode_jpeg(_encode_progressive_gray(w, h, pix, al_dc=1))
+    assert base[:2] == prog[:2] == (w, h)
+    assert base[2] == prog[2]
+
+
+def test_handcrafted_progressive_constant_blocks_exact_pixels():
+    vals = bytes([0, 60, 128, 255])
+    w, h, pix = _block_image(vals, 4)
+    got = decode_jpeg(_encode_progressive_gray(w, h, pix, al_dc=2))
+    assert got == (w, h, pix)
 
 
 def test_encoder_input_validation():
