@@ -345,21 +345,24 @@ VIDEO_STATS_SCHEMA = (
 
 def decode_video(payload: bytes) -> tuple[int, int, float, int, float]:
     """REAL video decode kernel (metadata pass): ``(width, height, fps,
-    n_frames, duration_ms)`` of an AVI payload — pure stdlib
-    (functions/avi.py), so it runs on any executor.  Non-AVI containers
-    (mp4/mkv/webm...) raise NotImplementedError (the honest probe
-    contract: a real deployment adds ffmpeg; this container has none)."""
+    n_frames, duration_ms)`` of an AVI or MP4/ISO-BMFF payload — pure
+    stdlib (functions/avi.py; functions/mp4.py since round 11: box-tree
+    walk of tkhd/mdhd/hdlr/stsz/stts for the first video track), so it
+    runs on any executor.  Frame PIXELS of an MP4 still need a codec
+    library (``sample_frames`` keeps its probe guard).  Other
+    containers (mkv/webm...) raise NotImplementedError (the honest
+    probe contract: a real deployment adds ffmpeg)."""
     from datalakehouse_spark.functions.avi import AviError, avi_video_stats
+    from datalakehouse_spark.functions.mp4 import mp4_video_stats
 
-    try:
+    if payload[:4] == b"RIFF":
         return avi_video_stats(payload)
-    except AviError as exc:
-        if payload[:4] != b"RIFF":
-            raise NotImplementedError(
-                "non-AVI video decode (mp4/mkv/webm/...) needs ffmpeg; "
-                "the stdlib kernel handles RIFF AVI only"
-            ) from exc
-        raise
+    if payload[4:8] in (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"styp"):
+        return mp4_video_stats(payload)
+    raise NotImplementedError(
+        "non-AVI/MP4 video decode (mkv/webm/...) needs ffmpeg; "
+        "the stdlib kernels handle RIFF AVI and ISO BMFF metadata only"
+    )
 
 
 def extract_video_features(
@@ -376,6 +379,12 @@ def extract_video_features(
         import hashlib as _hl
 
         from datalakehouse_spark.functions.avi import avi_video_stats
+        from datalakehouse_spark.functions.mp4 import mp4_video_stats
+
+        def _stats(data: bytes):
+            if data[:4] == b"RIFF":
+                return avi_video_stats(data)
+            return mp4_video_stats(data)
 
         for pdf in _rebatch(it, max_records_per_batch):
             cols: dict = {
@@ -387,7 +396,7 @@ def extract_video_features(
                 cols["sha256"].append(_hl.sha256(data).hexdigest())
                 cols["n_bytes"].append(len(data))
                 try:
-                    w, h, fps, n, dur = avi_video_stats(data)
+                    w, h, fps, n, dur = _stats(data)
                 except Exception:
                     w = h = n = 0
                     fps = dur = float("nan")

@@ -1243,7 +1243,9 @@ SELECT doc_id AS asset_id,
                        FOR x IN list_slice(bv, 1, {_MRD_WAV_N})]), 9)
            AS wav_peak,
        1 AS avi_frames,
-       md5(substr(t, 1, {_MRD_AVI_PX})) AS frame0_md5
+       md5(substr(t, 1, {_MRD_AVI_PX})) AS frame0_md5,
+       CAST(bv[1] AS INTEGER) AS mp4_frames,
+       bv[1] * 40.0 AS mp4_duration_ms
 FROM b ORDER BY asset_id
 """
 
@@ -1277,6 +1279,13 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
     in Huffman tables, DC prediction, dequant, IDCT scaling, or block
     placement shifts the mean and breaks the hash compare.
 
+    MP4 slice (round 11, functions/mp4.py): the first text byte is the
+    frame count of a generated ISO-BMFF stub (fps 25 at timescale 600:
+    delta 24 divides exactly, so the parsed stts arithmetic is integer)
+    whose box tree the parser must walk back to
+    (n_frames == byte, duration_ms == byte * 40.0) — exact doubles on
+    both engines.
+
     Scale shape: a bounded 100-asset mapInPandas pass (the multimodal
     contract: Arrow batches, no driver traffic); ASCII/length filters
     are applied identically on both engines after the same ORDER
@@ -1306,7 +1315,8 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
         "asset_id long, png_w int, png_h int, png_mean_luma double, "
         "jpeg_w int, jpeg_h int, jpeg_mean_luma double, "
         "wav_frames int, wav_rms double, wav_peak double, "
-        "avi_frames int, frame0_md5 string"
+        "avi_frames int, frame0_md5 string, "
+        "mp4_frames int, mp4_duration_ms double"
     )
 
     def batches(it):
@@ -1318,6 +1328,10 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
             encode_avi,
         )
         from datalakehouse_spark.functions.jpeg import encode_jpeg, jpeg_luma_stats
+        from datalakehouse_spark.functions.mp4 import (
+            encode_mp4_stub,
+            mp4_video_stats,
+        )
         from datalakehouse_spark.functions.png import encode_png
         from datalakehouse_spark.functions.wav import encode_wav, wav_pcm_stats
         from datalakehouse_spark.operators.multimodal import decode_image
@@ -1362,12 +1376,16 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                 avi = encode_avi([rgb], 4, 4, fps=10)
                 _, _, _, n_frames, _ = avi_video_stats(avi)
                 ((_, frame0),) = avi_iter_frames(avi)
+                _, _, _, m_frames, m_dur = mp4_video_stats(
+                    encode_mp4_stub(64, 48, bts[0], fps=25.0, timescale=600)
+                )
                 rows.append(
                     (
                         doc_id, w, h, round(luma, 9),
                         jw, jh, round(jluma, 9),
                         frames, round(rms, 9), round(peak, 9),
                         n_frames, _hl.md5(frame0).hexdigest(),
+                        m_frames, m_dur,
                     )
                 )
             yield _pd.DataFrame(
@@ -1377,6 +1395,7 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                     "jpeg_w", "jpeg_h", "jpeg_mean_luma",
                     "wav_frames", "wav_rms", "wav_peak",
                     "avi_frames", "frame0_md5",
+                    "mp4_frames", "mp4_duration_ms",
                 ],
             )
 

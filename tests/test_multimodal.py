@@ -256,12 +256,17 @@ def test_avi_kernel_roundtrip_and_normalization():
 
 
 def test_decode_video_probe_contract():
-    """Non-RIFF containers say 'needs ffmpeg'; RIFF-but-broken payloads
-    raise the parse error itself."""
+    """Round 11: MP4 metadata is REAL (functions/mp4.py) — an
+    mp4-magic payload routes to the box parser, whose malformed-input
+    error fires (the zero-row degradation path), NOT the probe guard.
+    Containers neither kernel handles still say 'needs ffmpeg'."""
+    from datalakehouse_spark.functions.mp4 import Mp4Error
     from datalakehouse_spark.operators.multimodal import decode_video
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Mp4Error):
         decode_video(b"\x00\x00\x00\x20ftypisom mp4-ish bytes")
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x1a\x45\xdf\xa3 matroska-ish bytes")
 
 
 def test_real_video_kernel_end_to_end(spark):
