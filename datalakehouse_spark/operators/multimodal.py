@@ -270,23 +270,43 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
+def _looks_like_mp3(payload: bytes) -> bool:
+    if payload[:3] == b"ID3":
+        return True
+    return (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    )
+
+
 def decode_audio(payload: bytes) -> tuple[int, int, int, float, float, float]:
     """REAL audio decode kernel: ``(sample_rate, n_channels, n_frames,
-    duration_ms, rms, peak)`` of a WAV/PCM payload — pure stdlib
-    (functions/wav.py), so it runs on any executor.  Compressed audio
-    raises NotImplementedError (the honest probe contract: a real
-    deployment adds a codec library; this container has none)."""
+    duration_ms, rms, peak)`` — pure stdlib, runs on any executor.
+
+    WAV/PCM (functions/wav.py) decodes fully.  MP3 (functions/mp3.py,
+    round 11) is a METADATA pass: the frame-header walk yields real
+    rate/channels/sample-count/duration, but rms/peak are NaN — Layer
+    III PCM synthesis genuinely needs a codec library.  Other
+    compressed audio (ogg/flac/aac...) raises NotImplementedError (the
+    honest probe contract)."""
     from datalakehouse_spark.functions.wav import WavError, wav_pcm_stats
 
+    if payload[:4] == b"RIFF":
+        return wav_pcm_stats(payload)
+    if _looks_like_mp3(payload):
+        from datalakehouse_spark.functions.mp3 import mp3_audio_stats
+
+        rate, ch, _mpeg_frames, n_samples, dur = mp3_audio_stats(payload)
+        return rate, ch, n_samples, dur, float("nan"), float("nan")
     try:
         return wav_pcm_stats(payload)
     except WavError as exc:
-        if payload[:4] != b"RIFF":
-            raise NotImplementedError(
-                "compressed audio decode (mp3/ogg/flac/...) needs a codec "
-                "library; the stdlib kernel handles WAV PCM/float only"
-            ) from exc
-        raise
+        raise NotImplementedError(
+            "compressed audio decode (ogg/flac/aac/...) needs a codec "
+            "library; the stdlib kernels handle WAV PCM/float fully and "
+            "MP3 as a metadata pass"
+        ) from exc
 
 
 def extract_audio_features(
@@ -295,15 +315,17 @@ def extract_audio_features(
     max_records_per_batch: int = 256,
 ) -> DataFrame:
     """Audio feature pass over a media table via mapInPandas — the REAL
-    WAV/PCM kernel (stdlib, every container), same batching contract as
-    ``extract_features``.  Undecodable payloads degrade to zero-frame
-    rows with NULL rms/peak instead of failing the batch (a corrupt
-    object must not kill a 100 TB pass)."""
+    WAV/PCM kernel plus the MP3 metadata walker (stdlib, every
+    container), same batching contract as ``extract_features``.  MP3
+    rows carry real rate/channels/frames/duration with NaN rms/peak
+    (the metadata-pass contract); undecodable payloads degrade to
+    zero-frame rows with NULL rms/peak instead of failing the batch (a
+    corrupt object must not kill a 100 TB pass)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
-        from datalakehouse_spark.functions.wav import wav_pcm_stats
+        from datalakehouse_spark.operators.multimodal import decode_audio
 
         for pdf in _rebatch(it, max_records_per_batch):
             cols: dict = {
@@ -316,7 +338,7 @@ def extract_audio_features(
                 cols["sha256"].append(_hl.sha256(data).hexdigest())
                 cols["n_bytes"].append(len(data))
                 try:
-                    rate, n_ch, frames, dur, rms, peak = wav_pcm_stats(data)
+                    rate, n_ch, frames, dur, rms, peak = decode_audio(data)
                 except Exception:
                     rate, n_ch, frames, dur = 0, 0, 0, 0.0
                     rms = peak = float("nan")

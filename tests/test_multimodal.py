@@ -173,12 +173,17 @@ def test_wav_kernel_roundtrip_and_formats():
 
 
 def test_decode_audio_probe_contract():
-    """Non-RIFF payloads say 'needs a codec library'; RIFF-but-broken
-    payloads raise the parse error itself."""
+    """Round 11: MP3 metadata is REAL (functions/mp3.py) — an
+    mp3-sync payload routes to the frame walker, whose malformed-input
+    error fires (degradation path), NOT the probe guard.  Formats no
+    kernel handles still say 'needs a codec library'."""
+    from datalakehouse_spark.functions.mp3 import Mp3Error
     from datalakehouse_spark.operators.multimodal import decode_audio
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Mp3Error):
         decode_audio(b"\xff\xfb mp3-ish bytes")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"OggS vorbis-ish bytes")
 
 
 def test_real_audio_kernel_end_to_end(spark):
