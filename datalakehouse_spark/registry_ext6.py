@@ -1245,7 +1245,11 @@ SELECT doc_id AS asset_id,
        1 AS avi_frames,
        md5(substr(t, 1, {_MRD_AVI_PX})) AS frame0_md5,
        CAST(bv[1] AS INTEGER) AS mp4_frames,
-       bv[1] * 40.0 AS mp4_duration_ms
+       bv[1] * 40.0 AS mp4_duration_ms,
+       CAST(1 + CAST(bv[2] AS BIGINT) % 16 AS INTEGER) AS mp3_mpeg_frames,
+       CAST((1 + CAST(bv[2] AS BIGINT) % 16) * 1152 AS BIGINT) AS mp3_samples,
+       (1 + CAST(bv[2] AS BIGINT) % 16) * 1152 * 1000.0 / 32000
+           AS mp3_duration_ms
 FROM b ORDER BY asset_id
 """
 
@@ -1286,6 +1290,12 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
     (n_frames == byte, duration_ms == byte * 40.0) — exact doubles on
     both engines.
 
+    MP3 slice (round 11, functions/mp3.py): 1 + (second byte mod 16)
+    MPEG-1 Layer-III frames at 32 kHz are emitted and the frame walker
+    must count them back (samples == frames * 1152; duration ==
+    samples * 1000 / 32000 = frames * 36.0 — exact in IEEE doubles on
+    both engines).
+
     Scale shape: a bounded 100-asset mapInPandas pass (the multimodal
     contract: Arrow batches, no driver traffic); ASCII/length filters
     are applied identically on both engines after the same ORDER
@@ -1316,7 +1326,8 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
         "jpeg_w int, jpeg_h int, jpeg_mean_luma double, "
         "wav_frames int, wav_rms double, wav_peak double, "
         "avi_frames int, frame0_md5 string, "
-        "mp4_frames int, mp4_duration_ms double"
+        "mp4_frames int, mp4_duration_ms double, "
+        "mp3_mpeg_frames int, mp3_samples long, mp3_duration_ms double"
     )
 
     def batches(it):
@@ -1328,6 +1339,10 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
             encode_avi,
         )
         from datalakehouse_spark.functions.jpeg import encode_jpeg, jpeg_luma_stats
+        from datalakehouse_spark.functions.mp3 import (
+            encode_mp3_stub,
+            mp3_audio_stats,
+        )
         from datalakehouse_spark.functions.mp4 import (
             encode_mp4_stub,
             mp4_video_stats,
@@ -1379,6 +1394,10 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                 _, _, _, m_frames, m_dur = mp4_video_stats(
                     encode_mp4_stub(64, 48, bts[0], fps=25.0, timescale=600)
                 )
+                n_mp3 = 1 + bts[1] % 16
+                _, _, a_mpeg, a_samples, a_dur = mp3_audio_stats(
+                    encode_mp3_stub(n_mp3, 32000, 128)
+                )
                 rows.append(
                     (
                         doc_id, w, h, round(luma, 9),
@@ -1386,6 +1405,7 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                         frames, round(rms, 9), round(peak, 9),
                         n_frames, _hl.md5(frame0).hexdigest(),
                         m_frames, m_dur,
+                        a_mpeg, a_samples, a_dur,
                     )
                 )
             yield _pd.DataFrame(
@@ -1396,6 +1416,7 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                     "wav_frames", "wav_rms", "wav_peak",
                     "avi_frames", "frame0_md5",
                     "mp4_frames", "mp4_duration_ms",
+                    "mp3_mpeg_frames", "mp3_samples", "mp3_duration_ms",
                 ],
             )
 
