@@ -8,9 +8,11 @@ functions over ``mapInPandas``.
 Decode kernels (round 9; JPEG round 11): the image path is REAL
 everywhere — Pillow when importable (the fast C path), else the
 pure-stdlib PNG decoder (functions/png.py: zlib + struct + the five
-scanline filters) and the pure-stdlib baseline+progressive JPEG decoder
+scanline filters), the pure-stdlib baseline+progressive JPEG decoder
 (functions/jpeg.py: Huffman + dequant + IDCT + YCbCr, grayscale and
-4:4:4/4:2:2/4:2:0 color), which run on any executor's bare CPython.  The audio path is likewise REAL
+4:4:4/4:2:2/4:2:0 color) and the pure-stdlib GIF decoder
+(functions/gif.py: LZW + palettes + interlace + transparency), which
+run on any executor's bare CPython.  The audio path is likewise REAL
 for WAV/PCM payloads (functions/wav.py: struct-only RIFF parse,
 8/16/24/32-bit int + 32/64-bit float, EXTENSIBLE) via
 ``extract_audio_features``, and the video path for AVI/BI_RGB payloads
@@ -89,13 +91,15 @@ def pil_available() -> bool:
 
 def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
     """Dispatch the stdlib image kernels by magic number: PNG
-    (functions/png.py) or baseline/progressive JPEG
-    (functions/jpeg.py, round 11).  Malformed payloads of a supported
-    format raise their codec error (PngError/JpegError -> the
-    corrupt->(0,0,NULL) degradation path); formats neither kernel
-    handles — and real JPEGs outside the supported profiles
-    (arithmetic coding, 12-bit, hierarchical) — raise
-    NotImplementedError (the honest probe contract)."""
+    (functions/png.py), baseline/progressive JPEG (functions/jpeg.py,
+    round 11), or GIF (functions/gif.py, round 11: LZW + palettes +
+    interlace + transparency, first frame on the logical screen).
+    Malformed payloads of a supported format raise their codec error
+    (PngError/JpegError/GifError -> the corrupt->(0,0,NULL)
+    degradation path); formats no kernel handles — and real JPEGs
+    outside the supported profiles (arithmetic coding, 12-bit,
+    hierarchical) — raise NotImplementedError (the honest probe
+    contract)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from datalakehouse_spark.functions.png import png_luma_stats
 
@@ -112,9 +116,13 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
             raise NotImplementedError(
                 f"JPEG outside the supported profile needs Pillow: {exc}"
             ) from exc
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from datalakehouse_spark.functions.gif import gif_luma_stats
+
+        return gif_luma_stats(payload)
     raise NotImplementedError(
-        "non-PNG/JPEG image decode needs Pillow (pip install pillow); "
-        "the stdlib kernels handle PNG and baseline/progressive JPEG only"
+        "non-PNG/JPEG/GIF image decode needs Pillow (pip install pillow); "
+        "the stdlib kernels handle PNG, baseline/progressive JPEG and GIF"
     )
 
 
@@ -164,8 +172,8 @@ def extract_features(
     ``fake=True`` (the default) runs the deterministic hash-derived
     decoder — codec-independent plumbing exercise.  ``fake=False`` runs
     the REAL kernel and returns ``IMAGE_FEATURE_SCHEMA``: Pillow per
-    worker when importable (any format), else the pure-stdlib PNG
-    decoder (functions/png.py) — real in every container since round 9.
+    worker when importable (any format), else the stdlib PNG/JPEG/GIF
+    dispatch (``stdlib_image_stats``) — real in every container.
     Undecodable payloads yield ``(0, 0, NaN)`` rather than failing the
     batch (a corrupt object must not kill a 100 TB pass).
     """

@@ -1249,7 +1249,10 @@ SELECT doc_id AS asset_id,
        CAST(1 + CAST(bv[2] AS BIGINT) % 16 AS INTEGER) AS mp3_mpeg_frames,
        CAST((1 + CAST(bv[2] AS BIGINT) % 16) * 1152 AS BIGINT) AS mp3_samples,
        (1 + CAST(bv[2] AS BIGINT) % 16) * 1152 * 1000.0 / 32000
-           AS mp3_duration_ms
+           AS mp3_duration_ms,
+       round(list_reduce(list_slice(bv, 17, 32), (a, x) -> a + x)
+             / (255.0 * 16), 9) AS gif_mean_luma,
+       2 AS gif_frames
 FROM b ORDER BY asset_id
 """
 
@@ -1296,6 +1299,14 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
     samples * 1000 / 32000 = frames * 36.0 — exact in IEEE doubles on
     both engines).
 
+    GIF slice (round 11, functions/gif.py): bytes 17..32 index a
+    256-gray palette (luma(i,i,i) == i exactly under the ITU integer
+    formula), written as a TWO-frame animated GIF — the decoder
+    renders frame one (gif_mean_luma == sum(bytes 17..32)/(255*16))
+    and structurally counts the second (gif_frames == 2), so LZW,
+    palette mapping, and the frame walk are all on the hash-compared
+    surface.
+
     Scale shape: a bounded 100-asset mapInPandas pass (the multimodal
     contract: Arrow batches, no driver traffic); ASCII/length filters
     are applied identically on both engines after the same ORDER
@@ -1327,7 +1338,8 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
         "wav_frames int, wav_rms double, wav_peak double, "
         "avi_frames int, frame0_md5 string, "
         "mp4_frames int, mp4_duration_ms double, "
-        "mp3_mpeg_frames int, mp3_samples long, mp3_duration_ms double"
+        "mp3_mpeg_frames int, mp3_samples long, mp3_duration_ms double, "
+        "gif_mean_luma double, gif_frames int"
     )
 
     def batches(it):
@@ -1337,6 +1349,11 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
             avi_iter_frames,
             avi_video_stats,
             encode_avi,
+        )
+        from datalakehouse_spark.functions.gif import (
+            decode_gif,
+            encode_gif,
+            gif_descriptor_offset,
         )
         from datalakehouse_spark.functions.jpeg import encode_jpeg, jpeg_luma_stats
         from datalakehouse_spark.functions.mp3 import (
@@ -1398,6 +1415,15 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                 _, _, a_mpeg, a_samples, a_dur = mp3_audio_stats(
                     encode_mp3_stub(n_mp3, 32000, 128)
                 )
+                grays = [(i, i, i) for i in range(256)]
+                gpix = bts[16:32]
+                frame1 = encode_gif(16, 1, gpix, grays)
+                frame2 = encode_gif(16, 1, bytes(16), grays)
+                animated = (
+                    frame1[:-1] + frame2[gif_descriptor_offset(grays) :]
+                )
+                gw_, gh_, gluma, g_n = decode_gif(animated)
+                g_mean = sum(gluma) / (255.0 * gw_ * gh_)
                 rows.append(
                     (
                         doc_id, w, h, round(luma, 9),
@@ -1406,6 +1432,7 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                         n_frames, _hl.md5(frame0).hexdigest(),
                         m_frames, m_dur,
                         a_mpeg, a_samples, a_dur,
+                        round(g_mean, 9), g_n,
                     )
                 )
             yield _pd.DataFrame(
@@ -1417,6 +1444,7 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
                     "avi_frames", "frame0_md5",
                     "mp4_frames", "mp4_duration_ms",
                     "mp3_mpeg_frames", "mp3_samples", "mp3_duration_ms",
+                    "gif_mean_luma", "gif_frames",
                 ],
             )
 

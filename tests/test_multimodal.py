@@ -33,11 +33,12 @@ def test_feature_extraction_deterministic(spark, sf_small):
 
 
 def test_unsupported_format_without_pillow_is_explicitly_stubbed():
-    """Honest-probe contract: PNG and baseline JPEG are
-    stdlib-decodable (round 9 / round 11); formats beyond those still
-    need Pillow and must say so.  A JPEG-magic payload now routes to
-    the real baseline kernel — corrupt ones raise the codec error
-    (the (0,0,NULL) degradation path), not NotImplementedError."""
+    """Honest-probe contract: PNG, JPEG (baseline+progressive) and GIF
+    are stdlib-decodable (rounds 9/11); formats beyond those still
+    need Pillow and must say so.  A supported-magic payload routes to
+    its real kernel — corrupt ones raise the codec error (the
+    (0,0,NULL) degradation path), not NotImplementedError."""
+    from datalakehouse_spark.functions.gif import GifError
     from datalakehouse_spark.functions.jpeg import JpegError
     from datalakehouse_spark.operators.multimodal import decode_image, pil_available
 
@@ -46,9 +47,11 @@ def test_unsupported_format_without_pillow_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a not decodable here")
+        decode_image(b"BM bmp-ish bytes not decodable here")
     with pytest.raises(JpegError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+    with pytest.raises(GifError):
+        decode_image(b"GIF89a truncated gif-ish bytes")
 
 
 def test_real_kernel_end_to_end_stdlib_png(spark):
