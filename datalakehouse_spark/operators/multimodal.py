@@ -120,9 +120,13 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
         from datalakehouse_spark.functions.gif import gif_luma_stats
 
         return gif_luma_stats(payload)
+    if payload[:2] == b"BM":
+        from datalakehouse_spark.functions.bmp import bmp_luma_stats
+
+        return bmp_luma_stats(payload)
     raise NotImplementedError(
-        "non-PNG/JPEG/GIF image decode needs Pillow (pip install pillow); "
-        "the stdlib kernels handle PNG, baseline/progressive JPEG and GIF"
+        "unsupported image format needs Pillow (pip install pillow); the "
+        "stdlib kernels handle PNG, baseline/progressive JPEG, GIF and BMP"
     )
 
 

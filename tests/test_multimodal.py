@@ -47,7 +47,7 @@ def test_unsupported_format_without_pillow_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError):
-        decode_image(b"BM bmp-ish bytes not decodable here")
+        decode_image(b"II*\x00 tiff-ish bytes not decodable here")
     with pytest.raises(JpegError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")
     with pytest.raises(GifError):
