@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Round-11 multimodal-kernel scale ladder.
+
+The real decode kernels (PNG, baseline+progressive JPEG, GIF, BMP,
+WAV, MP3, MP4, AVI) run per payload inside Arrow-batched
+``mapInPandas`` — the scale question is whether throughput holds as
+the ASSET COUNT grows (the decode pass must be embarrassingly
+parallel: no driver traffic, no skewed stage, per-task cost flat).
+
+This ladder synthesizes asset tables from the sf0.1 documents fixture
+(payloads generated per row INSIDE the executors via the fixture
+encoders — the driver never touches a payload), then times the three
+real feature passes end-to-end:
+
+- ``image``  — extract_features(fake=False) over a PNG/JPEG/GIF/BMP mix
+- ``audio``  — extract_audio_features over a WAV/MP3 mix
+- ``video``  — extract_video_features over an AVI/MP4 mix
+
+Usage: python tools/scale_smoke_media.py [mults...]  (default 1 4 16)
+One JSON line per (kind, mult); paste into docs/SCALING_RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REPO = __file__.rsplit("/", 2)[0]
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from datalakehouse_spark.io import load_table  # noqa: E402
+from datalakehouse_spark.operators.multimodal import (  # noqa: E402
+    extract_audio_features,
+    extract_features,
+    extract_video_features,
+)
+from datalakehouse_spark.session import get_spark  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+BASE_ASSETS = 2000  # per mult step
+
+
+def _asset_frame(spark, mult: int):
+    docs = (
+        load_table(spark, BASE_SF, "documents")
+        .where(F.length("text") >= 64)
+        .select("doc_id", "text")
+        .limit(BASE_ASSETS)
+    )
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("asset_id"), "text"
+        )
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32)
+
+
+def _gen_payloads(kind: str):
+    """mapInPandas generator: text -> encoded media payload, executed
+    on executors (driver never sees a payload)."""
+    import pandas as pd
+
+    def batches(it):
+        from datalakehouse_spark.functions.avi import encode_avi
+        from datalakehouse_spark.functions.bmp import encode_bmp
+        from datalakehouse_spark.functions.gif import encode_gif
+        from datalakehouse_spark.functions.jpeg import encode_jpeg
+        from datalakehouse_spark.functions.mp3 import encode_mp3_stub
+        from datalakehouse_spark.functions.mp4 import encode_mp4_stub
+        from datalakehouse_spark.functions.png import encode_png
+        from datalakehouse_spark.functions.wav import encode_wav
+
+        grays = [(i, i, i) for i in range(256)]
+        for pdf in it:
+            ids, types, payloads = [], [], []
+            for aid, text in zip(pdf["asset_id"], pdf["text"]):
+                bts = text.encode("utf-8")[:64].ljust(64, b"x")
+                m = aid % 4
+                if kind == "image":
+                    if m == 0:
+                        p = encode_png(16, 4, bts, color_type=0)
+                    elif m == 1:
+                        p = encode_jpeg(16, 8, (bts + bts)[:128])
+                    elif m == 2:
+                        p = encode_gif(16, 4, bts, grays)
+                    else:
+                        p = encode_bmp(4, 4, (bts[:48]))
+                elif kind == "audio":
+                    if m % 2:
+                        p = encode_wav(
+                            [(b - 128) / 256.0 for b in bts], sample_rate=8000
+                        )
+                    else:
+                        p = encode_mp3_stub(1 + bts[0] % 8, 32000, 128)
+                else:
+                    if m % 2:
+                        p = encode_avi([bts[:48]], 4, 4, fps=10)
+                    else:
+                        p = encode_mp4_stub(64, 48, 1 + bts[0] % 30, fps=25.0)
+                ids.append(aid)
+                types.append(kind)
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"asset_id": ids, "media_type": types, "payload": payloads}
+            )
+
+    return batches
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark()
+    passes = {
+        "image": lambda df: extract_features(df, fake=False),
+        "audio": extract_audio_features,
+        "video": extract_video_features,
+    }
+    for kind, fn in passes.items():
+        for mult in mults:
+            assets = _asset_frame(spark, mult).mapInPandas(
+                _gen_payloads(kind),
+                "asset_id long, media_type string, payload binary",
+            )
+            t0 = time.perf_counter()
+            out = fn(assets)
+            n = out.count()
+            ok = out.where(
+                F.col(
+                    "width" if kind != "audio" else "sample_rate"
+                ).isNotNull()
+            ).count()
+            el = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "kind": kind,
+                        "mult": mult,
+                        "assets": n,
+                        "decoded_ok": ok,
+                        "sec": round(el, 2),
+                        "assets_per_s": int(n / el),
+                    }
+                ),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
