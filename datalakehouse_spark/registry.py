@@ -695,66 +695,14 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver coverage rotation (round 11, generated by
-#: tools/rotation_helper.py — now ordering the current-fixture tail by
-#: last-green-round ASCENDING so evidence can't silently age):
-#:   (1) round-10/11 code-changed + the two never-driver-checked
-#:       entries (filebus_kafka_ingest, dup_span_excision_apply — both
-#:       local sf0.01 oracle-green, formally untested by the driver);
-#:   (2) the 49-entry cohort whose latest green driver row is round 5
-#:       (the staleness debt VERDICT r10 flagged twice), then r6, r7,
-#:       r8, r10 cohorts in ledger order.
+#: Driver coverage rotation (round 12, generated by
+#: tools/rotation_helper.py): every registry entry now has at least one
+#: current-fixture green driver row, so the whole list is the aging
+#: tail ordered by last-green-round ASCENDING — the two r5 stragglers
+#: (knn_batch_queries, ivf_search_indexed) lead, then the 43-entry r6
+#: cohort, r7, r8, r10, r11.  Round-12 code-changed entries are
+#: re-queued at the front before the closing commit.
 _DRIVER_PRIORITY = [
-    "filebus_kafka_ingest",
-    "dup_span_excision_apply",
-    "ntile_percent_rank",
-    "time_travel_read",
-    "version_incremental_read",
-    "versioned_branch_evolution",
-    "multimodal_real_decode_stats",
-    "near_dup_pairs",
-    "simhash_docs",
-    "simhash_near_dup_pairs",
-    "ivf_build_stats",
-    "ivf_search",
-    "merge_upsert_risk",
-    "approx_stats",
-    "corpus_prep_pipeline",
-    "char_ngram_jaccard",
-    "embedding_near_dup",
-    "ann_lsh_search",
-    "explode_wordcount_topk",
-    "value_histogram",
-    "monthly_revenue",
-    "array_agg_types",
-    "salted_agg_counts",
-    "quantize_embeddings_int8",
-    "exact_percentiles",
-    "value_stats_exact",
-    "zscore_normalize",
-    "disjunctive_predicates",
-    "min_per_group_joinback",
-    "risk_serving_page",
-    "q4_order_priority",
-    "q12_shipmode_priority",
-    "gapfill_daily_counts",
-    "unpivot_daily",
-    "hourly_heatmap",
-    "null_semantics_agg",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "pairwise_topk_blocked",
-    "scd2_customer_history",
-    "stratified_sample",
-    "dataset_split_counts",
-    "jsonl_ingest_roundtrip",
-    "coordinate_parse_swap",
-    "null_safe_join",
-    "event_sequences",
-    "quantized_knn",
-    "media_frame_sample",
     "knn_batch_queries",
     "ivf_search_indexed",
     "q2_min_cost_supplier",
@@ -927,6 +875,56 @@ _DRIVER_PRIORITY = [
     "hybrid_rrf_fusion",
     "quality_threshold_sweep",
     "cross_source_dup_matrix",
+    "near_dup_pairs",
+    "simhash_docs",
+    "simhash_near_dup_pairs",
+    "ivf_build_stats",
+    "ivf_search",
+    "merge_upsert_risk",
+    "approx_stats",
+    "corpus_prep_pipeline",
+    "ntile_percent_rank",
+    "char_ngram_jaccard",
+    "embedding_near_dup",
+    "ann_lsh_search",
+    "explode_wordcount_topk",
+    "value_histogram",
+    "monthly_revenue",
+    "array_agg_types",
+    "salted_agg_counts",
+    "quantize_embeddings_int8",
+    "exact_percentiles",
+    "value_stats_exact",
+    "zscore_normalize",
+    "disjunctive_predicates",
+    "min_per_group_joinback",
+    "risk_serving_page",
+    "q4_order_priority",
+    "q12_shipmode_priority",
+    "gapfill_daily_counts",
+    "unpivot_daily",
+    "hourly_heatmap",
+    "null_semantics_agg",
+    "time_travel_read",
+    "version_incremental_read",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "pairwise_topk_blocked",
+    "scd2_customer_history",
+    "stratified_sample",
+    "dataset_split_counts",
+    "jsonl_ingest_roundtrip",
+    "coordinate_parse_swap",
+    "null_safe_join",
+    "event_sequences",
+    "quantized_knn",
+    "media_frame_sample",
+    "versioned_branch_evolution",
+    "multimodal_real_decode_stats",
+    "filebus_kafka_ingest",
+    "dup_span_excision_apply",
 ]
 
 
