@@ -139,3 +139,100 @@ def test_rotation_helper_partitions_registry():
     assert body[0] == "ntile_percent_rank"
     assert len(body) == len(set(body)), "rotation must not repeat entries"
     assert set(body) <= set(REGISTRY), "rotation must only name registered entries"
+
+
+# ---------------------------------------------------------------------------
+# Float64-cliff lint (round 12, VERDICT r11 #6).  DuckDB's `.df()`
+# materializes EVERY integer (hugeint) and decimal SUM as float64 —
+# exact below 2^53, silently rounded above it (probed: SUM(2^60+3)
+# reads 1.152921504606847e+18).  The sf0.1 sweep caught this twice
+# (r9 `max_concurrency`, r11 the DECIMAL(38) excision digest); this
+# lint encodes the lesson statically: an oracle SUM whose per-row
+# addend can be HUGE — a hex-to-integer digest idiom, or an explicit
+# DECIMAL cast budgeting >= 17 integer digits (2^53 ~ 9.0e15 is 16) —
+# must leave the query as a decimal-digit STRING (the
+# `dup_span_excision_apply` pattern: CAST(SUM(...) AS VARCHAR), with
+# the Spark side emitting .cast("decimal(38,0)").cast("string")) or
+# via an EXPLICIT CAST ... AS DOUBLE (the dsum/davg convention: one
+# deliberate, documented rounding both engines apply identically).
+# Anything else materializes through float64 without the author ever
+# having said "float" — bit-green at sf0.01, drifting at volume.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_HEX_IDIOMS = ("'0x'", "from_hex(", "unhex(")
+# BIGINT is safe-by-loudness: duckdb materializes int64 exactly and
+# ERRORS on overflow instead of rounding silently.
+_SAFE_FINAL = ("VARCHAR", "TEXT", "STRING", "DOUBLE", "FLOAT8", "REAL", "BIGINT", "INT8")
+
+
+def _sum_calls(sql: str):
+    """Yield (call_text, final_cast_type) for each SUM(...) in sql,
+    following the chain of DIRECTLY-enclosing CASTs to the type the
+    aggregate ultimately materializes as (None = bare: DuckDB picks
+    hugeint/decimal and .df() renders float64)."""
+    for m in _re.finditer(r"\bSUM\s*\(", sql, _re.I):
+        i, depth = m.end(), 1
+        while depth and i < len(sql):
+            depth += {"(": 1, ")": -1}.get(sql[i], 0)
+            i += 1
+        call = sql[m.start():i]
+        final = None
+        s, e = m.start(), i
+        while True:  # walk outward through directly-wrapping CASTs
+            pre = sql[max(0, s - 40):s]
+            wrap = _re.search(r"CAST\s*\(\s*$", pre, _re.I)
+            # consume parenthesized type args (DECIMAL(38,0)) so the
+            # walk can continue to an outer CAST ... AS VARCHAR
+            post = _re.match(
+                r"\s*AS\s+([A-Za-z0-9_]+)(\s*\(\s*\d+\s*(?:,\s*\d+)?\s*\))?\s*\)",
+                sql[e:],
+            )
+            if not (wrap and post):
+                break
+            final = post.group(1).upper()
+            s = s - (len(pre) - wrap.start())
+            e = e + post.end()
+        yield call, final
+
+
+def test_oracle_sums_avoid_float64_cliff():
+    flagged = []
+    for name, spec in REGISTRY.items():
+        if spec.sql is None:
+            continue
+        for call, final in _sum_calls(spec.sql):
+            low = call.lower()
+            huge = any(h in low for h in _HEX_IDIOMS)
+            for p, sc in _re.findall(r"DECIMAL\s*\(\s*(\d+)\s*(?:,\s*(\d+))?", call, _re.I):
+                if int(p) - int(sc or 0) >= 17:
+                    huge = True
+            if huge and (final or "") not in _SAFE_FINAL:
+                flagged.append((name, final, call[:90]))
+    assert not flagged, (
+        "oracle SUM(s) with huge addends must be emitted as a decimal-"
+        "digit STRING (CAST(SUM(...) AS VARCHAR); Spark: .cast('decimal"
+        "(38,0)').cast('string') — see dup_span_excision_apply / "
+        "registry_ext6.py) or an explicit CAST AS DOUBLE: "
+        f"{flagged}"
+    )
+
+
+def test_float64_cliff_lint_catches_the_r11_shape():
+    """The lint must flag the exact pre-fix r11 digest shape (decimal-
+    typed SUM of a hex digest, no string emission) and pass the fixed
+    one — otherwise it lints nothing."""
+    bad = "SELECT CAST(SUM(CAST(('0x' || substr(dmd5,1,15)) AS BIGINT)) AS DECIMAL(38,0)) AS d FROM t"
+    bare = "SELECT SUM(CAST(x AS DECIMAL(38,0))) AS d FROM t"
+    good = ("SELECT CAST(CAST(SUM(CAST(('0x' || substr(dmd5,1,15)) AS BIGINT)) "
+            "AS DECIMAL(38,0)) AS VARCHAR) AS d FROM t")
+    dsum_style = "SELECT CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS s FROM t"
+
+    def finals(sql):
+        return [(f, any(h in c.lower() for h in _HEX_IDIOMS)) for c, f in _sum_calls(sql)]
+
+    assert finals(bad) == [("DECIMAL", True)]
+    assert finals(bare) == [(None, False)]
+    assert finals(good) == [("VARCHAR", True)]
+    assert finals(dsum_style) == [("DOUBLE", False)]
