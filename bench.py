@@ -157,6 +157,24 @@ def machine_factor(timings: dict, refs: dict) -> float:
     return max(1.0, min(ratios[len(ratios) // 2], 1.5))
 
 
+def top_ratio_contributors(timings: dict, refs: dict, k: int = 10) -> list[dict]:
+    """The top-k per-entry now/reference ratios (refs >= 0.05 s, same
+    floor machine_factor uses) — the attribution a calibration WARN
+    needs: which entries drag the median, by how much."""
+    return sorted(
+        (
+            {
+                "entry": n,
+                "ratio": round(t / refs[n], 2),
+                "delta_s": round(t - refs[n], 3),
+            }
+            for n, t in timings.items()
+            if n in refs and refs[n] >= 0.05
+        ),
+        key=lambda d: -d["ratio"],
+    )[:k]
+
+
 def find_regressions(timings: dict, baseline: dict | None, sf) -> dict:
     """Entries >2x their HOST-CALIBRATED reference median AND >0.5 s
     absolute over it (the ambient-load guard has already filtered
@@ -206,6 +224,13 @@ def main() -> None:
     # index): the first timing IS the metric; a median over cache hits
     # would hide the build cost the entry exists to measure.
     BUILD_ONCE = {"ivf_build_stats", "pq_build_stats"}
+    # Iterative multi-job entries (round 12, VERDICT r11 #5): each
+    # launches many short dependent Spark jobs, so scheduling/GC
+    # ambient compounds across iterations — r11 saw +25%/+34% r-o-r
+    # drift with no code change.  min-of-3 recovers the code-speed
+    # signal (the quantity the ratchet gate compares) where a median
+    # would keep one contaminated run's vote.
+    MIN_OF_3 = {"kmeans_inertia_sweep", "graph_pagerank"}
 
     def _timed(name: str) -> float:
         t0 = time.perf_counter()
@@ -218,6 +243,8 @@ def main() -> None:
         t1 = _timed(name)
         if name in BUILD_ONCE:
             timings[name] = round(t1, 3)
+        elif name in MIN_OF_3:
+            timings[name] = round(min(t1, _timed(name), _timed(name)), 3)
         elif t1 < RERUN_THRESHOLD_S:
             runs = sorted([t1, _timed(name), _timed(name)])
             timings[name] = round(runs[1], 3)
@@ -290,11 +317,18 @@ def main() -> None:
     anchor = cpu_anchor(spark)
     hf = host_factor(anchor)
     if gated:
-        calib = machine_factor(timings, baseline.get("queries", {}))
+        refs = baseline.get("queries", {})
+        calib = machine_factor(timings, refs)
         alert = calibration_alert(calib, hf)
+        # Attribution for a WARN/alert (round 12, VERDICT r11 #5): the
+        # top per-entry ratio contributors, so a drifting machine_factor
+        # is immediately attributable to named entries instead of
+        # demanding a 222-entry diff by hand.
+        warn_contributors = top_ratio_contributors(timings, refs)
     else:
         calib = None
         alert = None
+        warn_contributors = None
 
     payload = {
         "metric": "registry_total_runtime",
@@ -311,7 +345,8 @@ def main() -> None:
         "cpu_anchor": {**anchor, "version": ANCHOR_VERSION},
         "host_factor": round(hf, 3),
         "calibration_alert": alert,
-        "timing": "median-of-3 for entries <3s; min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries; regressions = entries >2x and >0.5s over machine_factor x their BENCH_BASELINE.json reference median (machine_factor = median now/ref ratio clamped to [1, 1.5] so a slower host does not flag the fleet but a fleet-wide code regression still surfaces); flagged entries are re-timed in the quiet post-fleet JVM to a fixpoint, except build-once entries whose first-run cost is the metric",
+        "warn_contributors": warn_contributors,
+        "timing": "median-of-3 for entries <3s; pinned min-of-3 for iterative multi-job entries (kmeans_inertia_sweep, graph_pagerank); min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries; regressions = entries >2x and >0.5s over machine_factor x their BENCH_BASELINE.json reference median (machine_factor = median now/ref ratio clamped to [1, 1.5] so a slower host does not flag the fleet but a fleet-wide code regression still surfaces); flagged entries are re-timed in the quiet post-fleet JVM to a fixpoint, except build-once entries whose first-run cost is the metric",
     }
     # Compact separators keep the line short enough for tail-capture
     # harnesses; the full map is also persisted to bench_out.json.

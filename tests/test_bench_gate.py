@@ -156,3 +156,15 @@ def test_host_factor_floors_at_one_and_handles_missing_jvm():
     py_only = {"python_s": ANCHOR_REF["python_s"] * 1.3, "jvm_s": None}
     assert abs(host_factor(py_only) - 1.3) < 1e-9
     assert host_factor({"python_s": None, "jvm_s": None}) == 1.0
+
+
+def test_top_ratio_contributors_orders_and_floors():
+    from bench import top_ratio_contributors
+
+    refs = {"a": 1.0, "b": 0.5, "c": 0.04, "d": 2.0}
+    timings = {"a": 3.0, "b": 0.6, "c": 4.0, "d": 2.0, "e": 9.9}
+    out = top_ratio_contributors(timings, refs, k=2)
+    # c is floored out (ref < 0.05), e has no ref; a (3.0x) leads b (1.2x)
+    assert [d["entry"] for d in out] == ["a", "b"]
+    assert out[0] == {"entry": "a", "ratio": 3.0, "delta_s": 2.0}
+    assert len(top_ratio_contributors(timings, refs)) == 3  # a, b, d
