@@ -14,9 +14,15 @@ contract, same as compressed audio in wav.py).
 Supported: BI_RGB (biCompression == 0) at 24 or 32 bits per pixel,
 bottom-up (positive height, the DIB default) or top-down (negative
 height) scanlines, any frame rate expressed either as the stream
-header's rate/scale or the main header's microseconds-per-frame.
-Rejected loudly: any non-zero biCompression / non-``vids`` decode
-request, truncated chunks, missing headers.
+header's rate/scale or the main header's microseconds-per-frame;
+and — round 12 — MJPEG (biCompression fourcc ``MJPG``/``mjpg``/
+``dmb1``): each ``##dc`` chunk is a complete JPEG stream handed to
+functions/jpeg.py's real entropy decoder, including the classic
+MJPEG quirk of OMITTED Huffman tables (OpenDML writers rely on the
+spec's Annex-K standard tables; ``_ensure_dht`` splices them in
+before SOS when the frame carries none).  Rejected loudly: any other
+biCompression (H264/VP9/... genuinely need a codec library),
+truncated chunks, missing headers.
 
 Frame bytes are normalized to TOP-DOWN RGB with no row padding, so the
 md5 of a decoded frame is identical regardless of how the writer chose
@@ -37,6 +43,12 @@ import struct
 from typing import Iterator
 
 BI_RGB = 0
+
+#: MJPEG biCompression fourccs seen in the wild (MJPG canonical,
+#: lowercase variant, QuickTime's dmb1).
+MJPEG_FOURCCS = frozenset(
+    struct.unpack("<I", f)[0] for f in (b"MJPG", b"mjpg", b"dmb1")
+)
 
 
 class AviError(ValueError):
@@ -160,6 +172,88 @@ def _frame_rgb(body: bytes, width: int, height: int, bpp: int) -> bytes:
     return b"".join(rows)
 
 
+def _gray_to_rgb24(luma: bytes) -> bytes:
+    """Luma plane → RGB24 (r=g=b) via slice assignment — the iterator's
+    normalized frame layout stays RGB24 across codecs."""
+    out = bytearray(len(luma) * 3)
+    out[0::3] = luma
+    out[1::3] = luma
+    out[2::3] = luma
+    return bytes(out)
+
+
+def _iter_jpeg_segments(jpeg: bytes):
+    """Yield (marker, seg_start, seg_len_incl_header) for each marker
+    segment up to and INCLUDING SOS — the header region, where marker
+    scanning is unambiguous (no entropy-coded bytes yet)."""
+    _expect(len(jpeg) >= 2 and jpeg[0] == 0xFF and jpeg[1] == 0xD8, "not a JPEG frame")
+    pos = 2
+    while pos + 2 <= len(jpeg):
+        _expect(jpeg[pos] == 0xFF, "bad JPEG marker stream")
+        marker = jpeg[pos + 1]
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            yield marker, pos, 2
+            pos += 2
+            continue
+        _expect(pos + 4 <= len(jpeg), "truncated JPEG segment")
+        (seg_len,) = struct.unpack(">H", jpeg[pos + 2 : pos + 4])
+        yield marker, pos, 2 + seg_len
+        pos += 2 + seg_len
+        if marker == 0xDA:  # SOS: entropy data follows; stop scanning
+            return
+    raise AviError("JPEG frame has no SOS")
+
+
+def _standard_dht_blob() -> bytes:
+    """The four Annex-K standard Huffman tables as DHT segments —
+    what a DHT-less MJPEG frame implies (OpenDML convention)."""
+    from datalakehouse_spark.functions.jpeg import (
+        _STD_AC_CHR,
+        _STD_AC_LUM,
+        _STD_DC_CHR,
+        _STD_DC_LUM,
+        _dht_segment,
+    )
+
+    return (
+        _dht_segment(0, 0, _STD_DC_LUM)
+        + _dht_segment(1, 0, _STD_AC_LUM)
+        + _dht_segment(0, 1, _STD_DC_CHR)
+        + _dht_segment(1, 1, _STD_AC_CHR)
+    )
+
+
+def _ensure_dht(jpeg: bytes) -> bytes:
+    """Return ``jpeg`` with Huffman tables guaranteed present: MJPEG
+    writers commonly omit DHT (decoders must assume the standard
+    tables); splice them in immediately before SOS when absent."""
+    sos_at = None
+    for marker, start, _length in _iter_jpeg_segments(jpeg):
+        if marker == 0xC4:
+            return jpeg  # has its own tables
+        if marker == 0xDA:
+            sos_at = start
+            break
+    _expect(sos_at is not None, "JPEG frame has no SOS")
+    return jpeg[:sos_at] + _standard_dht_blob() + jpeg[sos_at:]
+
+
+def _strip_dht(jpeg: bytes) -> bytes:
+    """Remove every DHT segment (fixture helper: produces the
+    real-world DHT-less MJPEG frame shape for round-trip tests)."""
+    drops = [
+        (start, start + length)
+        for marker, start, length in _iter_jpeg_segments(jpeg)
+        if marker == 0xC4
+    ]
+    out, pos = [], 0
+    for s, e in drops:
+        out.append(jpeg[pos:s])
+        pos = e
+    out.append(jpeg[pos:])
+    return b"".join(out)
+
+
 def avi_video_stats(payload: bytes) -> tuple[int, int, float, int, float]:
     """REAL video decode (metadata pass): ``(width, height, fps,
     n_frames, duration_ms)`` of an AVI payload.  ``n_frames`` counts the
@@ -176,21 +270,38 @@ def avi_iter_frames(
     payload: bytes, stride: int = 1
 ) -> Iterator[tuple[int, bytes]]:
     """Yield ``(frame_idx, rgb_bytes)`` for every ``stride``-th frame of
-    the vids stream, normalized to top-down unpadded RGB24.  Raises
-    :class:`AviError` for compressed streams (biCompression != 0) and
-    unsupported bit depths — the honest probe contract."""
+    the vids stream, normalized to top-down unpadded RGB24.  BI_RGB
+    frames are DIB-unpadded/row-flipped; MJPEG frames (round 12) run
+    through the real JPEG entropy decoder, whose luma-plane contract
+    expands r=g=b so the fingerprint layout stays uniform.  Raises
+    :class:`AviError` for other compressions (H264/VP9/... genuinely
+    need a codec library) — the honest probe contract."""
     w, h, _fps, _n, bpp, compression, vids_idx = _parse_headers(payload)
-    if compression != BI_RGB:
+    mjpeg = compression in MJPEG_FOURCCS
+    if compression != BI_RGB and not mjpeg:
         raise AviError(
             f"compressed AVI (biCompression={compression:#x}) needs a codec "
-            "library (ffmpeg); the stdlib kernel handles BI_RGB only"
+            "library (ffmpeg); the stdlib kernel handles BI_RGB and MJPEG only"
         )
-    _expect(bpp in (24, 32), f"unsupported BI_RGB bit depth {bpp}")
+    if not mjpeg:
+        _expect(bpp in (24, 32), f"unsupported BI_RGB bit depth {bpp}")
     _expect(stride >= 1, "stride must be >= 1")
+    if mjpeg:
+        from datalakehouse_spark.functions.jpeg import decode_jpeg
+
     for idx, (start, length) in enumerate(_movi_frames(payload, vids_idx)):
         if idx % stride:
             continue
-        yield idx, _frame_rgb(payload[start : start + length], w, h, bpp)
+        body = payload[start : start + length]
+        if mjpeg:
+            jw, jh, luma = decode_jpeg(_ensure_dht(body))
+            _expect(
+                jw == abs(w) and jh == abs(h),
+                f"MJPEG frame {jw}x{jh} disagrees with header {abs(w)}x{abs(h)}",
+            )
+            yield idx, _gray_to_rgb24(luma)
+        else:
+            yield idx, _frame_rgb(body, w, h, bpp)
 
 
 def encode_avi(
@@ -214,16 +325,61 @@ def encode_avi(
         movi.append(b"00db" + struct.pack("<I", len(body)) + body)
         if len(body) & 1:
             movi.append(b"\x00")
-    movi_blob = b"".join(movi)
+    return _assemble_avi(
+        b"".join(movi), len(frames), width, height, fps,
+        compression=BI_RGB, handler=b"DIB ", buf_size=stride * height,
+    )
 
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    strip_dht: bool = False,
+) -> bytes:
+    """MJPEG-in-AVI encoder for fixtures: each frame is a complete
+    JPEG stream (e.g. from ``jpeg.encode_jpeg``), written as ``00dc``
+    chunks with biCompression fourcc ``MJPG``.  ``strip_dht=True``
+    removes the Huffman tables from every frame — the real-world
+    OpenDML shape a conforming MJPEG reader must fill in from the
+    Annex-K standard tables (round-trip tests prove ``_ensure_dht``)."""
+    movi = [b"movi"]
+    buf_size = 0
+    for jpeg in jpeg_frames:
+        _expect(jpeg[:2] == b"\xff\xd8", "MJPEG frame must be a JPEG stream")
+        body = _strip_dht(jpeg) if strip_dht else jpeg
+        buf_size = max(buf_size, len(body))
+        movi.append(b"00dc" + struct.pack("<I", len(body)) + body)
+        if len(body) & 1:
+            movi.append(b"\x00")
+    (mjpg,) = struct.unpack("<I", b"MJPG")
+    return _assemble_avi(
+        b"".join(movi), len(jpeg_frames), width, height, fps,
+        compression=mjpg, handler=b"MJPG", buf_size=buf_size, bpp=24,
+    )
+
+
+def _assemble_avi(
+    movi_blob: bytes,
+    n_frames: int,
+    width: int,
+    height: int,
+    fps: int,
+    compression: int,
+    handler: bytes,
+    buf_size: int,
+    bpp: int = 24,
+) -> bytes:
+    """Shared RIFF scaffolding: hdrl (avih + one vids strl) + movi."""
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, BI_RGB, stride * height, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, compression, buf_size, 0, 0, 0, 0
     )
     strh = (
         b"vids"
-        + b"DIB "
+        + handler
         + struct.pack(
-            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), stride * height, 0, 0
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames, buf_size, 0, 0
         )
         + struct.pack("<hhhh", 0, 0, width, height)
     )
@@ -235,10 +391,10 @@ def encode_avi(
         0,
         0,
         0,
-        len(frames),
+        n_frames,
         0,
         1,
-        stride * height,
+        buf_size,
         width,
         height,
     ) + b"\x00" * 16

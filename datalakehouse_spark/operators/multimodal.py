@@ -465,15 +465,17 @@ def sample_frames(
     video pipeline uses.
 
     ``fake=False`` runs the REAL kernel (functions/avi.py): each
-    sampled AVI/BI_RGB frame is normalized to top-down RGB24 and
+    sampled AVI frame — BI_RGB raw, or MJPEG through the real JPEG
+    entropy decoder (round 12) — is normalized to top-down RGB24 and
     fingerprinted with md5 — the frame-level dedup key — so two writers
     encoding the same pixels at different bpp/row order fingerprint
-    identically.  Undecodable or compressed payloads contribute ZERO
-    rows (a corrupt object must not kill a 100 TB pass; count them via
-    ``extract_video_features`` where they surface as zero-frame rows).
-    A real deployment swaps in ffmpeg keyframe extraction for
-    compressed codecs — the Spark contract (Arrow batch iteration,
-    fan-out schema, no driver traffic) is identical.
+    identically.  Undecodable or otherwise-compressed payloads
+    contribute ZERO rows (a corrupt object must not kill a 100 TB
+    pass; count them via ``extract_video_features`` where they surface
+    as zero-frame rows).  A real deployment swaps in ffmpeg keyframe
+    extraction for the remaining codecs (H264/VP9/...) — the Spark
+    contract (Arrow batch iteration, fan-out schema, no driver
+    traffic) is identical.
 
     ``fake=True`` keeps the deterministic hash-derived decoder (frame
     count and fingerprints from the payload hash) for codec-independent

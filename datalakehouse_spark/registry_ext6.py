@@ -1452,6 +1452,136 @@ def q_multimodal_real_decode_stats(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# mjpeg_avi_decode: real compressed-video PIXELS on the oracle surface
+# (round 12, VERDICT r11 #4)
+# ---------------------------------------------------------------------------
+
+_MJA_N = 60
+_MJA_BW = 4  # 4x4 constant 8x8 blocks -> 32x32 px per frame
+_MJA_FPS = 5
+
+_MJA_BYTES = "[CAST(unicode(substr(t, i, 1)) AS DOUBLE) FOR i IN range(1, 33)]"
+
+_MJA_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_MJA_N})
+    WHERE length(text) >= 32
+      AND regexp_matches(text, '^[ -~]*$')
+),
+b AS (SELECT doc_id, {_MJA_BYTES} AS bv FROM d)
+SELECT doc_id AS asset_id,
+       {_MJA_BW * 8} AS width, {_MJA_BW * 8} AS height,
+       2 AS n_frames,
+       {2 * 1000.0 / _MJA_FPS} AS duration_ms,
+       round(list_reduce(list_slice(bv, 1, 16), (a, x) -> a + x)
+             / (255.0 * 16), 9) AS f0_mean_luma,
+       round(list_reduce(list_slice(bv, 17, 32), (a, x) -> a + x)
+             / (255.0 * 16), 9) AS f1_mean_luma,
+       TRUE AS dhtless_matches
+FROM b ORDER BY asset_id
+"""
+
+
+@register(
+    "mjpeg_avi_decode",
+    _MJA_SQL,
+    "MJPEG-in-AVI pixel decode: container walk + JPEG entropy decode == byte math",
+)
+def q_mjpeg_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PIXELS for a COMPRESSED video format in pure stdlib
+    (round 12): each document's leading bytes become two constant-block
+    32x32 grayscale JPEG frames (the DC-only exact-round-trip trick of
+    the jpeg slice in ``multimodal_real_decode_stats``) wrapped in an
+    MJPEG AVI container (functions/avi.py ``encode_avi_mjpeg``), then
+    decoded frame-by-frame with ``avi_iter_frames`` — the RIFF movi
+    walk feeding functions/jpeg.py's entropy decoder.  Per-frame mean
+    luma must equal plain byte arithmetic, so any defect in the chunk
+    walk, frame ordering, Huffman decode, DC prediction, or the
+    gray->RGB24 normalization breaks the hash compare.
+
+    The same frames are ALSO encoded with their Huffman tables
+    STRIPPED — the real-world OpenDML MJPEG shape — and must decode
+    bit-identically via the Annex-K standard-table splice
+    (``_ensure_dht``); ``dhtless_matches`` pins that on the oracle
+    surface.
+
+    Scale shape: a bounded 60-asset mapInPandas pass (Arrow batches,
+    payloads never touch the driver), repartitioned so the pure-Python
+    codec work spreads across cores; at corpus scale the width follows
+    the asset count.  Reference anchor: the reference treats media as
+    opaque payload columns (SURVEY §2 multimodal); the decode kernels
+    are the scale path a training-data pipeline bolts on."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_MJA_N)
+        .where((F.length("text") >= 32) & F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+
+    schema = (
+        "asset_id long, width int, height int, n_frames int, "
+        "duration_ms double, f0_mean_luma double, f1_mean_luma double, "
+        "dhtless_matches boolean"
+    )
+
+    def batches(it):
+        from datalakehouse_spark.functions.avi import (
+            avi_iter_frames,
+            avi_video_stats,
+            encode_avi_mjpeg,
+        )
+        from datalakehouse_spark.functions.jpeg import encode_jpeg
+
+        def _block_replicate(pix: bytes) -> bytes:
+            width = _MJA_BW * 8
+            out = bytearray(width * width)
+            for i, v in enumerate(pix):
+                brow, bcol = divmod(i, _MJA_BW)
+                for x in range(8):
+                    off = (brow * 8 + x) * width + bcol * 8
+                    out[off : off + 8] = bytes([v]) * 8
+            return bytes(out)
+
+        px = _MJA_BW * 8
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bts = text.encode("utf-8")
+                jpegs = [
+                    encode_jpeg(px, px, _block_replicate(bts[:16])),
+                    encode_jpeg(px, px, _block_replicate(bts[16:32])),
+                ]
+                avi = encode_avi_mjpeg(jpegs, px, px, fps=_MJA_FPS)
+                w, h, _fps, n, dur = avi_video_stats(avi)
+                lumas = [rgb[0::3] for _i, rgb in avi_iter_frames(avi)]
+                means = [sum(l) / (255.0 * len(l)) for l in lumas]
+                bare = encode_avi_mjpeg(jpegs, px, px, fps=_MJA_FPS, strip_dht=True)
+                dhtless = [rgb[0::3] for _i, rgb in avi_iter_frames(bare)]
+                rows.append(
+                    (
+                        doc_id, w, h, n, dur,
+                        round(means[0], 9), round(means[1], 9),
+                        dhtless == lumas,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_frames",
+                    "duration_ms", "f0_mean_luma", "f1_mean_luma",
+                    "dhtless_matches",
+                ],
+            )
+
+    return d.mapInPandas(batches, schema=schema).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
 # S1 live path: the real readStream.format(...) reader over the filebus
 # broker emulator (round 10)
 # ---------------------------------------------------------------------------

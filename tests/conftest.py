@@ -17,6 +17,14 @@ SF_MEDIUM = "/root/testdata/sf0.01"
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     s = get_spark("datalakehouse_spark_tests", shuffle_partitions=8)
+    # ship the package to executors up front: without this, a test that
+    # runs a datalakehouse_spark import inside a UDF/mapInPandas closure
+    # passes or fails depending on whether an earlier test happened to
+    # call load_table first (order-dependent ModuleNotFoundError when
+    # running a single file from outside the repo)
+    from datalakehouse_spark.io import _ship_package
+
+    _ship_package(s)
     yield s
 
 

@@ -387,3 +387,104 @@ def test_avi_multi_stream_decodes_only_the_vids_stream():
     decoded = list(avi_iter_frames(rebuilt))
     assert [i for i, _ in decoded] == [0, 1]
     assert all(decoded[k][1] == frames[k] for k in range(2))
+
+
+def test_mjpeg_avi_pixel_decode_roundtrip():
+    """Round 12: MJPEG frames decode to REAL pixels through the JPEG
+    entropy decoder.  Constant-block frames round-trip exactly (the
+    DC-only trick), DHT-less frames (the real-world OpenDML shape)
+    decode bit-identically via the Annex-K standard-table splice, and
+    non-MJPEG compressions still refuse loudly."""
+    import struct
+
+    from datalakehouse_spark.functions.avi import (
+        AviError,
+        _ensure_dht,
+        _strip_dht,
+        avi_iter_frames,
+        avi_video_stats,
+        encode_avi_mjpeg,
+    )
+    from datalakehouse_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    def block_rep(pix, bw):
+        width = bw * 8
+        out = bytearray(width * width)
+        for i, v in enumerate(pix):
+            brow, bcol = divmod(i, bw)
+            for x in range(8):
+                off = (brow * 8 + x) * width + bcol * 8
+                out[off : off + 8] = bytes([v]) * 8
+        return bytes(out)
+
+    f0, f1 = bytes(range(4)), bytes(range(200, 204))
+    jpegs = [encode_jpeg(16, 16, block_rep(f, 2)) for f in (f0, f1)]
+
+    for strip in (False, True):
+        avi = encode_avi_mjpeg(jpegs, 16, 16, fps=8, strip_dht=strip)
+        assert avi_video_stats(avi) == (16, 16, 8.0, 2, 250.0)
+        decoded = list(avi_iter_frames(avi))
+        assert [i for i, _ in decoded] == [0, 1]
+        for (idx, rgb), src in zip(decoded, (f0, f1)):
+            luma = block_rep(src, 2)
+            # gray -> RGB24 replication, top-down row-major
+            assert rgb[0::3] == luma and rgb[1::3] == luma and rgb[2::3] == luma
+
+    # stride sampling works through the MJPEG path
+    avi3 = encode_avi_mjpeg(jpegs + jpegs[:1], 16, 16)
+    assert [i for i, _ in avi_iter_frames(avi3, stride=2)] == [0, 2]
+
+    # the DHT splice is structural: tables really absent, really restored
+    bare = _strip_dht(jpegs[0])
+    assert b"\xff\xc4" not in bare and b"\xff\xc4" in _ensure_dht(bare)
+    assert decode_jpeg(_ensure_dht(bare)) == decode_jpeg(jpegs[0])
+    # idempotent on frames that already carry tables
+    assert _ensure_dht(jpegs[0]) == jpegs[0]
+
+    # frame/header dimension disagreement is loud
+    with pytest.raises(AviError, match="disagrees"):
+        list(avi_iter_frames(encode_avi_mjpeg(jpegs, 64, 64)))
+
+    # a COLOR MJPEG frame (lossy) still decodes to the jpeg kernel's luma
+    rgbpx = bytes((i * 31) % 256 for i in range(8 * 8 * 3))
+    jpc = encode_jpeg(8, 8, rgbpx, color=True)
+    ((_, rgb),) = avi_iter_frames(encode_avi_mjpeg([jpc], 8, 8, strip_dht=True))
+    _, _, luma = decode_jpeg(jpc)
+    assert rgb[0::3] == luma
+
+    # non-MJPEG fourcc still refuses
+    base = encode_avi_mjpeg(jpegs, 16, 16)
+    strf_at = base.find(struct.pack("<Ii", 40, 16))
+    h264 = (
+        base[: strf_at + 16]
+        + struct.pack("<I", 0x34363248)
+        + base[strf_at + 20 :]
+    )
+    with pytest.raises(AviError, match="codec"):
+        list(avi_iter_frames(h264))
+
+
+def test_sample_frames_decodes_mjpeg_assets(spark):
+    """The distributed frame-fingerprint pass handles MJPEG AVIs with
+    the same contract as BI_RGB ones — per-frame md5 over normalized
+    RGB24, corrupt payloads contributing zero rows."""
+    import hashlib
+
+    from datalakehouse_spark.functions.avi import avi_iter_frames, encode_avi_mjpeg
+    from datalakehouse_spark.functions.jpeg import encode_jpeg
+    from datalakehouse_spark.operators.multimodal import sample_frames
+
+    jpegs = [
+        encode_jpeg(8, 8, bytes([v]) * 64) for v in (0, 64, 128, 192)
+    ]
+    payload = encode_avi_mjpeg(jpegs, 8, 8, fps=4, strip_dht=True)
+    expected = {
+        i: hashlib.md5(rgb).hexdigest() for i, rgb in avi_iter_frames(payload, 2)
+    }
+    assets = spark.createDataFrame(
+        [(1, "video", payload), (2, "video", payload[:40])],
+        "asset_id long, media_type string, payload binary",
+    )
+    out = sample_frames(assets, stride=2, fake=False).collect()
+    assert {r.asset_id for r in out} == {1}
+    assert {r.frame_idx: r.frame_md5 for r in out} == expected

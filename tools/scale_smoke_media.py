@@ -15,6 +15,9 @@ real feature passes end-to-end:
 - ``image``  — extract_features(fake=False) over a PNG/JPEG/GIF/BMP mix
 - ``audio``  — extract_audio_features over a WAV/MP3 mix
 - ``video``  — extract_video_features over an AVI/MP4 mix
+- ``mjpeg``  — sample_frames(fake=False) PIXEL decode over MJPEG AVIs
+  (round 12: per-frame JPEG entropy decode, the heaviest kernel —
+  half the assets ship DHT-less so the Annex-K splice is in the loop)
 
 Usage: python tools/scale_smoke_media.py [mults...]  (default 1 4 16)
 One JSON line per (kind, mult); paste into docs/SCALING_RESULTS.md.
@@ -36,6 +39,7 @@ from datalakehouse_spark.operators.multimodal import (  # noqa: E402
     extract_audio_features,
     extract_features,
     extract_video_features,
+    sample_frames,
 )
 from datalakehouse_spark.session import get_spark  # noqa: E402
 
@@ -68,7 +72,7 @@ def _gen_payloads(kind: str):
     import pandas as pd
 
     def batches(it):
-        from datalakehouse_spark.functions.avi import encode_avi
+        from datalakehouse_spark.functions.avi import encode_avi, encode_avi_mjpeg
         from datalakehouse_spark.functions.bmp import encode_bmp
         from datalakehouse_spark.functions.gif import encode_gif
         from datalakehouse_spark.functions.jpeg import encode_jpeg
@@ -99,11 +103,22 @@ def _gen_payloads(kind: str):
                         )
                     else:
                         p = encode_mp3_stub(1 + bts[0] % 8, 32000, 128)
-                else:
+                elif kind == "video":
                     if m % 2:
                         p = encode_avi([bts[:48]], 4, 4, fps=10)
                     else:
                         p = encode_mp4_stub(64, 48, 1 + bts[0] % 30, fps=25.0)
+                else:  # mjpeg: 2 frames of 2x2 constant blocks (16x16 px)
+                    jpegs = []
+                    for pix in (bts[:4], bts[4:8]):
+                        plane = bytearray(16 * 16)
+                        for i, v in enumerate(pix):
+                            br, bc = divmod(i, 2)
+                            for x in range(8):
+                                off = (br * 8 + x) * 16 + bc * 8
+                                plane[off : off + 8] = bytes([v]) * 8
+                        jpegs.append(encode_jpeg(16, 16, bytes(plane)))
+                    p = encode_avi_mjpeg(jpegs, 16, 16, fps=10, strip_dht=bool(m % 2))
                 ids.append(aid)
                 types.append(kind)
                 payloads.append(p)
@@ -121,6 +136,7 @@ def main() -> None:
         "image": lambda df: extract_features(df, fake=False),
         "audio": extract_audio_features,
         "video": extract_video_features,
+        "mjpeg": lambda df: sample_frames(df, stride=1, fake=False),
     }
     for kind, fn in passes.items():
         for mult in mults:
@@ -131,11 +147,18 @@ def main() -> None:
             t0 = time.perf_counter()
             out = fn(assets)
             n = out.count()
-            ok = out.where(
-                F.col(
-                    "width" if kind != "audio" else "sample_rate"
-                ).isNotNull()
-            ).count()
+            if kind == "mjpeg":
+                # n counts FRAME rows (2/asset); every asset must
+                # contribute both frames or the decode silently dropped
+                n_assets = out.select("asset_id").distinct().count()
+                ok = n_assets if n == 2 * n_assets else 0
+                n = n_assets
+            else:
+                ok = out.where(
+                    F.col(
+                        "width" if kind != "audio" else "sample_rate"
+                    ).isNotNull()
+                ).count()
             el = time.perf_counter() - t0
             print(
                 json.dumps(
