@@ -297,11 +297,13 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, float, float, float]:
     duration_ms, rms, peak)`` — pure stdlib, runs on any executor.
 
     WAV/PCM (functions/wav.py) decodes fully.  MP3 (functions/mp3.py,
-    round 11) is a METADATA pass: the frame-header walk yields real
-    rate/channels/sample-count/duration, but rms/peak are NaN — Layer
-    III PCM synthesis genuinely needs a codec library.  Other
-    compressed audio (ogg/flac/aac...) raises NotImplementedError (the
-    honest probe contract)."""
+    round 11), Ogg Vorbis/Opus (functions/ogg.py, round 12: page walk,
+    last-granule sample count) and FLAC (functions/flac.py, round 12:
+    STREAMINFO bitfield) are METADATA passes: real
+    rate/channels/sample-count/duration, NaN rms/peak — PCM synthesis
+    of those codecs genuinely needs a codec library.  Other compressed
+    audio (aac/wma/...) raises NotImplementedError (the honest probe
+    contract)."""
     from datalakehouse_spark.functions.wav import WavError, wav_pcm_stats
 
     if payload[:4] == b"RIFF":
@@ -311,13 +313,23 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, float, float, float]:
 
         rate, ch, _mpeg_frames, n_samples, dur = mp3_audio_stats(payload)
         return rate, ch, n_samples, dur, float("nan"), float("nan")
+    if payload[:4] == b"OggS":
+        from datalakehouse_spark.functions.ogg import ogg_audio_stats
+
+        rate, ch, n_samples, dur = ogg_audio_stats(payload)
+        return rate, ch, n_samples, dur, float("nan"), float("nan")
+    if payload[:4] == b"fLaC":
+        from datalakehouse_spark.functions.flac import flac_audio_stats
+
+        rate, ch, n_samples, dur = flac_audio_stats(payload)
+        return rate, ch, n_samples, dur, float("nan"), float("nan")
     try:
         return wav_pcm_stats(payload)
     except WavError as exc:
         raise NotImplementedError(
-            "compressed audio decode (ogg/flac/aac/...) needs a codec "
+            "compressed audio decode (aac/wma/...) needs a codec "
             "library; the stdlib kernels handle WAV PCM/float fully and "
-            "MP3 as a metadata pass"
+            "MP3/Ogg/FLAC as metadata passes"
         ) from exc
 
 
@@ -327,10 +339,10 @@ def extract_audio_features(
     max_records_per_batch: int = 256,
 ) -> DataFrame:
     """Audio feature pass over a media table via mapInPandas — the REAL
-    WAV/PCM kernel plus the MP3 metadata walker (stdlib, every
-    container), same batching contract as ``extract_features``.  MP3
-    rows carry real rate/channels/frames/duration with NaN rms/peak
-    (the metadata-pass contract); undecodable payloads degrade to
+    WAV/PCM kernel plus the MP3/Ogg/FLAC metadata walkers (stdlib,
+    every container), same batching contract as ``extract_features``.
+    Metadata-pass rows carry real rate/channels/frames/duration with
+    NaN rms/peak; undecodable payloads degrade to
     zero-frame rows with NULL rms/peak instead of failing the batch (a
     corrupt object must not kill a 100 TB pass)."""
 
@@ -379,23 +391,28 @@ VIDEO_STATS_SCHEMA = (
 
 def decode_video(payload: bytes) -> tuple[int, int, float, int, float]:
     """REAL video decode kernel (metadata pass): ``(width, height, fps,
-    n_frames, duration_ms)`` of an AVI or MP4/ISO-BMFF payload — pure
-    stdlib (functions/avi.py; functions/mp4.py since round 11: box-tree
-    walk of tkhd/mdhd/hdlr/stsz/stts for the first video track), so it
-    runs on any executor.  Frame PIXELS of an MP4 still need a codec
-    library (``sample_frames`` keeps its probe guard).  Other
-    containers (mkv/webm...) raise NotImplementedError (the honest
-    probe contract: a real deployment adds ffmpeg)."""
+    n_frames, duration_ms)`` of an AVI, MP4/ISO-BMFF, or Matroska/WebM
+    payload — pure stdlib (functions/avi.py; functions/mp4.py since
+    round 11: box-tree walk of tkhd/mdhd/hdlr/stsz/stts;
+    functions/mkv.py since round 12: EBML walk of Info/Tracks/Cluster,
+    lacing-aware block counting), so it runs on any executor.  Frame
+    PIXELS of MP4/MKV still need a codec library (``sample_frames``
+    keeps its probe guard for those; AVI decodes BI_RGB and MJPEG
+    pixels for real).  Other containers raise NotImplementedError (the
+    honest probe contract: a real deployment adds ffmpeg)."""
     from datalakehouse_spark.functions.avi import AviError, avi_video_stats
+    from datalakehouse_spark.functions.mkv import MKV_MAGIC, mkv_video_stats
     from datalakehouse_spark.functions.mp4 import mp4_video_stats
 
     if payload[:4] == b"RIFF":
         return avi_video_stats(payload)
     if payload[4:8] in (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"styp"):
         return mp4_video_stats(payload)
+    if payload[:4] == MKV_MAGIC:
+        return mkv_video_stats(payload)
     raise NotImplementedError(
-        "non-AVI/MP4 video decode (mkv/webm/...) needs ffmpeg; "
-        "the stdlib kernels handle RIFF AVI and ISO BMFF metadata only"
+        "non-AVI/MP4/MKV video decode needs ffmpeg; the stdlib kernels "
+        "handle RIFF AVI, ISO BMFF and Matroska/WebM metadata"
     )
 
 
@@ -413,11 +430,14 @@ def extract_video_features(
         import hashlib as _hl
 
         from datalakehouse_spark.functions.avi import avi_video_stats
+        from datalakehouse_spark.functions.mkv import MKV_MAGIC, mkv_video_stats
         from datalakehouse_spark.functions.mp4 import mp4_video_stats
 
         def _stats(data: bytes):
             if data[:4] == b"RIFF":
                 return avi_video_stats(data)
+            if data[:4] == MKV_MAGIC:
+                return mkv_video_stats(data)
             return mp4_video_stats(data)
 
         for pdf in _rebatch(it, max_records_per_batch):

@@ -1582,6 +1582,144 @@ def q_mjpeg_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# container_metadata_stats: MKV/Ogg/Opus/FLAC metadata walkers on the
+# oracle surface (round 12)
+# ---------------------------------------------------------------------------
+
+_CMS_N = 60
+
+_CMS_BYTES = "[CAST(unicode(substr(t, i, 1)) AS BIGINT) FOR i IN range(1, 5)]"
+
+_CMS_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_CMS_N})
+    WHERE length(text) >= 4
+      AND regexp_matches(text, '^[ -~]*$')
+),
+b AS (SELECT doc_id, {_CMS_BYTES} AS bv FROM d)
+SELECT doc_id AS asset_id,
+       CAST(2 * (1 + bv[1]) AS INTEGER) AS mkv_w,
+       CAST(1 + bv[2] AS INTEGER) AS mkv_h,
+       CAST(1 + bv[1] % 24 AS INTEGER) AS mkv_frames,
+       25.0 AS mkv_fps,
+       (1 + bv[1] % 24) * 40.0 AS mkv_duration_ms,
+       8000 AS ogg_rate,
+       CAST(1 + bv[2] % 2 AS INTEGER) AS ogg_ch,
+       CAST((1 + bv[2]) * 256 AS BIGINT) AS ogg_samples,
+       (1 + bv[2]) * 256 * 1000.0 / 8000 AS ogg_duration_ms,
+       48000 AS opus_rate,
+       CAST((1 + bv[3]) * 120 AS BIGINT) AS opus_samples,
+       (1 + bv[3]) * 120 * 1000.0 / 48000 AS opus_duration_ms,
+       16000 AS flac_rate,
+       CAST(1 + bv[4] % 8 AS INTEGER) AS flac_ch,
+       CAST((1 + bv[4]) * 100 AS BIGINT) AS flac_samples,
+       (1 + bv[4]) * 100 * 1000.0 / 16000 AS flac_duration_ms
+FROM b ORDER BY asset_id
+"""
+
+
+@register(
+    "container_metadata_stats",
+    _CMS_SQL,
+    "MKV/Ogg/Opus/FLAC metadata walkers: container math == byte math",
+)
+def q_container_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12: the three new pure-stdlib container walkers on the
+    bit-exact oracle surface, THROUGH the dispatch layer
+    (``decode_video`` / ``decode_audio``) rather than the kernels
+    directly — so magic routing is under test too.  Each document's
+    leading bytes parameterize
+
+    - an MKV stub (functions/mkv.py): byte-derived dims and frame
+      count at fps 25; the EBML walk must hand back exactly what the
+      writer declared (SimpleBlock counting included — the stub emits
+      one block per frame),
+    - an Ogg Vorbis stub (functions/ogg.py): byte-derived channel
+      count and sample total carried by the LAST page's granule,
+    - an Ogg Opus stub: granules tick at 48 kHz and embed the 312
+      pre-skip the parser must subtract,
+    - a FLAC stub (functions/flac.py): the STREAMINFO 64-bit bitfield
+      (rate 20 bits / channels 3 / total 36).
+
+    Every emitted duration is dyadic-exact (multiples of 1/48 ms via
+    n*120 samples, 1/8 ms, 1/16 ms) so the doubles compare bit-equal
+    across engines.
+
+    Scale shape: bounded 60-asset mapInPandas (Arrow batches, no
+    driver traffic), repartitioned for core spread — the identical
+    contract as the other decode entries."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_CMS_N)
+        .where((F.length("text") >= 4) & F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+
+    schema = (
+        "asset_id long, mkv_w int, mkv_h int, mkv_frames int, "
+        "mkv_fps double, mkv_duration_ms double, "
+        "ogg_rate int, ogg_ch int, ogg_samples long, ogg_duration_ms double, "
+        "opus_rate int, opus_samples long, opus_duration_ms double, "
+        "flac_rate int, flac_ch int, flac_samples long, flac_duration_ms double"
+    )
+
+    def batches(it):
+        from datalakehouse_spark.functions.flac import encode_flac_stub
+        from datalakehouse_spark.functions.mkv import encode_mkv_stub
+        from datalakehouse_spark.functions.ogg import encode_ogg_stub
+        from datalakehouse_spark.operators.multimodal import (
+            decode_audio,
+            decode_video,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = text.encode("utf-8")[:4]
+                mw, mh, mn = 2 * (1 + b[0]), 1 + b[1], 1 + b[0] % 24
+                w, h, fps, nf, mdur = decode_video(
+                    encode_mkv_stub(mw, mh, mn, fps=25.0, webm=bool(b[0] % 2))
+                )
+                v_ch, v_n = 1 + b[1] % 2, (1 + b[1]) * 256
+                vr, vch, vn, vdur, _, _ = decode_audio(
+                    encode_ogg_stub(v_n, 8000, v_ch)
+                )
+                o_n = (1 + b[2]) * 120
+                orate, _och, on, odur, _, _ = decode_audio(
+                    encode_ogg_stub(o_n, 48000, 1, opus=True)
+                )
+                f_ch, f_n = 1 + b[3] % 8, (1 + b[3]) * 100
+                fr, fch, fn, fdur, _, _ = decode_audio(
+                    encode_flac_stub(f_n, 16000, f_ch)
+                )
+                rows.append(
+                    (
+                        doc_id, w, h, nf, fps, mdur,
+                        vr, vch, vn, vdur,
+                        orate, on, odur,
+                        fr, fch, fn, fdur,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "mkv_w", "mkv_h", "mkv_frames",
+                    "mkv_fps", "mkv_duration_ms",
+                    "ogg_rate", "ogg_ch", "ogg_samples", "ogg_duration_ms",
+                    "opus_rate", "opus_samples", "opus_duration_ms",
+                    "flac_rate", "flac_ch", "flac_samples", "flac_duration_ms",
+                ],
+            )
+
+    return d.mapInPandas(batches, schema=schema).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
 # S1 live path: the real readStream.format(...) reader over the filebus
 # broker emulator (round 10)
 # ---------------------------------------------------------------------------

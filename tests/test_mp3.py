@@ -103,9 +103,13 @@ def test_decode_audio_dispatch():
 
     with pytest.raises(Mp3Error):
         decode_audio(encode_mp3_stub(5)[:-9])
-    with pytest.raises(NotImplementedError):
+    from datalakehouse_spark.functions.flac import FlacError
+    from datalakehouse_spark.functions.ogg import OggError
+
+    # round 12: ogg/flac magics route to their REAL metadata walkers
+    with pytest.raises(OggError):
         decode_audio(b"OggS vorbis-ish bytes")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(FlacError):
         decode_audio(b"fLaC flac-ish bytes")
 
 

@@ -183,10 +183,14 @@ def test_decode_audio_probe_contract():
     from datalakehouse_spark.functions.mp3 import Mp3Error
     from datalakehouse_spark.operators.multimodal import decode_audio
 
+    from datalakehouse_spark.functions.ogg import OggError
+
     with pytest.raises(Mp3Error):
         decode_audio(b"\xff\xfb mp3-ish bytes")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(OggError):
         decode_audio(b"OggS vorbis-ish bytes")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\xffJUNK aac-ish bytes" )
 
 
 def test_real_audio_kernel_end_to_end(spark):
@@ -264,17 +268,20 @@ def test_avi_kernel_roundtrip_and_normalization():
 
 
 def test_decode_video_probe_contract():
-    """Round 11: MP4 metadata is REAL (functions/mp4.py) — an
-    mp4-magic payload routes to the box parser, whose malformed-input
-    error fires (the zero-row degradation path), NOT the probe guard.
-    Containers neither kernel handles still say 'needs ffmpeg'."""
+    """Round 11/12: MP4 and MKV metadata are REAL — magic-routed
+    payloads reach their parsers, whose malformed-input errors fire
+    (the zero-row degradation path), NOT the probe guard.  Containers
+    no kernel handles still say 'needs ffmpeg'."""
+    from datalakehouse_spark.functions.mkv import MkvError
     from datalakehouse_spark.functions.mp4 import Mp4Error
     from datalakehouse_spark.operators.multimodal import decode_video
 
     with pytest.raises(Mp4Error):
         decode_video(b"\x00\x00\x00\x20ftypisom mp4-ish bytes")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(MkvError):
         decode_video(b"\x1a\x45\xdf\xa3 matroska-ish bytes")
+    with pytest.raises(NotImplementedError):
+        decode_video(b"FLV\x01 flash-video-ish bytes")
 
 
 def test_real_video_kernel_end_to_end(spark):

@@ -13,8 +13,8 @@ encoders — the driver never touches a payload), then times the three
 real feature passes end-to-end:
 
 - ``image``  — extract_features(fake=False) over a PNG/JPEG/GIF/BMP mix
-- ``audio``  — extract_audio_features over a WAV/MP3 mix
-- ``video``  — extract_video_features over an AVI/MP4 mix
+- ``audio``  — extract_audio_features over a WAV/MP3/Ogg/FLAC mix
+- ``video``  — extract_video_features over an AVI/MP4/MKV mix
 - ``mjpeg``  — sample_frames(fake=False) PIXEL decode over MJPEG AVIs
   (round 12: per-frame JPEG entropy decode, the heaviest kernel —
   half the assets ship DHT-less so the Annex-K splice is in the loop)
@@ -74,10 +74,13 @@ def _gen_payloads(kind: str):
     def batches(it):
         from datalakehouse_spark.functions.avi import encode_avi, encode_avi_mjpeg
         from datalakehouse_spark.functions.bmp import encode_bmp
+        from datalakehouse_spark.functions.flac import encode_flac_stub
         from datalakehouse_spark.functions.gif import encode_gif
         from datalakehouse_spark.functions.jpeg import encode_jpeg
+        from datalakehouse_spark.functions.mkv import encode_mkv_stub
         from datalakehouse_spark.functions.mp3 import encode_mp3_stub
         from datalakehouse_spark.functions.mp4 import encode_mp4_stub
+        from datalakehouse_spark.functions.ogg import encode_ogg_stub
         from datalakehouse_spark.functions.png import encode_png
         from datalakehouse_spark.functions.wav import encode_wav
 
@@ -97,17 +100,23 @@ def _gen_payloads(kind: str):
                     else:
                         p = encode_bmp(4, 4, (bts[:48]))
                 elif kind == "audio":
-                    if m % 2:
+                    if m == 0:
                         p = encode_wav(
                             [(b - 128) / 256.0 for b in bts], sample_rate=8000
                         )
-                    else:
+                    elif m == 1:
                         p = encode_mp3_stub(1 + bts[0] % 8, 32000, 128)
-                elif kind == "video":
-                    if m % 2:
-                        p = encode_avi([bts[:48]], 4, 4, fps=10)
+                    elif m == 2:
+                        p = encode_ogg_stub((1 + bts[0]) * 256, 8000, 1)
                     else:
+                        p = encode_flac_stub((1 + bts[0]) * 100, 16000, 2)
+                elif kind == "video":
+                    if m == 0 or m == 2:
+                        p = encode_avi([bts[:48]], 4, 4, fps=10)
+                    elif m == 1:
                         p = encode_mp4_stub(64, 48, 1 + bts[0] % 30, fps=25.0)
+                    else:
+                        p = encode_mkv_stub(64, 48, 1 + bts[0] % 30, fps=25.0)
                 else:  # mjpeg: 2 frames of 2x2 constant blocks (16x16 px)
                     jpegs = []
                     for pix in (bts[:4], bts[4:8]):
