@@ -1462,6 +1462,24 @@ _MJA_FPS = 5
 
 _MJA_BYTES = "[CAST(unicode(substr(t, i, 1)) AS DOUBLE) FOR i IN range(1, 33)]"
 
+
+def _mja_frame_md5_sql(offset: int) -> str:
+    """DuckDB reconstruction of the DECODED RGB24 frame bytes of a
+    constant-block MJPEG frame: byte k paints an 8x8 block, each gray
+    pixel expands r=g=b, so one block-row of the plane is
+    ``repeat(char, 24)`` per block concatenated, repeated 8x for the 8
+    scanlines — md5 of that string IS the frame fingerprint the Spark
+    side computes with hashlib over the decoder's output."""
+    rows = []
+    for br in range(_MJA_BW):
+        row = "||".join(
+            f"repeat(substr(t, {offset + br * _MJA_BW + bc + 1}, 1), 24)"
+            for bc in range(_MJA_BW)
+        )
+        rows.append(f"repeat({row}, 8)")
+    return "md5(" + " || ".join(rows) + ")"
+
+
 _MJA_SQL = f"""
 WITH d AS (
     SELECT doc_id, text AS t
@@ -1469,7 +1487,7 @@ WITH d AS (
     WHERE length(text) >= 32
       AND regexp_matches(text, '^[ -~]*$')
 ),
-b AS (SELECT doc_id, {_MJA_BYTES} AS bv FROM d)
+b AS (SELECT doc_id, {_MJA_BYTES} AS bv, t FROM d)
 SELECT doc_id AS asset_id,
        {_MJA_BW * 8} AS width, {_MJA_BW * 8} AS height,
        2 AS n_frames,
@@ -1478,6 +1496,8 @@ SELECT doc_id AS asset_id,
              / (255.0 * 16), 9) AS f0_mean_luma,
        round(list_reduce(list_slice(bv, 17, 32), (a, x) -> a + x)
              / (255.0 * 16), 9) AS f1_mean_luma,
+       {_mja_frame_md5_sql(0)} AS f0_md5,
+       {_mja_frame_md5_sql(16)} AS f1_md5,
        TRUE AS dhtless_matches
 FROM b ORDER BY asset_id
 """
@@ -1496,9 +1516,13 @@ def q_mjpeg_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     MJPEG AVI container (functions/avi.py ``encode_avi_mjpeg``), then
     decoded frame-by-frame with ``avi_iter_frames`` — the RIFF movi
     walk feeding functions/jpeg.py's entropy decoder.  Per-frame mean
-    luma must equal plain byte arithmetic, so any defect in the chunk
-    walk, frame ordering, Huffman decode, DC prediction, or the
-    gray->RGB24 normalization breaks the hash compare.
+    luma must equal plain byte arithmetic, AND the md5 of the decoded
+    RGB24 frame bytes must equal DuckDB's md5 over the same plane
+    reconstructed by string replication (byte -> repeat(char, 24) per
+    block-row scanline, x8 scanlines) — the exact frame FINGERPRINT on
+    the oracle surface, so any defect in the chunk walk, frame
+    ordering, Huffman decode, DC prediction, or the gray->RGB24
+    normalization breaks the hash compare.
 
     The same frames are ALSO encoded with their Huffman tables
     STRIPPED — the real-world OpenDML MJPEG shape — and must decode
@@ -1526,10 +1550,12 @@ def q_mjpeg_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "asset_id long, width int, height int, n_frames int, "
         "duration_ms double, f0_mean_luma double, f1_mean_luma double, "
-        "dhtless_matches boolean"
+        "f0_md5 string, f1_md5 string, dhtless_matches boolean"
     )
 
     def batches(it):
+        import hashlib as _hl
+
         from datalakehouse_spark.functions.avi import (
             avi_iter_frames,
             avi_video_stats,
@@ -1558,15 +1584,18 @@ def q_mjpeg_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 avi = encode_avi_mjpeg(jpegs, px, px, fps=_MJA_FPS)
                 w, h, _fps, n, dur = avi_video_stats(avi)
-                lumas = [rgb[0::3] for _i, rgb in avi_iter_frames(avi)]
+                frames = [rgb for _i, rgb in avi_iter_frames(avi)]
+                lumas = [rgb[0::3] for rgb in frames]
                 means = [sum(l) / (255.0 * len(l)) for l in lumas]
+                digests = [_hl.md5(rgb).hexdigest() for rgb in frames]
                 bare = encode_avi_mjpeg(jpegs, px, px, fps=_MJA_FPS, strip_dht=True)
-                dhtless = [rgb[0::3] for _i, rgb in avi_iter_frames(bare)]
+                dhtless = [rgb for _i, rgb in avi_iter_frames(bare)]
                 rows.append(
                     (
                         doc_id, w, h, n, dur,
                         round(means[0], 9), round(means[1], 9),
-                        dhtless == lumas,
+                        digests[0], digests[1],
+                        dhtless == frames,
                     )
                 )
             yield _pd.DataFrame(
@@ -1574,7 +1603,7 @@ def q_mjpeg_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "asset_id", "width", "height", "n_frames",
                     "duration_ms", "f0_mean_luma", "f1_mean_luma",
-                    "dhtless_matches",
+                    "f0_md5", "f1_md5", "dhtless_matches",
                 ],
             )
 
