@@ -204,6 +204,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    try:
+        load_1m_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m_start = None
+
     spark = get_spark("datalakehouse_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -337,6 +342,19 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "wall_sec": wall,
+        "load_avg_1m_start": load_1m_start,
+        # a decaying load average at START is the documented
+        # machine_factor contaminator (r11: 1.31 vs 1.11 back-to-back;
+        # r12 mid-round: 1.24 right after a media-ladder run) — name it
+        # in the payload so a hot reading is attributable at a glance
+        "ambient_warning": (
+            f"bench started at load_1m={load_1m_start} (>0.8): "
+            "machine_factor and per-entry ratios are inflated by "
+            "residual load, re-run on a settled host before trusting "
+            "them"
+            if load_1m_start is not None and load_1m_start > 0.8
+            else None
+        ),
         "load_avg_1m_end": load_1m,
         "ncpus": os.cpu_count(),
         "regressions": regressions,

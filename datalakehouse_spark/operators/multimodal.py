@@ -92,14 +92,15 @@ def pil_available() -> bool:
 def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
     """Dispatch the stdlib image kernels by magic number: PNG
     (functions/png.py), baseline/progressive JPEG (functions/jpeg.py,
-    round 11), or GIF (functions/gif.py, round 11: LZW + palettes +
-    interlace + transparency, first frame on the logical screen).
+    round 11), GIF (functions/gif.py, round 11: LZW + palettes +
+    interlace + transparency, first frame on the logical screen), BMP,
+    or baseline uncompressed TIFF (functions/tiff.py, round 12).
     Malformed payloads of a supported format raise their codec error
-    (PngError/JpegError/GifError -> the corrupt->(0,0,NULL)
-    degradation path); formats no kernel handles — and real JPEGs
-    outside the supported profiles (arithmetic coding, 12-bit,
-    hierarchical) — raise NotImplementedError (the honest probe
-    contract)."""
+    (PngError/JpegError/GifError/TiffError -> the corrupt->(0,0,NULL)
+    degradation path); formats no kernel handles — and real
+    JPEGs/TIFFs outside the supported profiles (arithmetic coding,
+    12-bit, LZW/deflate TIFF) — raise NotImplementedError (the honest
+    probe contract)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from datalakehouse_spark.functions.png import png_luma_stats
 
@@ -124,9 +125,23 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
         from datalakehouse_spark.functions.bmp import bmp_luma_stats
 
         return bmp_luma_stats(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from datalakehouse_spark.functions.tiff import (
+            TiffUnsupported,
+            tiff_luma_stats,
+        )
+
+        try:
+            return tiff_luma_stats(payload)
+        except TiffUnsupported as exc:
+            raise NotImplementedError(
+                f"TIFF outside the baseline uncompressed profile needs "
+                f"Pillow: {exc}"
+            ) from exc
     raise NotImplementedError(
         "unsupported image format needs Pillow (pip install pillow); the "
-        "stdlib kernels handle PNG, baseline/progressive JPEG, GIF and BMP"
+        "stdlib kernels handle PNG, baseline/progressive JPEG, GIF, BMP "
+        "and baseline uncompressed TIFF"
     )
 
 

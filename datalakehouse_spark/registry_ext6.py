@@ -1611,6 +1611,116 @@ def q_mjpeg_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tiff_image_decode: baseline TIFF pixels on the oracle surface (round 12)
+# ---------------------------------------------------------------------------
+
+_TIF_N = 60
+_TIF_W, _TIF_H = 16, 4  # gray: 64 px == 64 text bytes
+
+_TIF_BYTES = "[CAST(unicode(substr(t, i, 1)) AS BIGINT) FOR i IN range(1, 65)]"
+
+# the house ITU-R 601-2 integer luma, mirrored bit-for-bit in SQL
+_TIF_RGB_LUMA = (
+    "[(bv[3*i + 1] * 19595 + bv[3*i + 2] * 38470 + bv[3*i + 3] * 7471 "
+    "+ 32768) >> 16 FOR i IN range(0, 16)]"
+)
+
+_TIF_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_TIF_N})
+    WHERE length(text) >= 64
+      AND regexp_matches(text, '^[ -~]*$')
+),
+b AS (SELECT doc_id, {_TIF_BYTES} AS bv, t FROM d)
+SELECT doc_id AS asset_id,
+       {_TIF_W} AS tiff_w, {_TIF_H} AS tiff_h,
+       round(list_reduce(bv, (a, x) -> a + x)
+             / (255.0 * {_TIF_W * _TIF_H}), 9) AS gray_mean_luma,
+       md5(substr(t, 1, 64)) AS gray_md5,
+       round(list_reduce({_TIF_RGB_LUMA}, (a, x) -> a + x)
+             / (255.0 * 16), 9) AS rgb_mean_luma,
+       TRUE AS endian_match
+FROM b ORDER BY asset_id
+"""
+
+
+@register(
+    "tiff_image_decode",
+    _TIF_SQL,
+    "baseline TIFF pixel decode: gray passthrough + integer RGB luma == byte math",
+)
+def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 12: the baseline-TIFF kernel (functions/tiff.py) on the
+    bit-exact oracle surface, through the ``decode_image`` dispatch.
+    Each document's leading bytes become (a) a 16x4 grayscale TIFF —
+    decoded luma must hand back the exact input bytes, pinned by both
+    the mean and the md5 of the plane — and (b) a 4x4 RGB TIFF whose
+    luma DuckDB recomputes with the SAME ITU-R 601-2 integer formula
+    ((r*19595 + g*38470 + b*7471 + 32768) >> 16, the constant set
+    functions/png.py uses, so PNG/TIFF/BMP fingerprints agree).
+    ``endian_match`` pins that the little- and big-endian encodings of
+    the same pixels decode identically (inline SHORT values are
+    left-justified in the value field — the classic byte-order bug).
+
+    Scale shape: bounded 60-asset mapInPandas, same contract as the
+    other decode entries."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_TIF_N)
+        .where((F.length("text") >= 64) & F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+
+    schema = (
+        "asset_id long, tiff_w int, tiff_h int, gray_mean_luma double, "
+        "gray_md5 string, rgb_mean_luma double, endian_match boolean"
+    )
+
+    def batches(it):
+        import hashlib as _hl
+
+        from datalakehouse_spark.functions.tiff import decode_tiff, encode_tiff
+        from datalakehouse_spark.operators.multimodal import decode_image
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bts = text.encode("utf-8")[:64]
+                w, h, mean = decode_image(encode_tiff(_TIF_W, _TIF_H, bts))
+                _, _, luma = decode_tiff(encode_tiff(_TIF_W, _TIF_H, bts))
+                rgb_le = decode_tiff(encode_tiff(4, 4, bts[:48], color=True))
+                rgb_be = decode_tiff(
+                    encode_tiff(4, 4, bts[:48], color=True, big_endian=True)
+                )
+                gray_be = decode_tiff(
+                    encode_tiff(_TIF_W, _TIF_H, bts, big_endian=True)
+                )
+                rgb_mean = sum(rgb_le[2]) / (255.0 * 16)
+                rows.append(
+                    (
+                        doc_id, w, h, round(mean, 9),
+                        _hl.md5(luma).hexdigest(),
+                        round(rgb_mean, 9),
+                        rgb_le == rgb_be and luma == gray_be[2],
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "tiff_w", "tiff_h", "gray_mean_luma",
+                    "gray_md5", "rgb_mean_luma", "endian_match",
+                ],
+            )
+
+    return d.mapInPandas(batches, schema=schema).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
 # container_metadata_stats: MKV/Ogg/Opus/FLAC metadata walkers on the
 # oracle surface (round 12)
 # ---------------------------------------------------------------------------

@@ -44,9 +44,15 @@ def test_unsupported_format_without_pillow_is_explicitly_stubbed():
 
     if pil_available():
         pytest.skip("Pillow present: every format it reads lights up instead")
+    from datalakehouse_spark.functions.tiff import TiffError
+
     with pytest.raises(NotImplementedError):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x00\x00\x0cjP   jpeg2000-ish bytes")
+    # round 12: tiff magic routes to the REAL baseline kernel — junk is
+    # the codec error (degradation path), compressed profiles probe out
+    with pytest.raises(TiffError):
         decode_image(b"II*\x00 tiff-ish bytes not decodable here")
     with pytest.raises(JpegError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")

@@ -12,7 +12,7 @@ This ladder synthesizes asset tables from the sf0.1 documents fixture
 encoders — the driver never touches a payload), then times the three
 real feature passes end-to-end:
 
-- ``image``  — extract_features(fake=False) over a PNG/JPEG/GIF/BMP mix
+- ``image``  — extract_features(fake=False) over a PNG/JPEG/GIF/BMP/TIFF mix
 - ``audio``  — extract_audio_features over a WAV/MP3/Ogg/FLAC mix
 - ``video``  — extract_video_features over an AVI/MP4/MKV mix
 - ``mjpeg``  — sample_frames(fake=False) PIXEL decode over MJPEG AVIs
@@ -81,6 +81,7 @@ def _gen_payloads(kind: str):
         from datalakehouse_spark.functions.mp3 import encode_mp3_stub
         from datalakehouse_spark.functions.mp4 import encode_mp4_stub
         from datalakehouse_spark.functions.ogg import encode_ogg_stub
+        from datalakehouse_spark.functions.tiff import encode_tiff
         from datalakehouse_spark.functions.png import encode_png
         from datalakehouse_spark.functions.wav import encode_wav
 
@@ -89,7 +90,7 @@ def _gen_payloads(kind: str):
             ids, types, payloads = [], [], []
             for aid, text in zip(pdf["asset_id"], pdf["text"]):
                 bts = text.encode("utf-8")[:64].ljust(64, b"x")
-                m = aid % 4
+                m = aid % 5 if kind == "image" else aid % 4
                 if kind == "image":
                     if m == 0:
                         p = encode_png(16, 4, bts, color_type=0)
@@ -97,8 +98,10 @@ def _gen_payloads(kind: str):
                         p = encode_jpeg(16, 8, (bts + bts)[:128])
                     elif m == 2:
                         p = encode_gif(16, 4, bts, grays)
-                    else:
+                    elif m == 3:
                         p = encode_bmp(4, 4, (bts[:48]))
+                    else:
+                        p = encode_tiff(16, 4, bts)
                 elif kind == "audio":
                     if m == 0:
                         p = encode_wav(
