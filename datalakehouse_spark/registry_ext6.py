@@ -1721,6 +1721,103 @@ def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cross_format_image_dedup: pixel-fingerprint dedup across containers
+# (round 12)
+# ---------------------------------------------------------------------------
+
+_XFD_N = 60
+
+_XFD_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_XFD_N})
+    WHERE length(text) >= 64
+      AND regexp_matches(text, '^[ -~]*$')
+)
+SELECT md5(substr(t, 1, 64)) AS pixel_md5,
+       CAST(4 * COUNT(*) AS BIGINT) AS n_assets,
+       16 AS width, 4 AS height
+FROM d
+GROUP BY md5(substr(t, 1, 64))
+ORDER BY pixel_md5
+"""
+
+
+@register(
+    "cross_format_image_dedup",
+    _XFD_SQL,
+    "cross-container pixel dedup: PNG/BMP/TIFF/GIF of the same pixels collapse",
+)
+def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal dedup operator a training corpus needs: the SAME
+    image circulates re-encoded across containers, and byte-level
+    dedup misses it — pixel-level fingerprints
+    (``operators.multimodal.image_fingerprints``: decode to the 8-bit
+    luma plane, md5) collapse them.  Each document's leading 64 bytes
+    are encoded as gray PNG, 24-bit BMP (r=g=b), baseline TIFF, and a
+    gray-palette GIF — four byte-DIFFERENT payloads of byte-IDENTICAL
+    pixels — and the fingerprint groupBy must collapse every doc's
+    four formats into ONE cluster (n_assets = 4 x docs sharing that
+    content; two docs with identical leading bytes merge too, exactly
+    like real dedup).  The oracle needs no codec at all: the shared
+    ITU-R 601-2 integer luma maps gray pixels to themselves in all
+    four kernels, so the fingerprint IS md5 of the text bytes.
+
+    Scale shape: synthesize (1->4 fan-out) and fingerprint are
+    back-to-back mapInPandas passes (no shuffle, no driver traffic);
+    the dedup groupBy shuffles digest-sized rows — the dedup_exact
+    shape, never pixels."""
+    import pandas as _pd
+
+    from datalakehouse_spark.operators.multimodal import image_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_XFD_N)
+        .where((F.length("text") >= 64) & F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+
+    def synth(it):
+        from datalakehouse_spark.functions.bmp import encode_bmp
+        from datalakehouse_spark.functions.gif import encode_gif
+        from datalakehouse_spark.functions.png import encode_png
+        from datalakehouse_spark.functions.tiff import encode_tiff
+
+        grays = [(i, i, i) for i in range(256)]
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bts = text.encode("utf-8")[:64]
+                rgb = bytes(v for b in bts for v in (b, b, b))
+                for k, p in enumerate(
+                    (
+                        encode_png(16, 4, bts, color_type=0),
+                        encode_bmp(16, 4, rgb),
+                        encode_tiff(16, 4, bts),
+                        encode_gif(16, 4, bts, grays),
+                    )
+                ):
+                    ids.append(int(doc_id) * 4 + k)
+                    payloads.append(p)
+            yield _pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = d.mapInPandas(synth, schema="asset_id long, payload binary")
+    return (
+        image_fingerprints(assets)
+        .groupBy("pixel_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.min("width").alias("width"),
+            F.min("height").alias("height"),
+        )
+        .orderBy("pixel_md5")
+    )
+
+
+# ---------------------------------------------------------------------------
 # container_metadata_stats: MKV/Ogg/Opus/FLAC metadata walkers on the
 # oracle surface (round 12)
 # ---------------------------------------------------------------------------

@@ -501,3 +501,36 @@ def test_sample_frames_decodes_mjpeg_assets(spark):
     out = sample_frames(assets, stride=2, fake=False).collect()
     assert {r.asset_id for r in out} == {1}
     assert {r.frame_idx: r.frame_md5 for r in out} == expected
+
+
+def test_image_fingerprints_collapse_across_formats(spark):
+    """Pixel-identical PNG/BMP/TIFF/GIF payloads fingerprint the same;
+    a JPEG of different pixels stands alone; corrupt contributes zero
+    rows."""
+    from datalakehouse_spark.functions.bmp import encode_bmp
+    from datalakehouse_spark.functions.gif import encode_gif
+    from datalakehouse_spark.functions.jpeg import encode_jpeg
+    from datalakehouse_spark.functions.png import encode_png
+    from datalakehouse_spark.functions.tiff import encode_tiff
+    from datalakehouse_spark.operators.multimodal import image_fingerprints
+
+    gray = bytes(range(64))
+    rgb = bytes(v for b in gray for v in (b, b, b))
+    grays = [(i, i, i) for i in range(256)]
+    assets = spark.createDataFrame(
+        [
+            (1, encode_png(16, 4, gray, color_type=0)),
+            (2, encode_bmp(16, 4, rgb)),
+            (3, encode_tiff(16, 4, gray)),
+            (4, encode_gif(16, 4, gray, grays)),
+            (5, encode_jpeg(8, 8, bytes([200]) * 64)),
+            (6, b"corrupt \x00 bytes"),
+        ],
+        "asset_id long, payload binary",
+    )
+    rows = {r.asset_id: r for r in image_fingerprints(assets).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}  # corrupt dropped
+    fps = {rows[i].pixel_md5 for i in (1, 2, 3, 4)}
+    assert len(fps) == 1, "lossless formats of the same pixels must collapse"
+    assert rows[5].pixel_md5 not in fps
+    assert all((rows[i].width, rows[i].height) == (16, 4) for i in (1, 2, 3, 4))
