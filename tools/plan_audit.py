@@ -63,6 +63,11 @@ AUDITED = {
     "rate denominators broadcast",
     "cross_source_dup_matrix": "digest-keyed self-join; fan bounded by "
     "sources-per-digest, never document pairs",
+    "cross_format_image_dedup": "two chained mapInPandas passes (synthesize -> "
+    "fingerprint, no shuffle between); ONE digest-sized dedup groupBy — "
+    "pixels never shuffle",
+    "zorder_key_accounting": "scan -> magic-number bit-spread projection (pure "
+    "JVM codegen, round 12) -> partial+final hash aggregate, one shuffle",
 }
 
 MARKERS = [
