@@ -10,9 +10,10 @@ any executor's bare CPython.
 
 Supported: 8-bit greyscale (color type 0), truecolor (2), palette (3),
 grey+alpha (4), RGBA (6); 16-bit samples are accepted and truncated to
-their high byte (what Pillow's ``convert("L")`` path effectively does).
-Rejected loudly: interlaced images (Adam7 — rare in data pipelines and
-not worth the kernel complexity) and bit depths below 8.
+their high byte (what Pillow's ``convert("L")`` path effectively does);
+Adam7 interlacing (round 12 — each of the seven passes is an
+independently-filtered subimage whose pixels scatter back on the
+pass grid).  Rejected loudly: bit depths below 8.
 
 Luma uses Pillow's exact ITU-R 601-2 integer formula
 ``(R*19595 + G*38470 + B*7471 + 0x8000) >> 16`` so a mixed fleet where
@@ -110,6 +111,44 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int, stride: int) -> byt
     return out
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(
+    raw: bytes, width: int, height: int, bpp: int
+) -> bytearray:
+    """Reassemble an Adam7 stream: each non-empty pass is its own
+    filtered subimage (filter state never crosses passes), scattered
+    back onto the full-resolution grid."""
+    out = bytearray(width * height * bpp)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes NO bytes (spec)
+        pstride = pw * bpp
+        need = (1 + pstride) * ph
+        sub = _unfilter(raw[pos : pos + need], pw, ph, bpp, pstride)
+        pos += need
+        for j in range(ph):
+            row_base = (y0 + j * dy) * width
+            for i in range(pw):
+                src = j * pstride + i * bpp
+                dst = (row_base + x0 + i * dx) * bpp
+                out[dst : dst + bpp] = sub[src : src + bpp]
+    return out
+
+
 def decode_png(data: bytes) -> tuple[int, int, bytes]:
     """Decode a PNG payload -> ``(width, height, luma_plane)``.
 
@@ -126,8 +165,8 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if interlace:
-                raise PngError("interlaced (Adam7) PNG not supported")
+            if interlace not in (0, 1):
+                raise PngError(f"unknown interlace method {interlace}")
             if bit_depth not in (8, 16):
                 raise PngError(f"bit depth {bit_depth} not supported (need 8/16)")
             if color_type not in _CHANNELS:
@@ -147,7 +186,10 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     sample_bytes = bit_depth // 8
     bpp = nch * sample_bytes
     stride = width * bpp
-    px = _unfilter(raw, width, height, bpp, stride)
+    if interlace:
+        px = _deinterlace_adam7(raw, width, height, bpp)
+    else:
+        px = _unfilter(raw, width, height, bpp, stride)
 
     luma = bytearray(width * height)
     step = bpp
@@ -196,10 +238,20 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> bytes:
-    """Minimal encoder (8-bit, filter 0 on every scanline) for fixtures
-    and round-trip tests.  ``pixels`` is row-major samples: 1 byte/px
-    for grey (0), 3 for RGB (2), 4 for RGBA (6)."""
+def encode_png(
+    width: int,
+    height: int,
+    pixels: bytes,
+    color_type: int = 2,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal encoder (8-bit) for fixtures and round-trip tests.
+    ``pixels`` is row-major samples: 1 byte/px for grey (0), 3 for RGB
+    (2), 4 for RGBA (6).  Non-interlaced scanlines use filter 0;
+    ``interlace=True`` writes Adam7 passes with filter 0 on each
+    pass's first row and filter 2 (Up) on the rest — so round-trip
+    tests prove the decoder keeps filter state PASS-LOCAL (an Up
+    filter referencing the previous pass's row would corrupt)."""
     if color_type not in (0, 2, 6):
         raise PngError("encoder supports color types 0, 2, 6")
     nch = _CHANNELS[color_type]
@@ -207,11 +259,36 @@ def encode_png(width: int, height: int, pixels: bytes, color_type: int = 2) -> b
         raise PngError(
             f"pixel buffer is {len(pixels)} bytes, need {width * height * nch}"
         )
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    stride = width * nch
-    raw = b"".join(
-        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
     )
+    stride = width * nch
+    if not interlace:
+        raw = b"".join(
+            b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+        )
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            prev = None
+            for j in range(ph):
+                row = bytearray()
+                for i in range(pw):
+                    o = ((y0 + j * dy) * width + x0 + i * dx) * nch
+                    row += pixels[o : o + nch]
+                if prev is None:
+                    parts.append(b"\x00" + bytes(row))
+                else:
+                    parts.append(
+                        b"\x02"
+                        + bytes((row[x] - prev[x]) & 0xFF for x in range(len(row)))
+                    )
+                prev = row
+        raw = b"".join(parts)
     return (
         _SIGNATURE
         + _chunk(b"IHDR", ihdr)

@@ -142,16 +142,21 @@ def test_palette_expansion():
 # -- rejection paths ----------------------------------------------------------
 
 
-def test_interlaced_rejected():
+def test_interlaced_now_decodes():
+    """Round 12: Adam7 is a REAL decode path (was a loud rejection
+    through round 11).  A hand-assembled 2x2 interlaced gray image —
+    four passes of one pixel each — decodes to the scattered pixels."""
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # interlace=1
+    # 2x2: pass1=(0,0), pass4=(1,0)? no — passes hitting a 2x2 grid are
+    # 1 (0,0), 6 (1,0), 7 covers y=1 row: (0,1) and (1,1)
+    raw = b"\x00\x0a" + b"\x00\x0b" + b"\x00\x0c\x0d"
     payload = (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _chunk(b"IDAT", zlib.compress(raw))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(PngError, match="interlaced"):
-        decode_png(payload)
+    assert decode_png(payload) == (2, 2, bytes([0x0A, 0x0B, 0x0C, 0x0D]))
 
 
 def test_not_a_png_and_truncation():
@@ -196,3 +201,54 @@ def test_roundtrip_property(w, h, ct, seed):
             for i in range(w * h)
         )
         assert bytes(luma) == want
+
+
+def test_adam7_interlaced_matches_progressive_scan():
+    """Round 12: Adam7 decode — the interlaced encoding of the SAME
+    pixels must decode bit-identically to the progressive-scan one,
+    across color types and sizes that exercise empty passes and
+    partial pass grids.  The fixture writer filters pass rows with
+    Up (type 2) after the first, so the round trip also proves filter
+    state never leaks across passes."""
+    import random
+
+    from datalakehouse_spark.functions.png import decode_png, encode_png
+
+    rng = random.Random(11)
+    for w, h in ((1, 1), (2, 2), (7, 5), (8, 8), (9, 9), (31, 17), (1, 9), (9, 1)):
+        for ct, nch in ((0, 1), (2, 3), (6, 4)):
+            px = bytes(rng.randrange(256) for _ in range(w * h * nch))
+            plain = decode_png(encode_png(w, h, px, color_type=ct))
+            inter = decode_png(encode_png(w, h, px, color_type=ct, interlace=True))
+            assert plain == inter, (w, h, ct)
+
+
+def test_adam7_malformed_is_loud():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from datalakehouse_spark.functions.png import (
+        PngError,
+        _SIGNATURE,
+        _chunk,
+        decode_png,
+        encode_png,
+    )
+
+    p = bytearray(encode_png(2, 2, bytes(4), color_type=0))
+    p[p.find(b"IHDR") + 4 + 12] = 2  # interlace method 2: not a thing
+    with _pytest.raises(PngError, match="interlace method"):
+        decode_png(bytes(p))
+
+    good = encode_png(16, 16, bytes(range(256)), color_type=0, interlace=True)
+    raw = zlib.decompress(good[good.find(b"IDAT") + 4 : good.rfind(b"IEND") - 4])
+    truncated = (
+        _SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(raw[:-40]))
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(PngError):
+        decode_png(truncated)
