@@ -695,14 +695,23 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver coverage rotation (round 12, generated by
-#: tools/rotation_helper.py): every registry entry now has at least one
-#: current-fixture green driver row, so the whole list is the aging
-#: tail ordered by last-green-round ASCENDING — the two r5 stragglers
-#: (knn_batch_queries, ivf_search_indexed) lead, then the 43-entry r6
-#: cohort, r7, r8, r10, r11.  Round-12 code-changed entries are
-#: re-queued at the front before the closing commit.
+#: Driver coverage rotation (round 12 closing, generated by
+#: tools/rotation_helper.py with the round's code-changed entries as
+#: argv): (1) changed (zorder_key_accounting — morton32 rewrite;
+#: multimodal_real_decode_stats, media_frame_sample — avi/sample_frames
+#: kernel changes), (2) the four new never-driver-checked entries
+#: (mjpeg_avi_decode, tiff_image_decode, cross_format_image_dedup,
+#: container_metadata_stats — all local sf0.01 oracle-green), (3) the
+#: aging tail by last-green-round ASCENDING (r5 stragglers
+#: knn_batch_queries/ivf_search_indexed first, then r6/r7/r8 cohorts).
 _DRIVER_PRIORITY = [
+    "zorder_key_accounting",
+    "multimodal_real_decode_stats",
+    "media_frame_sample",
+    "mjpeg_avi_decode",
+    "tiff_image_decode",
+    "cross_format_image_dedup",
+    "container_metadata_stats",
     "knn_batch_queries",
     "ivf_search_indexed",
     "q2_min_cost_supplier",
@@ -857,7 +866,6 @@ _DRIVER_PRIORITY = [
     "streaming_static_enrich",
     "csv_ingest_roundtrip",
     "orc_ingest_roundtrip",
-    "zorder_key_accounting",
     "graph_pagerank",
     "funnel_conversion",
     "cohort_retention",
@@ -920,9 +928,7 @@ _DRIVER_PRIORITY = [
     "null_safe_join",
     "event_sequences",
     "quantized_knn",
-    "media_frame_sample",
     "versioned_branch_evolution",
-    "multimodal_real_decode_stats",
     "filebus_kafka_ingest",
     "dup_span_excision_apply",
 ]
