@@ -408,7 +408,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
         seg = data[pos + 2 : pos + seg_len]
         if len(seg) != seg_len - 2:
             raise JpegError("truncated segment")
-        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                       0xCB, 0xCD, 0xCE, 0xCF):
             kinds = {0xC9: "arithmetic", 0xCA: "progressive arithmetic"}
             raise JpegUnsupported(
@@ -447,7 +447,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
                 if len(vals) != 64:
                     raise JpegError("truncated DQT")
                 qt[tid] = vals
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (round 12: at
+            # 8-bit precision it decodes exactly like baseline — the
+            # extension is 12-bit samples and 4 Huffman slots, and the
+            # table dicts already key by id) / SOF2 progressive
             progressive = marker == 0xC2
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:

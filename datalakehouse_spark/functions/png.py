@@ -13,7 +13,10 @@ grey+alpha (4), RGBA (6); 16-bit samples are accepted and truncated to
 their high byte (what Pillow's ``convert("L")`` path effectively does);
 Adam7 interlacing (round 12 — each of the seven passes is an
 independently-filtered subimage whose pixels scatter back on the
-pass grid).  Rejected loudly: bit depths below 8.
+pass grid); and sub-byte depths 1/2/4 for grey and palette images
+(round 12 — scanned documents and icon palettes; samples unpack
+MSB-first, grey scales by 255/(2^d - 1) exactly as Pillow does,
+the filter unit for packed rows is one byte per the spec).
 
 Luma uses Pillow's exact ITU-R 601-2 integer formula
 ``(R*19595 + G*38470 + B*7471 + 0x8000) >> 16`` so a mixed fleet where
@@ -111,6 +114,51 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int, stride: int) -> byt
     return out
 
 
+def _unpack_bits(row: bytes, width: int, depth: int) -> list[int]:
+    """Unpack ``width`` MSB-first ``depth``-bit samples from a packed
+    scanline (trailing pad bits ignored, per spec)."""
+    mask = (1 << depth) - 1
+    per_byte = 8 // depth
+    return [
+        (row[i // per_byte] >> (8 - depth * (i % per_byte + 1))) & mask
+        for i in range(width)
+    ]
+
+
+def _decode_subbyte(
+    raw: bytes, width: int, height: int, depth: int, interlace: int
+) -> list[int]:
+    """Sub-byte sample grid (1/2/4-bit): unfilter packed scanlines
+    (filter unit = 1 byte), unpack, and — when interlaced — scatter
+    each pass onto the Adam7 grid."""
+    if not interlace:
+        stride = (width * depth + 7) // 8
+        packed = _unfilter(raw, width, height, 1, stride)
+        out: list[int] = []
+        for y in range(height):
+            out.extend(
+                _unpack_bits(packed[y * stride : (y + 1) * stride], width, depth)
+            )
+        return out
+    out = [0] * (width * height)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        pstride = (pw * depth + 7) // 8
+        need = (1 + pstride) * ph
+        sub = _unfilter(raw[pos : pos + need], pw, ph, 1, pstride)
+        pos += need
+        for j in range(ph):
+            vals = _unpack_bits(sub[j * pstride : (j + 1) * pstride], pw, depth)
+            base = (y0 + j * dy) * width
+            for i, v in enumerate(vals):
+                out[base + x0 + i * dx] = v
+    return out
+
+
 #: Adam7 pass grid: (x0, y0, dx, dy) per pass
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -167,12 +215,17 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             )
             if interlace not in (0, 1):
                 raise PngError(f"unknown interlace method {interlace}")
-            if bit_depth not in (8, 16):
-                raise PngError(f"bit depth {bit_depth} not supported (need 8/16)")
+            if bit_depth not in (1, 2, 4, 8, 16):
+                raise PngError(f"bit depth {bit_depth} not supported")
             if color_type not in _CHANNELS:
                 raise PngError(f"color type {color_type} not supported")
-            if color_type == 3 and bit_depth != 8:
-                raise PngError("palette PNG needs bit depth 8")
+            if bit_depth < 8 and color_type not in (0, 3):
+                raise PngError(
+                    f"sub-byte depth {bit_depth} is only valid for "
+                    "grey/palette color types"
+                )
+            if color_type == 3 and bit_depth == 16:
+                raise PngError("palette PNG cannot be 16-bit")
         elif ctype == b"PLTE":
             palette = [tuple(body[i : i + 3]) for i in range(0, len(body), 3)]
         elif ctype == b"IDAT":
@@ -182,6 +235,23 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     if not idat:
         raise PngError("missing IDAT")
     raw = zlib.decompress(bytes(idat))
+    if bit_depth < 8:
+        samples = _decode_subbyte(raw, width, height, bit_depth, interlace)
+        luma = bytearray(width * height)
+        if color_type == 0:
+            scale = 255 // ((1 << bit_depth) - 1)  # exact: 255, 85, 17
+            for i, v in enumerate(samples):
+                luma[i] = v * scale
+        else:  # palette
+            if palette is None:
+                raise PngError("palette image missing PLTE")
+            try:
+                for i, v in enumerate(samples):
+                    r, g, b = palette[v]
+                    luma[i] = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
+            except (IndexError, ValueError) as exc:
+                raise PngError(f"invalid palette reference: {exc}") from exc
+        return width, height, bytes(luma)
     nch = _CHANNELS[color_type]
     sample_bytes = bit_depth // 8
     bpp = nch * sample_bytes
@@ -238,12 +308,24 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
+def _pack_bits(samples, depth: int) -> bytes:
+    """Pack ``depth``-bit samples MSB-first into bytes (zero pad)."""
+    per_byte = 8 // depth
+    out = bytearray((len(samples) + per_byte - 1) // per_byte)
+    for i, v in enumerate(samples):
+        out[i // per_byte] |= (v & ((1 << depth) - 1)) << (
+            8 - depth * (i % per_byte + 1)
+        )
+    return bytes(out)
+
+
 def encode_png(
     width: int,
     height: int,
     pixels: bytes,
     color_type: int = 2,
     interlace: bool = False,
+    bit_depth: int = 8,
 ) -> bytes:
     """Minimal encoder (8-bit) for fixtures and round-trip tests.
     ``pixels`` is row-major samples: 1 byte/px for grey (0), 3 for RGB
@@ -254,14 +336,45 @@ def encode_png(
     filter referencing the previous pass's row would corrupt)."""
     if color_type not in (0, 2, 6):
         raise PngError("encoder supports color types 0, 2, 6")
+    if bit_depth != 8 and (color_type != 0 or bit_depth not in (1, 2, 4)):
+        raise PngError("sub-byte encoding is grey-only (depths 1/2/4)")
     nch = _CHANNELS[color_type]
     if len(pixels) != width * height * nch:
         raise PngError(
             f"pixel buffer is {len(pixels)} bytes, need {width * height * nch}"
         )
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB",
+        width, height, bit_depth, color_type, 0, 0, 1 if interlace else 0,
     )
+    if bit_depth < 8:
+        # pixels carry one sample per byte, values < 2^depth
+        if not interlace:
+            raw = b"".join(
+                b"\x00"
+                + _pack_bits(pixels[y * width : (y + 1) * width], bit_depth)
+                for y in range(height)
+            )
+        else:
+            parts = []
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (width - x0 + dx - 1) // dx
+                ph = (height - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                for j in range(ph):
+                    row = [
+                        pixels[(y0 + j * dy) * width + x0 + i * dx]
+                        for i in range(pw)
+                    ]
+                    parts.append(b"\x00" + _pack_bits(row, bit_depth))
+            raw = b"".join(parts)
+        return (
+            _SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, 9))
+            + _chunk(b"IEND", b"")
+        )
     stride = width * nch
     if not interlace:
         raw = b"".join(

@@ -268,7 +268,7 @@ def test_rejects_unsupported_profiles():
     sof = good.index(b"\xff\xc0")
     for marker, exc_match in [
         (0xC9, "arithmetic"),
-        (0xC1, "SOF1"),
+        (0xC3, "SOF3"),  # lossless; SOF1 at 8-bit DECODES since round 12
     ]:
         bad = bytearray(good)
         bad[sof + 1] = marker
@@ -536,3 +536,31 @@ def test_color_general_roundtrip_422_luma_close_to_444():
         encode_jpeg(w, h, bytes(pix), color=True, subsampling="422")
     )[2]
     assert max(abs(a - b) for a, b in zip(d444, d422)) <= 1
+
+
+def test_sof1_extended_sequential_decodes_like_baseline():
+    """Round 12: 8-bit SOF1 (extended sequential, Huffman) is decode-
+    identical to SOF0 — the extension is 12-bit samples and extra
+    Huffman slots, neither of which changes the 8-bit path.  12-bit
+    SOF1 still probes out."""
+    import random
+
+    from datalakehouse_spark.functions.jpeg import (
+        JpegUnsupported,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = random.Random(5)
+    for w, h, color in ((16, 16, False), (24, 16, True)):
+        px = bytes(rng.randrange(256) for _ in range(w * h * (3 if color else 1)))
+        sof0 = encode_jpeg(w, h, px, color=color)
+        sof1 = sof0.replace(b"\xff\xc0", b"\xff\xc1", 1)
+        assert decode_jpeg(sof1) == decode_jpeg(sof0)
+
+    base = encode_jpeg(16, 16, bytes(256))
+    at = base.find(b"\xff\xc0")
+    twelve = bytearray(base.replace(b"\xff\xc0", b"\xff\xc1", 1))
+    twelve[at + 4] = 12  # precision byte: marker(2) + len(2) + prec
+    with pytest.raises(JpegUnsupported, match="12-bit"):
+        decode_jpeg(bytes(twelve))

@@ -4,7 +4,8 @@ kernel for Pillow-less containers.
 Coverage: encoder round-trips (grey/RGB/RGBA), Pillow-identical ITU-R
 601-2 luma on pure colors, all five scanline filters (decoded against a
 forward-filter reference built here), 16-bit high-byte truncation,
-palette expansion, and loud rejection of interlaced/unsupported inputs.
+palette expansion, Adam7 interlacing, sub-byte (1/2/4-bit) grey and
+palette depths, and loud rejection of what remains unsupported.
 """
 
 import struct
@@ -252,3 +253,55 @@ def test_adam7_malformed_is_loud():
     )
     with _pytest.raises(PngError):
         decode_png(truncated)
+
+
+def test_subbyte_gray_roundtrips_both_scan_orders():
+    """Round 12: 1/2/4-bit grayscale — packed MSB-first scanlines,
+    filter unit one byte, Pillow-exact scaling (255/85/17), in both
+    progressive-scan and Adam7 order."""
+    import random
+
+    rng = random.Random(3)
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for w, h in ((1, 1), (3, 2), (9, 5), (17, 11)):
+            samples = bytes(rng.randrange(1 << depth) for _ in range(w * h))
+            expect = bytes(v * scale for v in samples)
+            for inter in (False, True):
+                got = decode_png(
+                    encode_png(
+                        w, h, samples, color_type=0,
+                        bit_depth=depth, interlace=inter,
+                    )
+                )
+                assert got == (w, h, expect), (depth, w, h, inter)
+
+
+def test_subbyte_palette_and_guards():
+    """4-bit and 1-bit palette indices unpack before the PLTE lookup;
+    out-of-range indices and sub-byte RGB stay loud."""
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    payload = _raw_png(3, 1, 4, 3, b"\x00" + bytes([0x01, 0x20]), plte=plte)
+    assert decode_png(payload) == (3, 1, bytes([76, 150, 29]))
+
+    bw = bytes([0, 0, 0, 255, 255, 255])
+    payload = _raw_png(4, 1, 1, 3, b"\x00" + bytes([0b10110000]), plte=bw)
+    assert decode_png(payload) == (4, 1, bytes([255, 0, 255, 255]))
+
+    with pytest.raises(PngError, match="palette reference"):
+        decode_png(_raw_png(1, 1, 4, 3, b"\x00\xf0", plte=bw))
+    with pytest.raises(PngError, match="grey/palette"):
+        decode_png(_raw_png(1, 1, 4, 2, b"\x00\x00"))
+
+
+def test_subbyte_golden_against_pillow_when_present():
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = PIL.new("1", (10, 3))
+    img.putdata([i % 2 for i in range(30)])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")  # Pillow writes 1-bit gray
+    w, h, luma = decode_png(buf.getvalue())
+    assert (w, h) == (10, 3)
+    assert luma == img.convert("L").tobytes()
