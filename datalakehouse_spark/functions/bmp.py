@@ -10,12 +10,14 @@ DIBs (the other form found in the wild — Python's own test
 Luma uses the same Pillow-identical ITU-R 601-2 integer formula as
 the PNG/JPEG/GIF kernels.
 
-Supported: BI_RGB at 8 (palettized), 24 and 32 bits per pixel,
+Supported: BI_RGB at 1/4/8 (palettized) and 24/32 bits per pixel,
 bottom-up or top-down (negative height), BITMAPINFOHEADER and the
-larger V4/V5 headers (only the common leading fields are read).
-Compressed BMPs (RLE4/RLE8/BITFIELDS) and 1/4-bit depths raise
-``BmpError`` — rare enough in data pipelines that the honest
-degradation path beats a half-tested code path.
+larger V4/V5 headers (only the common leading fields are read),
+standard-mask 32-bit BITFIELDS, and — round 12 — BI_RLE8/BI_RLE4
+run-length compression (runs, absolute mode with word padding,
+end-of-line, end-of-bitmap, and delta skips, which leave index 0
+behind like most renderers).  Exotic profiles (non-standard
+BITFIELDS masks, 16-bit, PNG/JPEG-in-BMP) raise ``BmpError``.
 """
 
 from __future__ import annotations
@@ -24,11 +26,70 @@ import struct
 
 from datalakehouse_spark.functions.avi import _frame_rgb
 
-__all__ = ["BmpError", "decode_bmp", "bmp_luma_stats", "encode_bmp"]
+__all__ = [
+    "BmpError",
+    "decode_bmp",
+    "bmp_luma_stats",
+    "encode_bmp",
+    "encode_bmp_palette",
+    "encode_bmp_rle",
+]
 
 
 class BmpError(ValueError):
     """Malformed or unsupported BMP payload."""
+
+
+def _decode_rle(body: bytes, width: int, height: int, bpp: int) -> bytes:
+    """BI_RLE8/BI_RLE4 -> top-down index plane.  RLE coordinates run
+    bottom-up from (0,0); delta-skipped pixels keep index 0."""
+    grid = bytearray(width * height)
+    x = y = 0  # y from the BOTTOM row
+    pos = 0
+
+    def put(v: int) -> None:
+        nonlocal x
+        if x < width and y < height:
+            grid[(height - 1 - y) * width + x] = v
+        x += 1
+
+    while pos + 2 <= len(body):
+        cnt, val = body[pos], body[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            if bpp == 8:
+                for _ in range(cnt):
+                    put(val)
+            else:  # RLE4 runs alternate the two nibbles
+                for k in range(cnt):
+                    put((val >> 4) if k % 2 == 0 else (val & 0x0F))
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return bytes(grid)
+        elif val == 2:  # delta skip
+            if pos + 2 > len(body):
+                raise BmpError("truncated RLE delta")
+            x += body[pos]
+            y += body[pos + 1]
+            pos += 2
+        else:  # absolute mode: val literal pixels, word-aligned
+            n = val
+            if bpp == 8:
+                if pos + n > len(body):
+                    raise BmpError("truncated RLE absolute run")
+                for k in range(n):
+                    put(body[pos + k])
+                pos += n + (n & 1)
+            else:
+                nbytes = (n + 1) // 2
+                if pos + nbytes > len(body):
+                    raise BmpError("truncated RLE absolute run")
+                for k in range(n):
+                    b = body[pos + k // 2]
+                    put((b >> 4) if k % 2 == 0 else (b & 0x0F))
+                pos += nbytes + (nbytes & 1)
+    raise BmpError("RLE stream missing end-of-bitmap")
 
 
 def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
@@ -54,10 +115,15 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
         masks = struct.unpack("<III", data[masks_at : masks_at + 12])
         if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
             raise BmpError(f"non-standard BITFIELDS masks {masks}")
+    elif compression == 1 or compression == 2:
+        if (compression == 1) != (bpp == 8) or (compression == 2) != (bpp == 4):
+            raise BmpError(f"RLE{8 if compression == 1 else 4} needs matching bpp, got {bpp}")
+        if height < 0:
+            raise BmpError("top-down RLE BMP is invalid")
     elif compression != 0:
         raise BmpError(f"compressed BMP (type {compression}) not supported")
-    if bpp not in (8, 24, 32):
-        raise BmpError(f"{bpp}-bit BMP not supported (need 8/24/32)")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise BmpError(f"{bpp}-bit BMP not supported (need 1/4/8/24/32)")
     h = abs(height)
     if pixel_off < 14 + hdr_size or pixel_off > len(data):
         raise BmpError("bad pixel data offset")
@@ -77,9 +143,9 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
             ) >> 16
         return width, h, bytes(luma)
 
-    # 8-bit palettized: color table (BGRX quads) follows the header
+    # palettized (1/4/8-bit): color table (BGRX quads) follows the header
     (n_colors,) = struct.unpack("<I", data[46:50])
-    n_colors = n_colors or 256
+    n_colors = n_colors or (1 << bpp)
     pal_at = 14 + hdr_size
     pal = data[pal_at : pal_at + 4 * n_colors]
     if len(pal) < 4 * n_colors:
@@ -89,16 +155,37 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
          + pal[4 * i] * 7471 + 0x8000) >> 16
         for i in range(n_colors)
     )
-    stride = (width + 3) & ~3
+
+    if compression in (1, 2):  # RLE: decode to a top-down index plane
+        idx = _decode_rle(body, width, h, bpp)
+        try:
+            return width, h, bytes(lut[i] for i in idx)
+        except IndexError as exc:
+            raise BmpError("color index outside palette") from exc
+
+    stride = ((width * bpp + 31) // 32) * 4  # rows pad to 4 bytes
     if len(body) < stride * h:
         raise BmpError("pixel data shorter than dimensions")
     top_down = height < 0
+    per_byte = 8 // bpp
+    mask = (1 << bpp) - 1
     luma = bytearray(width * h)
     for r in range(h):
         src = r if top_down else h - 1 - r
-        row = body[src * stride : src * stride + width]
+        row = body[src * stride : src * stride + stride]
         try:
-            luma[r * width : (r + 1) * width] = bytes(lut[i] for i in row)
+            if bpp == 8:
+                luma[r * width : (r + 1) * width] = bytes(
+                    lut[i] for i in row[:width]
+                )
+            else:  # 1/4-bit: MSB-first packed indices
+                luma[r * width : (r + 1) * width] = bytes(
+                    lut[
+                        (row[i // per_byte] >> (8 - bpp * (i % per_byte + 1)))
+                        & mask
+                    ]
+                    for i in range(width)
+                )
         except IndexError as exc:
             raise BmpError("color index outside palette") from exc
     return width, h, bytes(luma)
@@ -134,3 +221,90 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
         0, 0,
     )
     return header + info + bytes(body)
+
+
+def _bmp_wrap(
+    width: int, height: int, bpp: int, compression: int,
+    palette, body: bytes,
+) -> bytes:
+    table = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    off = 54 + len(table)
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, compression, len(body),
+        2835, 2835, len(palette), 0,
+    )
+    return header + info + table + body
+
+
+def encode_bmp_palette(
+    width: int, height: int, indices: bytes, palette, bpp: int = 8
+) -> bytes:
+    """Uncompressed palettized fixture (1/4/8-bit): ``indices`` is
+    top-down row-major, one index per byte; rows pack MSB-first,
+    written bottom-up with 4-byte padding."""
+    if bpp not in (1, 4, 8):
+        raise BmpError("palettized bpp must be 1/4/8")
+    if len(indices) != width * height:
+        raise BmpError("index buffer size mismatch")
+    stride = ((width * bpp + 31) // 32) * 4
+    per_byte = 8 // bpp
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray(stride)
+        for i in range(width):
+            v = indices[r * width + i] & ((1 << bpp) - 1)
+            row[i // per_byte] |= v << (8 - bpp * (i % per_byte + 1))
+        body += row
+    return _bmp_wrap(width, height, bpp, 0, palette, bytes(body))
+
+
+def encode_bmp_rle(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette,
+    bpp: int = 8,
+    absolute_prefix: int = 0,
+) -> bytes:
+    """BI_RLE8/BI_RLE4 fixture writer: encoded runs per bottom-up row
+    with end-of-line/end-of-bitmap markers; ``absolute_prefix`` > 0
+    emits that many leading pixels of every row in ABSOLUTE mode
+    (word-padded) so round trips exercise both modes.  Real renderers
+    accept exactly this stream shape."""
+    if bpp not in (4, 8):
+        raise BmpError("RLE bpp must be 4 or 8")
+    if len(indices) != width * height:
+        raise BmpError("index buffer size mismatch")
+    out = bytearray()
+    for r in range(height - 1, -1, -1):
+        row = indices[r * width : (r + 1) * width]
+        i = 0
+        if absolute_prefix >= 3 and width >= absolute_prefix:
+            n = absolute_prefix
+            out += bytes([0, n])
+            if bpp == 8:
+                out += row[:n]
+                if n & 1:
+                    out += b"\x00"
+            else:
+                packed = bytearray((n + 1) // 2)
+                for k in range(n):
+                    packed[k // 2] |= (row[k] & 0xF) << (4 if k % 2 == 0 else 0)
+                out += packed
+                if len(packed) & 1:
+                    out += b"\x00"
+            i = n
+        while i < width:
+            j = i
+            while j < width and row[j] == row[i] and j - i < 255:
+                j += 1
+            if bpp == 8:
+                out += bytes([j - i, row[i]])
+            else:
+                v = row[i] & 0xF
+                out += bytes([j - i, (v << 4) | v])
+            i = j
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return _bmp_wrap(width, height, bpp, 1 if bpp == 8 else 2, palette, bytes(out))

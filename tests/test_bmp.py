@@ -83,9 +83,14 @@ def test_malformed_rejection():
     with pytest.raises(BmpError):
         decode_bmp(good[:-5])  # pixel data short
     rle = bytearray(good)
-    rle[30] = 1  # BI_RLE8
-    with pytest.raises(BmpError, match="compressed"):
+    rle[30] = 1  # BI_RLE8 on a 24-bit image: bpp mismatch (round 12:
+    # RLE8 itself decodes now, but only with bpp 8)
+    with pytest.raises(BmpError, match="RLE8 needs matching bpp"):
         decode_bmp(bytes(rle))
+    jpeg_in_bmp = bytearray(good)
+    jpeg_in_bmp[30] = 4  # BI_JPEG stays a loud probe
+    with pytest.raises(BmpError, match="compressed"):
+        decode_bmp(bytes(jpeg_in_bmp))
     with pytest.raises(BmpError):
         encode_bmp(2, 2, bytes(11))
 
@@ -103,3 +108,82 @@ def test_decode_image_dispatches_bmp():
     assert (w, h) == (2, 1) and mean == 0.5
     with pytest.raises(BmpError):
         decode_image(payload[:-2])
+
+
+# -- round 12: RLE + sub-byte palettized profiles ------------------------------
+
+
+def _lum(idx_list, pal):
+    return bytes(
+        (pal[i][0] * 19595 + pal[i][1] * 38470 + pal[i][2] * 7471 + 0x8000) >> 16
+        for i in idx_list
+    )
+
+
+def test_palettized_subbyte_and_rle_roundtrips():
+    """1/4/8-bit uncompressed palettes and BI_RLE8/BI_RLE4 (runs,
+    absolute mode with word padding, EOL/EOB) all decode back to the
+    palette luma of the written indices."""
+    import random
+
+    from datalakehouse_spark.functions.bmp import (
+        decode_bmp,
+        encode_bmp_palette,
+        encode_bmp_rle,
+    )
+
+    rng = random.Random(9)
+    grays = [(i * 17, i * 17, i * 17) for i in range(16)]
+    pal256 = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)]
+    bw = [(0, 0, 0), (255, 255, 255)]
+    for w, h in ((1, 1), (5, 3), (8, 4), (13, 7)):
+        idx = bytes(rng.randrange(256) for _ in range(w * h))
+        expect = _lum(idx, pal256)
+        assert decode_bmp(encode_bmp_palette(w, h, idx, pal256, bpp=8)) == (w, h, expect)
+        assert decode_bmp(encode_bmp_rle(w, h, idx, pal256, bpp=8)) == (w, h, expect)
+        if w >= 3:
+            assert decode_bmp(
+                encode_bmp_rle(w, h, idx, pal256, bpp=8, absolute_prefix=3)
+            ) == (w, h, expect)
+        idx4 = bytes(rng.randrange(16) for _ in range(w * h))
+        e4 = _lum(idx4, grays)
+        assert decode_bmp(encode_bmp_palette(w, h, idx4, grays, bpp=4)) == (w, h, e4)
+        assert decode_bmp(encode_bmp_rle(w, h, idx4, grays, bpp=4)) == (w, h, e4)
+        if w >= 4:
+            assert decode_bmp(
+                encode_bmp_rle(w, h, idx4, grays, bpp=4, absolute_prefix=4)
+            ) == (w, h, e4)
+        idx1 = bytes(rng.randrange(2) for _ in range(w * h))
+        assert decode_bmp(encode_bmp_palette(w, h, idx1, bw, bpp=1)) == (
+            w, h, _lum(idx1, bw),
+        )
+
+
+def test_rle_delta_skip_and_malformed():
+    """Delta skips leave index 0 behind; a stream without end-of-bitmap
+    and a top-down RLE header are loud."""
+    import struct
+
+    import pytest as _pytest
+
+    from datalakehouse_spark.functions.bmp import (
+        BmpError,
+        _bmp_wrap,
+        decode_bmp,
+        encode_bmp_rle,
+    )
+
+    pal = [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)]
+    body = bytes([2, 5]) + b"\x00\x02" + bytes([1, 1]) + bytes([1, 7]) + b"\x00\x01"
+    w, h, luma = decode_bmp(_bmp_wrap(4, 2, 8, 1, pal, body))
+    grid = [[0] * 4 for _ in range(2)]
+    grid[1][0] = grid[1][1] = 5  # RLE starts at the BOTTOM row
+    grid[0][3] = 7  # delta (1,1) then a 1-run
+    assert luma == _lum([v for row in grid for v in row], pal)
+
+    with _pytest.raises(BmpError, match="end-of-bitmap"):
+        decode_bmp(_bmp_wrap(4, 2, 8, 1, pal, bytes([2, 5])))
+    bad = bytearray(encode_bmp_rle(4, 2, bytes(8), pal, bpp=8))
+    struct.pack_into("<i", bad, 22, -2)
+    with _pytest.raises(BmpError, match="top-down RLE"):
+        decode_bmp(bytes(bad))
