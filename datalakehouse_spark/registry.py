@@ -695,22 +695,20 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver coverage rotation (round 12 closing, generated by
-#: tools/rotation_helper.py with the round's code-changed entries as
-#: argv): (1) changed (zorder_key_accounting — morton32 rewrite;
-#: multimodal_real_decode_stats, media_frame_sample — avi/sample_frames
-#: kernel changes), (2) the four new never-driver-checked entries
-#: (mjpeg_avi_decode, tiff_image_decode, cross_format_image_dedup,
-#: container_metadata_stats — all local sf0.01 oracle-green), (3) the
-#: aging tail by last-green-round ASCENDING (r5 stragglers
-#: knn_batch_queries/ivf_search_indexed first, then r6/r7/r8 cohorts).
+#: Driver coverage rotation (round 12 closing, regenerated after the
+#: post-close codec batch — png/jpeg/bmp kernel changes re-queue every
+#: entry whose decode path they feed): (1) code-changed
+#: (multimodal_real_decode_stats, cross_format_image_dedup,
+#: tiff_image_decode, media_frame_sample, zorder_key_accounting),
+#: (2) the round's new never-driver-checked entries, (3) the aging
+#: tail by last-green-round ASCENDING (r5 stragglers first).
 _DRIVER_PRIORITY = [
-    "zorder_key_accounting",
     "multimodal_real_decode_stats",
-    "media_frame_sample",
-    "mjpeg_avi_decode",
-    "tiff_image_decode",
     "cross_format_image_dedup",
+    "tiff_image_decode",
+    "media_frame_sample",
+    "zorder_key_accounting",
+    "mjpeg_avi_decode",
     "container_metadata_stats",
     "knn_batch_queries",
     "ivf_search_indexed",

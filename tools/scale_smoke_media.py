@@ -18,6 +18,8 @@ real feature passes end-to-end:
 - ``mjpeg``  — sample_frames(fake=False) PIXEL decode over MJPEG AVIs
   (round 12: per-frame JPEG entropy decode, the heaviest kernel —
   half the assets ship DHT-less so the Annex-K splice is in the loop)
+- ``imagefp`` — image_fingerprints over the image mix (round 12: the
+  cross-format dedup key pass — full pixel decode + plane md5)
 
 Usage: python tools/scale_smoke_media.py [mults...]  (default 1 4 16)
 One JSON line per (kind, mult); paste into docs/SCALING_RESULTS.md.
@@ -39,6 +41,7 @@ from datalakehouse_spark.operators.multimodal import (  # noqa: E402
     extract_audio_features,
     extract_features,
     extract_video_features,
+    image_fingerprints,
     sample_frames,
 )
 from datalakehouse_spark.session import get_spark  # noqa: E402
@@ -90,8 +93,8 @@ def _gen_payloads(kind: str):
             ids, types, payloads = [], [], []
             for aid, text in zip(pdf["asset_id"], pdf["text"]):
                 bts = text.encode("utf-8")[:64].ljust(64, b"x")
-                m = aid % 5 if kind == "image" else aid % 4
-                if kind == "image":
+                m = aid % 5 if kind in ("image", "imagefp") else aid % 4
+                if kind in ("image", "imagefp"):
                     if m == 0:
                         p = encode_png(16, 4, bts, color_type=0)
                     elif m == 1:
@@ -149,6 +152,7 @@ def main() -> None:
         "audio": extract_audio_features,
         "video": extract_video_features,
         "mjpeg": lambda df: sample_frames(df, stride=1, fake=False),
+        "imagefp": image_fingerprints,
     }
     for kind, fn in passes.items():
         for mult in mults:
