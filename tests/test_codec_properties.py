@@ -125,3 +125,133 @@ def test_avi_32bpp_and_topdown_normalize_to_same_fingerprint():
 
     (_, rgb32), = avi_iter_frames(bytes(patched))
     assert rgb32 == rgb
+
+
+# -- round 12 kernels ----------------------------------------------------------
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=40),
+    height=st.integers(min_value=1, max_value=12),
+    color=st.booleans(),
+    big_endian=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_tiff_roundtrip_property(width, height, color, big_endian, seed):
+    from datalakehouse_spark.functions.tiff import decode_tiff, encode_tiff
+
+    nch = 3 if color else 1
+    px = bytes((seed * 2654435761 + i * 40503) % 256 for i in range(width * height * nch))
+    w, h, luma = decode_tiff(encode_tiff(width, height, px, color=color, big_endian=big_endian))
+    assert (w, h) == (width, height)
+    if not color:
+        assert luma == px
+    else:
+        assert luma == bytes(
+            (px[3 * i] * 19595 + px[3 * i + 1] * 38470 + px[3 * i + 2] * 7471 + 0x8000)
+            >> 16
+            for i in range(width * height)
+        )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=520),  # rows > 255 force multi-run RLE
+    height=st.integers(min_value=1, max_value=5),
+    bpp=st.sampled_from([4, 8]),
+    absolute_prefix=st.sampled_from([0, 3, 5]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_bmp_rle_roundtrip_property(width, height, bpp, absolute_prefix, seed):
+    from datalakehouse_spark.functions.bmp import decode_bmp, encode_bmp_rle
+
+    n_idx = 1 << bpp
+    pal = [((i * 7) % 256, (i * 13) % 256, (i * 29) % 256) for i in range(n_idx)]
+    # mix long runs with noise so both RLE modes and 255-run splits hit
+    idx = bytes(
+        (seed + i // 97) % n_idx if (i % 5) else (seed * 31 + i) % n_idx
+        for i in range(width * height)
+    )
+    if absolute_prefix and width < absolute_prefix:
+        absolute_prefix = 0
+    w, h, luma = decode_bmp(
+        encode_bmp_rle(width, height, idx, pal, bpp=bpp, absolute_prefix=absolute_prefix)
+    )
+    assert (w, h) == (width, height)
+    assert luma == bytes(
+        (pal[i][0] * 19595 + pal[i][1] * 38470 + pal[i][2] * 7471 + 0x8000) >> 16
+        for i in idx
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=2000),
+    height=st.integers(min_value=1, max_value=1200),
+    n_frames=st.integers(min_value=0, max_value=40),
+    fps=st.integers(min_value=1, max_value=120),
+    webm=st.booleans(),
+    laced=st.booleans(),
+)
+def test_mkv_stats_property(width, height, n_frames, fps, webm, laced):
+    from datalakehouse_spark.functions.mkv import encode_mkv_stub, mkv_video_stats
+
+    p = encode_mkv_stub(width, height, n_frames, fps=float(fps), webm=webm, laced_pairs=laced)
+    w, h, got_fps, nf, dur = mkv_video_stats(p)
+    assert (w, h, nf) == (width, height, n_frames)
+    dd = round(1e9 / fps)
+    assert abs(got_fps - 1e9 / dd) < 1e-9
+    assert abs(dur - n_frames * dd / 1e6) < 1e-9
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_samples=st.integers(min_value=0, max_value=2**40),
+    rate=st.integers(min_value=1, max_value=192_000),
+    channels=st.integers(min_value=1, max_value=8),
+    opus=st.booleans(),
+)
+def test_ogg_stats_property(n_samples, rate, channels, opus):
+    from datalakehouse_spark.functions.ogg import encode_ogg_stub, ogg_audio_stats
+
+    r, ch, ns, dur = ogg_audio_stats(encode_ogg_stub(n_samples, rate, channels, opus=opus))
+    exp_rate = 48000 if opus else rate
+    assert (r, ch, ns) == (exp_rate, channels, n_samples)
+    assert dur == n_samples * 1000.0 / exp_rate
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_samples=st.integers(min_value=0, max_value=(1 << 36) - 1),
+    rate=st.integers(min_value=1, max_value=(1 << 20) - 1),
+    channels=st.integers(min_value=1, max_value=8),
+    bps=st.sampled_from([8, 16, 24, 32]),
+)
+def test_flac_stats_property(n_samples, rate, channels, bps):
+    from datalakehouse_spark.functions.flac import encode_flac_stub, flac_audio_stats
+
+    r, ch, ns, dur = flac_audio_stats(
+        encode_flac_stub(n_samples, rate, channels, bits_per_sample=bps)
+    )
+    assert (r, ch, ns) == (rate, channels, n_samples)
+    assert dur == n_samples * 1000.0 / rate
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    width=st.integers(min_value=1, max_value=24),
+    height=st.integers(min_value=1, max_value=16),
+    depth=st.sampled_from([1, 2, 4]),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_png_subbyte_property(width, height, depth, interlace, seed):
+    from datalakehouse_spark.functions.png import decode_png, encode_png
+
+    samples = bytes((seed * 48271 + i * 137) % (1 << depth) for i in range(width * height))
+    scale = 255 // ((1 << depth) - 1)
+    got = decode_png(
+        encode_png(width, height, samples, color_type=0, bit_depth=depth, interlace=interlace)
+    )
+    assert got == (width, height, bytes(v * scale for v in samples))
