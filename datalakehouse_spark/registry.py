@@ -65,6 +65,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 EAGER_BUILD_ENTRIES = frozenset(
     {
         # materializing surfaces
+        "bucketed_colocated_join",  # bucketed-table writes (session-memoized)
         "merge_upsert_risk",
         "jsonl_ingest_roundtrip",
         "csv_ingest_roundtrip",
@@ -695,14 +696,14 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver coverage rotation (round 12 closing, regenerated after the
-#: post-close codec batch — png/jpeg/bmp kernel changes re-queue every
-#: entry whose decode path they feed): (1) code-changed
-#: (multimodal_real_decode_stats, cross_format_image_dedup,
-#: tiff_image_decode, media_frame_sample, zorder_key_accounting),
-#: (2) the round's new never-driver-checked entries, (3) the aging
-#: tail by last-green-round ASCENDING (r5 stragglers first).
+#: Driver coverage rotation (round 12 final, tools/rotation_helper.py
+#: with the round's code-changed entries as argv): the
+#: kernel/plan-changed entries and the five new oracle entries lead the
+#: ~50-entry driver window, then the aging tail by last-green-round
+#: ASCENDING (r5 stragglers knn_batch_queries/ivf_search_indexed
+#: first, then the r6/r7/r8 cohorts).
 _DRIVER_PRIORITY = [
+    "bucketed_colocated_join",
     "multimodal_real_decode_stats",
     "cross_format_image_dedup",
     "tiff_image_decode",

@@ -816,3 +816,27 @@ def test_page_after_helper_compiles_same_shape(spark):
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan  # no standalone global sort node
+
+
+def test_bucketed_join_has_no_exchange_under_the_join(spark):
+    """Round 12 — the scale mandate's "bucketing for co-located joins":
+    both fact tables bucketed on orderkey with the same bucket count
+    must join WITHOUT a shuffle on either side (broadcast disabled so
+    AQE can't sidestep the property); the only Exchanges left are the
+    aggregate and the final sort."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["bucketed_colocated_join"].fn(spark, SF)
+        # tree-form plan (explain("formatted") appends node DETAIL
+        # blocks after the tree, so textual slicing there lies about
+        # what sits below the join)
+        tree = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Bucketed: true" in tree, "scans must read the bucketed layout"
+    assert "SelectedBucketsCount: 8 out of 8" in tree
+    assert "SortMergeJoin" in tree
+    below_join = tree[tree.index("SortMergeJoin") :]
+    assert "Exchange" not in below_join, "join sides must be co-located"
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 2, f"only agg + sort may shuffle, saw {shuffles}"

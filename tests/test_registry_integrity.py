@@ -96,6 +96,11 @@ def test_eager_build_class_is_exact(spark):
         _e1._COARSE_CACHE.clear()
         _e4._PQ_INDEX_CACHE.clear()
         _e4._IVFPQ_INDEX_CACHE.clear()
+        # the bucketed-join entry memoizes through the session catalog
+        # (tableExists) — drop its tables so the build is cold here too
+        for t in spark.catalog.listTables():
+            if t.name.startswith("bkt_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
     sc = spark.sparkContext
     observed = set()

@@ -68,6 +68,9 @@ AUDITED = {
     "pixels never shuffle",
     "zorder_key_accounting": "scan -> magic-number bit-spread projection (pure "
     "JVM codegen, round 12) -> partial+final hash aggregate, one shuffle",
+    "bucketed_colocated_join": "both sides Bucketed: true, SortMergeJoin with "
+    "NO Exchange below it — the only shuffles are the 5-group aggregate and "
+    "the final sort (round 12)",
 }
 
 MARKERS = [
