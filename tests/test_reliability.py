@@ -120,3 +120,156 @@ def test_hyperplane_lsh_buckets(spark, sf_small):
     assert {r.vec_id: r.bucket for r in rows} == again
     # buckets actually partition the space (not all one value)
     assert len({r.bucket for r in rows}) > 1
+
+
+# -- round 12: transformWithStateInPandas inactivity monitor -------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def registerTimer(self, ts):
+        self.timers.add(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.discard(ts)
+
+
+class _FakeTimerValues:
+    def __init__(self, now_ms):
+        self._now = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
+
+
+def test_device_inactivity_processor_state_machine():
+    """The Spark-4 StatefulProcessor's logic, driven with fakes (no
+    Spark worker): totals accumulate in integer cents, each batch
+    re-arms exactly ONE timer (the previous one is deleted), expiry
+    emits the final totals and clears state so a revived device starts
+    a fresh session."""
+    import pandas as pd
+
+    from datalakehouse_spark.streaming.reliability import (
+        DeviceInactivityProcessor,
+    )
+
+    p = DeviceInactivityProcessor(timeout_ms=1000)
+    h = _FakeHandle()
+    p.init(h)
+
+    (out1,) = list(
+        p.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [1.25, 2.505]})]),
+            _FakeTimerValues(10_000),
+        )
+    )
+    # float64(2.505) is exactly 2.50499999...: HALF_UP on the exact
+    # expansion gives 2.50 — the documented CAST-matching quantization
+    assert out1.iloc[0].tolist() == [7, "update", 2, 3.75]
+    assert h.timers == {11_000}
+
+    (out2,) = list(
+        p.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [10.0]})]),
+            _FakeTimerValues(10_500),
+        )
+    )
+    assert out2.iloc[0].tolist() == [7, "update", 3, 13.75]
+    assert h.timers == {11_500}, "previous timer must be deleted on re-arm"
+
+    h.timers.discard(11_500)  # Spark consumes a timer when it fires
+    (off,) = list(p.handleExpiredTimer((7,), _FakeTimerValues(11_600), None))
+    assert off.iloc[0].tolist() == [7, "offline", 3, 13.75]
+    assert not h.states["agg"].exists() and not h.states["t"].exists()
+
+    # revival: fresh session from zero
+    (out3,) = list(
+        p.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [0.5]})]),
+            _FakeTimerValues(20_000),
+        )
+    )
+    assert out3.iloc[0].tolist() == [7, "update", 1, 0.5]
+    assert h.timers == {21_000}
+
+
+def test_device_monitor_end_to_end_when_protobuf_present(spark, tmp_path):
+    """Full timer scenario over a real stream — runs wherever Spark's
+    transformWithState protocol can (needs protobuf; skipped in this
+    container, the Pillow/Iceberg-jar guard pattern)."""
+    pytest.importorskip("google.protobuf")
+    import json as _json
+    import time as _time
+
+    from datalakehouse_spark.streaming.reliability import (
+        device_activity_monitor,
+        monitor_confs,
+    )
+
+    old = {}
+    for k, v in monitor_confs().items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    src = tmp_path / "in"
+    src.mkdir()
+    try:
+        stream = spark.readStream.schema("user_id long, value double").json(
+            str(src)
+        )
+        q = (
+            device_activity_monitor(stream, timeout_ms=800)
+            .writeStream.format("memory")
+            .queryName("monitor_e2e")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+        def drop(name, rows):
+            (src / f"{name}.json").write_text(
+                "\n".join(_json.dumps(r) for r in rows)
+            )
+
+        drop("a", [{"user_id": 1, "value": 1.25}, {"user_id": 1, "value": 2.5}])
+        q.processAllAvailable()
+        _time.sleep(1.2)
+        drop("b", [{"user_id": -1, "value": 0.0}])  # flushes 1's timer
+        q.processAllAvailable()
+        q.stop()
+        off = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql(
+                "SELECT * FROM monitor_e2e WHERE kind = 'offline'"
+            ).collect()
+        }
+        assert off == {1: (2, 3.75)}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
