@@ -190,6 +190,10 @@ def _iter_jpeg_segments(jpeg: bytes):
     pos = 2
     while pos + 2 <= len(jpeg):
         _expect(jpeg[pos] == 0xFF, "bad JPEG marker stream")
+        # spec-legal fill: any run of 0xFF may pad before a marker id
+        # (ADVICE r12: padded MJPEG frames used to read 0xFF as the id)
+        while pos + 2 <= len(jpeg) and jpeg[pos + 1] == 0xFF:
+            pos += 1
         marker = jpeg[pos + 1]
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             yield marker, pos, 2
@@ -204,9 +208,11 @@ def _iter_jpeg_segments(jpeg: bytes):
     raise AviError("JPEG frame has no SOS")
 
 
-def _standard_dht_blob() -> bytes:
-    """The four Annex-K standard Huffman tables as DHT segments —
-    what a DHT-less MJPEG frame implies (OpenDML convention)."""
+def _standard_dht_blob(missing: set[tuple[int, int]] | None = None) -> bytes:
+    """The Annex-K standard Huffman tables as DHT segments — what a
+    DHT-less MJPEG frame implies (OpenDML convention).  ``missing``
+    restricts the blob to the named ``(table_class, table_id)`` pairs
+    (a frame carrying PARTIAL tables gets only the absent ones)."""
     from datalakehouse_spark.functions.jpeg import (
         _STD_AC_CHR,
         _STD_AC_LUM,
@@ -215,27 +221,66 @@ def _standard_dht_blob() -> bytes:
         _dht_segment,
     )
 
-    return (
-        _dht_segment(0, 0, _STD_DC_LUM)
-        + _dht_segment(1, 0, _STD_AC_LUM)
-        + _dht_segment(0, 1, _STD_DC_CHR)
-        + _dht_segment(1, 1, _STD_AC_CHR)
+    std = {
+        (0, 0): _STD_DC_LUM,
+        (1, 0): _STD_AC_LUM,
+        (0, 1): _STD_DC_CHR,
+        (1, 1): _STD_AC_CHR,
+    }
+    return b"".join(
+        _dht_segment(cls, tid, spec)
+        for (cls, tid), spec in std.items()
+        if missing is None or (cls, tid) in missing
     )
+
+
+def _dht_tables_present(jpeg: bytes, start: int, length: int) -> set[tuple[int, int]]:
+    """``(table_class, table_id)`` pairs defined by the DHT segment at
+    ``start`` (one segment may pack several tables: 1 id byte, 16 count
+    bytes, then the coded values)."""
+    present: set[tuple[int, int]] = set()
+    pos, end = start + 4, start + length  # skip marker + length field
+    while pos + 17 <= end:
+        present.add((jpeg[pos] >> 4, jpeg[pos] & 0x0F))
+        pos += 17 + sum(jpeg[pos + 1 : pos + 17])
+    return present
+
+
+def _sos_tables_needed(jpeg: bytes, sos_at: int, sos_len: int) -> set[tuple[int, int]]:
+    """``(table_class, table_id)`` pairs the SOS component spec
+    references (per component: Td<<4 | Ta selector byte)."""
+    needed: set[tuple[int, int]] = set()
+    _expect(sos_at + 5 <= len(jpeg), "truncated SOS")
+    ns = jpeg[sos_at + 4]
+    _expect(sos_at + 5 + 2 * ns <= sos_at + sos_len, "truncated SOS components")
+    for i in range(ns):
+        sel = jpeg[sos_at + 6 + 2 * i]
+        needed.add((0, sel >> 4))
+        needed.add((1, sel & 0x0F))
+    return needed
 
 
 def _ensure_dht(jpeg: bytes) -> bytes:
     """Return ``jpeg`` with Huffman tables guaranteed present: MJPEG
-    writers commonly omit DHT (decoders must assume the standard
-    tables); splice them in immediately before SOS when absent."""
+    writers commonly omit DHT entirely, or carry a PARTIAL set (e.g.
+    DC but not AC — ADVICE r12); decoders must assume the Annex-K
+    standard tables for whatever is absent.  Splices the standard
+    tables the SOS references but no DHT defines, immediately before
+    SOS; a frame whose referenced tables are all present is returned
+    unchanged (idempotence)."""
     sos_at = None
-    for marker, start, _length in _iter_jpeg_segments(jpeg):
+    present: set[tuple[int, int]] = set()
+    for marker, start, length in _iter_jpeg_segments(jpeg):
         if marker == 0xC4:
-            return jpeg  # has its own tables
+            present |= _dht_tables_present(jpeg, start, length)
         if marker == 0xDA:
-            sos_at = start
+            sos_at, sos_len = start, length
             break
     _expect(sos_at is not None, "JPEG frame has no SOS")
-    return jpeg[:sos_at] + _standard_dht_blob() + jpeg[sos_at:]
+    missing = _sos_tables_needed(jpeg, sos_at, sos_len) - present
+    if not missing:
+        return jpeg
+    return jpeg[:sos_at] + _standard_dht_blob(missing) + jpeg[sos_at:]
 
 
 def _strip_dht(jpeg: bytes) -> bytes:

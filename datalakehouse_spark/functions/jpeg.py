@@ -389,6 +389,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes]:
             raise JpegError("truncated marker stream")
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at {pos}, got {data[pos]:#x}")
+        # spec-legal fill: any run of 0xFF may pad before a marker id
+        while pos + 2 <= len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD8:  # stray SOI

@@ -157,6 +157,10 @@ def mkv_video_stats(payload: bytes) -> tuple[int, int, float, int, float]:
     default_duration = 0
     video_track = None
     n_frames = 0
+    # clusters may legally PRECEDE Tracks in streamed/live Matroska
+    # (ADVICE r12), so collect their ranges during the walk and count
+    # blocks once the video track number is resolved
+    cluster_ranges: list[tuple[int, int]] = []
 
     for eid, s, e in _elements(payload, segment[0], segment[1]):
         if eid == _INFO:
@@ -187,20 +191,23 @@ def mkv_video_stats(payload: bytes) -> tuple[int, int, float, int, float]:
                     video_track = t_num
                     default_duration = dd
                     width, height = w, h
-        elif eid == _CLUSTER and video_track is not None:
-            for cid, cs, ce in _elements(payload, s, e):
-                if cid == _SIMPLE_BLOCK:
-                    track, nf = _block_frames(payload, cs, ce)
-                    if track == video_track:
-                        n_frames += nf
-                elif cid == _BLOCK_GROUP:
-                    for gid, gs, ge in _elements(payload, cs, ce):
-                        if gid == _BLOCK:
-                            track, nf = _block_frames(payload, gs, ge)
-                            if track == video_track:
-                                n_frames += nf
+        elif eid == _CLUSTER:
+            cluster_ranges.append((s, e))
 
     _expect(video_track is not None, "no video track in Matroska file")
+
+    for s, e in cluster_ranges:
+        for cid, cs, ce in _elements(payload, s, e):
+            if cid == _SIMPLE_BLOCK:
+                track, nf = _block_frames(payload, cs, ce)
+                if track == video_track:
+                    n_frames += nf
+            elif cid == _BLOCK_GROUP:
+                for gid, gs, ge in _elements(payload, cs, ce):
+                    if gid == _BLOCK:
+                        track, nf = _block_frames(payload, gs, ge)
+                        if track == video_track:
+                            n_frames += nf
 
     if duration_ticks is not None:
         duration_ms = duration_ticks * scale / 1e6

@@ -32,7 +32,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["ensure_bucketed_table", "bucket_tag"]
+__all__ = ["ensure_bucketed_table", "bucket_tag", "default_bucket_count"]
 
 
 def bucket_tag(sf_dir: str) -> str:
@@ -41,27 +41,45 @@ def bucket_tag(sf_dir: str) -> str:
     return re.sub(r"[^0-9a-z]+", "_", sf_dir.lower()).strip("_")
 
 
+def default_bucket_count(spark: SparkSession) -> int:
+    """The capacity rule, in the API (round 13; the round-12 ladder
+    measured it — docs/SCALING_RESULTS.md: 8 buckets capped read
+    parallelism at 8 tasks and LOST to a plain shuffle join at 16x on
+    32 cores; 32 buckets won 2.2x): bucket count must be sized to the
+    cluster's task parallelism, so the default is
+    ``defaultParallelism`` (executors x cores locally; at 100 TB the
+    caller additionally sizes for data growth — a bucket should stay
+    well under an executor's memory)."""
+    return max(int(spark.sparkContext.defaultParallelism), 1)
+
+
 def ensure_bucketed_table(
     spark: SparkSession,
     df: DataFrame,
     name: str,
     key: str,
-    n_buckets: int = 8,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Materialize ``df`` as a parquet table bucketed (and sorted)
     on ``key`` unless the session catalog already has it; return the
-    table reader.  Overwrite mode clears stale files a previous
-    session left in the warehouse directory under the same name."""
+    table reader.  ``n_buckets`` defaults to the capacity rule
+    (:func:`default_bucket_count`) — an explicit constant is a
+    fixture-scale choice the caller owns."""
+    if n_buckets is None:
+        n_buckets = default_bucket_count(spark)
     if not spark.catalog.tableExists(name):
         # the default in-memory catalog forgets tables between sessions
         # but their files persist in the warehouse dir — creating a
         # managed table over a leftover location is LOCATION_ALREADY_
-        # EXISTS, so clear the orphan first
+        # EXISTS, so clear the orphan first.  Scoped to the bkt_
+        # fixture namespace: a shared/persistent warehouse may hold a
+        # live same-named table another session owns (ADVICE r12), and
+        # this helper must never delete data it didn't write.
         import shutil
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-        if wh:
+        if wh and name.startswith("bkt_"):
             shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
         (
             df.write.mode("overwrite")

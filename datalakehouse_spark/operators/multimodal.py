@@ -311,14 +311,16 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, float, float, float]:
     """REAL audio decode kernel: ``(sample_rate, n_channels, n_frames,
     duration_ms, rms, peak)`` — pure stdlib, runs on any executor.
 
-    WAV/PCM (functions/wav.py) decodes fully.  MP3 (functions/mp3.py,
-    round 11), Ogg Vorbis/Opus (functions/ogg.py, round 12: page walk,
-    last-granule sample count) and FLAC (functions/flac.py, round 12:
-    STREAMINFO bitfield) are METADATA passes: real
-    rate/channels/sample-count/duration, NaN rms/peak — PCM synthesis
-    of those codecs genuinely needs a codec library.  Other compressed
-    audio (aac/wma/...) raises NotImplementedError (the honest probe
-    contract)."""
+    WAV/PCM (functions/wav.py) decodes fully.  FLAC (functions/flac.py)
+    decodes fully as of round 13 — frames through the Rice/LPC kernel,
+    rms/peak over the reconstructed PCM, falling back to the round-12
+    STREAMINFO metadata pass (NaN rms/peak) for header-only payloads.
+    MP3 (functions/mp3.py, round 11) and Ogg Vorbis/Opus
+    (functions/ogg.py, round 12: page walk, last-granule sample count)
+    are METADATA passes: real rate/channels/sample-count/duration, NaN
+    rms/peak — Layer-III/Vorbis PCM synthesis genuinely needs a codec
+    library.  Other compressed audio (aac/wma/...) raises
+    NotImplementedError (the honest probe contract)."""
     from datalakehouse_spark.functions.wav import WavError, wav_pcm_stats
 
     if payload[:4] == b"RIFF":
@@ -334,10 +336,33 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, float, float, float]:
         rate, ch, n_samples, dur = ogg_audio_stats(payload)
         return rate, ch, n_samples, dur, float("nan"), float("nan")
     if payload[:4] == b"fLaC":
-        from datalakehouse_spark.functions.flac import flac_audio_stats
+        from datalakehouse_spark.functions.flac import (
+            FlacError,
+            flac_audio_stats,
+            flac_decode_pcm,
+        )
 
-        rate, ch, n_samples, dur = flac_audio_stats(payload)
-        return rate, ch, n_samples, dur, float("nan"), float("nan")
+        try:
+            rate, ch, bps, inter, _md5_ok = flac_decode_pcm(payload)
+        except FlacError:
+            # header-only / frameless payload: the metadata contract
+            rate, ch, n_samples, dur = flac_audio_stats(payload)
+            return rate, ch, n_samples, dur, float("nan"), float("nan")
+        n = len(inter)
+        frames = n // ch if ch else 0
+        if n == 0:
+            return rate, ch, 0, 0.0, 0.0, 0.0
+        scale = float(1 << (bps - 1))  # normalized [-1, 1], WAV contract
+        acc = 0.0
+        peak = 0.0
+        for s in inter:
+            v = s / scale
+            acc += v * v
+            a = -v if v < 0 else v
+            if a > peak:
+                peak = a
+        rms = (acc / n) ** 0.5
+        return rate, ch, frames, frames * 1000.0 / rate, rms, peak
     try:
         return wav_pcm_stats(payload)
     except WavError as exc:

@@ -66,6 +66,7 @@ EAGER_BUILD_ENTRIES = frozenset(
     {
         # materializing surfaces
         "bucketed_colocated_join",  # bucketed-table writes (session-memoized)
+        "bucketed_colocated_agg",  # shares the bucketed lineitem write
         "merge_upsert_risk",
         "jsonl_ingest_roundtrip",
         "csv_ingest_roundtrip",

