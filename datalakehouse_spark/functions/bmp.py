@@ -13,11 +13,16 @@ the PNG/JPEG/GIF kernels.
 Supported: BI_RGB at 1/4/8 (palettized) and 24/32 bits per pixel,
 bottom-up or top-down (negative height), BITMAPINFOHEADER and the
 larger V4/V5 headers (only the common leading fields are read),
-standard-mask 32-bit BITFIELDS, and — round 12 — BI_RLE8/BI_RLE4
-run-length compression (runs, absolute mode with word padding,
-end-of-line, end-of-bitmap, and delta skips, which leave index 0
-behind like most renderers).  Exotic profiles (non-standard
-BITFIELDS masks, 16-bit, PNG/JPEG-in-BMP) raise ``BmpError``.
+standard-mask 32-bit BITFIELDS, BI_RLE8/BI_RLE4 run-length
+compression (runs, absolute mode with word padding, end-of-line,
+end-of-bitmap, and delta skips, which leave index 0 behind like most
+renderers), and — round 13 — 16-bit RGB555 (BI_RGB's documented
+16bpp default and the equivalent BITFIELDS masks) and RGB565
+BITFIELDS.  16-bit channels expand to 8 bits by bit replication
+((v << 3) | (v >> 2) for 5-bit, (v << 2) | (v >> 4) for 6-bit) —
+exactly Pillow's BGR;15/BGR;16 unpackers — then feed the shared
+ITU-R 601-2 integer luma.  Exotic profiles (other BITFIELDS masks,
+PNG/JPEG-in-BMP) raise ``BmpError``.
 """
 
 from __future__ import annotations
@@ -31,13 +36,31 @@ __all__ = [
     "decode_bmp",
     "bmp_luma_stats",
     "encode_bmp",
+    "encode_bmp16",
     "encode_bmp_palette",
     "encode_bmp_rle",
+    "quantize_rgb555",
 ]
 
 
 class BmpError(ValueError):
     """Malformed or unsupported BMP payload."""
+
+
+_MASKS_555 = (0x7C00, 0x03E0, 0x001F)
+_MASKS_565 = (0xF800, 0x07E0, 0x001F)
+
+# bit-replication expansion tables (Pillow's BGR;15 / BGR;16 unpackers)
+_EXPAND5 = bytes(((v << 3) | (v >> 2)) for v in range(32))
+_EXPAND6 = bytes(((v << 2) | (v >> 4)) for v in range(64))
+
+
+def quantize_rgb555(rgb: bytes) -> bytes:
+    """Project RGB24 onto the RGB555-representable lattice (quantize by
+    truncation, expand by bit replication).  Idempotent; fixture
+    writers use it so a 16-bit re-encoding carries byte-identical
+    pixels to its 24-bit siblings."""
+    return bytes(_EXPAND5[v >> 3] for v in rgb)
 
 
 def _decode_rle(body: bytes, width: int, height: int, bpp: int) -> bytes:
@@ -106,6 +129,7 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
     (compression,) = struct.unpack("<I", data[30:34])
     if width <= 0 or height == 0:
         raise BmpError("bad BMP dimensions")
+    masks = None
     if compression == 3 and bpp == 32:
         # BI_BITFIELDS with the STANDARD masks is byte-identical to
         # BI_RGB BGRX (the form V4/V5 writers emit — Python's own
@@ -115,6 +139,13 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
         masks = struct.unpack("<III", data[masks_at : masks_at + 12])
         if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
             raise BmpError(f"non-standard BITFIELDS masks {masks}")
+    elif compression == 3 and bpp == 16:
+        # the only two 16-bit layouts in the wild: RGB555 (what BI_RGB
+        # 16bpp means per the spec) and RGB565
+        masks_at = 14 + 40 if hdr_size > 40 else 14 + hdr_size
+        masks = struct.unpack("<III", data[masks_at : masks_at + 12])
+        if masks not in (_MASKS_555, _MASKS_565):
+            raise BmpError(f"non-standard 16-bit BITFIELDS masks {masks}")
     elif compression == 1 or compression == 2:
         if (compression == 1) != (bpp == 8) or (compression == 2) != (bpp == 4):
             raise BmpError(f"RLE{8 if compression == 1 else 4} needs matching bpp, got {bpp}")
@@ -122,12 +153,39 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
             raise BmpError("top-down RLE BMP is invalid")
     elif compression != 0:
         raise BmpError(f"compressed BMP (type {compression}) not supported")
-    if bpp not in (1, 4, 8, 24, 32):
-        raise BmpError(f"{bpp}-bit BMP not supported (need 1/4/8/24/32)")
+    if bpp not in (1, 4, 8, 16, 24, 32):
+        raise BmpError(f"{bpp}-bit BMP not supported (need 1/4/8/16/24/32)")
     h = abs(height)
     if pixel_off < 14 + hdr_size or pixel_off > len(data):
         raise BmpError("bad pixel data offset")
     body = data[pixel_off:]
+
+    if bpp == 16:
+        # RGB555 (BI_RGB 16bpp default, or the matching BITFIELDS) and
+        # RGB565: little-endian uint16 per pixel, rows padded to 4
+        # bytes; channels bit-replicate to 8 bits (Pillow-identical)
+        is565 = masks == _MASKS_565
+        stride = ((width * 2) + 3) & ~3
+        if len(body) < stride * h:
+            raise BmpError("pixel data shorter than dimensions")
+        top_down = height < 0
+        luma = bytearray(width * h)
+        for r in range(h):
+            src = r if top_down else h - 1 - r
+            row = body[src * stride : src * stride + 2 * width]
+            for i in range(width):
+                px = row[2 * i] | (row[2 * i + 1] << 8)
+                if is565:
+                    rc = _EXPAND5[(px >> 11) & 0x1F]
+                    gc = _EXPAND6[(px >> 5) & 0x3F]
+                else:
+                    rc = _EXPAND5[(px >> 10) & 0x1F]
+                    gc = _EXPAND5[(px >> 5) & 0x1F]
+                bc = _EXPAND5[px & 0x1F]
+                luma[r * width + i] = (
+                    rc * 19595 + gc * 38470 + bc * 7471 + 0x8000
+                ) >> 16
+        return width, h, bytes(luma)
 
     if bpp in (24, 32):
         try:
@@ -221,6 +279,49 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
         0, 0,
     )
     return header + info + bytes(body)
+
+
+def encode_bmp16(
+    width: int, height: int, rgb: bytes, fmt: int = 555,
+    bitfields: bool = False,
+) -> bytes:
+    """16-bit bottom-up fixture writer (``rgb`` is top-down row-major
+    RGB24, quantized by truncation).  ``fmt=555`` writes BI_RGB by
+    default (the spec's 16bpp meaning) or explicit BITFIELDS masks
+    with ``bitfields=True``; ``fmt=565`` always writes BITFIELDS (the
+    only legal way to say 565)."""
+    if len(rgb) != width * height * 3:
+        raise BmpError(
+            f"pixel buffer is {len(rgb)} bytes, need {width * height * 3}"
+        )
+    if fmt not in (555, 565):
+        raise BmpError("fmt must be 555 or 565")
+    use_masks = bitfields or fmt == 565
+    stride = ((width * 2) + 3) & ~3
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray(stride)
+        for x in range(width):
+            o = (r * width + x) * 3
+            if fmt == 565:
+                px = ((rgb[o] >> 3) << 11) | ((rgb[o + 1] >> 2) << 5) | (rgb[o + 2] >> 3)
+            else:
+                px = ((rgb[o] >> 3) << 10) | ((rgb[o + 1] >> 3) << 5) | (rgb[o + 2] >> 3)
+            row[2 * x] = px & 0xFF
+            row[2 * x + 1] = px >> 8
+        body += row
+    masks = (
+        struct.pack("<III", *(_MASKS_565 if fmt == 565 else _MASKS_555))
+        if use_masks
+        else b""
+    )
+    off = 54 + len(masks)
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 16, 3 if use_masks else 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    return header + info + masks + bytes(body)
 
 
 def _bmp_wrap(

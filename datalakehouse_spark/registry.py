@@ -697,63 +697,26 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver coverage rotation (round 12 final, tools/rotation_helper.py
-#: with the round's code-changed entries as argv): the
-#: kernel/plan-changed entries and the five new oracle entries lead the
-#: ~50-entry driver window, then the aging tail by last-green-round
-#: ASCENDING (r5 stragglers knn_batch_queries/ivf_search_indexed
-#: first, then the r6/r7/r8 cohorts).
+#: Driver coverage rotation (round 13, tools/rotation_helper.py with the
+#: round's code-changed entries as argv — reproducible from the
+#: provenance constants below, enforced by test_registry_integrity):
+#: the kernel/plan-changed and new oracle entries lead the ~50-entry
+#: driver window, then the aging tail by last-green-round ASCENDING —
+#: the r6/r7-stale cohort (containment_near_dup .. spatial_knn) all
+#: land inside the window, closing the last freshness debt.
+_DRIVER_ROTATION_CHANGED = ['bucketed_colocated_agg', 'flac_pcm_decode', 'bmp16_image_decode', 'bucketed_colocated_join', 'tiff_image_decode', 'cross_format_image_dedup', 'multimodal_real_decode_stats', 'media_frame_sample', 'mjpeg_avi_decode', 'container_metadata_stats']
+_DRIVER_ROTATION_ASOF = 12
 _DRIVER_PRIORITY = [
+    "bucketed_colocated_agg",
+    "flac_pcm_decode",
+    "bmp16_image_decode",
     "bucketed_colocated_join",
-    "multimodal_real_decode_stats",
-    "cross_format_image_dedup",
     "tiff_image_decode",
+    "cross_format_image_dedup",
+    "multimodal_real_decode_stats",
     "media_frame_sample",
-    "zorder_key_accounting",
     "mjpeg_avi_decode",
     "container_metadata_stats",
-    "knn_batch_queries",
-    "ivf_search_indexed",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_value",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q20_surplus_suppliers",
-    "q21_sole_blame",
-    "incremental_mv_maintenance",
-    "chunk_dedup_stats",
-    "streaming_incremental_mv",
-    "rolling_time_window",
-    "stats_moments",
-    "pq_build_stats",
-    "pq_search",
-    "ivf_pq_search",
-    "pq_recall_accounting",
-    "trip_distance_daily",
-    "speeding_segments",
-    "running_distinct_users",
-    "markov_transitions",
-    "ewma_daily",
-    "token_entropy",
-    "pii_redaction",
-    "engagement_bitmap",
-    "grid_density",
-    "prefix_dedup_stats",
-    "kmv_distinct_sketch",
-    "dq_expectations",
-    "growth_rates",
-    "mad_outliers",
-    "shingle_novelty_daily",
-    "distribution_rebalance",
-    "fuzzy_dup_candidates",
-    "hierarchy_rollup",
-    "debounce_events",
-    "purchase_attribution",
-    "dow_seasonality",
-    "anomaly_days",
-    "bloom_membership_accounting",
-    "bigram_logprob_quality",
     "containment_near_dup",
     "winback_users",
     "zipf_token_ranks",
@@ -931,6 +894,49 @@ _DRIVER_PRIORITY = [
     "versioned_branch_evolution",
     "filebus_kafka_ingest",
     "dup_span_excision_apply",
+    "knn_batch_queries",
+    "zorder_key_accounting",
+    "ivf_search_indexed",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_value",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q20_surplus_suppliers",
+    "q21_sole_blame",
+    "incremental_mv_maintenance",
+    "chunk_dedup_stats",
+    "streaming_incremental_mv",
+    "rolling_time_window",
+    "stats_moments",
+    "pq_build_stats",
+    "pq_search",
+    "ivf_pq_search",
+    "pq_recall_accounting",
+    "trip_distance_daily",
+    "speeding_segments",
+    "running_distinct_users",
+    "markov_transitions",
+    "ewma_daily",
+    "token_entropy",
+    "pii_redaction",
+    "engagement_bitmap",
+    "grid_density",
+    "prefix_dedup_stats",
+    "kmv_distinct_sketch",
+    "dq_expectations",
+    "growth_rates",
+    "mad_outliers",
+    "shingle_novelty_daily",
+    "distribution_rebalance",
+    "fuzzy_dup_candidates",
+    "hierarchy_rollup",
+    "debounce_events",
+    "purchase_attribution",
+    "dow_seasonality",
+    "anomaly_days",
+    "bloom_membership_accounting",
+    "bigram_logprob_quality",
 ]
 
 

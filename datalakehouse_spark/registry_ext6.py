@@ -1806,12 +1806,21 @@ WITH d AS (
     FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_XFD_N})
     WHERE length(text) >= 64
       AND regexp_matches(text, '^[ -~]*$')
+),
+q AS (
+    SELECT doc_id,
+           md5(list_reduce(
+               [chr(CAST((unicode(substr(t, i, 1)) // 8) * 8
+                    + (unicode(substr(t, i, 1)) // 8) // 4 AS INTEGER))
+                FOR i IN range(1, 65)],
+               (a, x) -> a || x)) AS pm
+    FROM d
 )
-SELECT md5(substr(t, 1, 64)) AS pixel_md5,
-       CAST(4 * COUNT(*) AS BIGINT) AS n_assets,
+SELECT pm AS pixel_md5,
+       CAST(5 * COUNT(*) AS BIGINT) AS n_assets,
        16 AS width, 4 AS height
-FROM d
-GROUP BY md5(substr(t, 1, 64))
+FROM q
+GROUP BY pm
 ORDER BY pixel_md5
 """
 
@@ -1819,7 +1828,7 @@ ORDER BY pixel_md5
 @register(
     "cross_format_image_dedup",
     _XFD_SQL,
-    "cross-container pixel dedup: PNG/BMP/TIFF/GIF of the same pixels collapse",
+    "cross-container pixel dedup: PNG/BMP/TIFF/GIF/BMP16 of the same pixels collapse",
 )
 def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal dedup operator a training corpus needs: the SAME
@@ -1827,14 +1836,17 @@ def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup misses it — pixel-level fingerprints
     (``operators.multimodal.image_fingerprints``: decode to the 8-bit
     luma plane, md5) collapse them.  Each document's leading 64 bytes
-    are encoded as gray PNG, 24-bit BMP (r=g=b), baseline TIFF, and a
-    gray-palette GIF — four byte-DIFFERENT payloads of byte-IDENTICAL
-    pixels — and the fingerprint groupBy must collapse every doc's
-    four formats into ONE cluster (n_assets = 4 x docs sharing that
-    content; two docs with identical leading bytes merge too, exactly
-    like real dedup).  The oracle needs no codec at all: the shared
-    ITU-R 601-2 integer luma maps gray pixels to themselves in all
-    four kernels, so the fingerprint IS md5 of the text bytes.
+    quantize onto the RGB555 lattice (round 13 — so the 16-bit
+    re-encoding is lossless) and are encoded as gray PNG, 24-bit BMP
+    (r=g=b), baseline TIFF, a gray-palette GIF, and a 16-bit RGB555
+    BMP — five byte-DIFFERENT payloads of byte-IDENTICAL pixels — and
+    the fingerprint groupBy must collapse every doc's five formats
+    into ONE cluster (n_assets = 5 x docs sharing that content; two
+    docs with identical leading bytes merge too, exactly like real
+    dedup).  The oracle needs no codec at all: the shared ITU-R 601-2
+    integer luma maps gray pixels to themselves in all five kernels,
+    so the fingerprint is md5 of the 5-bit-expanded text bytes, which
+    DuckDB rebuilds with chr() (expanded values stay ASCII).
 
     Scale shape: synthesize (1->4 fan-out) and fingerprint are
     back-to-back mapInPandas passes (no shuffle, no driver traffic);
@@ -1854,7 +1866,8 @@ def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def synth(it):
-        from datalakehouse_spark.functions.bmp import encode_bmp
+        from datalakehouse_spark.functions.bmp import (
+            encode_bmp, encode_bmp16, quantize_rgb555)
         from datalakehouse_spark.functions.gif import encode_gif
         from datalakehouse_spark.functions.png import encode_png
         from datalakehouse_spark.functions.tiff import encode_tiff
@@ -1863,7 +1876,10 @@ def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                bts = text.encode("utf-8")[:64]
+                raw = text.encode("utf-8")[:64]
+                # project onto the RGB555 lattice so the 16-bit BMP
+                # carries the SAME pixels as its 8-bit-channel siblings
+                bts = quantize_rgb555(raw)
                 rgb = bytes(v for b in bts for v in (b, b, b))
                 for k, p in enumerate(
                     (
@@ -1871,9 +1887,10 @@ def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         encode_bmp(16, 4, rgb),
                         encode_tiff(16, 4, bts),
                         encode_gif(16, 4, bts, grays),
+                        encode_bmp16(16, 4, rgb, 555),
                     )
                 ):
-                    ids.append(int(doc_id) * 4 + k)
+                    ids.append(int(doc_id) * 5 + k)
                     payloads.append(p)
             yield _pd.DataFrame({"asset_id": ids, "payload": payloads})
 
@@ -2461,6 +2478,134 @@ def q_flac_pcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "asset_id", "sample_rate", "bps", "n_samples",
                     "mono_checksum", "stereo_checksum",
                     "mono_md5_ok", "stereo_md5_ok",
+                ],
+            )
+
+    return d.mapInPandas(batches, schema=schema).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# bmp16_image_decode: 16-bit RGB555/RGB565 BMP pixels on the oracle
+# surface (round 13)
+# ---------------------------------------------------------------------------
+
+_B16_N = 60
+_B16_W, _B16_H = 16, 4
+
+_B16_BYTES = "[CAST(unicode(substr(t, i, 1)) AS BIGINT) FOR i IN range(1, 65)]"
+
+# 5-bit bit-replication expansion of a gray byte (quantize by
+# truncation, expand (v << 3) | (v >> 2)) — for gray pixels the house
+# ITU-R 601-2 luma hands this value straight back
+_B16_E5 = "((x // 8) * 8 + (x // 8) // 4)"
+# RGB565 of a gray byte: r=b are 5-bit, g is 6-bit; luma coefficients
+# fold to e5*(19595+7471) + e6*38470
+_B16_E6 = "((x // 4) * 4 + (x // 4) // 16)"
+_B16_L565 = f"(({_B16_E5} * 27066 + {_B16_E6} * 38470 + 32768) >> 16)"
+
+_B16_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_B16_N})
+    WHERE length(text) >= 64
+      AND regexp_matches(text, '^[ -~]*$')
+),
+b AS (SELECT doc_id, {_B16_BYTES} AS bv FROM d),
+p AS (
+    SELECT doc_id,
+           [{_B16_E5} FOR x IN bv] AS l555,
+           [{_B16_L565} FOR x IN bv] AS l565
+    FROM b
+)
+SELECT doc_id AS asset_id,
+       {_B16_W} AS bmp_w, {_B16_H} AS bmp_h,
+       round(list_reduce(l555, (a, x) -> a + x)
+             / (255.0 * {_B16_W * _B16_H}), 9) AS mean_luma_555,
+       md5(list_reduce([chr(CAST(x AS INTEGER)) FOR x IN l555],
+                       (a, x) -> a || x)) AS md5_555,
+       round(list_reduce(l565, (a, x) -> a + x)
+             / (255.0 * {_B16_W * _B16_H}), 9) AS mean_luma_565,
+       TRUE AS bitfields_match
+FROM p ORDER BY asset_id
+"""
+
+
+@register(
+    "bmp16_image_decode",
+    _B16_SQL,
+    "16-bit BMP decode: RGB555/565 bit-replication luma == byte math",
+)
+def q_bmp16_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: the 16-bit BMP profiles (functions/bmp.py — RGB555 as
+    BI_RGB 16bpp per the spec, RGB555 restated as explicit BITFIELDS
+    masks, and RGB565 BITFIELDS) on the bit-exact oracle surface,
+    through the ``decode_image`` dispatch.  Each document's leading 64
+    bytes become gray pixels; channels quantize by truncation and
+    expand by bit replication ((v << 3) | (v >> 2) / (v << 2) |
+    (v >> 4) — Pillow's BGR;15/BGR;16 unpackers), so DuckDB recomputes
+    every decoded luma with pure integer byte math: gray RGB555 luma
+    is exactly the 5-bit expansion, gray RGB565 luma folds the ITU-R
+    601-2 constants to e5*27066 + e6*38470.  ``md5_555`` pins the full
+    plane (the expanded values stay ASCII-printable, so the oracle
+    builds the identical byte string with chr()); ``bitfields_match``
+    pins that BI_RGB-555 and BITFIELDS-555 decode identically.
+
+    Scale shape: bounded 60-asset mapInPandas, same contract as the
+    other decode entries.
+
+    Reference anchor: SURVEY §2 multimodal extension surface (the
+    training-pipeline image-dedup path must fingerprint 16-bit
+    screenshots identically to their 24-bit re-encodings)."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_B16_N)
+        .where((F.length("text") >= 64) & F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+
+    schema = (
+        "asset_id long, bmp_w int, bmp_h int, mean_luma_555 double, "
+        "md5_555 string, mean_luma_565 double, bitfields_match boolean"
+    )
+
+    def batches(it):
+        import hashlib as _hl
+
+        from datalakehouse_spark.functions.bmp import decode_bmp, encode_bmp16
+        from datalakehouse_spark.operators.multimodal import decode_image
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bts = text.encode("utf-8")[:64]
+                rgb = bytes(v for b in bts for v in (b, b, b))
+                w, h, mean555 = decode_image(
+                    encode_bmp16(_B16_W, _B16_H, rgb, 555)
+                )
+                plane555 = decode_bmp(encode_bmp16(_B16_W, _B16_H, rgb, 555))[2]
+                plane555bf = decode_bmp(
+                    encode_bmp16(_B16_W, _B16_H, rgb, 555, bitfields=True)
+                )[2]
+                _, _, mean565 = decode_image(
+                    encode_bmp16(_B16_W, _B16_H, rgb, 565)
+                )
+                rows.append(
+                    (
+                        doc_id, w, h, round(mean555, 9),
+                        _hl.md5(plane555).hexdigest(),
+                        round(mean565, 9),
+                        plane555 == plane555bf,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "bmp_w", "bmp_h", "mean_luma_555",
+                    "md5_555", "mean_luma_565", "bitfields_match",
                 ],
             )
 

@@ -187,3 +187,85 @@ def test_rle_delta_skip_and_malformed():
     struct.pack_into("<i", bad, 22, -2)
     with _pytest.raises(BmpError, match="top-down RLE"):
         decode_bmp(bytes(bad))
+
+
+# -- round 13: 16-bit RGB555/RGB565 profiles ------------------------------
+
+
+def test_bmp16_roundtrips_and_equivalences():
+    """RGB555 (BI_RGB and BITFIELDS spellings) and RGB565 decode with
+    Pillow-identical bit replication; a 555 image equals the 24-bit
+    encoding of its quantized pixels; quantize_rgb555 is idempotent."""
+    import random
+
+    from datalakehouse_spark.functions.bmp import (
+        decode_bmp,
+        encode_bmp,
+        encode_bmp16,
+        quantize_rgb555,
+    )
+
+    rng = random.Random(13)
+    for w, h in ((1, 1), (3, 2), (7, 5), (16, 4)):
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        q = quantize_rgb555(rgb)
+        assert quantize_rgb555(q) == q
+        d555 = decode_bmp(encode_bmp16(w, h, rgb, 555))
+        assert d555 == decode_bmp(encode_bmp16(w, h, rgb, 555, bitfields=True))
+        assert d555 == decode_bmp(encode_bmp(w, h, q))
+        w5, h5, _ = decode_bmp(encode_bmp16(w, h, rgb, 565))
+        assert (w5, h5) == (w, h)
+
+
+def test_bmp16_gray_byte_math():
+    """Gray pixels: 555 luma IS the 5-bit expansion; 565 luma folds the
+    ITU-R 601-2 constants to e5*27066 + e6*38470 — the exact integer
+    formulas the DuckDB oracle recomputes."""
+    from datalakehouse_spark.functions.bmp import decode_bmp, encode_bmp16
+
+    gray = bytes(range(32, 127)) + bytes(range(33))
+    rgb = bytes(v for b in gray for v in (b, b, b))
+    w, h = 16, 8
+
+    def e5(b):
+        v = b >> 3
+        return (v << 3) | (v >> 2)
+
+    def e6(b):
+        v = b >> 2
+        return (v << 2) | (v >> 4)
+
+    assert decode_bmp(encode_bmp16(w, h, rgb, 555))[2] == bytes(
+        e5(b) for b in gray
+    )
+    assert decode_bmp(encode_bmp16(w, h, rgb, 565))[2] == bytes(
+        (e5(b) * 27066 + e6(b) * 38470 + 32768) >> 16 for b in gray
+    )
+
+
+def test_bmp16_rejections_and_dispatch():
+    """Non-standard 16-bit masks are loud; decode_image routes 16-bit
+    BMPs through the shared magic dispatch."""
+    import struct
+
+    import pytest as _pytest
+
+    from datalakehouse_spark.functions.bmp import (
+        BmpError,
+        decode_bmp,
+        encode_bmp16,
+    )
+    from datalakehouse_spark.operators.multimodal import decode_image
+
+    payload = encode_bmp16(4, 2, bytes(4 * 2 * 3), 565)
+    bad = bytearray(payload)
+    struct.pack_into("<I", bad, 54, 0x0F00)  # mangle the red mask
+    with _pytest.raises(BmpError, match="16-bit BITFIELDS"):
+        decode_bmp(bytes(bad))
+
+    gray = bytes((i * 17) % 256 for i in range(8))
+    rgb = bytes(v for b in gray for v in (b, b, b))
+    w, h, mean = decode_image(encode_bmp16(4, 2, rgb, 555))
+    assert (w, h) == (4, 2)
+    exp = [((b >> 3) << 3) | ((b >> 3) >> 2) for b in gray]
+    assert abs(mean - sum(exp) / (255.0 * 8)) < 1e-12

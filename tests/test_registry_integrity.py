@@ -139,11 +139,44 @@ def test_rotation_helper_partitions_registry():
     )
     assert proc.returncode == 0, proc.stderr
     lines = proc.stdout.splitlines()
-    assert lines[0].startswith(f"# registry={len(REGISTRY)}")
+    assert lines[0].startswith(f"# {{'registry': {len(REGISTRY)}")
     body = [l.strip().strip('",') for l in lines if l.startswith('    "')]
     assert body[0] == "ntile_percent_rank"
     assert len(body) == len(set(body)), "rotation must not repeat entries"
     assert set(body) <= set(REGISTRY), "rotation must only name registered entries"
+
+
+def test_driver_priority_is_the_reproducible_rotation():
+    """The committed _DRIVER_PRIORITY must BE compute_rotation(changed,
+    asof) for the committed provenance constants — a round that ships a
+    hand-edited, reordered, or simply unrotated (stale last-round) list
+    fails here instead of silently starving the driver window of the
+    oldest-evidence entries (VERDICT r12 #7)."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from rotation_helper import compute_rotation
+
+    from datalakehouse_spark.registry import (
+        _DRIVER_ROTATION_ASOF,
+        _DRIVER_ROTATION_CHANGED,
+    )
+
+    expected, summary = compute_rotation(
+        list(_DRIVER_ROTATION_CHANGED), _DRIVER_ROTATION_ASOF
+    )
+    assert list(_DRIVER_PRIORITY) == expected, (
+        "committed _DRIVER_PRIORITY diverges from the reproducible "
+        f"rotation (first diff at index "
+        f"{next(i for i, (a, b) in enumerate(zip(_DRIVER_PRIORITY, expected)) if a != b) if list(_DRIVER_PRIORITY) != expected and any(a != b for a, b in zip(_DRIVER_PRIORITY, expected)) else len(expected)}); "
+        "re-run tools/rotation_helper.py and paste its full block"
+    )
+    # and it would have flagged an unrotated list: keeping last round's
+    # head (the r12 changed entries) in front while this round's
+    # changed-entry set differs is exactly the failure mode
+    hypothetical_unrotated = ["bucketed_colocated_join", "zorder_key_accounting"]
+    stale_head, _ = compute_rotation(hypothetical_unrotated, _DRIVER_ROTATION_ASOF)
+    assert stale_head != expected
 
 
 # ---------------------------------------------------------------------------

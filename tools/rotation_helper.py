@@ -9,13 +9,19 @@ describe the running code), (2) entries whose LATEST driver row is a
 failure with no green row since (a red row is not evidence — it must
 be re-driven), (3) entries never green-driver-checked on current
 fixtures (no green row in any post-fixture-regen round), (4) entries
-whose last green row predates the fixture regeneration.
+whose last green row predates the fixture regeneration, then (5) the
+whole aging tail by last-green-round ASCENDING.
 
 Usage:
     python tools/rotation_helper.py [changed_entry ...]
 
-Prints the ready-to-paste _DRIVER_PRIORITY list body plus a coverage
-summary.  Fixture regeneration happened before round 4, so rounds >= 4
+Prints the ready-to-paste block for registry.py — the
+_DRIVER_ROTATION_CHANGED / _DRIVER_ROTATION_ASOF provenance constants
+plus the _DRIVER_PRIORITY list — and a coverage summary.  The
+provenance constants make the rotation REPRODUCIBLE: the
+test_registry_integrity invariant recomputes compute_rotation(changed,
+asof) and fails the suite if a round ships a hand-edited or unrotated
+list.  Fixture regeneration happened before round 4, so rounds >= 4
 count as current-fixture evidence; bump _CURRENT_SINCE if fixtures are
 ever regenerated again.
 """
@@ -34,8 +40,13 @@ sys.path.insert(0, REPO)
 _CURRENT_SINCE = 4
 
 
-def main() -> None:
-    changed = sys.argv[1:]
+def compute_rotation(
+    changed: list[str], asof: int | None = None
+) -> tuple[list[str], dict]:
+    """The deterministic rotation order: (changed, red, never, stale,
+    aging-by-last-green-ascending).  ``asof`` pins which ledgers count
+    (rounds <= asof) so the order is reproducible after later rounds
+    append new CORRECTNESS files; None means all available."""
     from datalakehouse_spark.registry import REGISTRY, _load_extensions
 
     _load_extensions()
@@ -49,6 +60,8 @@ def main() -> None:
     last_red: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)", path).group(1))
+        if asof is not None and rnd > asof:
+            continue
         for name, row in json.load(open(path)).items():
             if not isinstance(row, dict):
                 continue
@@ -95,11 +108,28 @@ def main() -> None:
             seen.add(n)
             out.append(n)
 
-    print(
-        f"# registry={len(names)} current-fixture-checked={len(current)} "
-        f"red={len(red)} never={len(never)} stale={len(stale)} "
-        f"-> rotation={len(out)} (driver takes ~50/round)"
-    )
+    summary = {
+        "registry": len(names),
+        "current_fixture_checked": len(current),
+        "red": len(red),
+        "never": len(never),
+        "stale": len(stale),
+        "rotation": len(out),
+    }
+    return out, summary
+
+
+def main() -> None:
+    changed = sys.argv[1:]
+    ledgers = [
+        int(re.search(r"_r(\d+)", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    asof = max(ledgers)
+    out, summary = compute_rotation(changed, asof)
+    print(f"# {summary} (driver takes ~50/round)")
+    print(f"_DRIVER_ROTATION_CHANGED = {changed!r}")
+    print(f"_DRIVER_ROTATION_ASOF = {asof}")
     print("_DRIVER_PRIORITY = [")
     for n in out:
         print(f'    "{n}",')

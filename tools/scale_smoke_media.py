@@ -12,8 +12,10 @@ This ladder synthesizes asset tables from the sf0.1 documents fixture
 encoders — the driver never touches a payload), then times the three
 real feature passes end-to-end:
 
-- ``image``  — extract_features(fake=False) over a PNG/JPEG/GIF/BMP/TIFF mix
-- ``audio``  — extract_audio_features over a WAV/MP3/Ogg/FLAC mix
+- ``image``  — extract_features(fake=False) over a PNG/JPEG/GIF/BMP/TIFF/
+  BMP16 mix (round 13: 16-bit RGB555/565 alternating)
+- ``audio``  — extract_audio_features over a WAV/MP3/Ogg/FLAC-stub/
+  FLAC-PCM mix (round 13: real rice+LPC streams in the loop)
 - ``video``  — extract_video_features over an AVI/MP4/MKV mix
 - ``mjpeg``  — sample_frames(fake=False) PIXEL decode over MJPEG AVIs
   (round 12: per-frame JPEG entropy decode, the heaviest kernel —
@@ -76,8 +78,8 @@ def _gen_payloads(kind: str):
 
     def batches(it):
         from datalakehouse_spark.functions.avi import encode_avi, encode_avi_mjpeg
-        from datalakehouse_spark.functions.bmp import encode_bmp
-        from datalakehouse_spark.functions.flac import encode_flac_stub
+        from datalakehouse_spark.functions.bmp import encode_bmp, encode_bmp16
+        from datalakehouse_spark.functions.flac import encode_flac, encode_flac_stub
         from datalakehouse_spark.functions.gif import encode_gif
         from datalakehouse_spark.functions.jpeg import encode_jpeg
         from datalakehouse_spark.functions.mkv import encode_mkv_stub
@@ -93,7 +95,12 @@ def _gen_payloads(kind: str):
             ids, types, payloads = [], [], []
             for aid, text in zip(pdf["asset_id"], pdf["text"]):
                 bts = text.encode("utf-8")[:64].ljust(64, b"x")
-                m = aid % 5 if kind in ("image", "imagefp") else aid % 4
+                if kind in ("image", "imagefp"):
+                    m = aid % 6
+                elif kind == "audio":
+                    m = aid % 5
+                else:
+                    m = aid % 4
                 if kind in ("image", "imagefp"):
                     if m == 0:
                         p = encode_png(16, 4, bts, color_type=0)
@@ -103,8 +110,12 @@ def _gen_payloads(kind: str):
                         p = encode_gif(16, 4, bts, grays)
                     elif m == 3:
                         p = encode_bmp(4, 4, (bts[:48]))
-                    else:
+                    elif m == 4:
                         p = encode_tiff(16, 4, bts)
+                    else:  # round 13: 16-bit RGB565 BITFIELDS
+                        p = encode_bmp16(
+                            4, 4, bts[:48], 565 if aid % 2 else 555
+                        )
                 elif kind == "audio":
                     if m == 0:
                         p = encode_wav(
@@ -114,8 +125,13 @@ def _gen_payloads(kind: str):
                         p = encode_mp3_stub(1 + bts[0] % 8, 32000, 128)
                     elif m == 2:
                         p = encode_ogg_stub((1 + bts[0]) * 256, 8000, 1)
-                    else:
+                    elif m == 3:
                         p = encode_flac_stub((1 + bts[0]) * 100, 16000, 2)
+                    else:  # round 13: REAL FLAC PCM (rice + LPC synthesis)
+                        p = encode_flac(
+                            [[(b - 128) * 257 for b in bts]],
+                            sample_rate=8000, block_size=16, lpc=bool(aid % 2),
+                        )
                 elif kind == "video":
                     if m == 0 or m == 2:
                         p = encode_avi([bts[:48]], 4, 4, fps=10)
