@@ -1713,7 +1713,10 @@ SELECT doc_id AS asset_id,
        md5(substr(t, 1, 64)) AS gray_md5,
        round(list_reduce({_TIF_RGB_LUMA}, (a, x) -> a + x)
              / (255.0 * 16), 9) AS rgb_mean_luma,
-       TRUE AS endian_match
+       TRUE AS endian_match,
+       TRUE AS lzw_match,
+       TRUE AS deflate_match,
+       TRUE AS packbits_match
 FROM b ORDER BY asset_id
 """
 
@@ -1736,6 +1739,14 @@ def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same pixels decode identically (inline SHORT values are
     left-justified in the value field — the classic byte-order bug).
 
+    Round 13: the compressed profiles join the driver loop —
+    ``lzw_match`` (the MSB-first EarlyChange TIFF LZW dialect, plain,
+    with the horizontal-differencing predictor, and big-endian),
+    ``deflate_match`` (zlib strips, plain and predictor), and
+    ``packbits_match`` pin that every compressed encoding of the gray
+    plane decodes byte-identical to the uncompressed one the md5
+    column already anchors.
+
     Scale shape: bounded 60-asset mapInPandas, same contract as the
     other decode entries."""
     import pandas as _pd
@@ -1751,7 +1762,8 @@ def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = (
         "asset_id long, tiff_w int, tiff_h int, gray_mean_luma double, "
-        "gray_md5 string, rgb_mean_luma double, endian_match boolean"
+        "gray_md5 string, rgb_mean_luma double, endian_match boolean, "
+        "lzw_match boolean, deflate_match boolean, packbits_match boolean"
     )
 
     def batches(it):
@@ -1774,12 +1786,27 @@ def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_tiff(_TIF_W, _TIF_H, bts, big_endian=True)
                 )
                 rgb_mean = sum(rgb_le[2]) / (255.0 * 16)
+
+                def _plane(**kw):
+                    return decode_tiff(encode_tiff(_TIF_W, _TIF_H, bts, **kw))[2]
+
+                lzw_ok = (
+                    _plane(compression="lzw") == luma
+                    and _plane(compression="lzw", predictor=True) == luma
+                    and _plane(compression="lzw", big_endian=True) == luma
+                )
+                deflate_ok = (
+                    _plane(compression="deflate") == luma
+                    and _plane(compression="deflate", predictor=True) == luma
+                )
+                packbits_ok = _plane(compression="packbits") == luma
                 rows.append(
                     (
                         doc_id, w, h, round(mean, 9),
                         _hl.md5(luma).hexdigest(),
                         round(rgb_mean, 9),
                         rgb_le == rgb_be and luma == gray_be[2],
+                        lzw_ok, deflate_ok, packbits_ok,
                     )
                 )
             yield _pd.DataFrame(
@@ -1787,6 +1814,7 @@ def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "asset_id", "tiff_w", "tiff_h", "gray_mean_luma",
                     "gray_md5", "rgb_mean_luma", "endian_match",
+                    "lzw_match", "deflate_match", "packbits_match",
                 ],
             )
 
@@ -2606,6 +2634,183 @@ def q_bmp16_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=[
                     "asset_id", "bmp_w", "bmp_h", "mean_luma_555",
                     "md5_555", "mean_luma_565", "bitfields_match",
+                ],
+            )
+
+    return d.mapInPandas(batches, schema=schema).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# wav_codec_decode: G.711 mu-law/A-law + IMA ADPCM on the oracle
+# surface (round 13) — the oracle SIMULATES the stateful ADPCM decoder
+# with a recursive CTE
+# ---------------------------------------------------------------------------
+
+_WCD_N = 60
+
+_WCD_BYTES = "[CAST(unicode(substr(t, i, 1)) AS BIGINT) FOR i IN range(1, 65)]"
+
+# ITU-T G.711 segment expansion as pure byte math (mu-law: complement,
+# then ((man<<3)+0x84)<<exp minus the bias; A-law: xor 0x55, segment 0
+# is linear).  Sums over the 64 decoded int16 values stay far inside
+# BIGINT.
+_WCD_ULAW_VAL = (
+    "((((255 - x) % 16) * 8 + 132) * (1 << ((((255 - x) // 16)) % 8)))"
+)
+_WCD_ULAW = (
+    f"list_reduce([CASE WHEN (255 - x) >= 128 THEN 132 - {_WCD_ULAW_VAL} "
+    f"ELSE {_WCD_ULAW_VAL} - 132 END FOR x IN bv], (a, x) -> a + x)"
+)
+_WCD_ALAW_VAL = (
+    "(CASE WHEN (xor(x, 85) // 16) % 8 = 0 THEN (xor(x, 85) % 16) * 16 + 8 "
+    "ELSE ((xor(x, 85) % 16) * 16 + 264) "
+    "* (1 << (((xor(x, 85) // 16) % 8) - 1)) END)"
+)
+_WCD_ALAW = (
+    f"list_reduce([CASE WHEN xor(x, 85) >= 128 THEN {_WCD_ALAW_VAL} "
+    f"ELSE -{_WCD_ALAW_VAL} END FOR x IN bv], (a, x) -> a + x)"
+)
+
+# the IMA step tables (public spec constants, identical to
+# functions/wav.py)
+_WCD_ST = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,60,"
+    "66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,307,337,"
+    "371,408,449,494,544,598,658,724,796,876,963,1060,1166,1282,1411,"
+    "1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,4871,"
+    "5358,5894,6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+_WCD_IT = "[-1,-1,-1,-1,2,4,6,8]"
+
+# one IMA state transition, written twice (new pred and the acc that
+# adds it) because the recursive SELECT computes every output column
+# from the PREVIOUS row's pred/idx
+_WCD_DIFF = (
+    "(st[idx + 1] // 8"
+    " + CASE WHEN nl[i + 1] % 2 = 1 THEN st[idx + 1] // 4 ELSE 0 END"
+    " + CASE WHEN (nl[i + 1] // 2) % 2 = 1 THEN st[idx + 1] // 2 ELSE 0 END"
+    " + CASE WHEN (nl[i + 1] // 4) % 2 = 1 THEN st[idx + 1] ELSE 0 END)"
+)
+_WCD_NEWPRED = (
+    "GREATEST(-32768, LEAST(32767, pred"
+    f" + CASE WHEN nl[i + 1] >= 8 THEN -1 ELSE 1 END * {_WCD_DIFF}))"
+)
+
+_WCD_SQL = f"""
+WITH RECURSIVE d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_WCD_N})
+    WHERE length(text) >= 64
+      AND regexp_matches(text, '^[ -~]*$')
+),
+b AS (SELECT doc_id, {_WCD_BYTES} AS bv FROM d),
+g AS (SELECT doc_id, {_WCD_ULAW} AS ulaw_sum, {_WCD_ALAW} AS alaw_sum FROM b),
+nb AS (
+    SELECT doc_id,
+           [CASE WHEN i % 2 = 1 THEN bv[(i + 1) // 2] % 16
+                 ELSE bv[i // 2] // 16 END FOR i IN range(1, 65)] AS nl,
+           (bv[1] - 64) * 128 AS pred0,
+           bv[2] % 89 AS idx0
+    FROM b
+),
+walk AS (
+    SELECT doc_id, 0 AS i, pred0 AS pred, idx0 AS idx,
+           CAST(pred0 AS BIGINT) AS acc, nl,
+           CAST({_WCD_ST} AS BIGINT[]) AS st,
+           CAST({_WCD_IT} AS BIGINT[]) AS it
+    FROM nb
+    UNION ALL
+    SELECT doc_id, i + 1,
+           {_WCD_NEWPRED} AS pred,
+           GREATEST(0, LEAST(88, idx + it[(nl[i + 1] % 8) + 1])) AS idx,
+           acc + {_WCD_NEWPRED},
+           nl, st, it
+    FROM walk WHERE i < 64
+)
+SELECT g.doc_id AS asset_id,
+       8000 AS sample_rate,
+       CAST(g.ulaw_sum AS BIGINT) AS ulaw_sum,
+       CAST(g.alaw_sum AS BIGINT) AS alaw_sum,
+       CAST(w.acc AS BIGINT) AS adpcm_sum,
+       65 AS adpcm_n,
+       TRUE AS dispatch_match
+FROM g JOIN (SELECT doc_id, acc FROM walk WHERE i = 64) w USING (doc_id)
+ORDER BY asset_id
+"""
+
+
+@register(
+    "wav_codec_decode",
+    _WCD_SQL,
+    "G.711 mu/A-law + IMA ADPCM decode: oracle simulates the codec in SQL",
+)
+def q_wav_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: the telephony/legacy WAV codecs (functions/wav.py —
+    G.711 mu-law tag 7, A-law tag 6, IMA/DVI ADPCM tag 0x11) on the
+    bit-exact oracle surface.  Each document's leading 64 bytes are
+    written verbatim as companded G.711 codes (both laws) and as 64
+    ADPCM nibbles behind a byte-derived initial (predictor, step
+    index); the Spark side decodes real RIFF payloads through
+    ``wav_pcm_samples`` and sums the int16 output, while DuckDB
+    recomputes the SAME sums from raw byte math — the G.711 segment
+    expansion inline, and the stateful ADPCM decoder as a RECURSIVE
+    CTE that steps (pred, idx) through the public 89-entry step table
+    one nibble at a time.  ``dispatch_match`` pins that
+    ``decode_audio`` magic routing hands the mu-law payload to the WAV
+    kernel (rate/frames agree with the direct decode).
+
+    Scale shape: bounded 60-asset mapInPandas, same contract as the
+    other decode entries."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_WCD_N)
+        .where((F.length("text") >= 64) & F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+
+    schema = (
+        "asset_id long, sample_rate int, ulaw_sum long, alaw_sum long, "
+        "adpcm_sum long, adpcm_n int, dispatch_match boolean"
+    )
+
+    def batches(it):
+        from datalakehouse_spark.functions.wav import (
+            encode_wav_adpcm,
+            encode_wav_g711,
+            wav_pcm_samples,
+        )
+        from datalakehouse_spark.operators.multimodal import decode_audio
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bts = text.encode("utf-8")[:64]
+                upay = encode_wav_g711(bts, "ulaw")
+                rate_u, _, uvals = wav_pcm_samples(upay)
+                _, _, avals = wav_pcm_samples(encode_wav_g711(bts, "alaw"))
+                pred0 = (bts[0] - 64) * 128
+                idx0 = bts[1] % 89
+                _, _, pvals = wav_pcm_samples(
+                    encode_wav_adpcm(bts[:32], predictor=pred0, step_index=idx0)
+                )
+                drate, dch, dframes, _, _, _ = decode_audio(upay)
+                rows.append(
+                    (
+                        doc_id, rate_u, sum(uvals), sum(avals),
+                        sum(pvals), len(pvals),
+                        (drate, dch, dframes) == (rate_u, 1, len(uvals)),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "ulaw_sum", "alaw_sum",
+                    "adpcm_sum", "adpcm_n", "dispatch_match",
                 ],
             )
 

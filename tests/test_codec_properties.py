@@ -255,3 +255,77 @@ def test_png_subbyte_property(width, height, depth, interlace, seed):
         encode_png(width, height, samples, color_type=0, bit_depth=depth, interlace=interlace)
     )
     assert got == (width, height, bytes(v * scale for v in samples))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    codes=st.binary(min_size=1, max_size=300),
+    law=st.sampled_from(["ulaw", "alaw"]),
+    rate=st.integers(min_value=1, max_value=48_000),
+)
+def test_g711_decode_property(codes, law, rate):
+    """Any byte string decodes through the RIFF path to exactly the
+    table values; stats agree with an independent recomputation."""
+    import math
+
+    from datalakehouse_spark.functions.wav import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        encode_wav_g711,
+        wav_pcm_samples,
+        wav_pcm_stats,
+    )
+
+    table = _ULAW_TABLE if law == "ulaw" else _ALAW_TABLE
+    payload = encode_wav_g711(codes, law, sample_rate=rate)
+    r, ch, vals = wav_pcm_samples(payload)
+    assert (r, ch) == (rate, 1)
+    assert vals == [table[b] for b in codes]
+    _, _, frames, dur, rms, peak = wav_pcm_stats(payload)
+    assert frames == len(codes)
+    norm = [table[b] / 32768.0 for b in codes]
+    assert math.isclose(rms, (sum(v * v for v in norm) / len(norm)) ** 0.5)
+    assert peak == max(abs(v) for v in norm)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    words=st.integers(min_value=1, max_value=40),
+    predictor=st.integers(min_value=-32768, max_value=32767),
+    step_index=st.integers(min_value=0, max_value=88),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_ima_adpcm_decode_property(words, predictor, step_index, seed):
+    """Random nibble streams: the RIFF decode equals an independent
+    walk of the published IMA state machine (clamps included)."""
+    import random
+
+    from datalakehouse_spark.functions.wav import (
+        _IMA_INDEX,
+        _IMA_STEPS,
+        encode_wav_adpcm,
+        wav_pcm_samples,
+    )
+
+    rng = random.Random(seed)
+    nib = bytes(rng.randrange(256) for _ in range(4 * words))
+    _, _, got = wav_pcm_samples(
+        encode_wav_adpcm(nib, predictor=predictor, step_index=step_index)
+    )
+    pred, idx = predictor, step_index
+    exp = [pred]
+    for b in nib:
+        for n in (b & 0x0F, b >> 4):
+            step = _IMA_STEPS[idx]
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            pred = pred - diff if n & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
+            exp.append(pred)
+    assert got == exp

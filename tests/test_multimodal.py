@@ -614,3 +614,75 @@ def test_image_fingerprints_collapse_across_formats(spark):
     assert len(fps) == 1, "lossless formats of the same pixels must collapse"
     assert rows[5].pixel_md5 not in fps
     assert all((rows[i].width, rows[i].height) == (16, 4) for i in (1, 2, 3, 4))
+
+
+def test_wav_g711_and_adpcm_decode():
+    """Round 13: G.711 mu/A-law segment expansion (spec endpoints) and
+    the IMA ADPCM state machine decode through the real RIFF path."""
+    import math
+
+    import pytest as _pytest
+
+    from datalakehouse_spark.functions.wav import (
+        WavError,
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        _ima_step,
+        encode_wav_adpcm,
+        encode_wav_g711,
+        wav_pcm_samples,
+        wav_pcm_stats,
+    )
+    from datalakehouse_spark.operators.multimodal import decode_audio
+
+    # G.711 endpoints straight from the public tables
+    assert _ULAW_TABLE[0xFF] == 0 and _ULAW_TABLE[0x80] == 32124
+    assert _ULAW_TABLE[0x00] == -32124
+    assert _ALAW_TABLE[0xD5] == 8 and _ALAW_TABLE[0x55] == -8
+    assert max(_ALAW_TABLE) == 32256 and min(_ALAW_TABLE) == -32256
+    # sign symmetry: clearing the sign bit negates (mu-law: code^0x80)
+    assert all(_ULAW_TABLE[c] == -_ULAW_TABLE[c ^ 0x80] for c in range(256))
+    assert all(_ALAW_TABLE[c] == -_ALAW_TABLE[c ^ 0x80] for c in range(256))
+
+    codes = bytes(range(256))
+    rate, n_ch, vals = wav_pcm_samples(encode_wav_g711(codes, "ulaw"))
+    assert (rate, n_ch) == (8000, 1) and vals == _ULAW_TABLE
+    _, _, vals = wav_pcm_samples(encode_wav_g711(codes, "alaw"))
+    assert vals == _ALAW_TABLE
+
+    # ADPCM: RIFF decode == transition-function walk, header sample first
+    nib = bytes([0x88, 0x31, 0x7F, 0x02, 0xF0, 0x19, 0xA5, 0x4C])
+    _, _, got = wav_pcm_samples(
+        encode_wav_adpcm(nib, predictor=-1234, step_index=17)
+    )
+    pred, idx = -1234, 17
+    exp = [pred]
+    for b in nib:
+        for n in (b & 0x0F, b >> 4):
+            pred, idx = _ima_step(n, pred, idx)
+            exp.append(pred)
+    assert got == exp and len(got) == 17
+
+    # dispatch: RIFF magic routes the compressed tags through decode_audio
+    drate, dch, dframes, ddur, drms, dpeak = decode_audio(
+        encode_wav_g711(codes, "ulaw")
+    )
+    assert (drate, dch, dframes) == (8000, 1, 256)
+    assert math.isclose(dpeak, 32124 / 32768.0)
+
+    # loud rejections: bad law, ragged nibbles, out-of-range state
+    with _pytest.raises(WavError, match="law"):
+        encode_wav_g711(codes, "gsm")
+    with _pytest.raises(WavError, match="4-byte words"):
+        encode_wav_adpcm(b"\x00\x01\x02")
+    with _pytest.raises(WavError, match="out of range"):
+        encode_wav_adpcm(b"\x00" * 4, step_index=89)
+    # a truncated-to-headerless block payload is loud too
+    bad = bytearray(encode_wav_adpcm(b"\x00" * 4))
+    import struct as _struct
+
+    # mangle step index inside the data chunk header
+    pos = bad.rindex(b"data") + 8 + 2
+    bad[pos] = 90
+    with _pytest.raises(WavError, match="step index"):
+        wav_pcm_stats(bytes(bad))

@@ -15,7 +15,8 @@ real feature passes end-to-end:
 - ``image``  — extract_features(fake=False) over a PNG/JPEG/GIF/BMP/TIFF/
   BMP16 mix (round 13: 16-bit RGB555/565 alternating)
 - ``audio``  — extract_audio_features over a WAV/MP3/Ogg/FLAC-stub/
-  FLAC-PCM mix (round 13: real rice+LPC streams in the loop)
+  FLAC-PCM/G.711/IMA-ADPCM mix (round 13: real rice+LPC streams and
+  the telephony codecs in the loop)
 - ``video``  — extract_video_features over an AVI/MP4/MKV mix
 - ``mjpeg``  — sample_frames(fake=False) PIXEL decode over MJPEG AVIs
   (round 12: per-frame JPEG entropy decode, the heaviest kernel —
@@ -88,7 +89,8 @@ def _gen_payloads(kind: str):
         from datalakehouse_spark.functions.ogg import encode_ogg_stub
         from datalakehouse_spark.functions.tiff import encode_tiff
         from datalakehouse_spark.functions.png import encode_png
-        from datalakehouse_spark.functions.wav import encode_wav
+        from datalakehouse_spark.functions.wav import (
+            encode_wav, encode_wav_adpcm, encode_wav_g711)
 
         grays = [(i, i, i) for i in range(256)]
         for pdf in it:
@@ -98,7 +100,7 @@ def _gen_payloads(kind: str):
                 if kind in ("image", "imagefp"):
                     m = aid % 6
                 elif kind == "audio":
-                    m = aid % 5
+                    m = aid % 7
                 else:
                     m = aid % 4
                 if kind in ("image", "imagefp"):
@@ -127,10 +129,20 @@ def _gen_payloads(kind: str):
                         p = encode_ogg_stub((1 + bts[0]) * 256, 8000, 1)
                     elif m == 3:
                         p = encode_flac_stub((1 + bts[0]) * 100, 16000, 2)
-                    else:  # round 13: REAL FLAC PCM (rice + LPC synthesis)
+                    elif m == 4:  # round 13: REAL FLAC PCM (rice + LPC)
                         p = encode_flac(
                             [[(b - 128) * 257 for b in bts]],
                             sample_rate=8000, block_size=16, lpc=bool(aid % 2),
+                        )
+                    elif m == 5:  # round 13: G.711 companded telephony
+                        p = encode_wav_g711(
+                            bts, "ulaw" if aid % 2 else "alaw"
+                        )
+                    else:  # round 13: IMA ADPCM (stateful 4-bit deltas)
+                        p = encode_wav_adpcm(
+                            bts[:32],
+                            predictor=(bts[0] - 64) * 128,
+                            step_index=bts[1] % 89,
                         )
                 elif kind == "video":
                     if m == 0 or m == 2:
