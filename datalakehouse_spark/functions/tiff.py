@@ -23,21 +23,26 @@ decompression).  Strips decompress independently, per spec.
 
 Still rejected loudly (``TiffUnsupported`` routes them to a Pillow/
 libtiff deployment — the honest probe contract): JPEG-in-TIFF (6/7),
-CCITT fax (2/3/4), the floating-point predictor 3, tiled layouts,
-planar configuration 2, bits-per-sample != 8.
+CCITT fax (2/3/4), the floating-point predictor 3, planar
+configuration 2, bits-per-sample outside {8, 16} and the
+16-bit+predictor combination.  16-bit samples (round 13 — the
+scientific/scanner profile) reduce to 8 bits by taking the high byte,
+the same convention the PNG kernel applies to 16-bit depth.
 
 Supported pixel profiles: both byte orders (``II``/``MM``), 8-bit
 grayscale (PhotometricInterpretation 1 BlackIsZero and 0 WhiteIsZero
 — inverted on read; extra samples such as gray+alpha use sample 0),
 8-bit RGB/RGBA (extra samples beyond the first three are ignored for
-luma), multi-strip layouts, inline or offset tag values.  Luma uses
-the house ITU-R 601-2 integer formula (identical constants to
-functions/png.py, so a pixel-identical PNG and TIFF produce the SAME
-mean luma).
+luma), multi-strip layouts, TILED layouts (round 13: tags 322-325,
+the grid real scanner/GIS writers emit — full edge-padded tiles,
+each decompressed independently, predictor applied at tile width),
+inline or offset tag values.  Luma uses the house ITU-R 601-2
+integer formula (identical constants to functions/png.py, so a
+pixel-identical PNG and TIFF produce the SAME mean luma).
 
 ``encode_tiff`` writes fixtures (gray or RGB, either byte order, any
-supported compression, optional predictor) for round-trip tests and
-oracle slices.
+supported compression, optional predictor, strip or tiled layout)
+for round-trip tests and oracle slices.
 """
 
 from __future__ import annotations
@@ -192,9 +197,10 @@ def _undiff_rows(raw: bytearray, width: int, height: int, spp: int) -> None:
 
 
 def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline uncompressed TIFF -> ``(width, height,
-    luma_plane)`` — the same contract as ``png.decode_png`` /
-    ``jpeg.decode_jpeg`` (8-bit row-major luma)."""
+    """Decode a TIFF (strip or tiled layout, any supported
+    compression) -> ``(width, height, luma_plane)`` — the same
+    contract as ``png.decode_png`` / ``jpeg.decode_jpeg`` (8-bit
+    row-major luma)."""
     if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
         raise TiffError("not a TIFF: bad byte-order header")
     bo = "<" if data[:2] == b"II" else ">"
@@ -217,16 +223,25 @@ def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise TiffUnsupported(f"predictor {predictor} not supported")
-    if 322 in t or 323 in t:
-        raise TiffUnsupported("tiled TIFF not supported (strips only)")
+    tiled = 322 in t or 323 in t
     if one(284, 1) != 1:
         raise TiffUnsupported("planar configuration 2 not supported")
     spp = one(277, 1)
     bits = t.get(258, [8])
-    _expect(
-        all(b == 8 for b in bits[:spp]),
-        f"bits per sample {bits} not supported (need 8)",
-    )
+    if all(b == 8 for b in bits[:spp]):
+        sb = 1
+    elif all(b == 16 for b in bits[:spp]):
+        # round 13: 16-bit samples (scientific/scanner gray and RGB)
+        # reduce to 8 bits by taking the high byte — the same
+        # convention the PNG kernel applies to 16-bit depth, so a
+        # pixel-identical 16-bit PNG and TIFF agree on luma
+        sb = 2
+        if predictor == 2:
+            raise TiffUnsupported("predictor with 16-bit samples not supported")
+    else:
+        raise TiffUnsupported(
+            f"bits per sample {bits} not supported (need all-8 or all-16)"
+        )
     photometric = one(262, 1)
     _expect(
         photometric in (0, 1, 2),
@@ -239,6 +254,56 @@ def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
     # the RGB branch (ADVICE r12: gray+alpha used to compute luma from
     # (gray, alpha, next-gray))
 
+    if tiled:
+        # tiled layout (tags 322-325): the grid real scanner/GIS
+        # writers emit.  Every tile is a FULL tw x th block (right/
+        # bottom edges padded), compressed independently, predictor
+        # applied at tile width — decode each and blit the valid
+        # region into the plane.
+        tw, th = one(322), one(323)
+        _expect(
+            tw > 0 and th > 0 and tw % 16 == 0 and th % 16 == 0,
+            f"tile size {tw}x{th} must be positive multiples of 16",
+        )
+        offsets = t.get(324)
+        counts = t.get(325)
+        _expect(offsets is not None, "missing TileOffsets")
+        _expect(counts is not None, "missing TileByteCounts")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        _expect(
+            len(offsets) == across * down and len(counts) == len(offsets),
+            f"expected {across * down} tiles, got {len(offsets)}",
+        )
+        tile_bytes = tw * th * spp * sb
+        raw = bytearray(width * height * spp * sb)
+        for k, (off, cnt) in enumerate(zip(offsets, counts)):
+            _expect(off + cnt <= len(data), "tile out of range")
+            tile = data[off : off + cnt]
+            if compression != 1:
+                try:
+                    tile = _DECOMPRESS[compression](tile, tile_bytes)
+                except zlib.error as exc:
+                    raise TiffError(f"bad deflate tile: {exc}") from exc
+            _expect(len(tile) >= tile_bytes, "tile shorter than its grid cell")
+            if predictor == 2:
+                tb = bytearray(tile[:tile_bytes])
+                _undiff_rows(tb, tw, th, spp)
+                tile = tb
+            trow, tcol = divmod(k, across)
+            y0, x0 = trow * th, tcol * tw
+            h_valid = min(th, height - y0)
+            w_valid = min(tw, width - x0)
+            for r in range(h_valid):
+                src = r * tw * spp * sb
+                dst = ((y0 + r) * width + x0) * spp * sb
+                raw[dst : dst + w_valid * spp * sb] = tile[
+                    src : src + w_valid * spp * sb
+                ]
+        if sb == 2:
+            raw = _high_bytes(raw, bo)
+        return _to_luma(raw, width, height, spp, photometric)
+
     offsets = t.get(273)
     _expect(offsets is not None, "missing StripOffsets")
     counts = t.get(279)
@@ -246,11 +311,11 @@ def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
         # spec allows omission for a single strip: rest of the row data
         _expect(len(offsets) == 1, "missing StripByteCounts")
         _expect(compression == 1, "compressed TIFF needs StripByteCounts")
-        counts = [width * height * spp]
+        counts = [width * height * spp * sb]
     _expect(len(offsets) == len(counts), "strip offset/count mismatch")
     rows_per_strip = one(278, height)
     _expect(rows_per_strip > 0, "zero RowsPerStrip")
-    row_bytes = width * spp
+    row_bytes = width * spp * sb
     raw = bytearray()
     for k, (off, cnt) in enumerate(zip(offsets, counts)):
         _expect(off + cnt <= len(data), "strip out of range")
@@ -264,10 +329,28 @@ def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
             except zlib.error as exc:
                 raise TiffError(f"bad deflate strip: {exc}") from exc
         raw += strip
-    _expect(len(raw) >= width * height * spp, "pixel data shorter than dimensions")
+    _expect(
+        len(raw) >= width * height * spp * sb,
+        "pixel data shorter than dimensions",
+    )
     if predictor == 2:
         _undiff_rows(raw, width, height, spp)
+    if sb == 2:
+        raw = _high_bytes(raw, bo)
+    return _to_luma(raw, width, height, spp, photometric)
 
+
+def _high_bytes(raw: bytearray, bo: str) -> bytearray:
+    """16-bit sample plane -> the high byte of every sample (the PNG
+    kernel's 16-bit reduction), honoring the file byte order."""
+    return bytearray(raw[0 if bo == ">" else 1 :: 2])
+
+
+def _to_luma(
+    raw: bytearray, width: int, height: int, spp: int, photometric: int
+) -> tuple[int, int, bytes]:
+    """Shared photometric conversion: assembled sample plane -> 8-bit
+    luma (the image-kernel contract)."""
     n = width * height
     if photometric != 2:
         # gray: sample 0 per pixel (stride spp skips alpha/extra samples)
@@ -394,38 +477,65 @@ def _diff_rows(pixels: bytes, width: int, height: int, spp: int) -> bytes:
 _COMPRESS_TAG = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 
 
+def _compress_block(
+    block: bytes, width: int, height: int, spp: int,
+    compression: str, predictor: bool,
+) -> bytes:
+    raw = _diff_rows(block, width, height, spp) if predictor else block
+    if compression == "lzw":
+        return _lzw_encode(raw)
+    if compression == "deflate":
+        return zlib.compress(raw)
+    if compression == "packbits":
+        row_bytes = width * spp
+        return b"".join(
+            _packbits_encode(raw[r * row_bytes : (r + 1) * row_bytes])
+            for r in range(height)
+        )
+    return raw
+
+
 def encode_tiff(
     width: int,
     height: int,
-    pixels: bytes,
+    pixels,
     color: bool = False,
     big_endian: bool = False,
     compression: str = "none",
     predictor: bool = False,
+    tile_size: int | None = None,
+    bits: int = 8,
 ) -> bytes:
-    """Single-strip TIFF fixture: 8-bit grayscale (BlackIsZero) or
-    8-bit RGB, either byte order, ``compression`` in
-    none/lzw/deflate/packbits, optional horizontal-differencing
-    predictor (round 13) — round-trip fixtures for the decoder."""
+    """TIFF fixture writer: grayscale (BlackIsZero) or RGB, either
+    byte order, ``compression`` in none/lzw/deflate/packbits, optional
+    horizontal-differencing predictor — single-strip by default, or
+    the tiled layout (tags 322-325, full edge-padded tiles, each
+    compressed independently) when ``tile_size`` is set (round 13;
+    must be a multiple of 16 per the spec).  ``bits=16`` (round 13)
+    takes ``pixels`` as a sequence of 0..65535 ints and writes 16-bit
+    samples in the file byte order (predictor not supported there)."""
     spp = 3 if color else 1
     _expect(len(pixels) == width * height * spp, "pixel buffer size mismatch")
     comp_tag = _COMPRESS_TAG.get(compression)
     _expect(comp_tag is not None, f"unknown compression {compression!r}")
+    _expect(bits in (8, 16), f"bits must be 8 or 16, got {bits}")
     bo = ">" if big_endian else "<"
-
-    raw = _diff_rows(pixels, width, height, spp) if predictor else pixels
-    if compression == "lzw":
-        strip = _lzw_encode(raw)
-    elif compression == "deflate":
-        strip = zlib.compress(raw)
-    elif compression == "packbits":
-        row_bytes = width * spp
-        strip = b"".join(
-            _packbits_encode(raw[r * row_bytes : (r + 1) * row_bytes])
-            for r in range(height)
-        )
+    if bits == 16:
+        if predictor:
+            raise TiffUnsupported("predictor with 16-bit samples not supported")
+        pixels = struct.pack(bo + f"{len(pixels)}H", *pixels)
+        spp_eff = spp * 2
     else:
-        strip = raw
+        pixels = bytes(pixels)
+        spp_eff = spp
+
+    if tile_size is not None:
+        return _encode_tiff_tiled(
+            width, height, pixels, spp, color, bo, comp_tag,
+            compression, predictor, tile_size, bits,
+        )
+
+    strip = _compress_block(pixels, width, height, spp_eff, compression, predictor)
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         # inline values are LEFT-justified in the 4-byte field (spec:
@@ -441,14 +551,14 @@ def encode_tiff(
     n_entries = 9 + (1 if predictor else 0)  # same set for gray/color
     ifd_len = 2 + 12 * n_entries + 4
     extra_off = 8 + ifd_len
-    extra = struct.pack(bo + "3H", 8, 8, 8) if color else b""
+    extra = struct.pack(bo + "3H", bits, bits, bits) if color else b""
     strip_off = extra_off + len(extra)
 
     tags = [entry(256, 4, 1, width), entry(257, 4, 1, height)]
     if color:
         tags.append(entry(258, 3, 3, extra_off))
     else:
-        tags.append(entry(258, 3, 1, 8))
+        tags.append(entry(258, 3, 1, bits))
     tags.append(entry(259, 3, 1, comp_tag))
     tags.append(entry(262, 3, 1, 2 if color else 1))
     tags.append(entry(273, 4, 1, strip_off))
@@ -463,3 +573,106 @@ def encode_tiff(
     magic = b"MM\x00*" if big_endian else b"II*\x00"
     header = magic + struct.pack(bo + "I", 8)
     return header + ifd + extra + strip
+
+
+def _encode_tiff_tiled(
+    width: int,
+    height: int,
+    pixels: bytes,
+    spp: int,
+    color: bool,
+    bo: str,
+    comp_tag: int,
+    compression: str,
+    predictor: bool,
+    tile_size: int,
+    bits: int = 8,
+) -> bytes:
+    """Tiled-layout writer: full tw x th blocks (edges zero-padded),
+    predictor applied at tile width, each tile compressed on its own —
+    the structure tags 322-325 describe."""
+    tw = th = tile_size
+    _expect(
+        tw > 0 and tw % 16 == 0, "tile_size must be a positive multiple of 16"
+    )
+    across = (width + tw - 1) // tw
+    down = (height + th - 1) // th
+    spp_eff = spp * (2 if bits == 16 else 1)
+    tiles: list[bytes] = []
+    for trow in range(down):
+        for tcol in range(across):
+            block = bytearray(tw * th * spp_eff)
+            y0, x0 = trow * th, tcol * tw
+            h_valid = min(th, height - y0)
+            w_valid = min(tw, width - x0)
+            for r in range(h_valid):
+                src = ((y0 + r) * width + x0) * spp_eff
+                dst = r * tw * spp_eff
+                block[dst : dst + w_valid * spp_eff] = pixels[
+                    src : src + w_valid * spp_eff
+                ]
+            tiles.append(
+                _compress_block(
+                    bytes(block), tw, th, spp_eff, compression, predictor
+                )
+            )
+    n_tiles = len(tiles)
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        if typ == 3 and count == 1:
+            val = struct.pack(bo + "H", value) + b"\x00\x00"
+        else:
+            val = struct.pack(bo + "I", value)
+        return struct.pack(bo + "HHI", tag, typ, count) + val
+
+    n_entries = 10 + (1 if predictor else 0)
+    ifd_len = 2 + 12 * n_entries + 4
+    extra_off = 8 + ifd_len
+    extra = struct.pack(bo + "3H", bits, bits, bits) if color else b""
+    arr_off = extra_off + len(extra)
+    if n_tiles > 1:
+        off_at = arr_off
+        cnt_at = arr_off + 4 * n_tiles
+        data_start = cnt_at + 4 * n_tiles
+    else:
+        data_start = arr_off
+    offsets: list[int] = []
+    pos = data_start
+    for tl in tiles:
+        offsets.append(pos)
+        pos += len(tl)
+    arrays = (
+        struct.pack(bo + f"{n_tiles}I", *offsets)
+        + struct.pack(bo + f"{n_tiles}I", *(len(tl) for tl in tiles))
+        if n_tiles > 1
+        else b""
+    )
+
+    tags = [entry(256, 4, 1, width), entry(257, 4, 1, height)]
+    if color:
+        tags.append(entry(258, 3, 3, extra_off))
+    else:
+        tags.append(entry(258, 3, 1, bits))
+    tags.append(entry(259, 3, 1, comp_tag))
+    tags.append(entry(262, 3, 1, 2 if color else 1))
+    tags.append(entry(277, 3, 1, spp))
+    if predictor:
+        tags.append(entry(317, 3, 1, 2))
+    tags.append(entry(322, 4, 1, tw))
+    tags.append(entry(323, 4, 1, th))
+    if n_tiles > 1:
+        tags.append(
+            struct.pack(bo + "HHI", 324, 4, n_tiles) + struct.pack(bo + "I", off_at)
+        )
+        tags.append(
+            struct.pack(bo + "HHI", 325, 4, n_tiles) + struct.pack(bo + "I", cnt_at)
+        )
+    else:
+        tags.append(entry(324, 4, 1, offsets[0]))
+        tags.append(entry(325, 4, 1, len(tiles[0])))
+    tags.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
+
+    ifd = struct.pack(bo + "H", n_entries) + b"".join(tags) + struct.pack(bo + "I", 0)
+    magic = b"MM\x00*" if bo == ">" else b"II*\x00"
+    header = magic + struct.pack(bo + "I", 8)
+    return header + ifd + extra + arrays + b"".join(tiles)

@@ -1716,7 +1716,9 @@ SELECT doc_id AS asset_id,
        TRUE AS endian_match,
        TRUE AS lzw_match,
        TRUE AS deflate_match,
-       TRUE AS packbits_match
+       TRUE AS packbits_match,
+       TRUE AS tiled_match,
+       TRUE AS deep16_match
 FROM b ORDER BY asset_id
 """
 
@@ -1745,7 +1747,11 @@ def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``deflate_match`` (zlib strips, plain and predictor), and
     ``packbits_match`` pin that every compressed encoding of the gray
     plane decodes byte-identical to the uncompressed one the md5
-    column already anchors.
+    column already anchors; ``tiled_match`` does the same for the
+    TILED layout (tags 322-325 — edge-padded 16x16 tiles, plain and
+    LZW+predictor); ``deep16_match`` pins that 16-bit samples (v*257,
+    so the high byte IS v) reduce to the same plane in both byte
+    orders, strip and tiled.
 
     Scale shape: bounded 60-asset mapInPandas, same contract as the
     other decode entries."""
@@ -1763,7 +1769,8 @@ def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "asset_id long, tiff_w int, tiff_h int, gray_mean_luma double, "
         "gray_md5 string, rgb_mean_luma double, endian_match boolean, "
-        "lzw_match boolean, deflate_match boolean, packbits_match boolean"
+        "lzw_match boolean, deflate_match boolean, packbits_match boolean, "
+        "tiled_match boolean, deep16_match boolean"
     )
 
     def batches(it):
@@ -1800,13 +1807,31 @@ def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     and _plane(compression="deflate", predictor=True) == luma
                 )
                 packbits_ok = _plane(compression="packbits") == luma
+                tiled_ok = (
+                    _plane(tile_size=16) == luma
+                    and _plane(compression="lzw", predictor=True, tile_size=16)
+                    == luma
+                )
+                px16 = [v * 257 for v in bts]
+                deep16_ok = all(
+                    decode_tiff(
+                        encode_tiff(
+                            _TIF_W, _TIF_H, px16, big_endian=be,
+                            tile_size=ts, bits=16,
+                        )
+                    )[2]
+                    == luma
+                    for be in (False, True)
+                    for ts in (None, 16)
+                )
                 rows.append(
                     (
                         doc_id, w, h, round(mean, 9),
                         _hl.md5(luma).hexdigest(),
                         round(rgb_mean, 9),
                         rgb_le == rgb_be and luma == gray_be[2],
-                        lzw_ok, deflate_ok, packbits_ok,
+                        lzw_ok, deflate_ok, packbits_ok, tiled_ok,
+                        deep16_ok,
                     )
                 )
             yield _pd.DataFrame(
@@ -1815,6 +1840,7 @@ def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "asset_id", "tiff_w", "tiff_h", "gray_mean_luma",
                     "gray_md5", "rgb_mean_luma", "endian_match",
                     "lzw_match", "deflate_match", "packbits_match",
+                    "tiled_match", "deep16_match",
                 ],
             )
 

@@ -170,15 +170,24 @@ def test_wav_kernel_roundtrip_and_formats():
     w8 = b"RIFF" + struct.pack("<I", len(body8)) + body8
     assert wav_pcm_stats(w8)[4] == 0.0
 
-    # compressed tags rejected loudly (honest probe)
+    # mu-law decodes as of round 13 (code 0x00 = -32124); codecs the
+    # kernel still lacks (GSM 6.10, tag 49) stay loudly rejected
     fmt_mulaw = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
     bodym = (
         b"WAVEfmt " + struct.pack("<I", len(fmt_mulaw)) + fmt_mulaw
         + b"data" + struct.pack("<I", 2) + b"\x00\x00"
     )
     mulaw = b"RIFF" + struct.pack("<I", len(bodym)) + bodym
-    with pytest.raises(WavError):
-        wav_pcm_stats(mulaw)
+    rate, n_ch, frames, _, _, peak = wav_pcm_stats(mulaw)
+    assert (rate, n_ch, frames) == (8000, 1, 2)
+    assert abs(peak - 32124 / 32768.0) < 1e-12
+    fmt_gsm = struct.pack("<HHIIHH", 49, 1, 8000, 1625, 65, 0)
+    bodyg = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt_gsm)) + fmt_gsm
+        + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+    )
+    with pytest.raises(WavError, match="codec library"):
+        wav_pcm_stats(b"RIFF" + struct.pack("<I", len(bodyg)) + bodyg)
 
 
 def test_decode_audio_probe_contract():
@@ -686,3 +695,47 @@ def test_wav_g711_and_adpcm_decode():
     bad[pos] = 90
     with _pytest.raises(WavError, match="step index"):
         wav_pcm_stats(bytes(bad))
+
+
+def test_wav_adpcm_stereo_interleave():
+    """Multi-channel IMA ADPCM: 4-byte data words round-robin across
+    channels, each channel carries its own (pred, idx) state, output
+    interleaves per sample instant — checked against an independent
+    per-channel walk over a hand-built two-channel block."""
+    import struct
+
+    from datalakehouse_spark.functions.wav import (
+        _ima_step,
+        wav_pcm_samples,
+    )
+
+    n_ch, rate = 2, 8000
+    headers = struct.pack("<hBB", 500, 10, 0) + struct.pack("<hBB", -700, 30, 0)
+    words_l = bytes([0x12, 0x34, 0x56, 0x78])
+    words_r = bytes([0x9A, 0xBC, 0xDE, 0xF0])
+    block = headers + words_l + words_r
+    align = len(block)
+    spb = 1 + (len(block) - 4 * n_ch) * 2 // n_ch
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, n_ch, rate,
+        (rate * align + spb - 1) // spb, align, 4, 2, spb,
+    )
+    body = (
+        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    r, ch, got = wav_pcm_samples(payload)
+    assert (r, ch) == (rate, n_ch)
+
+    chans = []
+    for pred, idx, words in ((500, 10, words_l), (-700, 30, words_r)):
+        vals = [pred]
+        for b in words:
+            for n in (b & 0x0F, b >> 4):
+                pred, idx = _ima_step(n, pred, idx)
+                vals.append(pred)
+        chans.append(vals)
+    exp = [chans[c][i] for i in range(len(chans[0])) for c in range(n_ch)]
+    assert got == exp and len(got) == 2 * spb

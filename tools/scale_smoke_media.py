@@ -112,8 +112,10 @@ def _gen_payloads(kind: str):
                         p = encode_gif(16, 4, bts, grays)
                     elif m == 3:
                         p = encode_bmp(4, 4, (bts[:48]))
-                    elif m == 4:
-                        p = encode_tiff(16, 4, bts)
+                    elif m == 4:  # round 13: alternate strip/tiled layout
+                        p = encode_tiff(
+                            16, 4, bts, tile_size=16 if aid % 2 else None
+                        )
                     else:  # round 13: 16-bit RGB565 BITFIELDS
                         p = encode_bmp16(
                             4, 4, bts[:48], 565 if aid % 2 else 555
