@@ -73,6 +73,46 @@ def _alaw2linear(a: int) -> int:
 _ULAW_TABLE = [_ulaw2linear(u) for u in range(256)]
 _ALAW_TABLE = [_alaw2linear(a) for a in range(256)]
 
+
+def linear_to_ulaw(sample: int) -> int:
+    """G.711 mu-law compressor (the classic Sun/CCITT routine): int16
+    in, code byte out.  Inverse of the decode table up to segment
+    quantization; exact on decoded values (encode(decode(c)) == c for
+    all 256 codes)."""
+    sample = max(-32768, min(32767, sample))
+    sign = 0x80 if sample < 0 else 0
+    if sample < 0:
+        sample = -sample
+    sample = min(sample, 32635) + 0x84
+    exp = 7
+    mask = 0x4000
+    while exp > 0 and not sample & mask:
+        exp -= 1
+        mask >>= 1
+    mantissa = (sample >> (exp + 3)) & 0x0F
+    return ~(sign | (exp << 4) | mantissa) & 0xFF
+
+
+def linear_to_alaw(sample: int) -> int:
+    """G.711 A-law compressor: int16 in, code byte out.  Matches the
+    decode table exactly on decoded values."""
+    sample = max(-32768, min(32767, sample))
+    sign = 0x80 if sample >= 0 else 0
+    if sample < 0:
+        sample = -sample - 1  # A-law encodes negatives off by one LSB
+    sample = min(sample, 32767)
+    if sample < 256:
+        code = sample >> 4
+    else:
+        exp = 7
+        mask = 0x4000
+        while exp > 1 and not sample & mask:
+            exp -= 1
+            mask >>= 1
+        mantissa = (sample >> (exp + 3)) & 0x0F
+        code = (exp << 4) | mantissa
+    return (sign | code) ^ 0x55
+
 # IMA/DVI ADPCM (the public IMA spec's tables — identical in every
 # implementation from the 1992 recommendation onward)
 _IMA_STEPS = [

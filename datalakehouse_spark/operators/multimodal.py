@@ -93,14 +93,15 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
     """Dispatch the stdlib image kernels by magic number: PNG
     (functions/png.py), baseline/progressive JPEG (functions/jpeg.py,
     round 11), GIF (functions/gif.py, round 11: LZW + palettes +
-    interlace + transparency, first frame on the logical screen), BMP,
-    or baseline uncompressed TIFF (functions/tiff.py, round 12).
-    Malformed payloads of a supported format raise their codec error
-    (PngError/JpegError/GifError/TiffError -> the corrupt->(0,0,NULL)
-    degradation path); formats no kernel handles — and real
-    JPEGs/TIFFs outside the supported profiles (arithmetic coding,
-    12-bit, LZW/deflate TIFF) — raise NotImplementedError (the honest
-    probe contract)."""
+    interlace + transparency, first frame on the logical screen), BMP
+    (incl. 16-bit RGB555/565, round 13), or TIFF (functions/tiff.py —
+    strips/tiles, none/LZW/deflate/PackBits, 8/16-bit samples, round
+    13).  Malformed payloads of a supported format raise their codec
+    error (PngError/JpegError/GifError/TiffError/BmpError -> the
+    corrupt->(0,0,NULL) degradation path); formats no kernel handles —
+    and real JPEGs/TIFFs outside the supported profiles (arithmetic
+    coding, 12-bit JPEG, CCITT/JPEG-in-TIFF) — raise
+    NotImplementedError (the honest probe contract)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from datalakehouse_spark.functions.png import png_luma_stats
 
@@ -141,7 +142,7 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
     raise NotImplementedError(
         "unsupported image format needs Pillow (pip install pillow); the "
         "stdlib kernels handle PNG, baseline/progressive JPEG, GIF, BMP "
-        "and baseline uncompressed TIFF"
+        "(incl. 16-bit) and strip/tiled LZW/deflate/PackBits TIFF"
     )
 
 

@@ -329,3 +329,37 @@ def test_ima_adpcm_decode_property(words, predictor, step_index, seed):
             idx = max(0, min(88, idx + _IMA_INDEX[n & 7]))
             exp.append(pred)
     assert got == exp
+
+
+@settings(max_examples=60, deadline=None)
+@given(x=st.integers(min_value=-32768, max_value=32767))
+def test_g711_encoder_quantization_property(x):
+    """The write-side companders: decode(encode(x)) stays within the
+    segment quantization step (<= 644 for mu-law including the spec's
+    32635 clip region, <= 512 + the negative off-by-one for A-law),
+    and encode(decode(c)) == c for every code except mu-law 0x7F (the
+    negative-zero alias of 0xFF — G.711's two-zeros quirk)."""
+    from datalakehouse_spark.functions.wav import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        linear_to_alaw,
+        linear_to_ulaw,
+    )
+
+    assert abs(_ULAW_TABLE[linear_to_ulaw(x)] - x) <= 644
+    assert abs(_ALAW_TABLE[linear_to_alaw(x)] - x) <= 513
+
+
+def test_g711_encoder_code_identity():
+    from datalakehouse_spark.functions.wav import (
+        _ALAW_TABLE,
+        _ULAW_TABLE,
+        linear_to_alaw,
+        linear_to_ulaw,
+    )
+
+    for c in range(256):
+        assert linear_to_alaw(_ALAW_TABLE[c]) == c
+        if c != 0x7F:  # negative zero canonicalizes to 0xFF
+            assert linear_to_ulaw(_ULAW_TABLE[c]) == c
+    assert linear_to_ulaw(_ULAW_TABLE[0x7F]) == 0xFF
