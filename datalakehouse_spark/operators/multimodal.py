@@ -432,15 +432,18 @@ VIDEO_STATS_SCHEMA = (
 
 def decode_video(payload: bytes) -> tuple[int, int, float, int, float]:
     """REAL video decode kernel (metadata pass): ``(width, height, fps,
-    n_frames, duration_ms)`` of an AVI, MP4/ISO-BMFF, or Matroska/WebM
-    payload — pure stdlib (functions/avi.py; functions/mp4.py since
-    round 11: box-tree walk of tkhd/mdhd/hdlr/stsz/stts;
-    functions/mkv.py since round 12: EBML walk of Info/Tracks/Cluster,
-    lacing-aware block counting), so it runs on any executor.  Frame
-    PIXELS of MP4/MKV still need a codec library (``sample_frames``
-    keeps its probe guard for those; AVI decodes BI_RGB and MJPEG
-    pixels for real).  Other containers raise NotImplementedError (the
-    honest probe contract: a real deployment adds ffmpeg)."""
+    n_frames, duration_ms)`` of an AVI, MP4/ISO-BMFF, Matroska/WebM,
+    or animated-GIF payload — pure stdlib (functions/avi.py;
+    functions/mp4.py since round 11: box-tree walk of
+    tkhd/mdhd/hdlr/stsz/stts; functions/mkv.py since round 12: EBML
+    walk of Info/Tracks/Cluster, lacing-aware block counting;
+    functions/gif.py since round 13: graphic-control delay walk — the
+    web-scrape "video" format byte-level dedup always misses), so it
+    runs on any executor.  Frame PIXELS of MP4/MKV still need a codec
+    library (``sample_frames`` keeps its probe guard for those; AVI
+    decodes BI_RGB and MJPEG pixels, GIF composites every frame for
+    real).  Other containers raise NotImplementedError (the honest
+    probe contract: a real deployment adds ffmpeg)."""
     from datalakehouse_spark.functions.avi import AviError, avi_video_stats
     from datalakehouse_spark.functions.mkv import MKV_MAGIC, mkv_video_stats
     from datalakehouse_spark.functions.mp4 import mp4_video_stats
@@ -451,9 +454,15 @@ def decode_video(payload: bytes) -> tuple[int, int, float, int, float]:
         return mp4_video_stats(payload)
     if payload[:4] == MKV_MAGIC:
         return mkv_video_stats(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from datalakehouse_spark.functions.gif import gif_video_stats
+
+        w, h, n_frames, fps, duration_ms = gif_video_stats(payload)
+        return w, h, fps, n_frames, duration_ms
     raise NotImplementedError(
-        "non-AVI/MP4/MKV video decode needs ffmpeg; the stdlib kernels "
-        "handle RIFF AVI, ISO BMFF and Matroska/WebM metadata"
+        "non-AVI/MP4/MKV/GIF video decode needs ffmpeg; the stdlib "
+        "kernels handle RIFF AVI, ISO BMFF, Matroska/WebM and animated "
+        "GIF metadata"
     )
 
 
@@ -585,11 +594,13 @@ def sample_frames(
     sampled frame (every ``stride``-th), the 1->N mapInPandas shape a
     video pipeline uses.
 
-    ``fake=False`` runs the REAL kernel (functions/avi.py): each
-    sampled AVI frame — BI_RGB raw, or MJPEG through the real JPEG
-    entropy decoder (round 12) — is normalized to top-down RGB24 and
-    fingerprinted with md5 — the frame-level dedup key — so two writers
-    encoding the same pixels at different bpp/row order fingerprint
+    ``fake=False`` runs the REAL kernels: each sampled AVI frame —
+    BI_RGB raw, or MJPEG through the real JPEG entropy decoder (round
+    12) — and (round 13) each animated-GIF frame COMPOSITED through
+    the disposal/transparency state machine (functions/gif.py) is
+    normalized to top-down RGB24 and fingerprinted with md5 — the
+    frame-level dedup key — so two writers encoding the same pixels in
+    different containers (or at different bpp/row order) fingerprint
     identically.  Undecodable or otherwise-compressed payloads
     contribute ZERO rows (a corrupt object must not kill a 100 TB
     pass; count them via ``extract_video_features`` where they surface
@@ -612,6 +623,7 @@ def sample_frames(
 
         if not fake:
             from datalakehouse_spark.functions.avi import avi_iter_frames
+            from datalakehouse_spark.functions.gif import gif_iter_frames
 
         for pdf in _chunks(it):
             ids, idxs, fps = [], [], []
@@ -629,8 +641,13 @@ def sample_frames(
                 # rows (the documented contract), not the frames
                 # decoded before the parse error
                 asset_rows = []
+                iter_frames = (
+                    gif_iter_frames
+                    if (payload or b"")[:6] in (b"GIF87a", b"GIF89a")
+                    else avi_iter_frames
+                )
                 try:
-                    for i, rgb in avi_iter_frames(payload or b"", stride):
+                    for i, rgb in iter_frames(payload or b"", stride):
                         asset_rows.append((i, hashlib.md5(rgb).hexdigest()))
                 except Exception:
                     continue  # undecodable asset -> zero rows

@@ -2841,3 +2841,154 @@ def q_wav_codec_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(batches, schema=schema).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# gif_animation_frames: animated-GIF compositing (disposal +
+# transparency state machine) on the oracle surface (round 13)
+# ---------------------------------------------------------------------------
+
+_GAF_N = 60
+_GAF_W, _GAF_H = 8, 4
+_GAF_BG = 95  # background gray (printable, so chr() oracle math is safe)
+
+_GAF_BYTES = "[CAST(unicode(substr(t, i, 1)) AS BIGINT) FOR i IN range(1, 45)]"
+
+# plane 1: patch bytes bv[33..40] drawn 4x2 at (2,1); pixels equal to
+# bv[33] are TRANSPARENT (keep the base)
+_GAF_P1 = (
+    "[CASE WHEN ((i - 1) % 8) BETWEEN 2 AND 5 "
+    "       AND ((i - 1) // 8) BETWEEN 1 AND 2 "
+    "       AND bv[33 + (((i - 1) // 8) - 1) * 4 + (((i - 1) % 8) - 2)] "
+    "           != bv[33] "
+    "      THEN bv[33 + (((i - 1) // 8) - 1) * 4 + (((i - 1) % 8) - 2)] "
+    "      ELSE bv[i] END FOR i IN range(1, 33)]"
+)
+# plane 2: frame 1's rect restored to the background (disposal 2),
+# then patch bv[41..44] drawn 2x2 at (5,0)
+_GAF_P2_PIX = (
+    "CASE WHEN ((i - 1) % 8) BETWEEN 5 AND 6 "
+    "      AND ((i - 1) // 8) BETWEEN 0 AND 1 "
+    "     THEN bv[41 + ((i - 1) // 8) * 2 + (((i - 1) % 8) - 5)] "
+    f"     WHEN ((i - 1) % 8) BETWEEN 2 AND 5 "
+    f"      AND ((i - 1) // 8) BETWEEN 1 AND 2 THEN {_GAF_BG} "
+    "     ELSE p1[i] END"
+)
+
+_GAF_MD5 = (
+    "md5(list_reduce([repeat(chr(CAST(v AS INTEGER)), 3) FOR v IN {plane}],"
+    " (a, x) -> a || x))"
+)
+
+_GAF_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_GAF_N})
+    WHERE length(text) >= 44
+      AND regexp_matches(text, '^[ -~]*$')
+),
+b AS (SELECT doc_id, {_GAF_BYTES} AS bv FROM d),
+p AS (
+    SELECT doc_id, bv,
+           [bv[i] FOR i IN range(1, 33)] AS p0,
+           {_GAF_P1} AS p1
+    FROM b
+),
+q AS (
+    SELECT doc_id, p0, p1,
+           [{_GAF_P2_PIX} FOR i IN range(1, 33)] AS p2
+    FROM p
+),
+f AS (
+    SELECT doc_id,
+           [{_GAF_MD5.format(plane="p0")},
+            {_GAF_MD5.format(plane="p1")},
+            {_GAF_MD5.format(plane="p2")}] AS md5s
+    FROM q
+)
+SELECT doc_id AS asset_id,
+       CAST(u.i - 1 AS INTEGER) AS frame_idx,
+       md5s[u.i] AS frame_md5
+FROM f, (SELECT UNNEST(range(1, 4)) AS i) u
+ORDER BY asset_id, frame_idx
+"""
+
+
+@register(
+    "gif_animation_frames",
+    _GAF_SQL,
+    "animated-GIF frame compositing: disposal/transparency machine == byte math",
+)
+def q_gif_animation_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: animated GIFs — the web-scrape 'video' format — on the
+    bit-exact oracle surface, THROUGH the real ``sample_frames``
+    operator (stride 1, fake=False).  Each document's leading bytes
+    become a 3-frame 8x4 animation exercising the whole GIF89a
+    compositing state machine:
+
+    - frame 0: full-screen base (bytes 1-32), disposal 1 (leave);
+    - frame 1: a 4x2 patch at (2,1) from bytes 33-40 with a
+      TRANSPARENT index (the first patch byte — those pixels keep the
+      base), disposal 2 (restore-background);
+    - frame 2: after the restore (patch rect -> background gray 95), a
+      2x2 patch at (5,0) from bytes 41-44 — overlapping the restored
+      rect at (5,1), so draw-order matters.
+
+    ``sample_frames`` md5-fingerprints every composited frame as
+    top-down RGB24 (the cross-container dedup key — a GIF frame and an
+    AVI frame of the same pixels hash identically), and DuckDB rebuilds
+    the exact digests from byte math: each plane as a list
+    comprehension over pixel coordinates, tripled through chr() into
+    the RGB byte string.
+
+    Scale shape: bounded 60-asset mapInPandas fan-out (1 asset -> 3
+    frame rows), no shuffle before the final sort — the media pipeline
+    contract."""
+    import pandas as _pd
+
+    from datalakehouse_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_GAF_N)
+        .where((F.length("text") >= 44) & F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+
+    def synth(it):
+        from datalakehouse_spark.functions.gif import encode_gif_animation
+
+        grays = [(i, i, i) for i in range(256)]
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bts = text.encode("utf-8")[:44]
+                payload = encode_gif_animation(
+                    _GAF_W, _GAF_H,
+                    [
+                        dict(indices=bts[:32], disposal=1, delay_cs=10),
+                        dict(
+                            indices=bts[32:40], left=2, top=1, width=4,
+                            height=2, disposal=2, transparent=bts[32],
+                            delay_cs=20,
+                        ),
+                        dict(
+                            indices=bts[40:44], left=5, top=0, width=2,
+                            height=2, delay_cs=30,
+                        ),
+                    ],
+                    grays,
+                    bg_index=_GAF_BG,
+                )
+                ids.append(int(doc_id))
+                payloads.append(payload)
+            yield _pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    assets = d.mapInPandas(synth, schema="asset_id long, payload binary")
+    return (
+        sample_frames(assets, stride=1, fake=False)
+        .select("asset_id", "frame_idx", "frame_md5")
+        .orderBy("asset_id", "frame_idx")
+    )

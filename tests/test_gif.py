@@ -160,3 +160,122 @@ def test_decode_image_dispatches_gif():
     assert (w, h) == (4, 1) and mean == 0.5
     with pytest.raises(GifError):
         decode_image(payload[:-4])
+
+
+# -- round 13: animated GIFs (disposal/transparency state machine) ---------
+
+
+def test_gif_animation_compositing_state_machine():
+    """Three-frame animation: transparency keeps underlying pixels,
+    disposal 2 restores the frame rect to background before the next
+    frame, disposal 3 restores the pre-frame canvas; gif_video_stats
+    sums graphic-control delays without pixel decode."""
+    from datalakehouse_spark.functions.gif import (
+        decode_gif,
+        encode_gif_animation,
+        gif_iter_frames,
+        gif_video_stats,
+    )
+
+    grays = [(i, i, i) for i in range(256)]
+    W, H = 8, 4
+    base = bytes(range(32, 32 + W * H))
+    patch1 = bytes(range(64, 72))
+    patch2 = bytes([100, 101, 102, 103])
+    payload = encode_gif_animation(
+        W, H,
+        [
+            dict(indices=base, disposal=1, delay_cs=10),
+            dict(indices=patch1, left=2, top=1, width=4, height=2,
+                 disposal=2, transparent=64, delay_cs=20),
+            dict(indices=patch2, left=5, top=0, width=2, height=2,
+                 delay_cs=30),
+        ],
+        grays, bg_index=95,
+    )
+
+    frames = list(gif_iter_frames(payload))
+    assert [i for i, _ in frames] == [0, 1, 2]
+    p0 = list(base)
+    p1 = list(p0)
+    for y in range(2):
+        for x in range(4):
+            v = patch1[y * 4 + x]
+            if v != 64:  # transparent index
+                p1[(1 + y) * W + 2 + x] = v
+    p2 = list(p1)
+    for y in range(2):
+        for x in range(4):
+            p2[(1 + y) * W + 2 + x] = 95  # disposal 2 -> background
+    for y in range(2):
+        for x in range(2):
+            p2[y * W + 5 + x] = patch2[y * 2 + x]
+    for k, exp in enumerate((p0, p1, p2)):
+        rgb = frames[k][1]
+        assert all(
+            rgb[3 * i] == rgb[3 * i + 1] == rgb[3 * i + 2] == exp[i]
+            for i in range(W * H)
+        ), k
+
+    w, h, n, fps, dur = gif_video_stats(payload)
+    assert (w, h, n, dur) == (W, H, 3, 600.0)
+    assert fps == 5.0
+    assert decode_gif(payload)[3] == 3  # structural count unchanged
+    assert [i for i, _ in gif_iter_frames(payload, stride=2)] == [0, 2]
+
+    # disposal 3: restore-previous wipes the middle frame's patch
+    payload3 = encode_gif_animation(
+        W, H,
+        [
+            dict(indices=base, disposal=1),
+            dict(indices=patch2, left=5, top=0, width=2, height=2,
+                 disposal=3),
+            dict(indices=bytes([40] * 4), left=0, top=0, width=2, height=2),
+        ],
+        grays,
+    )
+    last = list(gif_iter_frames(payload3))[2][1]
+    exp3 = list(base)
+    exp3[0] = exp3[1] = exp3[W] = exp3[W + 1] = 40
+    assert [last[3 * i] for i in range(W * H)] == exp3
+
+
+def test_gif_animation_through_sample_frames(spark):
+    """The real operator path: a GIF animation fans out to one row per
+    composited frame; an AVI of the same pixels fingerprints
+    identically (cross-container frame dedup)."""
+    import hashlib
+
+    from datalakehouse_spark.functions.avi import encode_avi
+    from datalakehouse_spark.functions.gif import (
+        encode_gif_animation,
+        gif_iter_frames,
+    )
+    from datalakehouse_spark.operators.multimodal import sample_frames
+
+    grays = [(i, i, i) for i in range(256)]
+    f0 = bytes(range(40, 56))
+    f1 = bytes(range(60, 76))
+    gif = encode_gif_animation(
+        4, 4,
+        [dict(indices=f0, disposal=1), dict(indices=f1)],
+        grays,
+    )
+    avi = encode_avi(
+        [bytes(v for b in f for v in (b, b, b)) for f in (f0, f1)], 4, 4,
+        fps=10,
+    )
+    assets = spark.createDataFrame(
+        [(1, "video", gif), (2, "video", avi), (3, "video", b"junk")],
+        "asset_id long, media_type string, payload binary",
+    )
+    rows = sample_frames(assets, stride=1, fake=False).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, {})[r.frame_idx] = r.frame_md5
+    assert set(by_asset) == {1, 2}  # junk contributes zero rows
+    assert by_asset[1] == by_asset[2]  # same pixels, two containers
+    exp = {
+        i: hashlib.md5(rgb).hexdigest() for i, rgb in gif_iter_frames(gif)
+    }
+    assert by_asset[1] == exp

@@ -17,7 +17,8 @@ real feature passes end-to-end:
 - ``audio``  — extract_audio_features over a WAV/MP3/Ogg/FLAC-stub/
   FLAC-PCM/G.711/IMA-ADPCM mix (round 13: real rice+LPC streams and
   the telephony codecs in the loop)
-- ``video``  — extract_video_features over an AVI/MP4/MKV mix
+- ``video``  — extract_video_features over an AVI/MP4/GIF-animation/
+  MKV mix (round 13: the graphic-control delay walk in the loop)
 - ``mjpeg``  — sample_frames(fake=False) PIXEL decode over MJPEG AVIs
   (round 12: per-frame JPEG entropy decode, the heaviest kernel —
   half the assets ship DHT-less so the Annex-K splice is in the loop)
@@ -81,7 +82,8 @@ def _gen_payloads(kind: str):
         from datalakehouse_spark.functions.avi import encode_avi, encode_avi_mjpeg
         from datalakehouse_spark.functions.bmp import encode_bmp, encode_bmp16
         from datalakehouse_spark.functions.flac import encode_flac, encode_flac_stub
-        from datalakehouse_spark.functions.gif import encode_gif
+        from datalakehouse_spark.functions.gif import (
+            encode_gif, encode_gif_animation)
         from datalakehouse_spark.functions.jpeg import encode_jpeg
         from datalakehouse_spark.functions.mkv import encode_mkv_stub
         from datalakehouse_spark.functions.mp3 import encode_mp3_stub
@@ -147,10 +149,22 @@ def _gen_payloads(kind: str):
                             step_index=bts[1] % 89,
                         )
                 elif kind == "video":
-                    if m == 0 or m == 2:
+                    if m == 0:
                         p = encode_avi([bts[:48]], 4, 4, fps=10)
                     elif m == 1:
                         p = encode_mp4_stub(64, 48, 1 + bts[0] % 30, fps=25.0)
+                    elif m == 2:  # round 13: animated GIF as a video
+                        p = encode_gif_animation(
+                            8, 4,
+                            [
+                                dict(indices=bts[:32], disposal=1,
+                                     delay_cs=10),
+                                dict(indices=bts[32:40], left=2, top=1,
+                                     width=4, height=2, disposal=2,
+                                     transparent=bts[32], delay_cs=20),
+                            ],
+                            grays,
+                        )
                     else:
                         p = encode_mkv_stub(64, 48, 1 + bts[0] % 30, fps=25.0)
                 else:  # mjpeg: 2 frames of 2x2 constant blocks (16x16 px)
