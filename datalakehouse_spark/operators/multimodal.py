@@ -94,9 +94,10 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
     (functions/png.py), baseline/progressive JPEG (functions/jpeg.py,
     round 11), GIF (functions/gif.py, round 11: LZW + palettes +
     interlace + transparency, first frame on the logical screen), BMP
-    (incl. 16-bit RGB555/565, round 13), or TIFF (functions/tiff.py —
-    strips/tiles, none/LZW/deflate/PackBits, 8/16-bit samples, round
-    13).  Malformed payloads of a supported format raise their codec
+    (incl. 16-bit RGB555/565, round 13), ICO/CUR (functions/ico.py,
+    round 13 — largest directory image through the PNG/BMP kernels),
+    or TIFF (functions/tiff.py — strips/tiles,
+    none/LZW/deflate/PackBits, 8/16-bit samples, round 13).  Malformed payloads of a supported format raise their codec
     error (PngError/JpegError/GifError/TiffError/BmpError -> the
     corrupt->(0,0,NULL) degradation path); formats no kernel handles —
     and real JPEGs/TIFFs outside the supported profiles (arithmetic
@@ -126,6 +127,12 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
         from datalakehouse_spark.functions.bmp import bmp_luma_stats
 
         return bmp_luma_stats(payload)
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        # ICO/CUR (round 13): directory of PNG- or DIB-wrapped images;
+        # the largest decodes through the PNG/BMP kernels
+        from datalakehouse_spark.functions.ico import ico_luma_stats
+
+        return ico_luma_stats(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         from datalakehouse_spark.functions.tiff import (
             TiffUnsupported,
@@ -142,7 +149,7 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
     raise NotImplementedError(
         "unsupported image format needs Pillow (pip install pillow); the "
         "stdlib kernels handle PNG, baseline/progressive JPEG, GIF, BMP "
-        "(incl. 16-bit) and strip/tiled LZW/deflate/PackBits TIFF"
+        "(incl. 16-bit), ICO/CUR and strip/tiled LZW/deflate/PackBits TIFF"
     )
 
 
@@ -529,8 +536,8 @@ def image_fingerprints(
     max_records_per_batch: int = 256,
 ) -> DataFrame:
     """Pixel-level image fingerprints for CROSS-FORMAT dedup: decode
-    each payload to its 8-bit luma plane (PNG/GIF/BMP/TIFF/JPEG — the
-    real stdlib kernels, all sharing the ITU-R 601-2 integer luma) and
+    each payload to its 8-bit luma plane (PNG/GIF/BMP/TIFF/JPEG/ICO —
+    the real stdlib kernels, all sharing the ITU-R 601-2 integer luma) and
     md5 it.  Two files carrying the SAME pixels in different lossless
     containers fingerprint identically — the dedup key a multimodal
     training corpus needs, where the same image circulates re-encoded
@@ -544,6 +551,7 @@ def image_fingerprints(
 
         from datalakehouse_spark.functions.bmp import decode_bmp
         from datalakehouse_spark.functions.gif import decode_gif
+        from datalakehouse_spark.functions.ico import decode_ico
         from datalakehouse_spark.functions.jpeg import decode_jpeg
         from datalakehouse_spark.functions.png import decode_png
         from datalakehouse_spark.functions.tiff import decode_tiff
@@ -560,6 +568,10 @@ def image_fingerprints(
                 return decode_bmp(data)
             if data[:4] in (b"II*\x00", b"MM\x00*"):
                 return decode_tiff(data)
+            if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+                # ICO/CUR (round 13): an icon wrapping the same pixels
+                # as a bare PNG/BMP fingerprints identically
+                return decode_ico(data)
             raise NotImplementedError("no stdlib pixel kernel for this magic")
 
         for pdf in _rebatch(it, max_records_per_batch):

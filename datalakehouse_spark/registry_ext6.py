@@ -1871,7 +1871,7 @@ q AS (
     FROM d
 )
 SELECT pm AS pixel_md5,
-       CAST(5 * COUNT(*) AS BIGINT) AS n_assets,
+       CAST(6 * COUNT(*) AS BIGINT) AS n_assets,
        16 AS width, 4 AS height
 FROM q
 GROUP BY pm
@@ -1882,7 +1882,7 @@ ORDER BY pixel_md5
 @register(
     "cross_format_image_dedup",
     _XFD_SQL,
-    "cross-container pixel dedup: PNG/BMP/TIFF/GIF/BMP16 of the same pixels collapse",
+    "cross-container pixel dedup: PNG/BMP/TIFF/GIF/BMP16/ICO of the same pixels collapse",
 )
 def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal dedup operator a training corpus needs: the SAME
@@ -1892,13 +1892,14 @@ def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     luma plane, md5) collapse them.  Each document's leading 64 bytes
     quantize onto the RGB555 lattice (round 13 — so the 16-bit
     re-encoding is lossless) and are encoded as gray PNG, 24-bit BMP
-    (r=g=b), baseline TIFF, a gray-palette GIF, and a 16-bit RGB555
-    BMP — five byte-DIFFERENT payloads of byte-IDENTICAL pixels — and
-    the fingerprint groupBy must collapse every doc's five formats
-    into ONE cluster (n_assets = 5 x docs sharing that content; two
+    (r=g=b), baseline TIFF, a gray-palette GIF, a 16-bit RGB555 BMP,
+    and an ICO wrapping the same PNG (the favicon re-encoding) — six
+    byte-DIFFERENT payloads of byte-IDENTICAL pixels — and the
+    fingerprint groupBy must collapse every doc's six formats
+    into ONE cluster (n_assets = 6 x docs sharing that content; two
     docs with identical leading bytes merge too, exactly like real
     dedup).  The oracle needs no codec at all: the shared ITU-R 601-2
-    integer luma maps gray pixels to themselves in all five kernels,
+    integer luma maps gray pixels to themselves in all six kernels,
     so the fingerprint is md5 of the 5-bit-expanded text bytes, which
     DuckDB rebuilds with chr() (expanded values stay ASCII).
 
@@ -1923,6 +1924,7 @@ def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         from datalakehouse_spark.functions.bmp import (
             encode_bmp, encode_bmp16, quantize_rgb555)
         from datalakehouse_spark.functions.gif import encode_gif
+        from datalakehouse_spark.functions.ico import encode_ico
         from datalakehouse_spark.functions.png import encode_png
         from datalakehouse_spark.functions.tiff import encode_tiff
 
@@ -1935,16 +1937,18 @@ def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # carries the SAME pixels as its 8-bit-channel siblings
                 bts = quantize_rgb555(raw)
                 rgb = bytes(v for b in bts for v in (b, b, b))
+                png = encode_png(16, 4, bts, color_type=0)
                 for k, p in enumerate(
                     (
-                        encode_png(16, 4, bts, color_type=0),
+                        png,
                         encode_bmp(16, 4, rgb),
                         encode_tiff(16, 4, bts),
                         encode_gif(16, 4, bts, grays),
                         encode_bmp16(16, 4, rgb, 555),
+                        encode_ico([(16, 4, png, "png")]),
                     )
                 ):
-                    ids.append(int(doc_id) * 5 + k)
+                    ids.append(int(doc_id) * 6 + k)
                     payloads.append(p)
             yield _pd.DataFrame({"asset_id": ids, "payload": payloads})
 
@@ -2992,3 +2996,102 @@ def q_gif_animation_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("asset_id", "frame_idx", "frame_md5")
         .orderBy("asset_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# ico_image_decode: ICO/CUR favicons on the oracle surface (round 13)
+# ---------------------------------------------------------------------------
+
+_ICO_N = 60
+
+_ICO_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_ICO_N})
+    WHERE length(text) >= 64
+      AND regexp_matches(text, '^[ -~]*$')
+)
+SELECT doc_id AS asset_id,
+       16 AS ico_w, 4 AS ico_h,
+       md5(substr(t, 1, 64)) AS png_md5,
+       md5(substr(t, 1, 64)) AS dib_md5,
+       TRUE AS largest_wins
+FROM d ORDER BY asset_id
+"""
+
+
+@register(
+    "ico_image_decode",
+    _ICO_SQL,
+    "ICO/CUR favicon decode: PNG- and DIB-wrapped planes == text bytes",
+)
+def q_ico_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: the ICO/CUR container (functions/ico.py) on the
+    bit-exact oracle surface, through ``decode_image`` dispatch.  Each
+    document's leading 64 bytes become a 16x4 gray plane wrapped two
+    ways — as a PNG-in-ICO (the Vista+ icon form) and as a classic
+    DIB-in-ICO (BITMAPINFOHEADER with doubled height + AND mask, the
+    height halved back and routed through the BMP kernel) — and both
+    full planes md5 back to exactly the text bytes (gray identity
+    luma, the oracle needs no codec).  ``largest_wins`` pins the
+    directory policy: a 2x2 decoy entry ahead of the real image must
+    NOT be selected.
+
+    Scale shape: bounded 60-asset mapInPandas, same contract as the
+    other decode entries."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_ICO_N)
+        .where((F.length("text") >= 64) & F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+
+    schema = (
+        "asset_id long, ico_w int, ico_h int, png_md5 string, "
+        "dib_md5 string, largest_wins boolean"
+    )
+
+    def batches(it):
+        import hashlib as _hl
+
+        from datalakehouse_spark.functions.bmp import encode_bmp
+        from datalakehouse_spark.functions.ico import decode_ico, encode_ico
+        from datalakehouse_spark.functions.png import encode_png
+        from datalakehouse_spark.operators.multimodal import decode_image
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bts = text.encode("utf-8")[:64]
+                png = encode_png(16, 4, bts, color_type=0)
+                rgb = bytes(v for b in bts for v in (b, b, b))
+                bmp = encode_bmp(16, 4, rgb)
+                decoy = encode_png(2, 2, bts[:4], color_type=0)
+                ico_png = encode_ico([(2, 2, decoy, "png"), (16, 4, png, "png")])
+                ico_dib = encode_ico(
+                    [(2, 2, decoy, "png"), (16, 4, bmp, "bmp")], cur=True
+                )
+                w, h, _mean = decode_image(ico_png)
+                p_plane = decode_ico(ico_png)[2]
+                d_plane = decode_ico(ico_dib)[2]
+                rows.append(
+                    (
+                        doc_id, w, h,
+                        _hl.md5(p_plane).hexdigest(),
+                        _hl.md5(d_plane).hexdigest(),
+                        (w, h) == (16, 4) and p_plane == d_plane,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "ico_w", "ico_h", "png_md5", "dib_md5",
+                    "largest_wins",
+                ],
+            )
+
+    return d.mapInPandas(batches, schema=schema).orderBy("asset_id")

@@ -13,7 +13,8 @@ encoders — the driver never touches a payload), then times the three
 real feature passes end-to-end:
 
 - ``image``  — extract_features(fake=False) over a PNG/JPEG/GIF/BMP/TIFF/
-  BMP16 mix (round 13: 16-bit RGB555/565 alternating)
+  BMP16/ICO mix (round 13: 16-bit RGB555/565 alternating; favicons
+  wrapping PNG or DIB payloads)
 - ``audio``  — extract_audio_features over a WAV/MP3/Ogg/FLAC-stub/
   FLAC-PCM/G.711/IMA-ADPCM mix (round 13: real rice+LPC streams and
   the telephony codecs in the loop)
@@ -84,6 +85,7 @@ def _gen_payloads(kind: str):
         from datalakehouse_spark.functions.flac import encode_flac, encode_flac_stub
         from datalakehouse_spark.functions.gif import (
             encode_gif, encode_gif_animation)
+        from datalakehouse_spark.functions.ico import encode_ico
         from datalakehouse_spark.functions.jpeg import encode_jpeg
         from datalakehouse_spark.functions.mkv import encode_mkv_stub
         from datalakehouse_spark.functions.mp3 import encode_mp3_stub
@@ -100,7 +102,7 @@ def _gen_payloads(kind: str):
             for aid, text in zip(pdf["asset_id"], pdf["text"]):
                 bts = text.encode("utf-8")[:64].ljust(64, b"x")
                 if kind in ("image", "imagefp"):
-                    m = aid % 6
+                    m = aid % 7
                 elif kind == "audio":
                     m = aid % 7
                 else:
@@ -118,10 +120,19 @@ def _gen_payloads(kind: str):
                         p = encode_tiff(
                             16, 4, bts, tile_size=16 if aid % 2 else None
                         )
-                    else:  # round 13: 16-bit RGB565 BITFIELDS
+                    elif m == 5:  # round 13: 16-bit RGB565 BITFIELDS
                         p = encode_bmp16(
                             4, 4, bts[:48], 565 if aid % 2 else 555
                         )
+                    else:  # round 13: ICO favicon (PNG- or DIB-wrapped)
+                        if aid % 2:
+                            inner = encode_png(16, 4, bts, color_type=0)
+                            p = encode_ico([(16, 4, inner, "png")])
+                        else:
+                            rgb3 = bytes(v for b in bts[:16] for v in (b, b, b))
+                            p = encode_ico(
+                                [(4, 4, encode_bmp(4, 4, rgb3), "bmp")]
+                            )
                 elif kind == "audio":
                     if m == 0:
                         p = encode_wav(
