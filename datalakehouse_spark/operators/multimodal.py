@@ -133,6 +133,16 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
         from datalakehouse_spark.functions.ico import ico_luma_stats
 
         return ico_luma_stats(payload)
+    if (
+        len(payload) >= 3
+        and payload[0] == 0x50
+        and 0x31 <= payload[1] <= 0x36
+        and (payload[2 : 3].isspace() or payload[2] == 0x23)
+    ):
+        # Netpbm P1..P6 (round 13)
+        from datalakehouse_spark.functions.pnm import pnm_luma_stats
+
+        return pnm_luma_stats(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         from datalakehouse_spark.functions.tiff import (
             TiffUnsupported,
@@ -146,10 +156,19 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
                 f"TIFF outside the baseline uncompressed profile needs "
                 f"Pillow: {exc}"
             ) from exc
+    from datalakehouse_spark.functions.tga import looks_like_tga
+
+    if looks_like_tga(payload):
+        # TGA has NO magic: the structural sniff runs LAST so every
+        # real magic wins first (round 13)
+        from datalakehouse_spark.functions.tga import tga_luma_stats
+
+        return tga_luma_stats(payload)
     raise NotImplementedError(
         "unsupported image format needs Pillow (pip install pillow); the "
         "stdlib kernels handle PNG, baseline/progressive JPEG, GIF, BMP "
-        "(incl. 16-bit), ICO/CUR and strip/tiled LZW/deflate/PackBits TIFF"
+        "(incl. 16-bit), ICO/CUR, Netpbm, TGA and strip/tiled "
+        "LZW/deflate/PackBits TIFF"
     )
 
 
@@ -572,6 +591,21 @@ def image_fingerprints(
                 # ICO/CUR (round 13): an icon wrapping the same pixels
                 # as a bare PNG/BMP fingerprints identically
                 return decode_ico(data)
+            if (
+                len(data) >= 3
+                and data[0] == 0x50
+                and 0x31 <= data[1] <= 0x36
+                and (data[2 : 3].isspace() or data[2] == 0x23)
+            ):
+                from datalakehouse_spark.functions.pnm import decode_pnm
+
+                return decode_pnm(data)
+            from datalakehouse_spark.functions.tga import looks_like_tga
+
+            if looks_like_tga(data):  # no magic: sniff LAST
+                from datalakehouse_spark.functions.tga import decode_tga
+
+                return decode_tga(data)
             raise NotImplementedError("no stdlib pixel kernel for this magic")
 
         for pdf in _rebatch(it, max_records_per_batch):

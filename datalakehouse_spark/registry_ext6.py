@@ -3095,3 +3095,143 @@ def q_ico_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(batches, schema=schema).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# pnm_tga_decode: Netpbm + Truevision TGA on the oracle surface
+# (round 13)
+# ---------------------------------------------------------------------------
+
+_PTD_N = 60
+
+_PTD_BYTES = "[CAST(unicode(substr(t, i, 1)) AS BIGINT) FOR i IN range(1, 65)]"
+_PTD_RGB_LUMA = (
+    "[(bv[3*i + 1] * 19595 + bv[3*i + 2] * 38470 + bv[3*i + 3] * 7471 "
+    "+ 32768) >> 16 FOR i IN range(0, 16)]"
+)
+# ARGB1555 gray: every channel quantizes to the same 5 bits, expands
+# by replication -> luma IS the 5-bit expansion (the BMP16 identity)
+_PTD_E5 = "((x // 8) * 8 + (x // 8) // 4)"
+
+_PTD_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_PTD_N})
+    WHERE length(text) >= 64
+      AND regexp_matches(text, '^[ -~]*$')
+),
+b AS (SELECT doc_id, t, {_PTD_BYTES} AS bv FROM d)
+SELECT doc_id AS asset_id,
+       16 AS img_w, 4 AS img_h,
+       md5(substr(t, 1, 64)) AS pgm_md5,
+       round(list_reduce([CASE WHEN x % 2 = 0 THEN 255 ELSE 0 END
+                          FOR x IN bv], (a, x) -> a + x)
+             / (255.0 * 64), 9) AS pbm_mean,
+       round(list_reduce({_PTD_RGB_LUMA}, (a, x) -> a + x)
+             / (255.0 * 16), 9) AS ppm_mean_luma,
+       TRUE AS deep16_match,
+       md5(substr(t, 1, 64)) AS tga_gray_md5,
+       round(list_reduce([{_PTD_E5} FOR x IN bv], (a, x) -> a + x)
+             / (255.0 * 64), 9) AS tga16_mean_luma,
+       TRUE AS mapped_match
+FROM b ORDER BY asset_id
+"""
+
+
+@register(
+    "pnm_tga_decode",
+    _PTD_SQL,
+    "Netpbm P1-P6 + TGA decode: bitmap/gray/color/16-bit planes == byte math",
+)
+def q_pnm_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: the Netpbm family (functions/pnm.py — the plainest
+    raster container in scientific pipelines) and Truevision TGA
+    (functions/tga.py — the graphics-tooling format, NO magic number:
+    the dispatch sniffs it structurally and LAST) on the bit-exact
+    oracle surface through ``decode_image``.  Per document:
+
+    - P5 gray pass-through (md5 of the full plane == the text bytes);
+    - P4 bitmap (1 = BLACK per the spec: mean = share of even bytes);
+    - P6 color (ITU-R 601-2 integer luma, recomputed from triplets);
+    - 16-bit P5 (big-endian v*257 samples reduce to the high byte —
+      ``deep16_match`` pins plane equality);
+    - TGA grayscale, RLE-compressed, stored BOTTOM-UP (the format's
+      default origin — md5 must equal the text bytes anyway);
+    - TGA ARGB1555 (5-bit channels bit-replicate: gray luma IS the
+      e5 expansion, the BMP16 identity) and a color-mapped TGA whose
+      gray palette hands back the index plane (``mapped_match``).
+
+    Scale shape: bounded 60-asset mapInPandas, same contract as the
+    other decode entries."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_PTD_N)
+        .where((F.length("text") >= 64) & F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+
+    schema = (
+        "asset_id long, img_w int, img_h int, pgm_md5 string, "
+        "pbm_mean double, ppm_mean_luma double, deep16_match boolean, "
+        "tga_gray_md5 string, tga16_mean_luma double, mapped_match boolean"
+    )
+
+    def batches(it):
+        import hashlib as _hl
+
+        from datalakehouse_spark.functions.pnm import decode_pnm, encode_pnm
+        from datalakehouse_spark.functions.tga import decode_tga, encode_tga
+        from datalakehouse_spark.operators.multimodal import decode_image
+
+        grays = [(i, i, i) for i in range(256)]
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bts = text.encode("utf-8")[:64]
+                w, h, _ = decode_image(encode_pnm(16, 4, list(bts), 5))
+                pgm_plane = decode_pnm(encode_pnm(16, 4, list(bts), 5))[2]
+                _, _, pbm_mean = decode_image(
+                    encode_pnm(16, 4, [b % 2 for b in bts], 4)
+                )
+                _, _, ppm_mean = decode_image(
+                    encode_pnm(4, 4, list(bts[:48]), 6)
+                )
+                deep = decode_pnm(
+                    encode_pnm(16, 4, [v * 257 for v in bts], 5, maxval=65535)
+                )[2]
+                tga_plane = decode_tga(
+                    encode_tga(16, 4, bts, "gray", rle=True, top_down=False)
+                )[2]
+                rgb = bytes(v for b in bts for v in (b, b, b))
+                _, _, tga16_mean = decode_image(
+                    encode_tga(16, 4, rgb, "argb1555", rle=True)
+                )
+                mapped = decode_tga(
+                    encode_tga(16, 4, bts, "mapped", palette=grays)
+                )[2]
+                rows.append(
+                    (
+                        doc_id, w, h,
+                        _hl.md5(pgm_plane).hexdigest(),
+                        round(pbm_mean, 9),
+                        round(ppm_mean, 9),
+                        deep == bts,
+                        _hl.md5(tga_plane).hexdigest(),
+                        round(tga16_mean, 9),
+                        mapped == bts,
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "img_w", "img_h", "pgm_md5", "pbm_mean",
+                    "ppm_mean_luma", "deep16_match", "tga_gray_md5",
+                    "tga16_mean_luma", "mapped_match",
+                ],
+            )
+
+    return d.mapInPandas(batches, schema=schema).orderBy("asset_id")

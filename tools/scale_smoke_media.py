@@ -13,8 +13,9 @@ encoders — the driver never touches a payload), then times the three
 real feature passes end-to-end:
 
 - ``image``  — extract_features(fake=False) over a PNG/JPEG/GIF/BMP/TIFF/
-  BMP16/ICO mix (round 13: 16-bit RGB555/565 alternating; favicons
-  wrapping PNG or DIB payloads)
+  BMP16/ICO/PNM/TGA mix (round 13: 16-bit RGB555/565 alternating;
+  favicons wrapping PNG or DIB payloads; Netpbm binary/ASCII; TGA
+  RLE bottom-up)
 - ``audio``  — extract_audio_features over a WAV/MP3/Ogg/FLAC-stub/
   FLAC-PCM/G.711/IMA-ADPCM mix (round 13: real rice+LPC streams and
   the telephony codecs in the loop)
@@ -86,6 +87,8 @@ def _gen_payloads(kind: str):
         from datalakehouse_spark.functions.gif import (
             encode_gif, encode_gif_animation)
         from datalakehouse_spark.functions.ico import encode_ico
+        from datalakehouse_spark.functions.pnm import encode_pnm
+        from datalakehouse_spark.functions.tga import encode_tga
         from datalakehouse_spark.functions.jpeg import encode_jpeg
         from datalakehouse_spark.functions.mkv import encode_mkv_stub
         from datalakehouse_spark.functions.mp3 import encode_mp3_stub
@@ -102,7 +105,7 @@ def _gen_payloads(kind: str):
             for aid, text in zip(pdf["asset_id"], pdf["text"]):
                 bts = text.encode("utf-8")[:64].ljust(64, b"x")
                 if kind in ("image", "imagefp"):
-                    m = aid % 7
+                    m = aid % 9
                 elif kind == "audio":
                     m = aid % 7
                 else:
@@ -124,7 +127,7 @@ def _gen_payloads(kind: str):
                         p = encode_bmp16(
                             4, 4, bts[:48], 565 if aid % 2 else 555
                         )
-                    else:  # round 13: ICO favicon (PNG- or DIB-wrapped)
+                    elif m == 6:  # round 13: ICO favicon (PNG/DIB)
                         if aid % 2:
                             inner = encode_png(16, 4, bts, color_type=0)
                             p = encode_ico([(16, 4, inner, "png")])
@@ -133,6 +136,14 @@ def _gen_payloads(kind: str):
                             p = encode_ico(
                                 [(4, 4, encode_bmp(4, 4, rgb3), "bmp")]
                             )
+                    elif m == 7:  # round 13: Netpbm (binary/ASCII alternating)
+                        p = encode_pnm(
+                            16, 4, list(bts), 5 if aid % 2 else 2
+                        )
+                    else:  # round 13: TGA (RLE gray, bottom-up)
+                        p = encode_tga(
+                            16, 4, bts, "gray", rle=True, top_down=False
+                        )
                 elif kind == "audio":
                     if m == 0:
                         p = encode_wav(
