@@ -143,6 +143,20 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
         from datalakehouse_spark.functions.pnm import pnm_luma_stats
 
         return pnm_luma_stats(payload)
+    if payload[:4] == b"qoif":
+        from datalakehouse_spark.functions.qoi import qoi_luma_stats
+
+        return qoi_luma_stats(payload)
+    if (
+        len(payload) >= 128
+        and payload[0] == 0x0A
+        and payload[1] in (0, 2, 3, 4, 5)
+        and payload[2] == 1
+    ):
+        # ZSoft PCX: weak 1-byte magic, so version/encoding gate it
+        from datalakehouse_spark.functions.pcx import pcx_luma_stats
+
+        return pcx_luma_stats(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         from datalakehouse_spark.functions.tiff import (
             TiffUnsupported,
@@ -167,7 +181,7 @@ def stdlib_image_stats(payload: bytes) -> tuple[int, int, float]:
     raise NotImplementedError(
         "unsupported image format needs Pillow (pip install pillow); the "
         "stdlib kernels handle PNG, baseline/progressive JPEG, GIF, BMP "
-        "(incl. 16-bit), ICO/CUR, Netpbm, TGA and strip/tiled "
+        "(incl. 16-bit), ICO/CUR, Netpbm, QOI, PCX, TGA and strip/tiled "
         "LZW/deflate/PackBits TIFF"
     )
 
@@ -600,6 +614,19 @@ def image_fingerprints(
                 from datalakehouse_spark.functions.pnm import decode_pnm
 
                 return decode_pnm(data)
+            if data[:4] == b"qoif":
+                from datalakehouse_spark.functions.qoi import decode_qoi
+
+                return decode_qoi(data)
+            if (
+                len(data) >= 128
+                and data[0] == 0x0A
+                and data[1] in (0, 2, 3, 4, 5)
+                and data[2] == 1
+            ):
+                from datalakehouse_spark.functions.pcx import decode_pcx
+
+                return decode_pcx(data)
             from datalakehouse_spark.functions.tga import looks_like_tga
 
             if looks_like_tga(data):  # no magic: sniff LAST

@@ -704,7 +704,7 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: driver window, then the aging tail by last-green-round ASCENDING —
 #: the r6/r7-stale cohort (containment_near_dup .. spatial_knn) all
 #: land inside the window, closing the last freshness debt.
-_DRIVER_ROTATION_CHANGED = ['bucketed_colocated_agg', 'flac_pcm_decode', 'bmp16_image_decode', 'wav_codec_decode', 'gif_animation_frames', 'ico_image_decode', 'pnm_tga_decode', 'bucketed_colocated_join', 'tiff_image_decode', 'cross_format_image_dedup', 'multimodal_real_decode_stats', 'media_frame_sample', 'mjpeg_avi_decode', 'container_metadata_stats']
+_DRIVER_ROTATION_CHANGED = ['bucketed_colocated_agg', 'flac_pcm_decode', 'bmp16_image_decode', 'wav_codec_decode', 'gif_animation_frames', 'ico_image_decode', 'pnm_tga_decode', 'qoi_pcx_decode', 'bucketed_colocated_join', 'tiff_image_decode', 'cross_format_image_dedup', 'multimodal_real_decode_stats', 'media_frame_sample', 'mjpeg_avi_decode', 'container_metadata_stats']
 _DRIVER_ROTATION_ASOF = 12
 _DRIVER_PRIORITY = [
     "bucketed_colocated_agg",
@@ -714,6 +714,7 @@ _DRIVER_PRIORITY = [
     "gif_animation_frames",
     "ico_image_decode",
     "pnm_tga_decode",
+    "qoi_pcx_decode",
     "bucketed_colocated_join",
     "tiff_image_decode",
     "cross_format_image_dedup",

@@ -3235,3 +3235,122 @@ def q_pnm_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(batches, schema=schema).orderBy("asset_id")
+
+
+# ---------------------------------------------------------------------------
+# qoi_pcx_decode: QOI + ZSoft PCX on the oracle surface (round 13)
+# ---------------------------------------------------------------------------
+
+_QPD_N = 60
+
+_QPD_BYTES = "[CAST(unicode(substr(t, i, 1)) AS BIGINT) FOR i IN range(1, 65)]"
+_QPD_RGB_LUMA = (
+    "[(bv[3*i + 1] * 19595 + bv[3*i + 2] * 38470 + bv[3*i + 3] * 7471 "
+    "+ 32768) >> 16 FOR i IN range(0, 16)]"
+)
+
+_QPD_SQL = f"""
+WITH d AS (
+    SELECT doc_id, text AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_QPD_N})
+    WHERE length(text) >= 64
+      AND regexp_matches(text, '^[ -~]*$')
+),
+b AS (SELECT doc_id, t, {_QPD_BYTES} AS bv FROM d)
+SELECT doc_id AS asset_id,
+       16 AS img_w, 4 AS img_h,
+       md5(substr(t, 1, 64)) AS qoi_md5,
+       round(list_reduce({_QPD_RGB_LUMA}, (a, x) -> a + x)
+             / (255.0 * 16), 9) AS qoi_rgb_mean,
+       md5(substr(t, 1, 64)) AS pcx_md5,
+       round(list_reduce({_QPD_RGB_LUMA}, (a, x) -> a + x)
+             / (255.0 * 16), 9) AS pcx_rgb_mean,
+       round(list_reduce([CASE WHEN x % 2 = 1 THEN 255 ELSE 0 END
+                          FOR x IN bv], (a, x) -> a + x)
+             / (255.0 * 64), 9) AS pcx_mono_mean
+FROM b ORDER BY asset_id
+"""
+
+
+@register(
+    "qoi_pcx_decode",
+    _QPD_SQL,
+    "QOI + PCX decode: run/index/diff/luma ops and RLE planes == byte math",
+)
+def q_qoi_pcx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: QOI (functions/qoi.py — the modern one-page-spec
+    lossless format new image datasets ship; RUN/INDEX/DIFF/LUMA ops
+    over a 64-entry rolling hash table) and ZSoft PCX
+    (functions/pcx.py — the retro RLE format old corpora carry) on the
+    bit-exact oracle surface through ``decode_image``.  Per document:
+
+    - QOI gray (r=g=b from text bytes): the decoded plane must hand
+      back exactly the input bytes through a REAL compressed stream
+      (the fixture encoder emits every op), pinned by the plane md5;
+    - QOI 4x4 RGB: luma recomputed by DuckDB from the byte triplets;
+    - PCX 8-bit gray (identity VGA palette, RLE scanlines): plane md5
+      == text bytes;
+    - PCX 3-plane RGB: same triplet luma math;
+    - PCX 1-bit mono (1 = white): mean = share of odd bytes.
+
+    Scale shape: bounded 60-asset mapInPandas, same contract as the
+    other decode entries."""
+    import pandas as _pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.orderBy("doc_id")
+        .limit(_QPD_N)
+        .where((F.length("text") >= 64) & F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+
+    schema = (
+        "asset_id long, img_w int, img_h int, qoi_md5 string, "
+        "qoi_rgb_mean double, pcx_md5 string, pcx_rgb_mean double, "
+        "pcx_mono_mean double"
+    )
+
+    def batches(it):
+        import hashlib as _hl
+
+        from datalakehouse_spark.functions.pcx import decode_pcx, encode_pcx
+        from datalakehouse_spark.functions.qoi import decode_qoi, encode_qoi
+        from datalakehouse_spark.operators.multimodal import decode_image
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                bts = text.encode("utf-8")[:64]
+                rgb_gray = bytes(v for b in bts for v in (b, b, b))
+                w, h, _ = decode_image(encode_qoi(16, 4, rgb_gray))
+                qoi_plane = decode_qoi(encode_qoi(16, 4, rgb_gray))[2]
+                _, _, qoi_rgb_mean = decode_image(encode_qoi(4, 4, bts[:48]))
+                pcx_plane = decode_pcx(encode_pcx(16, 4, bts, "gray"))[2]
+                _, _, pcx_rgb_mean = decode_image(
+                    encode_pcx(4, 4, bts[:48], "rgb")
+                )
+                _, _, pcx_mono_mean = decode_image(
+                    encode_pcx(16, 4, [b % 2 for b in bts], "mono")
+                )
+                rows.append(
+                    (
+                        doc_id, w, h,
+                        _hl.md5(qoi_plane).hexdigest(),
+                        round(qoi_rgb_mean, 9),
+                        _hl.md5(pcx_plane).hexdigest(),
+                        round(pcx_rgb_mean, 9),
+                        round(pcx_mono_mean, 9),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "img_w", "img_h", "qoi_md5",
+                    "qoi_rgb_mean", "pcx_md5", "pcx_rgb_mean",
+                    "pcx_mono_mean",
+                ],
+            )
+
+    return d.mapInPandas(batches, schema=schema).orderBy("asset_id")

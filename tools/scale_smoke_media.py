@@ -13,7 +13,7 @@ encoders — the driver never touches a payload), then times the three
 real feature passes end-to-end:
 
 - ``image``  — extract_features(fake=False) over a PNG/JPEG/GIF/BMP/TIFF/
-  BMP16/ICO/PNM/TGA mix (round 13: 16-bit RGB555/565 alternating;
+  BMP16/ICO/PNM/TGA/QOI/PCX mix (round 13: 16-bit RGB555/565 alternating;
   favicons wrapping PNG or DIB payloads; Netpbm binary/ASCII; TGA
   RLE bottom-up)
 - ``audio``  — extract_audio_features over a WAV/MP3/Ogg/FLAC-stub/
@@ -87,7 +87,9 @@ def _gen_payloads(kind: str):
         from datalakehouse_spark.functions.gif import (
             encode_gif, encode_gif_animation)
         from datalakehouse_spark.functions.ico import encode_ico
+        from datalakehouse_spark.functions.pcx import encode_pcx
         from datalakehouse_spark.functions.pnm import encode_pnm
+        from datalakehouse_spark.functions.qoi import encode_qoi
         from datalakehouse_spark.functions.tga import encode_tga
         from datalakehouse_spark.functions.jpeg import encode_jpeg
         from datalakehouse_spark.functions.mkv import encode_mkv_stub
@@ -105,7 +107,7 @@ def _gen_payloads(kind: str):
             for aid, text in zip(pdf["asset_id"], pdf["text"]):
                 bts = text.encode("utf-8")[:64].ljust(64, b"x")
                 if kind in ("image", "imagefp"):
-                    m = aid % 9
+                    m = aid % 11
                 elif kind == "audio":
                     m = aid % 7
                 else:
@@ -140,10 +142,16 @@ def _gen_payloads(kind: str):
                         p = encode_pnm(
                             16, 4, list(bts), 5 if aid % 2 else 2
                         )
-                    else:  # round 13: TGA (RLE gray, bottom-up)
+                    elif m == 8:  # round 13: TGA (RLE gray, bottom-up)
                         p = encode_tga(
                             16, 4, bts, "gray", rle=True, top_down=False
                         )
+                    elif m == 9:  # round 13: QOI (run/index/diff/luma ops)
+                        p = encode_qoi(
+                            16, 4, bytes(v for b in bts for v in (b, b, b))
+                        )
+                    else:  # round 13: PCX (RLE scanlines, VGA palette)
+                        p = encode_pcx(16, 4, bts, "gray")
                 elif kind == "audio":
                     if m == 0:
                         p = encode_wav(
