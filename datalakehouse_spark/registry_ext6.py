@@ -1871,7 +1871,7 @@ q AS (
     FROM d
 )
 SELECT pm AS pixel_md5,
-       CAST(6 * COUNT(*) AS BIGINT) AS n_assets,
+       CAST(8 * COUNT(*) AS BIGINT) AS n_assets,
        16 AS width, 4 AS height
 FROM q
 GROUP BY pm
@@ -1882,7 +1882,7 @@ ORDER BY pixel_md5
 @register(
     "cross_format_image_dedup",
     _XFD_SQL,
-    "cross-container pixel dedup: PNG/BMP/TIFF/GIF/BMP16/ICO of the same pixels collapse",
+    "cross-container pixel dedup: 8 containers of the same pixels collapse",
 )
 def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal dedup operator a training corpus needs: the SAME
@@ -1893,13 +1893,15 @@ def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize onto the RGB555 lattice (round 13 — so the 16-bit
     re-encoding is lossless) and are encoded as gray PNG, 24-bit BMP
     (r=g=b), baseline TIFF, a gray-palette GIF, a 16-bit RGB555 BMP,
-    and an ICO wrapping the same PNG (the favicon re-encoding) — six
-    byte-DIFFERENT payloads of byte-IDENTICAL pixels — and the
-    fingerprint groupBy must collapse every doc's six formats
-    into ONE cluster (n_assets = 6 x docs sharing that content; two
+    an ICO wrapping the same PNG (the favicon re-encoding), a QOI
+    (real RUN/INDEX/DIFF/LUMA compressed stream), and a PCX (RLE
+    scanlines, identity VGA palette) — EIGHT byte-DIFFERENT payloads
+    of byte-IDENTICAL pixels — and the fingerprint groupBy must
+    collapse every doc's eight formats into ONE cluster (n_assets =
+    8 x docs sharing that content; two
     docs with identical leading bytes merge too, exactly like real
     dedup).  The oracle needs no codec at all: the shared ITU-R 601-2
-    integer luma maps gray pixels to themselves in all six kernels,
+    integer luma maps gray pixels to themselves in all eight kernels,
     so the fingerprint is md5 of the 5-bit-expanded text bytes, which
     DuckDB rebuilds with chr() (expanded values stay ASCII).
 
@@ -1925,7 +1927,9 @@ def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_bmp, encode_bmp16, quantize_rgb555)
         from datalakehouse_spark.functions.gif import encode_gif
         from datalakehouse_spark.functions.ico import encode_ico
+        from datalakehouse_spark.functions.pcx import encode_pcx
         from datalakehouse_spark.functions.png import encode_png
+        from datalakehouse_spark.functions.qoi import encode_qoi
         from datalakehouse_spark.functions.tiff import encode_tiff
 
         grays = [(i, i, i) for i in range(256)]
@@ -1946,9 +1950,11 @@ def q_cross_format_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         encode_gif(16, 4, bts, grays),
                         encode_bmp16(16, 4, rgb, 555),
                         encode_ico([(16, 4, png, "png")]),
+                        encode_qoi(16, 4, rgb),
+                        encode_pcx(16, 4, bts, "gray"),
                     )
                 ):
-                    ids.append(int(doc_id) * 6 + k)
+                    ids.append(int(doc_id) * 8 + k)
                     payloads.append(p)
             yield _pd.DataFrame({"asset_id": ids, "payload": payloads})
 
