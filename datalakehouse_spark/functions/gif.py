@@ -373,7 +373,6 @@ def gif_iter_frames(data: bytes, stride: int = 1):
     canvas = bytearray(bg * (width * height))
     transparent: int | None = None
     disposal = 0
-    delay_cs = 0
     pending: tuple[int, tuple[int, int, int, int]] | None = None  # (disposal, rect)
     saved: bytes | None = None
     frame_idx = 0
@@ -393,9 +392,10 @@ def gif_iter_frames(data: bytes, stride: int = 1):
             if label == 0xF9:
                 body, pos = _sub_blocks(data, pos)
                 if len(body) >= 4:
+                    # frame timing (delay) is gif_video_stats' concern;
+                    # the compositor only needs disposal + transparency
                     disposal = (body[0] >> 2) & 0x07
                     transparent = body[3] if body[0] & 0x01 else None
-                    (delay_cs,) = struct.unpack("<H", body[1:3])
             else:
                 pos = _skip_sub_blocks(data, pos)
             continue
@@ -471,7 +471,6 @@ def gif_iter_frames(data: bytes, stride: int = 1):
         pending = (disposal, (left, top, fw, fh))
         transparent = None
         disposal = 0
-        delay_cs = 0
         frame_idx += 1
 
 

@@ -30,8 +30,14 @@ class PcxError(ValueError):
     """Malformed or unsupported PCX payload."""
 
 
-def _rle_decode(data: bytes, pos: int, n_out: int) -> tuple[bytearray, int]:
-    out = bytearray()
+def _rle_decode(
+    data: bytes, pos: int, n_out: int, carry: bytes = b""
+) -> tuple[bytearray, int, bytes]:
+    # Fills count-wise: a run that overflows past n_out is NOT
+    # discarded — the excess is returned as ``carry`` and prepended to
+    # the next scanline, matching writers whose runs cross line
+    # boundaries.
+    out = bytearray(carry)
     while len(out) < n_out:
         if pos >= len(data):
             raise PcxError("PCX RLE stream exhausted")
@@ -44,7 +50,7 @@ def _rle_decode(data: bytes, pos: int, n_out: int) -> tuple[bytearray, int]:
             pos += 1
         else:
             out.append(b)
-    return out, pos
+    return out[:n_out], pos, bytes(out[n_out:])
 
 
 def decode_pcx(data: bytes) -> tuple[int, int, bytes]:
@@ -74,9 +80,10 @@ def decode_pcx(data: bytes) -> tuple[int, int, bytes]:
     n = width * height
     luma = bytearray(n)
 
+    carry = b""
     if profile == (1, 1):
         for r in range(height):
-            row, pos = _rle_decode(data, pos, bpl)
+            row, pos, carry = _rle_decode(data, pos, bpl, carry)
             base = r * width
             for x in range(width):
                 bit = (row[x >> 3] >> (7 - (x & 7))) & 1
@@ -85,7 +92,7 @@ def decode_pcx(data: bytes) -> tuple[int, int, bytes]:
 
     if profile == (8, 3):
         for r in range(height):
-            row, pos = _rle_decode(data, pos, 3 * bpl)
+            row, pos, carry = _rle_decode(data, pos, 3 * bpl, carry)
             base = r * width
             for x in range(width):
                 rr, gg, bb = row[x], row[bpl + x], row[2 * bpl + x]
@@ -98,7 +105,7 @@ def decode_pcx(data: bytes) -> tuple[int, int, bytes]:
     # trails the pixel data — absent palette means grayscale identity
     idx = bytearray(n)
     for r in range(height):
-        row, pos = _rle_decode(data, pos, bpl)
+        row, pos, carry = _rle_decode(data, pos, bpl, carry)
         idx[r * width : (r + 1) * width] = row[:width]
     # the VGA palette sits at EXACTLY len-769 (0x0C marker + 768
     # bytes) — searching for 0x0C would false-match palette bytes

@@ -92,6 +92,11 @@ def decode_qoi(data: bytes) -> tuple[int, int, bytes]:
         table[_hash(r, g, b, a)] = (r, g, b, a)
         luma[i] = (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16
         i += 1
+    # The ops must stop exactly at the end marker: a stream truncated
+    # mid-pixel would otherwise consume marker bytes as ops (0x00 =
+    # INDEX 0) and return silently corrupted luma.
+    if pos != end:
+        raise QoiError("QOI ops did not end at the end marker")
     if data[end : end + 8] != b"\x00" * 7 + b"\x01":
         raise QoiError("missing QOI end marker")
     return width, height, bytes(luma)

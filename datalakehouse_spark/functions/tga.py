@@ -52,11 +52,13 @@ def looks_like_tga(data: bytes) -> bool:
         return False
     cmap_type, img_type = data[1], data[2]
     bpp = data[16]
+    width, height = struct.unpack("<HH", data[12:16])
     return (
         cmap_type in (0, 1)
         and img_type in (1, 2, 3, 9, 10, 11)
         and bpp in (8, 15, 16, 24, 32)
-        and struct.unpack("<HH", data[12:16]) > (0, 0)
+        and width > 0
+        and height > 0
     )
 
 

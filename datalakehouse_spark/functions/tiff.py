@@ -19,15 +19,18 @@ already in the repo or the stdlib:
 
 All three compose with the **horizontal-differencing predictor**
 (tag 317 = 2, applied per row per sample channel after
-decompression).  Strips decompress independently, per spec.
+decompression) — at BOTH sample widths: 8-bit differencing is mod
+256 per byte, 16-bit (round 14) is mod 65536 per sample value in the
+file byte order, per the spec.  Strips decompress independently, per
+spec.
 
 Still rejected loudly (``TiffUnsupported`` routes them to a Pillow/
 libtiff deployment — the honest probe contract): JPEG-in-TIFF (6/7),
 CCITT fax (2/3/4), the floating-point predictor 3, planar
-configuration 2, bits-per-sample outside {8, 16} and the
-16-bit+predictor combination.  16-bit samples (round 13 — the
-scientific/scanner profile) reduce to 8 bits by taking the high byte,
-the same convention the PNG kernel applies to 16-bit depth.
+configuration 2, and bits-per-sample outside {8, 16}.  16-bit samples
+(round 13 — the scientific/scanner profile) reduce to 8 bits by
+taking the high byte, the same convention the PNG kernel applies to
+16-bit depth.
 
 Supported pixel profiles: both byte orders (``II``/``MM``), 8-bit
 grayscale (PhotometricInterpretation 1 BlackIsZero and 0 WhiteIsZero
@@ -196,6 +199,23 @@ def _undiff_rows(raw: bytearray, width: int, height: int, spp: int) -> None:
             raw[base + i] = (raw[base + i] + raw[base + i - spp]) & 0xFF
 
 
+def _undiff_rows16(
+    raw: bytearray, width: int, height: int, spp: int, bo: str
+) -> None:
+    """Predictor 2 at 16-bit sample width (round 14): the spec applies
+    horizontal differencing PER SAMPLE VALUE, so 16-bit files
+    accumulate mod 65536 in the file byte order — the same loop as
+    ``_undiff_rows`` at a different sample width."""
+    n = width * height * spp
+    vals = list(struct.unpack_from(f"{bo}{n}H", raw))
+    row = width * spp
+    for r in range(height):
+        base = r * row
+        for i in range(spp, row):
+            vals[base + i] = (vals[base + i] + vals[base + i - spp]) & 0xFFFF
+    raw[: 2 * n] = struct.pack(f"{bo}{n}H", *vals)
+
+
 def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
     """Decode a TIFF (strip or tiled layout, any supported
     compression) -> ``(width, height, luma_plane)`` — the same
@@ -236,8 +256,6 @@ def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
         # convention the PNG kernel applies to 16-bit depth, so a
         # pixel-identical 16-bit PNG and TIFF agree on luma
         sb = 2
-        if predictor == 2:
-            raise TiffUnsupported("predictor with 16-bit samples not supported")
     else:
         raise TiffUnsupported(
             f"bits per sample {bits} not supported (need all-8 or all-16)"
@@ -288,7 +306,10 @@ def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
             _expect(len(tile) >= tile_bytes, "tile shorter than its grid cell")
             if predictor == 2:
                 tb = bytearray(tile[:tile_bytes])
-                _undiff_rows(tb, tw, th, spp)
+                if sb == 2:
+                    _undiff_rows16(tb, tw, th, spp, bo)
+                else:
+                    _undiff_rows(tb, tw, th, spp)
                 tile = tb
             trow, tcol = divmod(k, across)
             y0, x0 = trow * th, tcol * tw
@@ -334,7 +355,10 @@ def decode_tiff(data: bytes) -> tuple[int, int, bytes]:
         "pixel data shorter than dimensions",
     )
     if predictor == 2:
-        _undiff_rows(raw, width, height, spp)
+        if sb == 2:
+            _undiff_rows16(raw, width, height, spp, bo)
+        else:
+            _undiff_rows(raw, width, height, spp)
     if sb == 2:
         raw = _high_bytes(raw, bo)
     return _to_luma(raw, width, height, spp, photometric)
@@ -474,14 +498,40 @@ def _diff_rows(pixels: bytes, width: int, height: int, spp: int) -> bytes:
     return bytes(out)
 
 
+def _diff_rows16(
+    pixels: bytes, width: int, height: int, spp: int, bo: str
+) -> bytes:
+    """Forward horizontal differencing per 16-bit sample (the encoder
+    side of ``_undiff_rows16``), in the file byte order."""
+    n = width * height * spp
+    vals = list(struct.unpack(f"{bo}{n}H", pixels))
+    row = width * spp
+    for r in range(height):
+        base = r * row
+        for i in range(row - 1, spp - 1, -1):
+            vals[base + i] = (vals[base + i] - vals[base + i - spp]) & 0xFFFF
+    return struct.pack(f"{bo}{n}H", *vals)
+
+
 _COMPRESS_TAG = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
 
 
 def _compress_block(
     block: bytes, width: int, height: int, spp: int,
     compression: str, predictor: bool,
+    bits: int = 8, bo: str = "<",
 ) -> bytes:
-    raw = _diff_rows(block, width, height, spp) if predictor else block
+    # ``spp`` here is the BYTE stride per pixel (spp_eff = channels *
+    # bytes-per-sample); the 16-bit predictor needs the channel count,
+    # which is spp // 2.
+    if predictor:
+        raw = (
+            _diff_rows16(block, width, height, spp // 2, bo)
+            if bits == 16
+            else _diff_rows(block, width, height, spp)
+        )
+    else:
+        raw = block
     if compression == "lzw":
         return _lzw_encode(raw)
     if compression == "deflate":
@@ -513,7 +563,8 @@ def encode_tiff(
     compressed independently) when ``tile_size`` is set (round 13;
     must be a multiple of 16 per the spec).  ``bits=16`` (round 13)
     takes ``pixels`` as a sequence of 0..65535 ints and writes 16-bit
-    samples in the file byte order (predictor not supported there)."""
+    samples in the file byte order (round 14: the predictor composes —
+    differencing runs per 16-bit sample value, mod 65536)."""
     spp = 3 if color else 1
     _expect(len(pixels) == width * height * spp, "pixel buffer size mismatch")
     comp_tag = _COMPRESS_TAG.get(compression)
@@ -521,8 +572,6 @@ def encode_tiff(
     _expect(bits in (8, 16), f"bits must be 8 or 16, got {bits}")
     bo = ">" if big_endian else "<"
     if bits == 16:
-        if predictor:
-            raise TiffUnsupported("predictor with 16-bit samples not supported")
         pixels = struct.pack(bo + f"{len(pixels)}H", *pixels)
         spp_eff = spp * 2
     else:
@@ -535,7 +584,9 @@ def encode_tiff(
             compression, predictor, tile_size, bits,
         )
 
-    strip = _compress_block(pixels, width, height, spp_eff, compression, predictor)
+    strip = _compress_block(
+        pixels, width, height, spp_eff, compression, predictor, bits, bo
+    )
 
     def entry(tag: int, typ: int, count: int, value: int) -> bytes:
         # inline values are LEFT-justified in the 4-byte field (spec:
@@ -613,7 +664,8 @@ def _encode_tiff_tiled(
                 ]
             tiles.append(
                 _compress_block(
-                    bytes(block), tw, th, spp_eff, compression, predictor
+                    bytes(block), tw, th, spp_eff, compression, predictor,
+                    bits, bo,
                 )
             )
     n_tiles = len(tiles)

@@ -1751,7 +1751,8 @@ def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     TILED layout (tags 322-325 — edge-padded 16x16 tiles, plain and
     LZW+predictor); ``deep16_match`` pins that 16-bit samples (v*257,
     so the high byte IS v) reduce to the same plane in both byte
-    orders, strip and tiled.
+    orders, strip and tiled, with and without the predictor (round
+    14: per-16-bit-sample mod-65536 differencing).
 
     Scale shape: bounded 60-asset mapInPandas, same contract as the
     other decode entries."""
@@ -1817,12 +1818,15 @@ def q_tiff_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     decode_tiff(
                         encode_tiff(
                             _TIF_W, _TIF_H, px16, big_endian=be,
-                            tile_size=ts, bits=16,
+                            tile_size=ts, bits=16, predictor=pred,
                         )
                     )[2]
                     == luma
                     for be in (False, True)
                     for ts in (None, 16)
+                    # round 14: predictor composes with 16-bit samples
+                    # (per-sample mod-65536 differencing)
+                    for pred in (False, True)
                 )
                 rows.append(
                     (
@@ -2603,7 +2607,10 @@ def q_bmp16_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 13: the 16-bit BMP profiles (functions/bmp.py — RGB555 as
     BI_RGB 16bpp per the spec, RGB555 restated as explicit BITFIELDS
     masks, and RGB565 BITFIELDS) on the bit-exact oracle surface,
-    through the ``decode_image`` dispatch.  Each document's leading 64
+    calling ``decode_bmp``/``bmp_luma_stats`` DIRECTLY (not
+    ``decode_image``, whose Pillow preference would stop exercising
+    the stdlib kernel when Pillow is importable).  Each document's
+    leading 64
     bytes become gray pixels; channels quantize by truncation and
     expand by bit replication ((v << 3) | (v >> 2) / (v << 2) |
     (v >> 4) — Pillow's BGR;15/BGR;16 unpackers), so DuckDB recomputes
@@ -2639,22 +2646,25 @@ def q_bmp16_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batches(it):
         import hashlib as _hl
 
-        from datalakehouse_spark.functions.bmp import decode_bmp, encode_bmp16
-        from datalakehouse_spark.operators.multimodal import decode_image
+        from datalakehouse_spark.functions.bmp import (
+            bmp_luma_stats,
+            decode_bmp,
+            encode_bmp16,
+        )
 
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 bts = text.encode("utf-8")[:64]
                 rgb = bytes(v for b in bts for v in (b, b, b))
-                w, h, mean555 = decode_image(
+                w, h, plane555 = decode_bmp(
                     encode_bmp16(_B16_W, _B16_H, rgb, 555)
                 )
-                plane555 = decode_bmp(encode_bmp16(_B16_W, _B16_H, rgb, 555))[2]
+                mean555 = sum(plane555) / (255.0 * w * h)
                 plane555bf = decode_bmp(
                     encode_bmp16(_B16_W, _B16_H, rgb, 555, bitfields=True)
                 )[2]
-                _, _, mean565 = decode_image(
+                _, _, mean565 = bmp_luma_stats(
                     encode_bmp16(_B16_W, _B16_H, rgb, 565)
                 )
                 rows.append(
@@ -3033,7 +3043,9 @@ FROM d ORDER BY asset_id
 )
 def q_ico_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 13: the ICO/CUR container (functions/ico.py) on the
-    bit-exact oracle surface, through ``decode_image`` dispatch.  Each
+    bit-exact oracle surface, calling ``decode_ico`` DIRECTLY (not
+    ``decode_image``, whose Pillow preference would stop exercising
+    the stdlib kernel when Pillow is importable).  Each
     document's leading 64 bytes become a 16x4 gray plane wrapped two
     ways — as a PNG-in-ICO (the Vista+ icon form) and as a classic
     DIB-in-ICO (BITMAPINFOHEADER with doubled height + AND mask, the
@@ -3067,7 +3079,6 @@ def q_ico_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         from datalakehouse_spark.functions.bmp import encode_bmp
         from datalakehouse_spark.functions.ico import decode_ico, encode_ico
         from datalakehouse_spark.functions.png import encode_png
-        from datalakehouse_spark.operators.multimodal import decode_image
 
         for pdf in it:
             rows = []
@@ -3081,8 +3092,7 @@ def q_ico_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ico_dib = encode_ico(
                     [(2, 2, decoy, "png"), (16, 4, bmp, "bmp")], cur=True
                 )
-                w, h, _mean = decode_image(ico_png)
-                p_plane = decode_ico(ico_png)[2]
+                w, h, p_plane = decode_ico(ico_png)
                 d_plane = decode_ico(ico_dib)[2]
                 rows.append(
                     (
@@ -3154,7 +3164,10 @@ def q_pnm_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     raster container in scientific pipelines) and Truevision TGA
     (functions/tga.py — the graphics-tooling format, NO magic number:
     the dispatch sniffs it structurally and LAST) on the bit-exact
-    oracle surface through ``decode_image``.  Per document:
+    oracle surface, calling the stdlib kernels DIRECTLY
+    (``decode_pnm``/``pnm_luma_stats``/``decode_tga``/``tga_luma_stats``
+    rather than ``decode_image``, whose Pillow preference would stop
+    exercising these kernels when Pillow is importable).  Per document:
 
     - P5 gray pass-through (md5 of the full plane == the text bytes);
     - P4 bitmap (1 = BLACK per the spec: mean = share of even bytes);
@@ -3189,21 +3202,27 @@ def q_pnm_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batches(it):
         import hashlib as _hl
 
-        from datalakehouse_spark.functions.pnm import decode_pnm, encode_pnm
-        from datalakehouse_spark.functions.tga import decode_tga, encode_tga
-        from datalakehouse_spark.operators.multimodal import decode_image
+        from datalakehouse_spark.functions.pnm import (
+            decode_pnm,
+            encode_pnm,
+            pnm_luma_stats,
+        )
+        from datalakehouse_spark.functions.tga import (
+            decode_tga,
+            encode_tga,
+            tga_luma_stats,
+        )
 
         grays = [(i, i, i) for i in range(256)]
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 bts = text.encode("utf-8")[:64]
-                w, h, _ = decode_image(encode_pnm(16, 4, list(bts), 5))
-                pgm_plane = decode_pnm(encode_pnm(16, 4, list(bts), 5))[2]
-                _, _, pbm_mean = decode_image(
+                w, h, pgm_plane = decode_pnm(encode_pnm(16, 4, list(bts), 5))
+                _, _, pbm_mean = pnm_luma_stats(
                     encode_pnm(16, 4, [b % 2 for b in bts], 4)
                 )
-                _, _, ppm_mean = decode_image(
+                _, _, ppm_mean = pnm_luma_stats(
                     encode_pnm(4, 4, list(bts[:48]), 6)
                 )
                 deep = decode_pnm(
@@ -3213,7 +3232,7 @@ def q_pnm_tga_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     encode_tga(16, 4, bts, "gray", rle=True, top_down=False)
                 )[2]
                 rgb = bytes(v for b in bts for v in (b, b, b))
-                _, _, tga16_mean = decode_image(
+                _, _, tga16_mean = tga_luma_stats(
                     encode_tga(16, 4, rgb, "argb1555", rle=True)
                 )
                 mapped = decode_tga(
@@ -3288,7 +3307,11 @@ def q_qoi_pcx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     lossless format new image datasets ship; RUN/INDEX/DIFF/LUMA ops
     over a 64-entry rolling hash table) and ZSoft PCX
     (functions/pcx.py — the retro RLE format old corpora carry) on the
-    bit-exact oracle surface through ``decode_image``.  Per document:
+    bit-exact oracle surface, calling the stdlib kernels DIRECTLY
+    (``decode_qoi``/``qoi_luma_stats``/``decode_pcx``/``pcx_luma_stats``
+    rather than ``decode_image``, whose Pillow preference would stop
+    exercising these kernels — or error outright on Pillow builds
+    without QOI support).  Per document:
 
     - QOI gray (r=g=b from text bytes): the decoded plane must hand
       back exactly the input bytes through a REAL compressed stream
@@ -3321,23 +3344,29 @@ def q_qoi_pcx_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batches(it):
         import hashlib as _hl
 
-        from datalakehouse_spark.functions.pcx import decode_pcx, encode_pcx
-        from datalakehouse_spark.functions.qoi import decode_qoi, encode_qoi
-        from datalakehouse_spark.operators.multimodal import decode_image
+        from datalakehouse_spark.functions.pcx import (
+            decode_pcx,
+            encode_pcx,
+            pcx_luma_stats,
+        )
+        from datalakehouse_spark.functions.qoi import (
+            decode_qoi,
+            encode_qoi,
+            qoi_luma_stats,
+        )
 
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 bts = text.encode("utf-8")[:64]
                 rgb_gray = bytes(v for b in bts for v in (b, b, b))
-                w, h, _ = decode_image(encode_qoi(16, 4, rgb_gray))
-                qoi_plane = decode_qoi(encode_qoi(16, 4, rgb_gray))[2]
-                _, _, qoi_rgb_mean = decode_image(encode_qoi(4, 4, bts[:48]))
+                w, h, qoi_plane = decode_qoi(encode_qoi(16, 4, rgb_gray))
+                _, _, qoi_rgb_mean = qoi_luma_stats(encode_qoi(4, 4, bts[:48]))
                 pcx_plane = decode_pcx(encode_pcx(16, 4, bts, "gray"))[2]
-                _, _, pcx_rgb_mean = decode_image(
+                _, _, pcx_rgb_mean = pcx_luma_stats(
                     encode_pcx(4, 4, bts[:48], "rgb")
                 )
-                _, _, pcx_mono_mean = decode_image(
+                _, _, pcx_mono_mean = pcx_luma_stats(
                     encode_pcx(16, 4, [b % 2 for b in bts], "mono")
                 )
                 rows.append(

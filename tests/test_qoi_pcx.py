@@ -84,3 +84,70 @@ def test_qoi_pcx_dispatch():
     a = decode_image(encode_qoi(8, 4, rgb))
     b = decode_image(encode_pcx(8, 4, gray, "gray"))
     assert a == b and a[:2] == (8, 4)
+
+
+def test_pcx_run_crossing_scanline_boundary():
+    """A run that overflows past one scanline carries into the next
+    (count-wise fill across the whole image, ADVICE r13)."""
+    import struct
+
+    from datalakehouse_spark.functions.pcx import decode_pcx
+
+    # 4x2 gray, bpl=4: hand-built stream whose single run of 6 spans
+    # row 0 entirely and bleeds 2 bytes into row 1.
+    header = bytearray(128)
+    header[0] = 0x0A
+    header[1] = 5
+    header[2] = 1
+    header[3] = 8
+    struct.pack_into("<4H", header, 4, 0, 0, 3, 1)
+    header[65] = 1
+    struct.pack_into("<H", header, 66, 4)
+    body = bytes([0xC6, 0x55, 0x10, 0x20])  # run 6 x 0x55, then 2 literals
+    w, h, luma = decode_pcx(bytes(header) + body)
+    assert (w, h) == (4, 2)
+    assert luma == bytes([0x55] * 6 + [0x10, 0x20])
+
+
+def test_qoi_truncated_mid_pixel_raises():
+    """Ops must stop exactly at the end marker: a stream truncated
+    mid-pixel must raise, not silently consume marker bytes as INDEX
+    ops (ADVICE r13)."""
+    import pytest
+
+    from datalakehouse_spark.functions.qoi import (
+        QoiError,
+        decode_qoi,
+        encode_qoi,
+    )
+
+    gray = bytes((i * 37) % 256 for i in range(48))
+    rgb = bytes(v for b in gray for v in (b, b, b))
+    full = encode_qoi(4, 4, rgb[: 4 * 4 * 3])
+    # chop ops from the tail but keep a VALID end marker: the remaining
+    # ops under-fill the pixel count, then eat marker zeros as INDEX 0
+    # unless the pos==end check fires.
+    for cut in range(1, 6):
+        body = full[14:-8]
+        if len(body) <= cut:
+            break
+        truncated = full[:14] + body[:-cut] + full[-8:]
+        with pytest.raises(QoiError):
+            decode_qoi(truncated)
+
+
+def test_tga_sniff_rejects_zero_width():
+    """Lexicographic (w,h) > (0,0) let width=0,height>0 pass; the sniff
+    must require both positive (ADVICE r13)."""
+    import struct
+
+    from datalakehouse_spark.functions.tga import encode_tga, looks_like_tga
+
+    good = encode_tga(4, 4, bytes(16), "gray")
+    assert looks_like_tga(good)
+    zero_w = bytearray(good)
+    struct.pack_into("<H", zero_w, 12, 0)
+    assert not looks_like_tga(bytes(zero_w[:18]))
+    zero_h = bytearray(good)
+    struct.pack_into("<H", zero_h, 14, 0)
+    assert not looks_like_tga(bytes(zero_h[:18]))

@@ -273,8 +273,9 @@ def test_tiled_layout_rejections():
 
 def test_16bit_samples_reduce_to_high_byte():
     """16-bit gray/RGB (both byte orders, strip and tiled, every
-    compression) decode to the high byte of each sample — the PNG
-    16-bit convention — and the predictor combination is loud."""
+    compression, with AND without the predictor — round 14 closed the
+    16-bit+predictor sliver) decode to the high byte of each sample —
+    the PNG 16-bit convention."""
     import random
 
     import pytest as _pytest
@@ -295,17 +296,24 @@ def test_16bit_samples_reduce_to_high_byte():
         for be in (False, True):
             for comp in ("none", "lzw", "deflate", "packbits"):
                 for ts in (None, 16):
-                    got = decode_tiff(
-                        encode_tiff(
-                            w, h, px16, color=color, big_endian=be,
-                            compression=comp, tile_size=ts, bits=16,
+                    for pred in (False, True):
+                        got = decode_tiff(
+                            encode_tiff(
+                                w, h, px16, color=color, big_endian=be,
+                                compression=comp, tile_size=ts, bits=16,
+                                predictor=pred,
+                            )
                         )
-                    )
-                    assert got == ref, (w, h, color, be, comp, ts)
+                        assert got == ref, (w, h, color, be, comp, ts, pred)
 
-    with _pytest.raises(TiffUnsupported, match="predictor"):
-        encode_tiff(4, 4, [0] * 16, predictor=True, bits=16)
-    # a decoder-side 16-bit + predictor file is also loud
+    # predictor at 16-bit differs mod 65536 PER SAMPLE, not per byte:
+    # a stream whose per-byte interpretation would differ must still
+    # round-trip (values straddling the byte carry, e.g. 0x00FF->0x0100)
+    carry = [0x00FF, 0x0100, 0x7FFF, 0x8000, 0xFFFF, 0x0000, 0x0001, 0xFFFE]
+    got = decode_tiff(encode_tiff(4, 2, carry, predictor=True, bits=16))
+    assert got == decode_tiff(
+        encode_tiff(4, 2, bytes(v >> 8 for v in carry))
+    )
     import struct as _struct
 
     payload = bytearray(encode_tiff(4, 4, [257] * 16, bits=16))
