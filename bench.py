@@ -228,7 +228,7 @@ def main() -> None:
     # Entries whose FIRST run performs a session-cached build (the IVF
     # index): the first timing IS the metric; a median over cache hits
     # would hide the build cost the entry exists to measure.
-    BUILD_ONCE = {"ivf_build_stats", "pq_build_stats"}
+    BUILD_ONCE = {"ivf_build_stats", "pq_build_stats", "bpe_vocab_train"}
     # Iterative multi-job entries (round 12, VERDICT r11 #5): each
     # launches many short dependent Spark jobs, so scheduling/GC
     # ambient compounds across iterations — r11 saw +25%/+34% r-o-r

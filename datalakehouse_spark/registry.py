@@ -129,6 +129,13 @@ EAGER_BUILD_ENTRIES = frozenset(
         # checkpointed eagerly so the corpus-sized gram cache can be
         # released before the entry returns (leak-free, ADVICE r8)
         "decontamination_report",
+        # BPE trainer (round 14): 16 merge iterations run at build
+        # time (1-row argmax collect each).  bpe_tokenize_stats is NOT
+        # listed: it shares the session-memoized merges (the ivf
+        # build/serve split) and bpe_vocab_train registers first, so
+        # its own build runs zero jobs whenever the registry is built
+        # in order — the contract this class documents.
+        "bpe_vocab_train",
     }
 )
 
@@ -697,66 +704,26 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver coverage rotation (round 13, tools/rotation_helper.py with the
+#: Driver coverage rotation (round 14, tools/rotation_helper.py with the
 #: round's code-changed entries as argv — reproducible from the
 #: provenance constants below, enforced by test_registry_integrity):
-#: the kernel/plan-changed and new oracle entries lead the ~50-entry
-#: driver window, then the aging tail by last-green-round ASCENDING —
-#: the r6/r7-stale cohort (containment_near_dup .. spatial_knn) all
-#: land inside the window, closing the last freshness debt.
-_DRIVER_ROTATION_CHANGED = ['bucketed_colocated_agg', 'flac_pcm_decode', 'bmp16_image_decode', 'wav_codec_decode', 'gif_animation_frames', 'ico_image_decode', 'pnm_tga_decode', 'qoi_pcx_decode', 'bucketed_colocated_join', 'tiff_image_decode', 'cross_format_image_dedup', 'multimodal_real_decode_stats', 'media_frame_sample', 'mjpeg_avi_decode', 'container_metadata_stats']
-_DRIVER_ROTATION_ASOF = 12
+#: the new BPE entries and kernel-changed decode entries lead the
+#: ~50-entry driver window, then the aging tail by last-green-round
+#: ASCENDING — the 46-entry r8 cohort (VERDICT r13 #2, the stalest
+#: evidence) fills the rest of the window.
+_DRIVER_ROTATION_CHANGED = ['bpe_vocab_train', 'bpe_tokenize_stats', 'tiff_image_decode', 'qoi_pcx_decode', 'pnm_tga_decode', 'bmp16_image_decode', 'ico_image_decode', 'gif_animation_frames', 'cross_format_image_dedup', 'media_frame_sample']
+_DRIVER_ROTATION_ASOF = 13
 _DRIVER_PRIORITY = [
-    "bucketed_colocated_agg",
-    "flac_pcm_decode",
-    "bmp16_image_decode",
-    "wav_codec_decode",
-    "gif_animation_frames",
-    "ico_image_decode",
-    "pnm_tga_decode",
-    "qoi_pcx_decode",
-    "bucketed_colocated_join",
+    "bpe_vocab_train",
+    "bpe_tokenize_stats",
     "tiff_image_decode",
+    "qoi_pcx_decode",
+    "pnm_tga_decode",
+    "bmp16_image_decode",
+    "ico_image_decode",
+    "gif_animation_frames",
     "cross_format_image_dedup",
-    "multimodal_real_decode_stats",
     "media_frame_sample",
-    "mjpeg_avi_decode",
-    "container_metadata_stats",
-    "containment_near_dup",
-    "winback_users",
-    "zipf_token_ranks",
-    "dau_wau_stickiness",
-    "langid_confusion",
-    "label_centroid_distances",
-    "weighted_median",
-    "point_in_time_join",
-    "time_to_convert",
-    "conversion_wilson_ci",
-    "gapfill_interpolated",
-    "session_landing_exit",
-    "top_movers",
-    "kmv_rolling_distinct",
-    "cuped_adjustment",
-    "mutual_information",
-    "streaming_metered_ingest",
-    "weekly_autocorrelation",
-    "benford_first_digit",
-    "revenue_reconciliation",
-    "lsh_recall_accounting",
-    "ab_test_ttest",
-    "triangle_count",
-    "chi_square_independence",
-    "association_rules",
-    "trend_slopes",
-    "cusum_changepoint",
-    "source_vocab_overlap",
-    "corpus_health_report",
-    "order_aging_report",
-    "spatial_knn",
-    "basket_size_distribution",
-    "forecast_accuracy",
-    "risk_score_daily",
-    "ingest_normalize",
     "bucket_distribution",
     "serving_page",
     "serving_count",
@@ -942,6 +909,48 @@ _DRIVER_PRIORITY = [
     "anomaly_days",
     "bloom_membership_accounting",
     "bigram_logprob_quality",
+    "risk_score_daily",
+    "ingest_normalize",
+    "containment_near_dup",
+    "winback_users",
+    "dau_wau_stickiness",
+    "langid_confusion",
+    "label_centroid_distances",
+    "weighted_median",
+    "point_in_time_join",
+    "time_to_convert",
+    "conversion_wilson_ci",
+    "gapfill_interpolated",
+    "session_landing_exit",
+    "top_movers",
+    "kmv_rolling_distinct",
+    "cuped_adjustment",
+    "mutual_information",
+    "streaming_metered_ingest",
+    "weekly_autocorrelation",
+    "benford_first_digit",
+    "revenue_reconciliation",
+    "lsh_recall_accounting",
+    "ab_test_ttest",
+    "triangle_count",
+    "chi_square_independence",
+    "association_rules",
+    "trend_slopes",
+    "cusum_changepoint",
+    "zipf_token_ranks",
+    "source_vocab_overlap",
+    "corpus_health_report",
+    "order_aging_report",
+    "spatial_knn",
+    "basket_size_distribution",
+    "forecast_accuracy",
+    "multimodal_real_decode_stats",
+    "mjpeg_avi_decode",
+    "bucketed_colocated_join",
+    "container_metadata_stats",
+    "bucketed_colocated_agg",
+    "flac_pcm_decode",
+    "wav_codec_decode",
 ]
 
 

@@ -22,6 +22,25 @@ Usage:
     python bench.py > bench_out.json   # or the driver's BENCH_r{N}.json
     python tools/refresh_bench_baseline.py bench_out.json \
         [--waive entry]... [--note "why"]
+
+**Host rebase** (round 14, VERDICT r13 #1): when the per-entry minima
+decouple from the current host (r13 evidence: four ambient-clean
+benches in one day swung fleet-median 1.26→1.50→1.61→1.32 with no code
+between them; the raw-ratio leaderboard was led by code-unchanged
+entries with r6/r7-era minima recorded on faster iron), the ratchet is
+no longer a trustworthy 2x gate and must be RE-RECORDED on the current
+host — host recalibration, not gate loosening.  Protocol:
+
+    python bench.py > r1.json   # three settled-host runs
+    python bench.py > r2.json   #   (ambient_warning must be null
+    python bench.py > r3.json   #    in every run)
+    python tools/refresh_bench_baseline.py --rebase r1.json r2.json \
+        r3.json --note "drift evidence: docs/ROUND14_NOTES.md"
+
+The old file is archived as BENCH_BASELINE_pre_rebase.json, the new
+reference is the per-entry MIN across the three runs, and from then on
+the normal ratchet applies against the rebased minima.  The rebase
+refuses runs that carry an ambient_warning or mismatched sf.
 """
 
 from __future__ import annotations
@@ -61,21 +80,89 @@ def ratchet(
     }
 
 
+def rebase(runs: list[dict], note: str) -> dict:
+    """Per-entry MIN across settled-host runs — the host-recalibration
+    protocol above.  Refuses ambient-contaminated or cross-sf runs."""
+    sfs = {r.get("sf") for r in runs}
+    if len(sfs) != 1:
+        raise ValueError(f"rebase runs span scale factors {sfs}")
+    for i, r in enumerate(runs):
+        if r.get("ambient_warning"):
+            raise ValueError(
+                f"run {i + 1} carries ambient_warning "
+                f"({r['ambient_warning'][:80]}...); rebase needs a "
+                "settled host"
+            )
+    names = set(runs[0]["queries"])
+    for r in runs[1:]:
+        if set(r["queries"]) != names:
+            raise ValueError("rebase runs disagree on the entry set")
+    return {
+        "sf": runs[0].get("sf"),
+        "queries": {n: min(r["queries"][n] for r in runs) for n in names},
+        "source": (
+            f"host rebase (VERDICT r13 #1): per-entry min of "
+            f"{len(runs)} settled-host runs; previous file archived as "
+            "BENCH_BASELINE_pre_rebase.json"
+        ),
+        "waived": [],
+        "note": note,
+        "rebase_loads": [r.get("load_avg_1m_start") for r in runs],
+    }
+
+
+def _read_run(path: str) -> dict:
+    with open(path) as f:
+        return json.loads(f.read().strip().splitlines()[-1])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("run_json", help="bench.py output JSON (one line)")
+    ap.add_argument("run_json", nargs="+", help="bench.py output JSON")
     ap.add_argument("--waive", action="append", default=[])
+    ap.add_argument("--rebase", action="store_true",
+                    help="host rebase: per-entry min of >=3 settled runs")
     ap.add_argument("--note", default="")
     args = ap.parse_args()
 
-    with open(args.run_json) as f:
-        new_run = json.loads(f.read().strip().splitlines()[-1])
     try:
         with open(BASELINE_PATH) as f:
             old = json.load(f)
     except (OSError, json.JSONDecodeError):
         old = None
 
+    if args.rebase:
+        if len(args.run_json) < 3:
+            raise SystemExit("--rebase needs at least 3 run files")
+        if args.waive:
+            raise SystemExit("--rebase and --waive are mutually exclusive")
+        runs = [_read_run(p) for p in args.run_json]
+        out = rebase(runs, args.note)
+        if old is not None:
+            archive = os.path.join(REPO, "BENCH_BASELINE_pre_rebase.json")
+            with open(archive, "w") as f:
+                json.dump(old, f, indent=1, sort_keys=True)
+            print(f"archived previous baseline to {archive}")
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        import statistics
+
+        ratios = [
+            out["queries"][n] / old["queries"][n]
+            for n in out["queries"]
+            if old and n in old.get("queries", {})
+        ]
+        med = statistics.median(ratios) if ratios else None
+        print(
+            f"wrote {BASELINE_PATH}: {len(out['queries'])} entries "
+            f"rebased from {len(runs)} runs; median new/old ratio "
+            f"{med:.3f}" if med else f"wrote {BASELINE_PATH}"
+        )
+        return
+
+    if len(args.run_json) != 1:
+        raise SystemExit("ratchet mode takes exactly one run file")
+    new_run = _read_run(args.run_json[0])
     out = ratchet(old, new_run, set(args.waive))
     if args.note:
         out["note"] = args.note
