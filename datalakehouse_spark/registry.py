@@ -129,13 +129,14 @@ EAGER_BUILD_ENTRIES = frozenset(
         # checkpointed eagerly so the corpus-sized gram cache can be
         # released before the entry returns (leak-free, ADVICE r8)
         "decontamination_report",
-        # BPE trainer (round 14): 16 merge iterations run at build
-        # time (1-row argmax collect each).  bpe_tokenize_stats is NOT
-        # listed: it shares the session-memoized merges (the ivf
-        # build/serve split) and bpe_vocab_train registers first, so
-        # its own build runs zero jobs whenever the registry is built
-        # in order — the contract this class documents.
+        # BPE build/serve split (round 14): the trainer runs at build
+        # time (size-adaptive — one executor task on the bounded
+        # fixture, the distributed argmax loop at scale) and
+        # bpe_tokenize_stats shares the session-memoized merges — both
+        # are eager in a COLD session (the contract the integrity scan
+        # pins, clearing _BPE_CACHE per entry like the ANN memos)
         "bpe_vocab_train",
+        "bpe_tokenize_stats",
     }
 )
 

@@ -89,6 +89,7 @@ def test_eager_build_class_is_exact(spark):
     # coarse build) and the sweep would misread them as lazy
     import datalakehouse_spark.registry_ext as _e1
     import datalakehouse_spark.registry_ext4 as _e4
+    import datalakehouse_spark.registry_ext6 as _e6
 
     def _clear_memos():
         _e1._QUERY_VEC_CACHE.clear()
@@ -96,6 +97,7 @@ def test_eager_build_class_is_exact(spark):
         _e1._COARSE_CACHE.clear()
         _e4._PQ_INDEX_CACHE.clear()
         _e4._IVFPQ_INDEX_CACHE.clear()
+        _e6._BPE_CACHE.clear()
         # the bucketed-join entry memoizes through the session catalog
         # (tableExists) — drop its tables so the build is cold here too
         for t in spark.catalog.listTables():
