@@ -225,6 +225,13 @@ def main() -> None:
     # Long entries stay single-shot — their signal-to-jitter is fine and
     # re-running them would triple bench wall time for nothing.
     RERUN_THRESHOLD_S = 3.0
+    # The sub-second tier (VERDICT r14 #7): entries whose BASELINE
+    # reference is under this dominate warn_contributors round after
+    # round on pure 0.1–0.3 s scheduling jitter — a median-of-3 still
+    # keeps one contaminated vote.  Their baseline is a settled-host
+    # minimum, so min-of-3 recovers the code-speed signal the ratchet
+    # gate actually compares (the kmeans/pagerank precedent).
+    SUB_SECOND_PIN_S = 0.5
     # Entries whose FIRST run performs a session-cached build (the IVF
     # index): the first timing IS the metric; a median over cache hits
     # would hide the build cost the entry exists to measure.
@@ -237,6 +244,23 @@ def main() -> None:
     # would keep one contaminated run's vote.
     MIN_OF_3 = {"kmeans_inertia_sweep", "graph_pagerank"}
 
+    # Baseline loads BEFORE the timing loop: the sub-second pin keys
+    # off each entry's recorded reference (gate comparisons below reuse
+    # the same dict).  References only mean anything at their own sf.
+    baseline_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_BASELINE", os.path.join(REPO_ROOT, "BENCH_BASELINE.json")
+    )
+    try:
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        baseline = None
+    base_refs = (
+        baseline.get("queries", {})
+        if baseline and baseline.get("sf") == sf
+        else {}
+    )
+
     def _timed(name: str) -> float:
         t0 = time.perf_counter()
         _run(REGISTRY[name].fn(spark, sf_dir))
@@ -248,7 +272,7 @@ def main() -> None:
         t1 = _timed(name)
         if name in BUILD_ONCE:
             timings[name] = round(t1, 3)
-        elif name in MIN_OF_3:
+        elif name in MIN_OF_3 or base_refs.get(name, 1.0) < SUB_SECOND_PIN_S:
             timings[name] = round(min(t1, _timed(name), _timed(name)), 3)
         elif t1 < RERUN_THRESHOLD_S:
             runs = sorted([t1, _timed(name), _timed(name)])
@@ -278,16 +302,9 @@ def main() -> None:
         load_1m = None
 
     # Regression gate (round 8): compare each entry against the
-    # recorded per-entry reference median in BENCH_BASELINE.json —
-    # eyeballing 204 timings doesn't scale (the round-6 noise episode).
-    baseline_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_BASELINE", os.path.join(REPO_ROOT, "BENCH_BASELINE.json")
-    )
-    try:
-        with open(baseline_path) as f:
-            baseline = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        baseline = None
+    # recorded per-entry reference median in BENCH_BASELINE.json
+    # (loaded before the timing loop) — eyeballing 204 timings doesn't
+    # scale (the round-6 noise episode).
     # Suspect re-run: an entry can inherit GC/scheduler debt from a
     # heavy predecessor that a median-of-3 taken in place doesn't shed
     # (round-9 episode: ntile_percent_rank recorded a 2.13 s in-fleet
@@ -364,7 +381,7 @@ def main() -> None:
         "host_factor": round(hf, 3),
         "calibration_alert": alert,
         "warn_contributors": warn_contributors,
-        "timing": "median-of-3 for entries <3s; pinned min-of-3 for iterative multi-job entries (kmeans_inertia_sweep, graph_pagerank); min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries; regressions = entries >2x and >0.5s over machine_factor x their BENCH_BASELINE.json reference median (machine_factor = median now/ref ratio clamped to [1, 1.5] so a slower host does not flag the fleet but a fleet-wide code regression still surfaces); flagged entries are re-timed in the quiet post-fleet JVM to a fixpoint, except build-once entries whose first-run cost is the metric",
+        "timing": "median-of-3 for entries <3s; pinned min-of-3 for iterative multi-job entries (kmeans_inertia_sweep, graph_pagerank) and for the sub-second tier (baseline reference <0.5s, whose warn ratios were pure scheduling jitter); min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries; regressions = entries >2x and >0.5s over machine_factor x their BENCH_BASELINE.json reference median (machine_factor = median now/ref ratio clamped to [1, 1.5] so a slower host does not flag the fleet but a fleet-wide code regression still surfaces); flagged entries are re-timed in the quiet post-fleet JVM to a fixpoint, except build-once entries whose first-run cost is the metric",
     }
     # Compact separators keep the line short enough for tail-capture
     # harnesses; the full map is also persisted to bench_out.json.

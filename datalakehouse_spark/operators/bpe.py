@@ -130,7 +130,15 @@ def bpe_train(
     projection re-evaluated per argmax (O(merges² x words) compute but
     ``merges`` fewer jobs) — the right trade for small/bounded word
     tables where per-job scheduling dominates, e.g. the oracle
-    fixture."""
+    fixture.
+
+    Empty words are dropped up front (ADVICE r14): ``word_frequencies``
+    can't produce them, but the public API accepts any ``(w, f)``
+    table, and a zero-length word would turn the pair slice into a
+    negative-length ``slice(syms, 1, -1)`` that fails with an opaque
+    Spark runtime error mid-iteration instead of simply contributing
+    nothing (which is what an empty word means to a pair counter)."""
+    words = words.where(F.length("w") > 0)
     cur = words.select(
         F.expr("filter(split(w, ''), s -> s != '')").alias("syms"),
         F.col("f").cast("long").alias("f"),
@@ -212,10 +220,27 @@ def bpe_train_auto(
     table is fixture-/vocabulary-sized and per-job scheduling dominates.
     Larger tables take the distributed iteration loop (``bpe_train``).
     Both paths run the identical algorithm; the contract test compares
-    them on the same inputs."""
-    n_rows = words.count()
-    if n_rows > local_rows_threshold:
-        return bpe_train(spark, words, n_merges=n_merges, min_freq=min_freq)
+    them on the same inputs.
+
+    The size probe is FUSED into the train job (VERDICT r14 #1): the
+    single task either trains (it consumed the whole table) or, the
+    moment it has seen threshold + 1 rows, emits a ``rank = -1``
+    sentinel row and STOPS CONSUMING its input (generator early-exit —
+    ``mapInPandas`` permits partial consumption, so the task never
+    pulls more than one Arrow batch past the threshold), and the
+    distributed loop takes over.  The cold path is therefore ONE
+    Spark action over a NARROW plan (coalesce, no limit-shuffle, so
+    AQE doesn't split it into stage-jobs) — the old shape ran a full
+    ``count()`` job (recomputing the word-frequency pipeline), then
+    the train job, then a checkpointed collect.  The returned merge
+    table is built driver-side from the ≤ ``n_merges``-row collect
+    (the documented bounded vocab surface), so no extra job
+    materializes it."""
+    schema = (
+        "rank int, left string, right string, merged string, pair_freq long"
+    )
+    cols = ["rank", "left", "right", "merged", "pair_freq"]
+    threshold = local_rows_threshold
 
     def train_batches(it):
         import pandas as _pd
@@ -223,32 +248,38 @@ def bpe_train_auto(
         wf: list[tuple[str, int]] = []
         for pdf in it:
             wf.extend(zip(pdf["w"], (int(v) for v in pdf["f"])))
+            if len(wf) > threshold:
+                # sentinel: table exceeds the single-task budget — the
+                # driver falls back to the distributed iteration loop
+                yield _pd.DataFrame([(-1, "", "", "", 0)], columns=cols)
+                return
         rows = [
             (i + 1, left, right, left + right, freq)
             for i, (left, right, freq) in enumerate(
                 train_merges_local(wf, n_merges, min_freq)
             )
         ]
-        yield _pd.DataFrame(
-            rows, columns=["rank", "left", "right", "merged", "pair_freq"]
-        )
+        yield _pd.DataFrame(rows, columns=cols)
 
-    out = (
-        words.select("w", F.col("f").cast("long").alias("f"))
+    probe = (
+        words.where(F.length("w") > 0)
+        .select("w", F.col("f").cast("long").alias("f"))
         .coalesce(1)
-        .mapInPandas(
-            train_batches,
-            schema=(
-                "rank int, left string, right string, merged string, "
-                "pair_freq long"
-            ),
-        )
-        .orderBy("rank")
-        .localCheckpoint(eager=True)
+        .mapInPandas(train_batches, schema=schema)
+        .collect()
     )
-    # the merge table is <= n_merges rows — the bounded vocab collect
-    merges = [(r["left"], r["right"], int(r["pair_freq"])) for r in out.collect()]
-    return out, merges
+    if probe and probe[0]["rank"] == -1:
+        return bpe_train(spark, words, n_merges=n_merges, min_freq=min_freq)
+    merges = [
+        (r["left"], r["right"], int(r["pair_freq"]))
+        for r in sorted(probe, key=lambda r: r["rank"])
+    ]
+    rows = [
+        (i + 1, left, right, left + right, freq)
+        for i, (left, right, freq) in enumerate(merges)
+    ]
+    out = spark.createDataFrame(rows, schema)
+    return out.orderBy("rank"), merges
 
 
 def apply_merges(syms: list[str], merges: list[tuple[str, str]]) -> list[str]:

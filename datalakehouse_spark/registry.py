@@ -83,6 +83,9 @@ EAGER_BUILD_ENTRIES = frozenset(
         # build time (sources/filebus.py; the V2 reader path itself runs
         # lazily per micro-batch on executors)
         "filebus_kafka_ingest",
+        # round 15: restages the crawl slice, drains a foreachBatch
+        # stream, commits the digest index + stats per micro-batch
+        "streaming_incremental_dedup",
         # ANN build/serve splits
         "knn_brute_force",
         "hybrid_rrf_fusion",  # its vector list collects the 1-row query vec
@@ -137,6 +140,9 @@ EAGER_BUILD_ENTRIES = frozenset(
         # pins, clearing _BPE_CACHE per entry like the ANN memos)
         "bpe_vocab_train",
         "bpe_tokenize_stats",
+        # round 15: commits the learned vocab through VersionedTable
+        # (v1 + v2) and collects the pinned ≤n_merges-row v1 at build
+        "bpe_vocab_apply_versioned",
     }
 )
 
@@ -712,59 +718,13 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ~50-entry driver window, then the aging tail by last-green-round
 #: ASCENDING — the 46-entry r8 cohort (VERDICT r13 #2, the stalest
 #: evidence) fills the rest of the window.
-_DRIVER_ROTATION_CHANGED = ['bpe_vocab_train', 'bpe_tokenize_stats', 'tiff_image_decode', 'qoi_pcx_decode', 'pnm_tga_decode', 'bmp16_image_decode', 'ico_image_decode', 'gif_animation_frames', 'cross_format_image_dedup', 'media_frame_sample']
-_DRIVER_ROTATION_ASOF = 13
+_DRIVER_ROTATION_CHANGED = ['bpe_vocab_train', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned', 'streaming_incremental_dedup']
+_DRIVER_ROTATION_ASOF = 14
 _DRIVER_PRIORITY = [
     "bpe_vocab_train",
     "bpe_tokenize_stats",
-    "tiff_image_decode",
-    "qoi_pcx_decode",
-    "pnm_tga_decode",
-    "bmp16_image_decode",
-    "ico_image_decode",
-    "gif_animation_frames",
-    "cross_format_image_dedup",
-    "media_frame_sample",
-    "bucket_distribution",
-    "serving_page",
-    "serving_count",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_regional_revenue",
-    "join_semi",
-    "join_anti",
-    "join_outer_agg",
-    "range_join_window",
-    "latest_per_key",
-    "topk_global",
-    "topk_per_group",
-    "union_vendor_split",
-    "distinct_daily",
-    "rollup_daily",
-    "retention_filter",
-    "text_stats",
-    "quality_score_docs",
-    "langid_docs",
-    "token_count_by_source",
-    "doc_fingerprints",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "minhash_signatures",
-    "knn_brute_force",
-    "embedding_norms_by_label",
-    "multimodal_payloads",
-    "correlated_avg_filter",
-    "scalar_subquery_ratio",
-    "groupby_having",
-    "grouping_sets_sql",
-    "string_predicates",
-    "ann_multiprobe_search",
-    "dedup_clusters",
-    "dedup_canonical",
-    "decontamination_report",
-    "ltv_deciles_pareto",
-    "skyline_2d",
-    "dup_graph_degrees",
+    "bpe_vocab_apply_versioned",
+    "streaming_incremental_dedup",
     "gini_coefficient",
     "kmeans_inertia_sweep",
     "repeat_purchase_intervals",
@@ -952,6 +912,54 @@ _DRIVER_PRIORITY = [
     "bucketed_colocated_agg",
     "flac_pcm_decode",
     "wav_codec_decode",
+    "bucket_distribution",
+    "serving_page",
+    "serving_count",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
+    "join_semi",
+    "join_anti",
+    "join_outer_agg",
+    "range_join_window",
+    "latest_per_key",
+    "topk_global",
+    "topk_per_group",
+    "union_vendor_split",
+    "distinct_daily",
+    "rollup_daily",
+    "retention_filter",
+    "text_stats",
+    "quality_score_docs",
+    "langid_docs",
+    "token_count_by_source",
+    "doc_fingerprints",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "minhash_signatures",
+    "knn_brute_force",
+    "embedding_norms_by_label",
+    "multimodal_payloads",
+    "correlated_avg_filter",
+    "scalar_subquery_ratio",
+    "groupby_having",
+    "grouping_sets_sql",
+    "string_predicates",
+    "ann_multiprobe_search",
+    "media_frame_sample",
+    "dedup_clusters",
+    "dedup_canonical",
+    "decontamination_report",
+    "ltv_deciles_pareto",
+    "skyline_2d",
+    "dup_graph_degrees",
+    "tiff_image_decode",
+    "cross_format_image_dedup",
+    "bmp16_image_decode",
+    "gif_animation_frames",
+    "ico_image_decode",
+    "pnm_tga_decode",
+    "qoi_pcx_decode",
 ]
 
 

@@ -3635,3 +3635,276 @@ def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(4)
     )
     return bpe_tokenize_stats(sample, merges).orderBy("doc_id")
+
+
+_BPE_VERSIONED_DOCS = 30  # tokenize surface: docs 61..90, unseen by BOTH
+#                           the trainer (1..40) and bpe_tokenize_stats (1..60)
+
+_BPE_APPLY_VERSIONED_SQL = f"""
+WITH RECURSIVE {_BPE_TRAINER_CTES},
+ml AS (
+    SELECT list({{l: bl, r: br}} ORDER BY k) AS ml,
+           CAST(COUNT(*) AS INTEGER) AS nm
+    FROM tr WHERE k >= 1
+),
+td AS (
+    SELECT doc_id, lower(text) AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id
+          LIMIT {_BPE_VERSIONED_DOCS} OFFSET {_BPE_APPLY_DOCS})
+    WHERE regexp_matches(text, '^[ -~]*$')
+),
+tw AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(t, '[a-z]+'),
+                       w -> length(w) BETWEEN 2 AND 12) AS words
+    FROM td
+),
+app AS (
+    SELECT doc_id, 0 AS k,
+           list_transform(words,
+               w -> [w[i] FOR i IN range(1, length(w) + 1)]) AS ws
+    FROM tw
+    UNION ALL
+    SELECT a.doc_id, a.k + 1,
+           list_transform(
+               a.ws,
+               syms -> {_BPE_FOLD.format(
+                   syms="syms", bl="ml.ml[a.k + 1].l", br="ml.ml[a.k + 1].r")})
+    FROM app a, ml WHERE a.k < ml.nm
+)
+SELECT tw.doc_id,
+       CAST(1 AS INTEGER) AS vocab_version,
+       CAST(len(tw.words) AS INTEGER) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(tw.words, w -> length(w))), 0)
+            AS INTEGER) AS n_chars,
+       CAST(COALESCE(list_sum(list_transform(fin.ws, s -> len(s))), 0)
+            AS INTEGER) AS n_tokens
+FROM tw
+JOIN (SELECT doc_id, ws FROM app, ml WHERE app.k = ml.nm) fin
+  USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "bpe_vocab_apply_versioned",
+    _BPE_APPLY_VERSIONED_SQL,
+    "BPE vocab pinned as a versioned artifact: tokenize with v1 while v2 exists",
+)
+def q_bpe_vocab_apply_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 15 (VERDICT r14 #8): the production persistence contract
+    for a learned tokenizer vocabulary — the merge table is COMMITTED
+    through VersionedTable (M8, versioned.py), a NEWER vocabulary lands
+    as version 2 (training never stops at 100 TB), and the tokenizer
+    reads the PINNED version 1, so its output is reproducible no matter
+    how far the vocab artifact has advanced.  The entry tokenizes docs
+    61..90 — a slice neither the trainer (1..40) nor
+    ``bpe_tokenize_stats`` (1..60) ever touched — with the v1 merges
+    and stamps the pinned ``vocab_version``.
+
+    The oracle replays the trainer CTE for the merges (they ARE v1 —
+    the versioned round-trip must be lossless, which is exactly what
+    hash-matching this entry proves: a corrupted or mis-pinned read
+    would tokenize differently) and steps the new slice through the
+    same recursive fold.
+
+    Scale shape: the vocab artifact is ≤ n_merges rows — versioning it
+    costs one tiny parquet commit; tokenization stays a pure map stage.
+    The 90-row ``row_number`` slice runs over an already-LIMITed frame
+    (fixture pagination, the serving_page idiom), not the corpus."""
+    from pyspark.sql import Window
+
+    from datalakehouse_spark.operators.bpe import bpe_tokenize_stats
+    from datalakehouse_spark.scratch import fresh_scratch
+    from datalakehouse_spark.versioned import VersionedTable
+
+    schema = (
+        "rank int, left string, right string, merged string, pair_freq long"
+    )
+    merges = _bpe_trained(spark, sf_dir)
+    rows = [
+        (i + 1, left, right, left + right, freq)
+        for i, (left, right, freq) in enumerate(merges)
+    ]
+    vt = VersionedTable(spark, fresh_scratch("bpe_vocab_versioned"))
+    vt.create(spark.createDataFrame(rows, schema))
+    # v2: one more merge learned later — the pinned reader must not see
+    # it ('qq' can never be learned from [a-z]+ fixtures ranked by the
+    # real trainer, so leakage would corrupt the hash, not alias it)
+    vt.append(
+        spark.createDataFrame([(len(rows) + 1, "qq", "qq", "qqqq", 0)], schema)
+    )
+    pinned = sorted(vt.read(version=1).collect(), key=lambda r: r["rank"])
+    assert len(pinned) == len(rows), "version pin leaked a later commit"
+    pinned_merges = [(r["left"], r["right"]) for r in pinned]
+
+    docs = load_table(spark, sf_dir, "documents")
+    head = docs.orderBy("doc_id").limit(_BPE_APPLY_DOCS + _BPE_VERSIONED_DOCS)
+    sliced = (
+        head.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("doc_id"))
+        )
+        .where(F.col("_rn") > _BPE_APPLY_DOCS)
+        .where(F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+    return (
+        bpe_tokenize_stats(sliced, pinned_merges)
+        .withColumn("vocab_version", F.lit(1))
+        .select("doc_id", "vocab_version", "n_words", "n_chars", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming_incremental_dedup: the continuous-crawl dedup loop (round 15,
+# VERDICT r14 #6) — the streaming twin of incremental_dedup_ingest,
+# maintaining the prefix-fingerprint index ACROSS micro-batches with one
+# versioned commit per batch (the streaming_incremental_mv precedent).
+# ---------------------------------------------------------------------------
+
+
+from datalakehouse_spark.registry_ext5 import _INCR_DEDUP_SQL  # noqa: E402
+
+
+@register(
+    "streaming_incremental_dedup",
+    # the batch entry's oracle VERBATIM: the final per-source totals
+    # must be independent of HOW the new-batch slice was micro-batched
+    _INCR_DEDUP_SQL,
+    "streaming continuous-crawl dedup: per-micro-batch index merge == one-shot batch",
+)
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming form of ``incremental_dedup_ingest``: the crawl
+    batch (doc_id % 4 == 3) arrives as FOUR micro-batches drained with
+    ``maxFilesPerTrigger=1``; ``foreachBatch`` dedups each against (a)
+    the historical corpus's persisted digest index and (b) the
+    SESSION index of survivors committed by earlier micro-batches,
+    appends the batch's surviving digests to that index and its
+    per-source accounting to a stats table — ONE versioned commit per
+    batch, the CDC trail (the ``streaming_incremental_mv`` pattern).
+
+    Batch-split invariance is the contract the oracle pins: the batch
+    form's keep-first is min(doc_id) per digest, so the restage slices
+    the stream into ASCENDING doc_id ranges (first arrival == smallest
+    doc_id; ``os.utime`` stamps strictly increasing mtimes so the file
+    source's (mtime, path) ordering is deterministic) and a duplicate
+    whose keeper arrived in an earlier micro-batch lands in the same
+    ``n_dup_batch`` bucket the one-shot computation puts it in.  The
+    per-batch work is two digest-keyed equi-joins (hist + session
+    index, both broadcastable daily-scale sides) and a skew-immune
+    min(doc_id) aggregate — never a per-digest sort window; at 100 TB
+    the session index is a bucketed table and each trigger costs
+    ∝ batch size, not corpus.
+
+    The ntile restage below is fixture plumbing, not the operator: in
+    production the stream's own arrival defines the micro-batches."""
+    import os as _os
+
+    from datalakehouse_spark.operators.dedup import normalize_text
+    from datalakehouse_spark.scratch import fresh_scratch
+    from datalakehouse_spark.streaming.jobs import drain_confs
+    from datalakehouse_spark.versioned import VersionedTable
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.array_join(
+                F.slice(F.split(normalize_text(F.col("text")), " "), 1, 5), " "
+            )
+        ).alias("digest"),
+    )
+    root = fresh_scratch("stream_incr_dedup")
+    hist_path = root + "/hist"
+    # the historical index: persisted once, as production would have it
+    docs.where(F.col("doc_id") % 4 != 3).select("digest").distinct().write.mode(
+        "overwrite"
+    ).parquet(hist_path)
+
+    # restage the crawl batch as 4 single-file ascending doc_id ranges
+    # (bounded fixture slice — the ntile window is restage plumbing)
+    batch = docs.where(F.col("doc_id") % 4 == 3)
+    src = root + "/src"
+    sliced = batch.withColumn(
+        "__slice", F.ntile(4).over(Window.orderBy("doc_id"))
+    )
+    stamped: set[str] = set()
+    for i in range(1, 5):
+        sliced.where(F.col("__slice") == i).drop("__slice").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for name in sorted(_os.listdir(src)):
+            if name.endswith(".parquet") and name not in stamped:
+                stamped.add(name)
+                # strictly increasing mtimes, stamped ONLY on the files
+                # this slice's write just added: the file source's
+                # (mtime, path) ordering then replays arrival ==
+                # ascending doc_id
+                _os.utime(
+                    _os.path.join(src, name),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    hist = spark.read.parquet(hist_path)
+    seen_vt = VersionedTable(spark, root + "/seen")
+    stats_vt = VersionedTable(spark, root + "/stats")
+
+    def apply_batch(bdf: DataFrame, _bid: int) -> None:
+        keep = bdf.groupBy("digest").agg(F.min("doc_id").alias("__keep_id"))
+        marked = bdf.join(keep, "digest").join(
+            hist.withColumn("__in_corpus", F.lit(1)), "digest", "left"
+        )
+        if seen_vt.refs().get("main"):
+            seen = seen_vt.read().withColumn("__in_session", F.lit(1))
+            marked = marked.join(seen, "digest", "left")
+        else:
+            marked = marked.withColumn("__in_session", F.lit(None).cast("int"))
+        in_c = F.col("__in_corpus").isNotNull()
+        in_s = F.col("__in_session").isNotNull()
+        first = (F.col("doc_id") == F.col("__keep_id")) & ~in_s
+        stats = (
+            marked.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_new"),
+                F.sum(in_c.cast("long")).alias("n_dup_corpus"),
+                F.sum((~in_c & ~first).cast("long")).alias("n_dup_batch"),
+                F.sum((~in_c & first).cast("long")).alias("n_ingested"),
+            )
+            # the stats commit is tiny (sources x 4 batches); collect-
+            # free append keeps the drain executor-side
+        )
+        survivors = marked.where(~in_c & first).select("digest").distinct()
+        if stats_vt.refs().get("main"):
+            stats_vt.append(stats)
+            seen_vt.append(survivors)
+        else:
+            stats_vt.create(stats)
+            seen_vt.create(survivors)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with drain_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        stats_vt.read()
+        .groupBy("source")
+        .agg(
+            F.sum("n_new").alias("n_new"),
+            F.sum("n_dup_corpus").alias("n_dup_corpus"),
+            F.sum("n_dup_batch").alias("n_dup_batch"),
+            F.sum("n_ingested").alias("n_ingested"),
+        )
+        .orderBy("source")
+    )

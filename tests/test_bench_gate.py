@@ -108,6 +108,40 @@ def test_baseline_ratchet_waiver_is_explicit_and_recorded():
         ratchet(old, {"sf": 0.01, "queries": {"a": 0.1}})
 
 
+def test_rebase_outlier_audit_and_zero_guard():
+    """ADVICE r14 pair: (1) a host rebase must surface entries whose
+    new/old ratio decouples from the fleet median instead of silently
+    grandfathering an entry-specific regression; (2) an archived 0.0
+    reference (3-decimal rounding of a sub-ms entry) must not divide."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from refresh_bench_baseline import rebase_outliers, rebase_ratios
+
+    # fleet drifts uniformly ~1.5x, but 'hot' runs 6x with a big
+    # absolute excess -> flagged; 'tiny' is 6x but sub-threshold abs
+    old = {
+        "sf": 0.1,
+        "queries": {
+            "a": 1.0, "b": 2.0, "c": 3.0, "hot": 1.0, "tiny": 0.01, "z": 0.0,
+        },
+    }
+    new_q = {"a": 1.5, "b": 3.0, "c": 4.5, "hot": 6.0, "tiny": 0.06, "z": 0.4}
+    ratios, med = rebase_ratios(new_q, old)
+    assert "z" not in ratios  # zero old reference never divides
+    assert med == 1.5
+    out = rebase_outliers(new_q, old, ratios, med)
+    assert set(out) == {"hot"}
+    # uniform drift alone flags nothing
+    uni = {"a": 1.5, "b": 3.0, "c": 4.5, "hot": 1.5, "tiny": 0.015, "z": 0.1}
+    r2, m2 = rebase_ratios(uni, old)
+    assert rebase_outliers(uni, old, r2, m2) == {}
+    # no old baseline -> no audit, no crash
+    r3, m3 = rebase_ratios(new_q, None)
+    assert (r3, m3) == ({}, None)
+    assert rebase_outliers(new_q, None, r3, m3) == {}
+
+
 def test_calibration_alert_pins_code_vs_host_divergence():
     """The round-10 off-host anchor: entry ratios say 1.4x but the
     engine-free anchors say the host is flat -> alarm (fleet-wide code

@@ -91,6 +91,41 @@ def test_auto_paths_agree(spark):
     ]
 
 
+def test_auto_probe_is_one_job_and_sentinel_falls_back(spark):
+    """The fused probe contract (VERDICT r14 #1): a bounded word table
+    trains in exactly ONE Spark job (the limit-probe mapInPandas
+    collect — no separate count(), no checkpoint job), and a table
+    that overflows the threshold falls back to the distributed loop
+    via the sentinel row, still matching the reference."""
+    freqs = [("banana", 10), ("bandana", 7), ("anagram", 5), ("pan", 4)]
+    words = spark.createDataFrame(freqs, "w string, f long")
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-auto-probe", "cold single-task train")
+    try:
+        _, merges = bpe_train_auto(spark, words, n_merges=5)
+        jobs = sc.statusTracker().getJobIdsForGroup("bpe-auto-probe")
+    finally:
+        sc.setJobGroup("", "")
+    assert merges == _reference_train(freqs, 5)
+    assert len(jobs) == 1, f"cold small-table train ran {len(jobs)} jobs"
+    # threshold 2 < 4 rows: the task sees threshold+1 rows, emits the
+    # sentinel, and the distributed loop produces the same merges
+    _, m_over = bpe_train_auto(spark, words, n_merges=5, local_rows_threshold=2)
+    assert m_over == merges
+
+
+def test_empty_words_are_dropped_not_fatal(spark):
+    """ADVICE r14: a zero-length word (public-API misuse that
+    word_frequencies can't produce) must contribute nothing instead of
+    detonating the pair slice with a negative length."""
+    freqs = [("", 100), ("banana", 10), ("bandana", 7)]
+    words = spark.createDataFrame(freqs, "w string, f long")
+    expected = _reference_train([("banana", 10), ("bandana", 7)], 4)
+    _, m_dist = bpe_train(spark, words, n_merges=4)
+    _, m_auto = bpe_train_auto(spark, words, n_merges=4)
+    assert m_dist == m_auto == expected
+
+
 def test_trainer_min_freq_stops_early(spark):
     words = spark.createDataFrame([("ab", 1), ("cd", 1)], "w string, f long")
     _, merges = bpe_train(spark, words, n_merges=5, min_freq=2)

@@ -218,3 +218,41 @@ def test_pushdown_subquery_rejects_unsafe_identifiers():
     assert pushdown_subquery(
         "public.telematics", ["d1"], "2024-01-01", "2024-01-02"
     ).startswith("(SELECT * FROM public.telematics")
+
+
+def test_postgres_dialect_pushdown_shape(spark):
+    """S9's "url+driver swap" claim, checked instead of assumed
+    (VERDICT r14 #4; reference config/trino/catalog/
+    postgres.properties:1-7): resolve Spark's own PostgresDialect for
+    a postgresql:// url and assert the subquery this module generates
+    is shaped exactly as that dialect would quote it — identifiers
+    double-quoted, string literals single-quote-doubled — and that the
+    dialect's schema-probe query composes over our dbtable alias.  No
+    server needed: the dialect object IS what Spark consults at read
+    time; everything else in the read path is already exercised live
+    on Derby."""
+    jvm = spark.sparkContext._jvm
+    dialect = jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(
+        "jdbc:postgresql://db:5432/fleet"
+    )
+    assert dialect.getClass().getName() == (
+        "org.apache.spark.sql.jdbc.PostgresDialect"
+    )
+
+    q = pushdown_subquery(
+        "public.telematics",
+        ["dev-1", "o'brien"],  # embedded quote: the injection case
+        "2024-01-01",
+        "2024-01-02",
+        quote_identifiers=True,
+    )
+    # identifier quoting identical to the dialect's
+    for col in ("report_type", "device_id", "received_epoch"):
+        assert dialect.quoteIdentifier(col) in q
+    # literal quoting identical to the dialect's compileValue escaping
+    assert dialect.compileValue("o'brien") in q
+    assert "'o''brien'" in q  # and it is the '' doubling, spelled out
+    # the generated dbtable drops into the dialect's schema-resolution
+    # probe exactly as spark.read.jdbc would embed it
+    probe = dialect.getSchemaQuery(q)
+    assert probe == f"SELECT * FROM {q} WHERE 1=0"

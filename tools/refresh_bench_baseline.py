@@ -111,6 +111,45 @@ def rebase(runs: list[dict], note: str) -> dict:
     }
 
 
+def rebase_ratios(
+    new_queries: dict, old: dict | None
+) -> tuple[dict[str, float], float | None]:
+    """Per-entry new/old ratios (entries present in both files, old
+    value > 0 — bench timings are rounded to 3 decimals, so an archived
+    sub-millisecond entry recorded as 0.0 must not divide; ADVICE r14)
+    and their fleet median."""
+    import statistics
+
+    old_q = (old or {}).get("queries", {})
+    ratios = {
+        n: new_queries[n] / old_q[n]
+        for n in new_queries
+        if n in old_q and old_q[n] > 0
+    }
+    med = statistics.median(ratios.values()) if ratios else None
+    return ratios, med
+
+
+def rebase_outliers(
+    new_queries: dict, old: dict | None, ratios: dict, med: float | None
+) -> dict[str, float]:
+    """Entries whose rebase ratio decouples from the fleet (ADVICE r14):
+    a host rebase replaces every minimum at once, so an entry-specific
+    CODE regression accumulated since the old minima would be silently
+    grandfathered unless its ratio is checked against the fleet median
+    (which measures the host drift every entry shares).  Flag entries
+    >1.5x the median ratio AND >0.25 s absolute over the host-adjusted
+    old reference — the same two-sided shape bench.py's gate uses."""
+    if med is None:
+        return {}
+    old_q = (old or {}).get("queries", {})
+    return {
+        n: round(r, 2)
+        for n, r in ratios.items()
+        if r > 1.5 * med and new_queries[n] - med * old_q[n] > 0.25
+    }
+
+
 def _read_run(path: str) -> dict:
     with open(path) as f:
         return json.loads(f.read().strip().splitlines()[-1])
@@ -122,6 +161,13 @@ def main() -> None:
     ap.add_argument("--waive", action="append", default=[])
     ap.add_argument("--rebase", action="store_true",
                     help="host rebase: per-entry min of >=3 settled runs")
+    ap.add_argument(
+        "--allow-outlier", action="append", default=[],
+        help="rebase only: accept a named entry whose new/old ratio "
+        "decouples from the fleet median (recorded in provenance); "
+        "without it the rebase refuses, so host recalibration cannot "
+        "silently absorb an entry-specific regression",
+    )
     ap.add_argument("--note", default="")
     args = ap.parse_args()
 
@@ -138,6 +184,25 @@ def main() -> None:
             raise SystemExit("--rebase and --waive are mutually exclusive")
         runs = [_read_run(p) for p in args.run_json]
         out = rebase(runs, args.note)
+        # ratio audit BEFORE any file is touched (ADVICE r14: the old
+        # flow computed ratios after writing, so a ZeroDivisionError —
+        # or an outlier refusal — would have left a half-done rebase)
+        ratios, med = rebase_ratios(out["queries"], old)
+        outliers = rebase_outliers(out["queries"], old, ratios, med)
+        allowed = set(args.allow_outlier)
+        refused = {n: r for n, r in outliers.items() if n not in allowed}
+        if refused:
+            raise SystemExit(
+                "rebase refused: per-entry new/old ratio decouples from "
+                f"the fleet median ({med:.3f}) for {sorted(refused.items())} "
+                "— an entry-specific regression must not be grandfathered "
+                "into the new reference; fix it or re-run with "
+                "--allow-outlier <entry> and record why in --note"
+            )
+        if outliers:
+            out["allowed_outliers"] = {
+                n: outliers[n] for n in sorted(outliers)
+            }
         if old is not None:
             archive = os.path.join(REPO, "BENCH_BASELINE_pre_rebase.json")
             with open(archive, "w") as f:
@@ -145,14 +210,6 @@ def main() -> None:
             print(f"archived previous baseline to {archive}")
         with open(BASELINE_PATH, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
-        import statistics
-
-        ratios = [
-            out["queries"][n] / old["queries"][n]
-            for n in out["queries"]
-            if old and n in old.get("queries", {})
-        ]
-        med = statistics.median(ratios) if ratios else None
         print(
             f"wrote {BASELINE_PATH}: {len(out['queries'])} entries "
             f"rebased from {len(runs)} runs; median new/old ratio "
