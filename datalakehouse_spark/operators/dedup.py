@@ -889,3 +889,140 @@ def decontamination_flags(
     finally:
         grams.unpersist()
     return out
+
+
+def prefix_digest(text_col: Column | str, n_tokens: int = 5) -> Column:
+    """The continuous-ingest index key: md5 of the first ``n_tokens``
+    normalized tokens.  Crawl boilerplate shares its opening tokens far
+    more often than its full body, so the prefix digest is what a
+    continuous-ingest dedup keeps (full-body digests live in
+    dedup_exact_normalized).  Shared by ``incremental_dedup_ingest``
+    and its streaming twin."""
+    return F.md5(
+        F.array_join(F.slice(F.split(normalize_text(text_col), " "), 1, n_tokens), " ")
+    )
+
+
+def streaming_incremental_dedup_drain(
+    spark,
+    digests: DataFrame,
+    root: str,
+    batch_pred: Column,
+    n_slices: int = 4,
+) -> DataFrame:
+    """Drain a crawl batch as ``n_slices`` micro-batches, maintaining
+    the prefix-fingerprint dedup index ACROSS batches, and return the
+    per-source accounting — the continuous-crawl loop (the streaming
+    twin of the one-shot ``incremental_dedup_ingest`` computation;
+    registry entry ``streaming_incremental_dedup``).
+
+    ``digests``: (doc_id, source, digest) for the WHOLE corpus;
+    ``batch_pred`` selects the arriving crawl slice, everything else is
+    the historical corpus whose digest index is persisted up front.
+
+    Per micro-batch (foreachBatch): two digest-keyed equi-joins —
+    the historical index and the SESSION VersionedTable index of
+    survivors committed by earlier batches (both broadcastable
+    daily-scale sides; at 100 TB the historical index is a bucketed
+    table) — plus a skew-immune min(doc_id) keep-first aggregate,
+    never a per-digest sort window.  Survivor digests and per-source
+    stats commit ONCE per batch (the CDC trail).
+
+    Batch-split invariance: the restage slices the batch into
+    ASCENDING doc_id ranges with strictly increasing file mtimes, so
+    first-arrival == smallest doc_id and the totals are hash-equal to
+    the one-shot batch computation's (whose keep-first is min(doc_id))
+    no matter how many slices the stream was cut into.  The ntile
+    restage is fixture plumbing — production streams arrive already
+    micro-batched."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from datalakehouse_spark.streaming.jobs import drain_confs
+    from datalakehouse_spark.versioned import VersionedTable
+
+    hist_path = root + "/hist"
+    digests.where(~batch_pred).select("digest").distinct().write.mode(
+        "overwrite"
+    ).parquet(hist_path)
+
+    batch = digests.where(batch_pred)
+    src = root + "/src"
+    sliced = batch.withColumn(
+        "__slice", F.ntile(n_slices).over(Window.orderBy("doc_id"))
+    )
+    stamped: set[str] = set()
+    for i in range(1, n_slices + 1):
+        sliced.where(F.col("__slice") == i).drop("__slice").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for name in sorted(_os.listdir(src)):
+            if name.endswith(".parquet") and name not in stamped:
+                stamped.add(name)
+                # strictly increasing mtimes, stamped ONLY on the files
+                # this slice's write just added: the file source's
+                # (mtime, path) ordering then replays arrival ==
+                # ascending doc_id
+                _os.utime(
+                    _os.path.join(src, name),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+    hist = spark.read.parquet(hist_path)
+    seen_vt = VersionedTable(spark, root + "/seen")
+    stats_vt = VersionedTable(spark, root + "/stats")
+
+    def apply_batch(bdf: DataFrame, _bid: int) -> None:
+        keep = bdf.groupBy("digest").agg(F.min("doc_id").alias("__keep_id"))
+        marked = bdf.join(keep, "digest").join(
+            hist.withColumn("__in_corpus", F.lit(1)), "digest", "left"
+        )
+        if seen_vt.refs().get("main"):
+            seen = seen_vt.read().withColumn("__in_session", F.lit(1))
+            marked = marked.join(seen, "digest", "left")
+        else:
+            marked = marked.withColumn(
+                "__in_session", F.lit(None).cast("int")
+            )
+        in_c = F.col("__in_corpus").isNotNull()
+        in_s = F.col("__in_session").isNotNull()
+        first = (F.col("doc_id") == F.col("__keep_id")) & ~in_s
+        stats = marked.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(in_c.cast("long")).alias("n_dup_corpus"),
+            F.sum((~in_c & ~first).cast("long")).alias("n_dup_batch"),
+            F.sum((~in_c & first).cast("long")).alias("n_ingested"),
+        )
+        survivors = marked.where(~in_c & first).select("digest").distinct()
+        if stats_vt.refs().get("main"):
+            stats_vt.append(stats)
+            seen_vt.append(survivors)
+        else:
+            stats_vt.create(stats)
+            seen_vt.create(survivors)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with drain_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        stats_vt.read()
+        .groupBy("source")
+        .agg(
+            F.sum("n_new").alias("n_new"),
+            F.sum("n_dup_corpus").alias("n_dup_corpus"),
+            F.sum("n_dup_batch").alias("n_dup_batch"),
+            F.sum("n_ingested").alias("n_ingested"),
+        )
+        .orderBy("source")
+    )

@@ -3798,113 +3798,24 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     the session index is a bucketed table and each trigger costs
     ∝ batch size, not corpus.
 
-    The ntile restage below is fixture plumbing, not the operator: in
-    production the stream's own arrival defines the micro-batches."""
-    import os as _os
-
-    from datalakehouse_spark.operators.dedup import normalize_text
+    The ntile restage is fixture plumbing, not the operator: in
+    production the stream's own arrival defines the micro-batches.
+    The drain itself lives in operators/dedup.py
+    (``streaming_incremental_dedup_drain``) so the scale ladder
+    (tools/scale_smoke_stream_dedup.py) exercises the same code."""
+    from datalakehouse_spark.operators.dedup import (
+        prefix_digest,
+        streaming_incremental_dedup_drain,
+    )
     from datalakehouse_spark.scratch import fresh_scratch
-    from datalakehouse_spark.streaming.jobs import drain_confs
-    from datalakehouse_spark.versioned import VersionedTable
-    from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.md5(
-            F.array_join(
-                F.slice(F.split(normalize_text(F.col("text")), " "), 1, 5), " "
-            )
-        ).alias("digest"),
+    digests = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", prefix_digest(F.col("text")).alias("digest")
     )
-    root = fresh_scratch("stream_incr_dedup")
-    hist_path = root + "/hist"
-    # the historical index: persisted once, as production would have it
-    docs.where(F.col("doc_id") % 4 != 3).select("digest").distinct().write.mode(
-        "overwrite"
-    ).parquet(hist_path)
-
-    # restage the crawl batch as 4 single-file ascending doc_id ranges
-    # (bounded fixture slice — the ntile window is restage plumbing)
-    batch = docs.where(F.col("doc_id") % 4 == 3)
-    src = root + "/src"
-    sliced = batch.withColumn(
-        "__slice", F.ntile(4).over(Window.orderBy("doc_id"))
-    )
-    stamped: set[str] = set()
-    for i in range(1, 5):
-        sliced.where(F.col("__slice") == i).drop("__slice").coalesce(
-            1
-        ).write.mode("append").parquet(src)
-        for name in sorted(_os.listdir(src)):
-            if name.endswith(".parquet") and name not in stamped:
-                stamped.add(name)
-                # strictly increasing mtimes, stamped ONLY on the files
-                # this slice's write just added: the file source's
-                # (mtime, path) ordering then replays arrival ==
-                # ascending doc_id
-                _os.utime(
-                    _os.path.join(src, name),
-                    (1_700_000_000 + i, 1_700_000_000 + i),
-                )
-
-    hist = spark.read.parquet(hist_path)
-    seen_vt = VersionedTable(spark, root + "/seen")
-    stats_vt = VersionedTable(spark, root + "/stats")
-
-    def apply_batch(bdf: DataFrame, _bid: int) -> None:
-        keep = bdf.groupBy("digest").agg(F.min("doc_id").alias("__keep_id"))
-        marked = bdf.join(keep, "digest").join(
-            hist.withColumn("__in_corpus", F.lit(1)), "digest", "left"
-        )
-        if seen_vt.refs().get("main"):
-            seen = seen_vt.read().withColumn("__in_session", F.lit(1))
-            marked = marked.join(seen, "digest", "left")
-        else:
-            marked = marked.withColumn("__in_session", F.lit(None).cast("int"))
-        in_c = F.col("__in_corpus").isNotNull()
-        in_s = F.col("__in_session").isNotNull()
-        first = (F.col("doc_id") == F.col("__keep_id")) & ~in_s
-        stats = (
-            marked.groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("n_new"),
-                F.sum(in_c.cast("long")).alias("n_dup_corpus"),
-                F.sum((~in_c & ~first).cast("long")).alias("n_dup_batch"),
-                F.sum((~in_c & first).cast("long")).alias("n_ingested"),
-            )
-            # the stats commit is tiny (sources x 4 batches); collect-
-            # free append keeps the drain executor-side
-        )
-        survivors = marked.where(~in_c & first).select("digest").distinct()
-        if stats_vt.refs().get("main"):
-            stats_vt.append(stats)
-            seen_vt.append(survivors)
-        else:
-            stats_vt.create(stats)
-            seen_vt.create(survivors)
-
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    with drain_confs(spark):
-        q = (
-            stream.writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", root + "/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return (
-        stats_vt.read()
-        .groupBy("source")
-        .agg(
-            F.sum("n_new").alias("n_new"),
-            F.sum("n_dup_corpus").alias("n_dup_corpus"),
-            F.sum("n_dup_batch").alias("n_dup_batch"),
-            F.sum("n_ingested").alias("n_ingested"),
-        )
-        .orderBy("source")
+    return streaming_incremental_dedup_drain(
+        spark,
+        digests,
+        fresh_scratch("stream_incr_dedup"),
+        batch_pred=F.col("doc_id") % 4 == 3,
+        n_slices=4,
     )

