@@ -199,6 +199,35 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def cold_reset(name: str) -> None:
+    """Clear the session memo behind a BUILD_ONCE entry so a quiet-JVM
+    re-time measures a genuinely COLD build (the integrity test's
+    _clear_memos pattern).  Round 15: BUILD_ONCE entries used to be
+    exempt from the suspect re-run because a re-run would time a cache
+    HIT for the one entry whose first-run build cost IS the metric —
+    which left them the only entries with no defense against inherited
+    fleet debt (the r15 episode: bpe_vocab_train read 13.1 s in-fleet
+    at position ~230, 1.4 s in a 15-entry fleet, 1.9 s isolated — all
+    the same cold code path).  Clearing the memo removes the objection:
+    the re-time is cold, so the metric is unchanged and the gate keeps
+    comparing first-run build cost against the settled baseline."""
+    import datalakehouse_spark.registry_ext as e1
+    import datalakehouse_spark.registry_ext4 as e4
+    import datalakehouse_spark.registry_ext6 as e6
+
+    if name == "bpe_vocab_train":
+        e6._BPE_CACHE.clear()
+    elif name == "ivf_build_stats":
+        e1._IVF_INDEX_CACHE.clear()
+        e1._COARSE_CACHE.clear()
+        e1._QUERY_VEC_CACHE.clear()
+    elif name == "pq_build_stats":
+        e4._PQ_INDEX_CACHE.clear()
+        e4._IVFPQ_INDEX_CACHE.clear()
+    else:
+        raise ValueError(f"no cold-reset recipe for BUILD_ONCE entry {name}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -313,23 +342,30 @@ def main() -> None:
     # regression — a real regression survives, context noise doesn't.
     # Runs to a FIXPOINT: re-timing lowers the median ratio, which can
     # newly flag borderline entries under the recalibrated gate — they
-    # get their re-run too.  BUILD_ONCE entries are never re-timed: in
-    # the warm session their index is cached, so a re-run would record
-    # a cache hit for the one entry whose first-run build cost IS the
-    # metric — a flagged build regression must stand.
+    # get their re-run too.  BUILD_ONCE entries re-time COLD (session
+    # memo cleared first, see cold_reset) so the re-run measures the
+    # same first-run build cost the entry exists to gate — a real build
+    # regression survives a cold quiet-JVM re-time, inherited fleet
+    # debt doesn't (round 15; they were previously exempt and therefore
+    # the only entries defenseless against a one-off GC inheritance).
     retimed: set[str] = set()
     while True:
         regressions = find_regressions(timings, baseline, sf)
-        fresh = [
-            n for n in regressions if n not in retimed and n not in BUILD_ONCE
-        ]
+        fresh = [n for n in regressions if n not in retimed]
         if not fresh:
             break
         for name in fresh:
             retimed.add(name)
-            timings[name] = round(
-                min(timings[name], _timed(name), _timed(name)), 3
-            )
+            if name in BUILD_ONCE:
+                runs = []
+                for _ in range(2):
+                    cold_reset(name)
+                    runs.append(_timed(name))
+                timings[name] = round(min(timings[name], *runs), 3)
+            else:
+                timings[name] = round(
+                    min(timings[name], _timed(name), _timed(name)), 3
+                )
         total = round(sum(timings.values()), 3)
     # The gate and every baseline-derived statistic only mean anything
     # at the baseline's own scale factor (ADVICE r10: an sf0.01 run
@@ -381,7 +417,7 @@ def main() -> None:
         "host_factor": round(hf, 3),
         "calibration_alert": alert,
         "warn_contributors": warn_contributors,
-        "timing": "median-of-3 for entries <3s; pinned min-of-3 for iterative multi-job entries (kmeans_inertia_sweep, graph_pagerank) and for the sub-second tier (baseline reference <0.5s, whose warn ratios were pure scheduling jitter); min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries; regressions = entries >2x and >0.5s over machine_factor x their BENCH_BASELINE.json reference median (machine_factor = median now/ref ratio clamped to [1, 1.5] so a slower host does not flag the fleet but a fleet-wide code regression still surfaces); flagged entries are re-timed in the quiet post-fleet JVM to a fixpoint, except build-once entries whose first-run cost is the metric",
+        "timing": "median-of-3 for entries <3s; pinned min-of-3 for iterative multi-job entries (kmeans_inertia_sweep, graph_pagerank) and for the sub-second tier (baseline reference <0.5s, whose warn ratios were pure scheduling jitter); min-of-2 above, escalating to min-of-3 when the two runs disagree >25% (ambient-load guard); single-shot for build-once entries; regressions = entries >2x and >0.5s over machine_factor x their BENCH_BASELINE.json reference median (machine_factor = median now/ref ratio clamped to [1, 1.5] so a slower host does not flag the fleet but a fleet-wide code regression still surfaces); flagged entries are re-timed in the quiet post-fleet JVM to a fixpoint; build-once entries re-time COLD (session memo cleared) so the re-run still measures first-run build cost",
     }
     # Compact separators keep the line short enough for tail-capture
     # harnesses; the full map is also persisted to bench_out.json.

@@ -202,3 +202,23 @@ def test_top_ratio_contributors_orders_and_floors():
     assert [d["entry"] for d in out] == ["a", "b"]
     assert out[0] == {"entry": "a", "ratio": 3.0, "delta_s": 2.0}
     assert len(top_ratio_contributors(timings, refs)) == 3  # a, b, d
+
+
+def test_build_once_cold_reset_covers_every_entry():
+    """Every BUILD_ONCE entry needs a cold-reset recipe (else its
+    quiet-JVM re-time would measure a cache hit), and unknown names
+    must fail loudly rather than silently re-time warm."""
+    from datalakehouse_spark.registry import _load_extensions
+
+    _load_extensions()
+    import datalakehouse_spark.registry_ext6 as e6
+    from bench import cold_reset
+
+    e6._BPE_CACHE["sentinel"] = []
+    for name in ("ivf_build_stats", "pq_build_stats", "bpe_vocab_train"):
+        cold_reset(name)
+    assert e6._BPE_CACHE == {}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cold-reset"):
+        cold_reset("not_a_build_once_entry")
