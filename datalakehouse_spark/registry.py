@@ -143,6 +143,10 @@ EAGER_BUILD_ENTRIES = frozenset(
         # round 15: commits the learned vocab through VersionedTable
         # (v1 + v2) and collects the pinned ≤n_merges-row v1 at build
         "bpe_vocab_apply_versioned",
+        # round 15: the WordPiece trainer runs at build time (fused
+        # single-task probe on the bounded fixture; unmemoized, so
+        # every run — including bench re-times — is a cold build)
+        "wordpiece_vocab_train",
     }
 )
 
@@ -718,13 +722,14 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ~50-entry driver window, then the aging tail by last-green-round
 #: ASCENDING — the 46-entry r8 cohort (VERDICT r13 #2, the stalest
 #: evidence) fills the rest of the window.
-_DRIVER_ROTATION_CHANGED = ['bpe_vocab_train', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned', 'streaming_incremental_dedup']
+_DRIVER_ROTATION_CHANGED = ['bpe_vocab_train', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned', 'streaming_incremental_dedup', 'wordpiece_vocab_train']
 _DRIVER_ROTATION_ASOF = 14
 _DRIVER_PRIORITY = [
     "bpe_vocab_train",
     "bpe_tokenize_stats",
     "bpe_vocab_apply_versioned",
     "streaming_incremental_dedup",
+    "wordpiece_vocab_train",
     "gini_coefficient",
     "kmeans_inertia_sweep",
     "repeat_purchase_intervals",

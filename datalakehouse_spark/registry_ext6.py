@@ -3819,3 +3819,151 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         batch_pred=F.col("doc_id") % 4 == 3,
         n_slices=4,
     )
+
+
+# ---------------------------------------------------------------------------
+# wordpiece_vocab_train: the likelihood-scored subword trainer (round 15)
+# — the BPE trainer's sibling (Schuster & Nakajima 2012, the BERT
+# tokenizer's trainer): same greedy merge loop, but the argmax maximizes
+# count(ab) / (count(a) * count(b)).  The oracle replays the whole
+# trainer as a recursive CTE like the BPE one, additionally carrying
+# per-round unigram occurrence counts for the likelihood score.
+# ---------------------------------------------------------------------------
+
+_WP_MERGES = 12
+
+_WP_TRAIN_SQL = f"""
+WITH RECURSIVE d AS (
+    SELECT doc_id, lower(text) AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_BPE_TRAIN_DOCS})
+    WHERE regexp_matches(text, '^[ -~]*$')
+),
+wa AS (SELECT unnest(regexp_extract_all(t, '[a-z]+')) AS w FROM d),
+wf AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+    FROM wa WHERE length(w) BETWEEN 2 AND 12
+    GROUP BY w ORDER BY f DESC, w LIMIT {_BPE_WORDS}
+),
+init AS (
+    SELECT list({{syms: [w[i] FOR i IN range(1, length(w) + 1)], f: f}}
+                ORDER BY w) AS words
+    FROM wf
+),
+tr AS (
+    SELECT 0 AS k, words, CAST(NULL AS VARCHAR) AS bl,
+           CAST(NULL AS VARCHAR) AS br, CAST(NULL AS BIGINT) AS bc,
+           CAST(NULL AS BIGINT) AS blf, CAST(NULL AS BIGINT) AS brf
+    FROM init
+    UNION ALL
+    SELECT k + 1,
+           list_transform(
+               words,
+               w -> {{syms: {_BPE_FOLD.format(syms="w.syms", bl="bl", br="br")},
+                      f: w.f}}) AS words,
+           bl, br, bc, blf, brf
+    FROM (
+        SELECT k, words,
+               string_split(best.p, chr(1))[1] AS bl,
+               string_split(best.p, chr(1))[2] AS br,
+               best.c AS bc, best.ul AS blf, best.ur AS brf
+        FROM (
+            SELECT k, words, list_sort(
+                list_transform(
+                    cands,
+                    y -> {{ns: -(CAST(y.c AS DOUBLE) / (
+                              list_sum(list_transform(
+                                  list_filter(unis, z ->
+                                      z.s = string_split(y.p, chr(1))[1]),
+                                  z -> z.f))
+                              * list_sum(list_transform(
+                                  list_filter(unis, z ->
+                                      z.s = string_split(y.p, chr(1))[2]),
+                                  z -> z.f)))),
+                          p: y.p, c: y.c,
+                          ul: list_sum(list_transform(
+                                  list_filter(unis, z ->
+                                      z.s = string_split(y.p, chr(1))[1]),
+                                  z -> z.f)),
+                          ur: list_sum(list_transform(
+                                  list_filter(unis, z ->
+                                      z.s = string_split(y.p, chr(1))[2]),
+                                  z -> z.f))}}
+                ))[1] AS best
+            FROM (
+                SELECT k, words, unis,
+                       list_filter(
+                           list_transform(
+                               list_distinct(list_transform(pairs, x -> x.p)),
+                               p -> {{c: list_sum(list_transform(
+                                         list_filter(pairs, x -> x.p = p),
+                                         x -> x.f)),
+                                     p: p}}),
+                           y -> y.c >= {_BPE_MIN_FREQ}) AS cands
+                FROM (
+                    SELECT k, words,
+                           flatten(list_transform(words, w ->
+                               [{{p: w.syms[j] || chr(1) || w.syms[j + 1],
+                                  f: w.f}}
+                                FOR j IN range(1, len(w.syms))])) AS pairs,
+                           flatten(list_transform(words, w ->
+                               list_transform(w.syms,
+                                   s -> {{s: s, f: w.f}}))) AS unis
+                    FROM tr WHERE k < {_WP_MERGES}
+                )
+            )
+            WHERE len(cands) > 0
+        )
+    )
+)
+SELECT CAST(k AS INTEGER) AS rank, bl AS left, br AS right,
+       bl || br AS merged, bc AS pair_freq,
+       blf AS left_freq, brf AS right_freq
+FROM tr WHERE k >= 1 ORDER BY rank
+"""
+
+
+@register(
+    "wordpiece_vocab_train",
+    _WP_TRAIN_SQL,
+    "WordPiece trainer: likelihood-scored merge loop == recursive-CTE replay",
+)
+def q_wordpiece_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 15: the likelihood-scored subword trainer
+    (operators/wordpiece.py — Schuster & Nakajima 2012, the BERT
+    tokenizer's trainer), completing the classical tokenizer-trainer
+    family next to BPE.  Same corpus factoring and greedy fold as the
+    BPE entry (identical 40-doc / top-120-word fixture bound), but the
+    per-round argmax maximizes ``count(ab) / (count(a) * count(b))``
+    — the unit test pins a corpus where the two trainers genuinely
+    pick different merges.  The output carries the exact integer
+    triple (pair_freq, left_freq, right_freq), so the correctness
+    hash never compares a floating-point score; the score itself is
+    one IEEE double division of exact integers, bit-identical across
+    Python, Spark SQL, and DuckDB (argmax ties resolve on the pair
+    key).  The oracle replays the ENTIRE trainer as a recursive CTE
+    carrying the word table AND per-round unigram counts as list
+    state.
+
+    Scale shape: per round, two map-side-combined aggregates over the
+    word table + a broadcast join against the alphabet-bounded symbol
+    table + a 1-row argmax collect; the bounded fixture takes the
+    fused single-task probe path (ONE narrow Spark action cold —
+    the round-15 bpe_train_auto shape)."""
+    from datalakehouse_spark.operators.bpe import word_frequencies
+    from datalakehouse_spark.operators.wordpiece import wordpiece_train_auto
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.orderBy("doc_id")
+        .limit(_BPE_TRAIN_DOCS)
+        .where(F.col("text").rlike("^[ -~]*$"))
+    )
+    wf = (
+        word_frequencies(sample)
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(_BPE_WORDS)
+    )
+    out, _ = wordpiece_train_auto(
+        spark, wf, n_merges=_WP_MERGES, min_freq=_BPE_MIN_FREQ
+    )
+    return out
