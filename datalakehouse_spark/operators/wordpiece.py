@@ -220,3 +220,85 @@ def wordpiece_train_auto(
     ]
     out = spark.createDataFrame(rows, WP_SCHEMA)
     return out.orderBy("rank"), merges
+
+
+def longest_match_tokenize(word: str, pieces: set[str]) -> list[str]:
+    """WordPiece INFERENCE (the BERT runtime): greedy leftmost
+    longest-match over the piece inventory — NOT merge replay.  The
+    two genuinely differ: with pieces {ab, bc} learned in rank order
+    [(b,c), (a,b)], merge replay of 'abc' yields [a, bc] (rank 1 fires
+    first) while longest-match yields [ab, c] (leftmost longest wins).
+    Single characters always tokenize (the trainer's alphabet is the
+    implicit base vocabulary), so no unknown-token path is needed over
+    the ``[a-z]+`` word contract.  The '##' continuation marking of
+    BERT vocab FILES is presentation — the matching algorithm is
+    this one."""
+    out: list[str] = []
+    pos = 0
+    n = len(word)
+    while pos < n:
+        # longest piece matching at pos; 1-char fallback always exists
+        best = word[pos]
+        for ln in range(min(n - pos, _MAX_PIECE), 1, -1):
+            cand = word[pos:pos + ln]
+            if cand in pieces:
+                best = cand
+                break
+        out.append(best)
+        pos += len(best)
+    return out
+
+
+#: longest learnable piece: bounded by the word-length contract (the
+#: trainer only ever merges within [a-z]{2,12} words)
+_MAX_PIECE = 12
+
+
+def wordpiece_tokenize_stats(
+    docs: DataFrame,
+    pieces: set[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 2,
+    max_len: int = 12,
+) -> DataFrame:
+    """Per-document tokenization stats under a learned WordPiece
+    inventory: ``(doc_id, n_words, n_chars, n_tokens)`` with
+    ``n_tokens`` counted by greedy longest-match.  Arrow-batched
+    ``mapInPandas``; the piece set rides the closure (bounded by the
+    merge budget).  Embarrassingly parallel over rows — the same
+    honest-Python tier as ``bpe.bpe_tokenize_stats``."""
+    import re as _re
+
+    from datalakehouse_spark.operators.bpe import WORD_PATTERN
+
+    pattern = WORD_PATTERN
+    lo, hi = min_len, max_len
+    pc = frozenset(pieces)
+
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def batches(it):
+        import pandas as _pd
+
+        rx = _re.compile(pattern)
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [
+                    w
+                    for w in rx.findall((text or "").lower())
+                    if lo <= len(w) <= hi
+                ]
+                n_chars = sum(len(w) for w in words)
+                n_tokens = sum(
+                    len(longest_match_tokenize(w, pc)) for w in words
+                )
+                rows.append((doc_id, len(words), n_chars, n_tokens))
+            yield _pd.DataFrame(
+                rows, columns=["doc_id", "n_words", "n_chars", "n_tokens"]
+            )
+
+    return src.mapInPandas(
+        batches, schema="doc_id long, n_words int, n_chars int, n_tokens int"
+    )

@@ -145,8 +145,11 @@ EAGER_BUILD_ENTRIES = frozenset(
         "bpe_vocab_apply_versioned",
         # round 15: the WordPiece trainer runs at build time (fused
         # single-task probe on the bounded fixture; unmemoized, so
-        # every run — including bench re-times — is a cold build)
+        # every run — including bench re-times — is a cold build);
+        # the inference entry retrains its own inventory at build for
+        # the same reason (no cross-entry memo, no cold-reset need)
         "wordpiece_vocab_train",
+        "wordpiece_tokenize_stats",
     }
 )
 
@@ -722,7 +725,7 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ~50-entry driver window, then the aging tail by last-green-round
 #: ASCENDING — the 46-entry r8 cohort (VERDICT r13 #2, the stalest
 #: evidence) fills the rest of the window.
-_DRIVER_ROTATION_CHANGED = ['bpe_vocab_train', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned', 'streaming_incremental_dedup', 'wordpiece_vocab_train']
+_DRIVER_ROTATION_CHANGED = ['bpe_vocab_train', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned', 'streaming_incremental_dedup', 'wordpiece_vocab_train', 'wordpiece_tokenize_stats']
 _DRIVER_ROTATION_ASOF = 14
 _DRIVER_PRIORITY = [
     "bpe_vocab_train",
@@ -730,6 +733,7 @@ _DRIVER_PRIORITY = [
     "bpe_vocab_apply_versioned",
     "streaming_incremental_dedup",
     "wordpiece_vocab_train",
+    "wordpiece_tokenize_stats",
     "gini_coefficient",
     "kmeans_inertia_sweep",
     "repeat_purchase_intervals",

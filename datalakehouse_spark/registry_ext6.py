@@ -3832,8 +3832,10 @@ def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _WP_MERGES = 12
 
-_WP_TRAIN_SQL = f"""
-WITH RECURSIVE d AS (
+# the shared WordPiece trainer CTE chain (WITH RECURSIVE prefix
+# supplied by the enclosing statement) — the BPE chain's shape plus
+# per-round unigram counts for the likelihood argmax
+_WP_TRAINER_CTES = f"""d AS (
     SELECT doc_id, lower(text) AS t
     FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_BPE_TRAIN_DOCS})
     WHERE regexp_matches(text, '^[ -~]*$')
@@ -3914,7 +3916,10 @@ tr AS (
             WHERE len(cands) > 0
         )
     )
-)
+)"""
+
+_WP_TRAIN_SQL = f"""
+WITH RECURSIVE {_WP_TRAINER_CTES}
 SELECT CAST(k AS INTEGER) AS rank, bl AS left, br AS right,
        bl || br AS merged, bc AS pair_freq,
        blf AS left_freq, brf AS right_freq
@@ -3967,3 +3972,113 @@ def q_wordpiece_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, wf, n_merges=_WP_MERGES, min_freq=_BPE_MIN_FREQ
     )
     return out
+
+
+_WP_APPLY_SQL = f"""
+WITH RECURSIVE {_WP_TRAINER_CTES},
+pieces AS (
+    SELECT list_distinct(list(bl || br)) AS pl FROM tr WHERE k >= 1
+),
+td AS (
+    SELECT doc_id, lower(text) AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_BPE_APPLY_DOCS})
+    WHERE regexp_matches(text, '^[ -~]*$')
+),
+tw AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(t, '[a-z]+'),
+                       w -> length(w) BETWEEN 2 AND 12) AS words
+    FROM td
+),
+we AS (
+    SELECT doc_id, u.i AS widx, u.w AS w
+    FROM (
+        SELECT doc_id,
+               unnest([{{i: i, w: words[i]}}
+                       FOR i IN range(1, len(words) + 1)]) AS u
+        FROM tw
+    )
+),
+tok AS (
+    SELECT doc_id, widx, w, 0 AS pos, 0 AS cnt FROM we
+    UNION ALL
+    SELECT doc_id, widx, w,
+           pos + length(coalesce(best, substr(w, pos + 1, 1))) AS pos,
+           cnt + 1
+    FROM (
+        SELECT doc_id, widx, w, pos, cnt,
+               list_sort(list_transform(
+                   list_filter(pieces.pl,
+                       p -> substr(w, pos + 1, length(p)) = p),
+                   p -> {{nl: -length(p), p: p}}))[1].p AS best
+        FROM tok, pieces WHERE pos < length(w)
+    )
+)
+SELECT tw.doc_id,
+       CAST(len(tw.words) AS INTEGER) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(tw.words, w -> length(w))), 0)
+            AS INTEGER) AS n_chars,
+       CAST(COALESCE(s.tok_sum, 0) AS INTEGER) AS n_tokens
+FROM tw
+LEFT JOIN (
+    SELECT doc_id, SUM(cnt) AS tok_sum
+    FROM tok WHERE pos = length(w) GROUP BY doc_id
+) s USING (doc_id)
+ORDER BY tw.doc_id
+"""
+
+
+@register(
+    "wordpiece_tokenize_stats",
+    _WP_APPLY_SQL,
+    "WordPiece inference: greedy longest-match over the learned pieces == CTE replay",
+)
+def q_wordpiece_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 15: the WordPiece RUNTIME — greedy leftmost longest-match
+    over the learned piece inventory (the BERT tokenizer's inference
+    algorithm), which genuinely differs from BPE's merge replay
+    (test-pinned: pieces {ab, bc} from rank order [(b,c), (a,b)]
+    tokenize 'abc' as [ab, c] here but [a, bc] under replay).  Applies
+    the 12-piece inventory learned by ``wordpiece_vocab_train``'s
+    trainer to the 60-doc sample (the last 20 unseen by the trainer)
+    and reports per-document compression; the oracle re-derives the
+    SAME pieces with the trainer CTE, then steps every word through a
+    per-word recursive longest-match CTE.
+
+    The entry retrains its own vocabulary at build (ONE narrow Spark
+    action — the fused probe) instead of memoizing across entries:
+    that keeps every bench timing a cold build and avoids the
+    BUILD_ONCE/cold-reset machinery the memoized BPE pair needs.
+
+    Scale shape: tokenization is a pure map stage (mapInPandas, piece
+    set in the closure); training cost is the bounded word-table
+    action."""
+    from datalakehouse_spark.operators.bpe import word_frequencies
+    from datalakehouse_spark.operators.wordpiece import (
+        wordpiece_tokenize_stats,
+        wordpiece_train_auto,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.orderBy("doc_id")
+        .limit(_BPE_TRAIN_DOCS)
+        .where(F.col("text").rlike("^[ -~]*$"))
+    )
+    wf = (
+        word_frequencies(sample)
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(_BPE_WORDS)
+    )
+    _, merges = wordpiece_train_auto(
+        spark, wf, n_merges=_WP_MERGES, min_freq=_BPE_MIN_FREQ
+    )
+    pieces = {left + right for left, right, *_ in merges}
+    apply_docs = (
+        docs.orderBy("doc_id")
+        .limit(_BPE_APPLY_DOCS)
+        .where(F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+    return wordpiece_tokenize_stats(apply_docs, pieces).orderBy("doc_id")

@@ -73,3 +73,42 @@ def test_empty_and_tie_handling():
     # (a,b) and (c,d): c=2 each, u's all 2 -> equal scores, (a,b) wins
     ref = train_wordpiece_local([("ab", 2), ("cd", 2)], 1, 2)
     assert ref[0][:2] == ("a", "b")
+
+
+def test_longest_match_differs_from_merge_replay():
+    """The defining runtime difference: pieces {ab, bc} from merges
+    learned in rank order [(b,c), (a,b)] — replay fires rank 1 first
+    ([a, bc]); longest-match takes the leftmost longest ([ab, c])."""
+    from datalakehouse_spark.operators.bpe import apply_merges
+    from datalakehouse_spark.operators.wordpiece import (
+        longest_match_tokenize,
+    )
+
+    assert apply_merges(list("abc"), [("b", "c"), ("a", "b")]) == ["a", "bc"]
+    assert longest_match_tokenize("abc", {"bc", "ab"}) == ["ab", "c"]
+    # leftmost-longest priority over a longer later match
+    assert longest_match_tokenize("abcd", {"abc", "ab", "cd"}) == ["abc", "d"]
+    # no piece matches -> character fallback
+    assert longest_match_tokenize("xyz", {"ab"}) == ["x", "y", "z"]
+    assert longest_match_tokenize("", {"ab"}) == []
+
+
+def test_wordpiece_tokenize_stats(spark):
+    from datalakehouse_spark.operators.wordpiece import (
+        wordpiece_tokenize_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc abcd"), (2, "xy"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    stats = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+        for r in wordpiece_tokenize_stats(docs, {"ab", "bc"}).collect()
+    }
+    # doc 1: abc -> [ab, c]; abcd -> [ab, c, d]  => 5 tokens
+    assert stats[1] == (2, 7, 5)
+    # doc 2: xy -> [x, y]
+    assert stats[2] == (1, 2, 2)
+    # doc 3: both words under min_len -> zeros
+    assert stats[3] == (0, 0, 0)

@@ -15,6 +15,16 @@ recorded in the file's provenance.  Waivers are for DELIBERATE
 slowdowns (an entry grew a stage because its semantics grew); slow
 rounds never qualify.
 
+Ratchet ONCE per round, from the round's final settled closing bench
+(round-15 lesson): element-wise minima accumulated over several
+same-round runs sit below any achievable single-run median, so
+machine_factor — which reads a typical run against these references —
+inflates round over round (observed 1.0 -> 1.16 -> 1.22 across three
+same-day settled runs with flat CPU anchors) until the calibration
+alert false-positives a "fleet-wide code regression".  One ratchet per
+round keeps the references near real run medians while still never
+loosening.
+
 Entries new to the registry enter at their measured median; entries no
 longer in the run are dropped (they left the registry).
 
