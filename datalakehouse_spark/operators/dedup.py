@@ -203,6 +203,37 @@ def _bucketed_pair_sides(
     return left, right, list(bucket_cols) + ["_salt"]
 
 
+def lsh_band_buckets(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    n_perm: int = N_PERM_DEFAULT,
+    band_size: int = BAND_SIZE_DEFAULT,
+) -> DataFrame:
+    """Signature frame -> the LSH bucket frame ``(id, band, key)``:
+    one row per (doc, band), key = the band's signature slice joined
+    with '_'.  The bucket frame is what every LSH consumer joins on —
+    the pair finder (:func:`lsh_candidate_pairs`) self-joins it, the
+    streaming ingest (:func:`streaming_near_dup_drain`) probes a
+    persisted index of it."""
+    n_bands = n_perm // band_size
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -222,23 +253,7 @@ def lsh_candidate_pairs(
     see :func:`_bucketed_pair_sides` for the salt-vs-drop trade.
     """
     sigs = minhash_signatures_df(df, text_col, id_col, n_perm)
-    n_bands = n_perm // band_size
-    bands = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    bands = lsh_band_buckets(sigs, id_col, n_perm, band_size)
     lhs, rhs, join_cols = _bucketed_pair_sides(
         bands, ["band", "key"], id_col, max_bucket_size, hot_bucket
     )
@@ -903,6 +918,36 @@ def prefix_digest(text_col: Column | str, n_tokens: int = 5) -> Column:
     )
 
 
+def _restage_ascending(batch: DataFrame, src: str, n_slices: int) -> None:
+    """Fixture plumbing for the streaming-ingest twins: write ``batch``
+    as ``n_slices`` single-file ASCENDING doc_id ranges with strictly
+    increasing mtimes (stamped only on each slice's new files), so the
+    file source's (mtime, path) ordering replays arrival == ascending
+    doc_id — the property that makes first-arrival coincide with
+    min(doc_id) and the drain's totals batch-split invariant.  The
+    ntile window runs over the bounded fixture slice only; production
+    streams arrive already micro-batched."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    sliced = batch.withColumn(
+        "__slice", F.ntile(n_slices).over(Window.orderBy("doc_id"))
+    )
+    stamped: set[str] = set()
+    for i in range(1, n_slices + 1):
+        sliced.where(F.col("__slice") == i).drop("__slice").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        for name in sorted(_os.listdir(src)):
+            if name.endswith(".parquet") and name not in stamped:
+                stamped.add(name)
+                _os.utime(
+                    _os.path.join(src, name),
+                    (1_700_000_000 + i, 1_700_000_000 + i),
+                )
+
+
 def streaming_incremental_dedup_drain(
     spark,
     digests: DataFrame,
@@ -919,6 +964,7 @@ def streaming_incremental_dedup_drain(
     ``digests``: (doc_id, source, digest) for the WHOLE corpus;
     ``batch_pred`` selects the arriving crawl slice, everything else is
     the historical corpus whose digest index is persisted up front.
+    Near-dup twin: :func:`streaming_near_dup_drain`.
 
     Per micro-batch (foreachBatch): two digest-keyed equi-joins —
     the historical index and the SESSION VersionedTable index of
@@ -935,10 +981,6 @@ def streaming_incremental_dedup_drain(
     no matter how many slices the stream was cut into.  The ntile
     restage is fixture plumbing — production streams arrive already
     micro-batched."""
-    import os as _os
-
-    from pyspark.sql import Window
-
     from datalakehouse_spark.streaming.jobs import drain_confs
     from datalakehouse_spark.versioned import VersionedTable
 
@@ -949,25 +991,7 @@ def streaming_incremental_dedup_drain(
 
     batch = digests.where(batch_pred)
     src = root + "/src"
-    sliced = batch.withColumn(
-        "__slice", F.ntile(n_slices).over(Window.orderBy("doc_id"))
-    )
-    stamped: set[str] = set()
-    for i in range(1, n_slices + 1):
-        sliced.where(F.col("__slice") == i).drop("__slice").coalesce(
-            1
-        ).write.mode("append").parquet(src)
-        for name in sorted(_os.listdir(src)):
-            if name.endswith(".parquet") and name not in stamped:
-                stamped.add(name)
-                # strictly increasing mtimes, stamped ONLY on the files
-                # this slice's write just added: the file source's
-                # (mtime, path) ordering then replays arrival ==
-                # ascending doc_id
-                _os.utime(
-                    _os.path.join(src, name),
-                    (1_700_000_000 + i, 1_700_000_000 + i),
-                )
+    _restage_ascending(batch, src, n_slices)
 
     hist = spark.read.parquet(hist_path)
     seen_vt = VersionedTable(spark, root + "/seen")
@@ -1001,6 +1025,141 @@ def streaming_incremental_dedup_drain(
         else:
             stats_vt.create(stats)
             seen_vt.create(survivors)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with drain_confs(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        stats_vt.read()
+        .groupBy("source")
+        .agg(
+            F.sum("n_new").alias("n_new"),
+            F.sum("n_dup_corpus").alias("n_dup_corpus"),
+            F.sum("n_dup_batch").alias("n_dup_batch"),
+            F.sum("n_ingested").alias("n_ingested"),
+        )
+        .orderBy("source")
+    )
+
+
+def streaming_near_dup_drain(
+    spark,
+    docs: DataFrame,
+    root: str,
+    batch_pred: Column,
+    n_slices: int = 4,
+) -> DataFrame:
+    """The NEAR-dup streaming ingest twin: drain a crawl batch as
+    micro-batches against a persisted MinHash-LSH band-bucket index,
+    returning per-source accounting (registry entry
+    ``streaming_near_dup_ingest``).
+
+    Semantics (deliberately different from the exact-digest twin): a
+    doc is a near-dup if ANY of its LSH band buckets was seen before —
+    in the historical corpus (``n_dup_corpus``, checked first) or on
+    any EARLIER-arriving crawl doc (``n_dup_batch``).  The session
+    index records ALL arrivals' buckets, not only survivors', because
+    (a) near-dup conflicts aren't an equivalence relation — a
+    survivor-only index would make the accounting depend on slicing
+    (A drops B, but C conflicting only with B would then pass or fail
+    depending on whether B's buckets were indexed) — indexing every
+    arrival makes the totals exactly batch-split invariant under
+    ascending restage; and (b) it is the production crawl posture: a
+    dedup index covers what the crawl has SEEN, so future near-dups of
+    rejected boilerplate are still caught.  Docs too short to shingle
+    carry no buckets and always ingest.
+
+    Per micro-batch: one signature pass over the batch (map-side MIN
+    combine), two bucket-keyed LEFT SEMI probes (historical + session
+    index — bucket-keyed equi-joins, broadcastable at daily scale,
+    bucketed tables at 100 TB), and a skew-immune min(doc_id)-per-
+    bucket aggregate for the intra-batch check; survivors' accounting
+    and the batch's bucket set commit once per trigger (the CDC
+    trail).  No per-bucket sort window and no pair join anywhere — the
+    ingest check needs bucket MEMBERSHIP, not the pair space, so the
+    LSH self-join (and its salting) stays in :func:`lsh_candidate_pairs`
+    where pairs are actually wanted."""
+    from datalakehouse_spark.streaming.jobs import drain_confs
+    from datalakehouse_spark.versioned import VersionedTable
+
+    base = docs.select("doc_id", "source", "text")
+    hist_path = root + "/hist"
+    (
+        lsh_band_buckets(minhash_signatures_df(base.where(~batch_pred)))
+        .select("band", "key")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(hist_path)
+    )
+
+    batch = base.where(batch_pred)
+    src = root + "/src"
+    _restage_ascending(batch, src, n_slices)
+
+    hist = spark.read.parquet(hist_path)
+    seen_vt = VersionedTable(spark, root + "/seen")
+    stats_vt = VersionedTable(spark, root + "/stats")
+
+    def apply_batch(bdf: DataFrame, _bid: int) -> None:
+        buckets = lsh_band_buckets(minhash_signatures_df(bdf))
+        hit_corpus = (
+            buckets.join(hist, ["band", "key"], "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("__in_corpus", F.lit(1))
+        )
+        if seen_vt.refs().get("main"):
+            sess_hits = (
+                buckets.join(seen_vt.read(), ["band", "key"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+        else:
+            sess_hits = buckets.select("doc_id").where(F.lit(False))
+        first_in_bucket = buckets.groupBy("band", "key").agg(
+            F.min("doc_id").alias("__fid")
+        )
+        intra_hits = (
+            buckets.join(first_in_bucket, ["band", "key"])
+            .where(F.col("__fid") < F.col("doc_id"))
+            .select("doc_id")
+            .distinct()
+        )
+        hit_earlier = (
+            sess_hits.unionByName(intra_hits)
+            .distinct()
+            .withColumn("__earlier", F.lit(1))
+        )
+        marked = (
+            bdf.select("doc_id", "source")
+            .join(hit_corpus, "doc_id", "left")
+            .join(hit_earlier, "doc_id", "left")
+        )
+        in_c = F.col("__in_corpus").isNotNull()
+        in_e = F.col("__earlier").isNotNull()
+        stats = marked.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(in_c.cast("long")).alias("n_dup_corpus"),
+            F.sum((~in_c & in_e).cast("long")).alias("n_dup_batch"),
+            F.sum((~in_c & ~in_e).cast("long")).alias("n_ingested"),
+        )
+        arrivals = buckets.select("band", "key").distinct()
+        if stats_vt.refs().get("main"):
+            stats_vt.append(stats)
+            seen_vt.append(arrivals)
+        else:
+            stats_vt.create(stats)
+            seen_vt.create(arrivals)
 
     stream = (
         spark.readStream.schema(batch.schema)

@@ -86,6 +86,9 @@ EAGER_BUILD_ENTRIES = frozenset(
         # round 15: restages the crawl slice, drains a foreachBatch
         # stream, commits the digest index + stats per micro-batch
         "streaming_incremental_dedup",
+        # round 15: the near-dup twin — LSH bucket index maintained
+        # across micro-batches, one versioned commit per trigger
+        "streaming_near_dup_ingest",
         # ANN build/serve splits
         "knn_brute_force",
         "hybrid_rrf_fusion",  # its vector list collects the 1-row query vec
@@ -725,7 +728,7 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ~50-entry driver window, then the aging tail by last-green-round
 #: ASCENDING — the 46-entry r8 cohort (VERDICT r13 #2, the stalest
 #: evidence) fills the rest of the window.
-_DRIVER_ROTATION_CHANGED = ['bpe_vocab_train', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned', 'streaming_incremental_dedup', 'wordpiece_vocab_train', 'wordpiece_tokenize_stats']
+_DRIVER_ROTATION_CHANGED = ['bpe_vocab_train', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned', 'streaming_incremental_dedup', 'wordpiece_vocab_train', 'wordpiece_tokenize_stats', 'streaming_near_dup_ingest', 'near_dup_pairs', 'minhash_signatures']
 _DRIVER_ROTATION_ASOF = 14
 _DRIVER_PRIORITY = [
     "bpe_vocab_train",
@@ -734,6 +737,9 @@ _DRIVER_PRIORITY = [
     "streaming_incremental_dedup",
     "wordpiece_vocab_train",
     "wordpiece_tokenize_stats",
+    "streaming_near_dup_ingest",
+    "near_dup_pairs",
+    "minhash_signatures",
     "gini_coefficient",
     "kmeans_inertia_sweep",
     "repeat_purchase_intervals",
@@ -788,7 +794,6 @@ _DRIVER_PRIORITY = [
     "hybrid_rrf_fusion",
     "quality_threshold_sweep",
     "cross_source_dup_matrix",
-    "near_dup_pairs",
     "simhash_docs",
     "simhash_near_dup_pairs",
     "ivf_build_stats",
@@ -945,7 +950,6 @@ _DRIVER_PRIORITY = [
     "doc_fingerprints",
     "dedup_exact",
     "dedup_exact_normalized",
-    "minhash_signatures",
     "knn_brute_force",
     "embedding_norms_by_label",
     "multimodal_payloads",

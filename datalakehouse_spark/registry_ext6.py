@@ -4082,3 +4082,96 @@ def q_wordpiece_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(4)
     )
     return wordpiece_tokenize_stats(apply_docs, pieces).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# streaming_near_dup_ingest: the NEAR-dup streaming crawl loop (round 15)
+# — the MinHash-LSH twin of streaming_incremental_dedup.  The oracle is
+# the one-shot bucket-membership computation over the same signatures
+# (registry_ext._minhash_sql_core, the verified near_dup machinery).
+# ---------------------------------------------------------------------------
+
+
+def _streaming_near_dup_sql() -> str:
+    from datalakehouse_spark.operators import dedup as D
+    from datalakehouse_spark.registry_ext import _minhash_sql_core
+
+    n_bands = D.N_PERM_DEFAULT // D.BAND_SIZE_DEFAULT
+    band_selects = []
+    for bnd in range(n_bands):
+        cols = ", ".join(
+            f"mh{bnd * D.BAND_SIZE_DEFAULT + j}"
+            for j in range(D.BAND_SIZE_DEFAULT)
+        )
+        # len(sh) > 0: shingle-less docs have NO signature row on the
+        # Spark side (nothing to explode), so they carry no buckets
+        band_selects.append(
+            f"SELECT doc_id, {bnd} AS band, concat_ws('_', {cols}) AS key "
+            "FROM sig WHERE len(sh) > 0"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return _minhash_sql_core() + f""",
+bands AS ({bands}),
+hb AS (SELECT DISTINCT band, key FROM bands WHERE doc_id % 4 <> 3),
+bb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 4 = 3),
+ch AS (SELECT DISTINCT bb.doc_id FROM bb JOIN hb USING (band, key)),
+fb AS (SELECT band, key, min(doc_id) AS fid FROM bb GROUP BY band, key),
+eh AS (SELECT DISTINCT bb.doc_id
+       FROM bb JOIN fb USING (band, key) WHERE fb.fid < bb.doc_id),
+cls AS (
+    SELECT d.doc_id, d.source,
+           CASE WHEN ch.doc_id IS NOT NULL THEN 2
+                WHEN eh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS c
+    FROM (SELECT doc_id, source FROM documents WHERE doc_id % 4 = 3) d
+    LEFT JOIN ch ON ch.doc_id = d.doc_id
+    LEFT JOIN eh ON eh.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+       CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ingested
+FROM cls GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "streaming_near_dup_ingest",
+    _streaming_near_dup_sql(),
+    "streaming near-dup crawl ingest: LSH bucket index across micro-batches == one-shot",
+)
+def q_streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 15: the NEAR-dup streaming crawl loop — the MinHash-LSH
+    twin of ``streaming_incremental_dedup``.  The crawl slice drains as
+    four ascending micro-batches; each probes its LSH band buckets
+    against (a) the persisted historical bucket index and (b) the
+    session index of ALL earlier arrivals' buckets, classifies
+    (corpus-dup first, then earlier-crawl-dup, else ingest), and
+    commits its bucket set + per-source stats once per trigger.
+
+    The session index records every ARRIVAL's buckets (not only
+    survivors'): near-dup conflicts aren't an equivalence relation, so
+    a survivor-only index would make totals depend on the slicing,
+    while the seen-everything index is exactly batch-split invariant
+    AND the production crawl posture (future near-dups of rejected
+    boilerplate still catch).  The oracle computes the same bucket
+    membership one-shot from the identical signature SQL the verified
+    ``near_dup_pairs``/``minhash_signatures`` entries use.
+
+    Scale shape: per trigger, one signature pass over the batch
+    (map-side MIN combine), two bucket-keyed LEFT SEMI probes, one
+    min-per-bucket aggregate — membership checks, never the pair
+    space, so no salting is even needed here (the pair join and its
+    hot-bucket salting live in lsh_candidate_pairs where pairs are
+    wanted)."""
+    from datalakehouse_spark.operators.dedup import streaming_near_dup_drain
+    from datalakehouse_spark.scratch import fresh_scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    return streaming_near_dup_drain(
+        spark,
+        docs,
+        fresh_scratch("stream_near_dup"),
+        batch_pred=F.col("doc_id") % 4 == 3,
+        n_slices=4,
+    )

@@ -59,3 +59,68 @@ def test_drain_totals_are_slice_invariant(spark, tmp_path, n_slices):
     assert [tuple(r) for r in got] == [tuple(r) for r in want], (
         f"n_slices={n_slices} drain diverged from the one-shot batch"
     )
+
+
+def _near_dup_one_shot(spark, docs, pred):
+    """One-shot bucket-membership reference for the near-dup drain."""
+    from datalakehouse_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_signatures_df,
+    )
+
+    base = docs.select("doc_id", "source", "text")
+    buckets = lsh_band_buckets(minhash_signatures_df(base))
+    ids = base.select("doc_id", "source")
+    hb = (
+        buckets.join(ids.where(~pred), "doc_id", "left_semi")
+        .select("band", "key")
+        .distinct()
+    )
+    bb = buckets.join(ids.where(pred), "doc_id", "left_semi")
+    ch = (
+        bb.join(hb, ["band", "key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    fb = bb.groupBy("band", "key").agg(F.min("doc_id").alias("__fid"))
+    eh = (
+        bb.join(fb, ["band", "key"])
+        .where(F.col("__fid") < F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("__e", F.lit(1))
+    )
+    m = ids.where(pred).join(ch, "doc_id", "left").join(eh, "doc_id", "left")
+    in_c = F.col("__c").isNotNull()
+    in_e = F.col("__e").isNotNull()
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(in_c.cast("long")).alias("n_dup_corpus"),
+            F.sum((~in_c & in_e).cast("long")).alias("n_dup_batch"),
+            F.sum((~in_c & ~in_e).cast("long")).alias("n_ingested"),
+        )
+        .orderBy("source")
+    )
+
+
+@pytest.mark.parametrize("n_slices", [1, 3, 5])
+def test_near_dup_drain_totals_are_slice_invariant(spark, tmp_path, n_slices):
+    """The seen-everything index claim: because every arrival's buckets
+    are indexed (not only survivors'), the near-dup accounting is
+    independent of micro-batch boundaries — which a survivor-only
+    index could NOT guarantee (near-dup conflicts aren't transitive)."""
+    from datalakehouse_spark.io import load_table
+    from datalakehouse_spark.operators.dedup import streaming_near_dup_drain
+
+    docs = load_table(spark, SF, "documents")
+    pred = F.col("doc_id") % 4 == 3
+    got = streaming_near_dup_drain(
+        spark, docs, str(tmp_path / f"nd{n_slices}"), pred, n_slices=n_slices
+    ).collect()
+    want = _near_dup_one_shot(spark, docs, pred).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want], (
+        f"n_slices={n_slices} near-dup drain diverged from one-shot"
+    )
