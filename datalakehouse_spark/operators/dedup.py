@@ -1118,9 +1118,10 @@ def streaming_near_dup_drain(
             .distinct()
             .withColumn("__in_corpus", F.lit(1))
         )
-        if seen_vt.refs().get("main"):
+        seen = seen_vt.read() if seen_vt.refs().get("main") else None
+        if seen is not None:
             sess_hits = (
-                buckets.join(seen_vt.read(), ["band", "key"], "left_semi")
+                buckets.join(seen, ["band", "key"], "left_semi")
                 .select("doc_id")
                 .distinct()
             )
@@ -1153,7 +1154,21 @@ def streaming_near_dup_drain(
             F.sum((~in_c & in_e).cast("long")).alias("n_dup_batch"),
             F.sum((~in_c & ~in_e).cast("long")).alias("n_ingested"),
         )
-        arrivals = buckets.select("band", "key").distinct()
+        # Index-growth fix (ADVICE r15): a bucket key recurring across
+        # batches must not re-append — the left-semi probes stay correct
+        # under duplicates, but the index (and per-trigger probe cost)
+        # would grow with every repeat instead of with DISTINCT buckets
+        # seen.  Anti-joining against the historical index too is
+        # semantically safe: classification checks the corpus index
+        # FIRST, so a future arrival on a hist bucket is a corpus dup
+        # whether or not the session index also carries the key.
+        arrivals = (
+            buckets.select("band", "key")
+            .distinct()
+            .join(hist, ["band", "key"], "left_anti")
+        )
+        if seen is not None:
+            arrivals = arrivals.join(seen, ["band", "key"], "left_anti")
         if stats_vt.refs().get("main"):
             stats_vt.append(stats)
             seen_vt.append(arrivals)

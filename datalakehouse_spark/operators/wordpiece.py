@@ -222,7 +222,9 @@ def wordpiece_train_auto(
     return out.orderBy("rank"), merges
 
 
-def longest_match_tokenize(word: str, pieces: set[str]) -> list[str]:
+def longest_match_tokenize(
+    word: str, pieces: set[str], max_piece: int | None = None
+) -> list[str]:
     """WordPiece INFERENCE (the BERT runtime): greedy leftmost
     longest-match over the piece inventory — NOT merge replay.  The
     two genuinely differ: with pieces {ab, bc} learned in rank order
@@ -232,14 +234,22 @@ def longest_match_tokenize(word: str, pieces: set[str]) -> list[str]:
     implicit base vocabulary), so no unknown-token path is needed over
     the ``[a-z]+`` word contract.  The '##' continuation marking of
     BERT vocab FILES is presentation — the matching algorithm is
-    this one."""
+    this one.
+
+    ``max_piece`` is the longest candidate length probed at each
+    position; it is derived from the piece inventory itself when not
+    given (ADVICE r15: a fixed module cap silently skipped pieces
+    longer than it whenever a caller raised the word-length bound).
+    Hot-loop callers should compute it once and pass it in."""
+    if max_piece is None:
+        max_piece = max(map(len, pieces), default=1)
     out: list[str] = []
     pos = 0
     n = len(word)
     while pos < n:
         # longest piece matching at pos; 1-char fallback always exists
         best = word[pos]
-        for ln in range(min(n - pos, _MAX_PIECE), 1, -1):
+        for ln in range(min(n - pos, max_piece), 1, -1):
             cand = word[pos:pos + ln]
             if cand in pieces:
                 best = cand
@@ -247,11 +257,6 @@ def longest_match_tokenize(word: str, pieces: set[str]) -> list[str]:
         out.append(best)
         pos += len(best)
     return out
-
-
-#: longest learnable piece: bounded by the word-length contract (the
-#: trainer only ever merges within [a-z]{2,12} words)
-_MAX_PIECE = 12
 
 
 def wordpiece_tokenize_stats(
@@ -275,6 +280,8 @@ def wordpiece_tokenize_stats(
     pattern = WORD_PATTERN
     lo, hi = min_len, max_len
     pc = frozenset(pieces)
+    # inventory-derived cap, computed once per entry (not per word)
+    mp = max(map(len, pc), default=1)
 
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
 
@@ -292,7 +299,7 @@ def wordpiece_tokenize_stats(
                 ]
                 n_chars = sum(len(w) for w in words)
                 n_tokens = sum(
-                    len(longest_match_tokenize(w, pc)) for w in words
+                    len(longest_match_tokenize(w, pc, mp)) for w in words
                 )
                 rows.append((doc_id, len(words), n_chars, n_tokens))
             yield _pd.DataFrame(

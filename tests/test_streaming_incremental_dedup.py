@@ -124,3 +124,28 @@ def test_near_dup_drain_totals_are_slice_invariant(spark, tmp_path, n_slices):
     assert [tuple(r) for r in got] == [tuple(r) for r in want], (
         f"n_slices={n_slices} near-dup drain diverged from one-shot"
     )
+
+
+def test_near_dup_session_index_stays_duplicate_free(spark, tmp_path):
+    """ADVICE r15: bucket keys recurring across micro-batches (and keys
+    already in the historical index) must not re-append — the session
+    index carries each (band, key) at most once and never a key the
+    historical index already covers, so per-trigger probe cost grows
+    with DISTINCT new buckets, not with arrivals."""
+    from datalakehouse_spark.operators.dedup import streaming_near_dup_drain
+    from datalakehouse_spark.versioned import VersionedTable
+
+    docs = load_table(spark, SF, "documents")
+    pred = F.col("doc_id") % 4 == 3
+    root = str(tmp_path / "ndidx")
+    streaming_near_dup_drain(spark, docs, root, pred, n_slices=5)
+    seen = VersionedTable(spark, root + "/seen").read()
+    total = seen.count()
+    assert total == seen.select("band", "key").distinct().count(), (
+        "session LSH index accumulated duplicate (band, key) rows"
+    )
+    hist = spark.read.parquet(root + "/hist")
+    overlap = seen.join(hist, ["band", "key"], "left_semi").count()
+    assert overlap == 0, (
+        "session index re-indexed buckets the historical index covers"
+    )

@@ -93,6 +93,23 @@ def test_longest_match_differs_from_merge_replay():
     assert longest_match_tokenize("", {"ab"}) == []
 
 
+def test_longest_match_cap_derives_from_inventory():
+    """ADVICE r15: the candidate-length cap must come from the piece
+    inventory, not a fixed module constant — a 16-char piece must match
+    a 16-char word even though the default trainer bound is 12."""
+    from datalakehouse_spark.operators.wordpiece import (
+        longest_match_tokenize,
+    )
+
+    long_piece = "abcdefghijklmnop"  # 16 chars
+    assert longest_match_tokenize(long_piece, {long_piece}) == [long_piece]
+    # an explicit cap below the piece length suppresses it (the knob a
+    # hot-loop caller threads through)
+    assert longest_match_tokenize(
+        long_piece, {long_piece, "ab"}, max_piece=2
+    ) == ["ab"] + list(long_piece[2:])
+
+
 def test_wordpiece_tokenize_stats(spark):
     from datalakehouse_spark.operators.wordpiece import (
         wordpiece_tokenize_stats,
