@@ -217,6 +217,8 @@ def cold_reset(name: str) -> None:
 
     if name == "bpe_vocab_train":
         e6._BPE_CACHE.clear()
+    elif name == "streaming_near_dup_build":
+        e6._ND_STAGE_CACHE.clear()
     elif name == "ivf_build_stats":
         e1._IVF_INDEX_CACHE.clear()
         e1._COARSE_CACHE.clear()
@@ -264,7 +266,14 @@ def main() -> None:
     # Entries whose FIRST run performs a session-cached build (the IVF
     # index): the first timing IS the metric; a median over cache hits
     # would hide the build cost the entry exists to measure.
-    BUILD_ONCE = {"ivf_build_stats", "pq_build_stats", "bpe_vocab_train"}
+    BUILD_ONCE = {
+        "ivf_build_stats",
+        "pq_build_stats",
+        "bpe_vocab_train",
+        # round 16: the near-dup ingest's historical-index build +
+        # restage, split out of the drain entry (VERDICT r15 #3)
+        "streaming_near_dup_build",
+    }
     # Iterative multi-job entries (round 12, VERDICT r11 #5): each
     # launches many short dependent Spark jobs, so scheduling/GC
     # ambient compounds across iterations — r11 saw +25%/+34% r-o-r

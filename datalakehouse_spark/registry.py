@@ -88,7 +88,11 @@ EAGER_BUILD_ENTRIES = frozenset(
         "streaming_incremental_dedup",
         # round 15: the near-dup twin — LSH bucket index maintained
         # across micro-batches, one versioned commit per trigger
+        # (round 16: drain-only; the build moved to the split entry)
         "streaming_near_dup_ingest",
+        # round 16: the near-dup BUILD half (historical LSH index +
+        # restage, session-memoized — the ivf_build_stats split shape)
+        "streaming_near_dup_build",
         # ANN build/serve splits
         "knn_brute_force",
         "hybrid_rrf_fusion",  # its vector list collects the 1-row query vec
@@ -153,6 +157,15 @@ EAGER_BUILD_ENTRIES = frozenset(
         # the same reason (no cross-entry memo, no cold-reset need)
         "wordpiece_vocab_train",
         "wordpiece_tokenize_stats",
+        # round 16: the WordPiece vocab through the versioned-artifact
+        # path (trains + commits v1/v2 + collects the pinned v1 at
+        # build — the bpe_vocab_apply_versioned shape)
+        "wordpiece_vocab_apply_versioned",
+        # round 16: the Unigram-LM trainer pair — both retrain at build
+        # via the fused single-task probe (one narrow action cold,
+        # unmemoized like the WordPiece pair)
+        "unigram_vocab_train",
+        "unigram_tokenize_stats",
     }
 )
 

@@ -4092,7 +4092,9 @@ def q_wordpiece_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _streaming_near_dup_sql() -> str:
+def _near_dup_bands_ctes() -> str:
+    """The shared signature + band-bucket CTE prefix for the streaming
+    near-dup entries (build and drain)."""
     from datalakehouse_spark.operators import dedup as D
     from datalakehouse_spark.registry_ext import _minhash_sql_core
 
@@ -4111,7 +4113,11 @@ def _streaming_near_dup_sql() -> str:
         )
     bands = " UNION ALL ".join(band_selects)
     return _minhash_sql_core() + f""",
-bands AS ({bands}),
+bands AS ({bands})"""
+
+
+def _streaming_near_dup_sql() -> str:
+    return _near_dup_bands_ctes() + """,
 hb AS (SELECT DISTINCT band, key FROM bands WHERE doc_id % 4 <> 3),
 bb AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 4 = 3),
 ch AS (SELECT DISTINCT bb.doc_id FROM bb JOIN hb USING (band, key)),
@@ -4135,6 +4141,70 @@ FROM cls GROUP BY source ORDER BY source
 """
 
 
+#: Session cache for the near-dup build/serve split (round 16, VERDICT
+#: r15 #3 — the _IVF_INDEX_CACHE precedent): abs(sf_dir) ->
+#: (hist_index_path, staged_src_path).  The historical LSH index build
+#: + ascending restage run ONCE per corpus per session (the build
+#: entry's metric); the drain entry serves from the staged artifacts
+#: into a fresh root per call.
+_ND_STAGE_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _near_dup_staged(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os
+
+    key = os.path.abspath(sf_dir)
+    if key not in _ND_STAGE_CACHE:
+        import hashlib
+
+        from datalakehouse_spark.operators.dedup import near_dup_index_stage
+        from datalakehouse_spark.scratch import fresh_scratch
+
+        # fresh (not stable): a cold-reset rebuild must not append a
+        # second copy of the restaged slice files
+        tag = "nd_stage_" + hashlib.md5(key.encode()).hexdigest()[:8]
+        docs = load_table(spark, sf_dir, "documents")
+        _ND_STAGE_CACHE[key] = near_dup_index_stage(
+            spark,
+            docs,
+            fresh_scratch(tag),
+            batch_pred=F.col("doc_id") % 4 == 3,
+            n_slices=4,
+        )
+    return _ND_STAGE_CACHE[key]
+
+
+_ND_BUILD_SQL = _near_dup_bands_ctes() + """
+SELECT CAST(band AS INTEGER) AS band,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_buckets
+FROM bands WHERE doc_id % 4 <> 3
+GROUP BY band ORDER BY band
+"""
+
+
+@register(
+    "streaming_near_dup_build",
+    _ND_BUILD_SQL,
+    "near-dup ingest BUILD: historical LSH bucket index + restage; occupancy per band",
+)
+def q_streaming_near_dup_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 16 (VERDICT r15 #3): the BUILD half of the near-dup
+    streaming ingest as its own scored entry — the ivf_build_stats
+    split shape.  It carries the one-time historical LSH band-bucket
+    index build and the fixture restage, so ``streaming_near_dup_ingest``
+    now times the per-trigger DRAIN alone (the number that actually
+    scales with batch size at 100 TB).  The per-band distinct-bucket
+    occupancy it returns is the oracle check that the persisted index
+    equals the replayed signature computation."""
+    hist_path, _src = _near_dup_staged(spark, sf_dir)
+    return (
+        spark.read.parquet(hist_path)
+        .groupBy(F.col("band").cast("int").alias("band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_buckets"))
+        .orderBy("band")
+    )
+
+
 @register(
     "streaming_near_dup_ingest",
     _streaming_near_dup_sql(),
@@ -4154,24 +4224,486 @@ def q_streaming_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a survivor-only index would make totals depend on the slicing,
     while the seen-everything index is exactly batch-split invariant
     AND the production crawl posture (future near-dups of rejected
-    boilerplate still catch).  The oracle computes the same bucket
-    membership one-shot from the identical signature SQL the verified
+    boilerplate still catch) — deduplicated against both indexes
+    before committing (ADVICE r15), so it grows with distinct new
+    buckets.  The oracle computes the same bucket membership one-shot
+    from the identical signature SQL the verified
     ``near_dup_pairs``/``minhash_signatures`` entries use.
 
-    Scale shape: per trigger, one signature pass over the batch
-    (map-side MIN combine), two bucket-keyed LEFT SEMI probes, one
-    min-per-bucket aggregate — membership checks, never the pair
-    space, so no salting is even needed here (the pair join and its
-    hot-bucket salting live in lsh_candidate_pairs where pairs are
-    wanted)."""
-    from datalakehouse_spark.operators.dedup import streaming_near_dup_drain
+    Round 16 (VERDICT r15 #3): the one-time historical index build +
+    restage moved to ``streaming_near_dup_build`` (session-memoized,
+    the IVF split shape) — this entry now times the DRAIN: four
+    micro-batch triggers, each one signature pass (map-side MIN
+    combine), two bucket-keyed LEFT SEMI probes, one min-per-bucket
+    aggregate — membership checks, never the pair space, so no salting
+    is even needed here (the pair join and its hot-bucket salting live
+    in lsh_candidate_pairs where pairs are wanted)."""
+    from datalakehouse_spark.operators.dedup import (
+        streaming_near_dup_drain_staged,
+    )
     from datalakehouse_spark.scratch import fresh_scratch
 
-    docs = load_table(spark, sf_dir, "documents")
-    return streaming_near_dup_drain(
-        spark,
-        docs,
-        fresh_scratch("stream_near_dup"),
-        batch_pred=F.col("doc_id") % 4 == 3,
-        n_slices=4,
+    hist_path, src = _near_dup_staged(spark, sf_dir)
+    return streaming_near_dup_drain_staged(
+        spark, hist_path, src, fresh_scratch("stream_near_dup")
     )
+
+
+# ---------------------------------------------------------------------------
+# wordpiece_vocab_apply_versioned: the WordPiece vocabulary through the
+# versioned-artifact path (round 16, VERDICT r15 #7 — the
+# bpe_vocab_apply_versioned symmetry): commit v1, land a v2, tokenize a
+# fresh doc slice with the PINNED v1 inventory.
+# ---------------------------------------------------------------------------
+
+_WP_APPLY_VERSIONED_SQL = f"""
+WITH RECURSIVE {_WP_TRAINER_CTES},
+pieces AS (
+    SELECT list_distinct(list(bl || br)) AS pl FROM tr WHERE k >= 1
+),
+td AS (
+    SELECT doc_id, lower(text) AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id
+          LIMIT {_BPE_VERSIONED_DOCS} OFFSET {_BPE_APPLY_DOCS})
+    WHERE regexp_matches(text, '^[ -~]*$')
+),
+tw AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(t, '[a-z]+'),
+                       w -> length(w) BETWEEN 2 AND 12) AS words
+    FROM td
+),
+we AS (
+    SELECT doc_id, u.i AS widx, u.w AS w
+    FROM (
+        SELECT doc_id,
+               unnest([{{i: i, w: words[i]}}
+                       FOR i IN range(1, len(words) + 1)]) AS u
+        FROM tw
+    )
+),
+tok AS (
+    SELECT doc_id, widx, w, 0 AS pos, 0 AS cnt FROM we
+    UNION ALL
+    SELECT doc_id, widx, w,
+           pos + length(coalesce(best, substr(w, pos + 1, 1))) AS pos,
+           cnt + 1
+    FROM (
+        SELECT doc_id, widx, w, pos, cnt,
+               list_sort(list_transform(
+                   list_filter(pieces.pl,
+                       p -> substr(w, pos + 1, length(p)) = p),
+                   p -> {{nl: -length(p), p: p}}))[1].p AS best
+        FROM tok, pieces WHERE pos < length(w)
+    )
+)
+SELECT tw.doc_id,
+       CAST(1 AS INTEGER) AS vocab_version,
+       CAST(len(tw.words) AS INTEGER) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(tw.words, w -> length(w))), 0)
+            AS INTEGER) AS n_chars,
+       CAST(COALESCE(s.tok_sum, 0) AS INTEGER) AS n_tokens
+FROM tw
+LEFT JOIN (
+    SELECT doc_id, SUM(cnt) AS tok_sum
+    FROM tok WHERE pos = length(w) GROUP BY doc_id
+) s USING (doc_id)
+ORDER BY tw.doc_id
+"""
+
+
+@register(
+    "wordpiece_vocab_apply_versioned",
+    _WP_APPLY_VERSIONED_SQL,
+    "WordPiece vocab pinned as a versioned artifact: tokenize with v1 while v2 exists",
+)
+def q_wordpiece_vocab_apply_versioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 16 (VERDICT r15 #7): the versioned-artifact persistence
+    contract for the WordPiece vocabulary — the
+    ``bpe_vocab_apply_versioned`` symmetry, re-exercising M8
+    (versioned.py) against the newest trainer.  The learned merge table
+    commits as version 1, a LATER vocabulary lands as version 2, and
+    the tokenizer reads the PINNED v1, so its output is reproducible no
+    matter how far the artifact has advanced.  Tokenizes docs 61..90 —
+    a slice neither the trainer (1..40) nor ``wordpiece_tokenize_stats``
+    (1..60) ever touched — by greedy longest-match over the v1 piece
+    inventory and stamps the pinned ``vocab_version``.
+
+    The v2 payload is chosen to BITE on leakage (stronger than the BPE
+    twin's): a common English bigram the v1 trainer did NOT learn —
+    were the pinned read to leak v2, longest-match would tokenize every
+    word containing that bigram differently and the hash would flip;
+    the length assert backstops the pin either way.
+
+    Scale shape: the vocab artifact is ≤ n_merges rows (one tiny
+    parquet commit per version); tokenization stays a pure map stage
+    (mapInPandas, pieces + inventory-derived length cap in the
+    closure)."""
+    from pyspark.sql import Window
+
+    from datalakehouse_spark.operators.bpe import word_frequencies
+    from datalakehouse_spark.operators.wordpiece import (
+        WP_SCHEMA,
+        wordpiece_tokenize_stats,
+        wordpiece_train_auto,
+    )
+    from datalakehouse_spark.scratch import fresh_scratch
+    from datalakehouse_spark.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.orderBy("doc_id")
+        .limit(_BPE_TRAIN_DOCS)
+        .where(F.col("text").rlike("^[ -~]*$"))
+    )
+    wf = (
+        word_frequencies(sample)
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(_BPE_WORDS)
+    )
+    _, merges = wordpiece_train_auto(
+        spark, wf, n_merges=_WP_MERGES, min_freq=_BPE_MIN_FREQ
+    )
+    rows = [
+        (i + 1, left, right, left + right, c, ul, ur)
+        for i, (left, right, c, ul, ur) in enumerate(merges)
+    ]
+    vt = VersionedTable(spark, fresh_scratch("wp_vocab_versioned"))
+    vt.create(spark.createDataFrame(rows, WP_SCHEMA))
+    v1_pieces = {left + right for left, right, *_ in merges}
+    # v2: a frequent bigram v1 did not learn — leakage would re-tokenize
+    # every word containing it and corrupt the hash, not alias it
+    leak_bigram = next(
+        c for c in ("th", "he", "in", "er", "an", "re") if c not in v1_pieces
+    )
+    vt.append(
+        spark.createDataFrame(
+            [(len(rows) + 1, leak_bigram[0], leak_bigram[1], leak_bigram,
+              0, 0, 0)],
+            WP_SCHEMA,
+        )
+    )
+    pinned = sorted(vt.read(version=1).collect(), key=lambda r: r["rank"])
+    assert len(pinned) == len(rows), "version pin leaked a later commit"
+    pieces = {r["merged"] for r in pinned}
+
+    head = docs.orderBy("doc_id").limit(_BPE_APPLY_DOCS + _BPE_VERSIONED_DOCS)
+    sliced = (
+        head.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("doc_id"))
+        )
+        .where(F.col("_rn") > _BPE_APPLY_DOCS)
+        .where(F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+    return (
+        wordpiece_tokenize_stats(sliced, pieces)
+        .withColumn("vocab_version", F.lit(1))
+        .select("doc_id", "vocab_version", "n_words", "n_chars", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# unigram_vocab_train / unigram_tokenize_stats: the Unigram-LM
+# (SentencePiece-style) trainer (round 16, VERDICT r15 #2 — Kudo 2018,
+# public literature), completing the classical trainer family next to
+# BPE and WordPiece.  Hard (Viterbi) EM over a substring-seeded piece
+# inventory: every re-estimated count is an exact integer, so the
+# DuckDB oracle replays the ENTIRE trainer — seeding, per-round exact
+# enumeration argmax segmentation, integer re-counts — bit-for-bit
+# (see operators/unigram.py's determinism contract).
+# ---------------------------------------------------------------------------
+
+_UNI_MAXP = 6  # longest seeded piece
+_UNI_SEEDK = 40  # multi-char seed cap (chars always kept)
+_UNI_ROUNDS = 3  # hard-EM rounds
+_UNI_WMIN, _UNI_WMAX = 2, 8  # word-length contract: <= 2^7 segmentations
+
+
+def _uni_let1(bind_expr: str, var: str, body: str) -> str:
+    """DuckDB let-binding idiom: single-element list + transform."""
+    return f"list_transform([{bind_expr}], {var} -> {body})[1]"
+
+
+def _uni_segments_expr(w: str, m: str) -> str:
+    """Segmentation of word ``w`` under cut-point bitmask ``m``: bit
+    i-1 set => cut before position i (operators/unigram.py's
+    best_segmentation enumerates the identical masks)."""
+    cuts = (
+        f"([CAST(0 AS BIGINT)] || [i FOR i IN range(1, length({w})) "
+        f"IF (({m} >> (i - 1)) & 1) = 1] || [CAST(length({w}) AS BIGINT)])"
+    )
+    return _uni_let1(
+        cuts,
+        "b",
+        f"[substr({w}, b[j] + 1, b[j + 1] - b[j]) FOR j IN range(1, len(b))]",
+    )
+
+
+def _uni_best_expr(w: str) -> str:
+    """The exact-enumeration argmax over all valid segmentations of
+    ``w`` under the in-scope (inv, total): minimize (0.0 - score,
+    n_pieces, pieces-joined-by-chr(1)) — `0.0 - score` (not negation)
+    so zero scores normalize to +0.0 identically in Python and DuckDB.
+    The score is a LEFT-TO-RIGHT product of count/total double
+    divisions — the same operand order operators/unigram.py folds in,
+    hence bit-identical."""
+    cnt = (
+        "COALESCE(list_sum(list_transform("
+        "list_filter(inv, z -> z.p = s), z -> z.c)), 0)"
+    )
+    valid = (
+        f"[sg FOR sg IN list_transform(range(0, 1 << (length({w}) - 1)), "
+        f"m -> {_uni_segments_expr(w, 'm')}) "
+        "IF len(list_filter(sg, x -> "
+        "len(list_filter(inv, z -> z.p = x)) = 0)) = 0]"
+    )
+    score = (
+        f"list_reduce(list_transform(segs, s -> CAST({cnt} AS DOUBLE) "
+        "/ total), (a, b) -> a * b)"
+    )
+    return (
+        "list_sort([{ns: 0.0 - " + score + ", np: len(segs), "
+        "ky: array_to_string(segs, chr(1)), segs: segs} "
+        f"FOR segs IN {valid}])[1]"
+    )
+
+
+#: the shared trainer CTE chain (WITH RECURSIVE prefix supplied by the
+#: enclosing statement): documents -> word frequencies -> substring
+#: seed inventory -> ROUNDS of hard-EM (enumeration argmax per word,
+#: integer usage re-counts), the inventory FIXED after seeding with
+#: only counts updating (zero-usage pieces stay valid at score 0.0 —
+#: exactly what train_unigram_local carries).
+_UNI_TRAINER_CTES = f"""d AS (
+    SELECT doc_id, lower(text) AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_BPE_TRAIN_DOCS})
+    WHERE regexp_matches(text, '^[ -~]*$')
+),
+wa AS (SELECT unnest(regexp_extract_all(t, '[a-z]+')) AS w FROM d),
+wf AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+    FROM wa WHERE length(w) BETWEEN {_UNI_WMIN} AND {_UNI_WMAX}
+    GROUP BY w ORDER BY f DESC, w LIMIT {_BPE_WORDS}
+),
+occ AS (
+    SELECT unnest(flatten([[substr(w, i, L) FOR i IN range(1, length(w) - L + 2)]
+                           FOR L IN range(1, {_UNI_MAXP} + 1)])) AS p, f
+    FROM wf
+),
+pcnt AS (SELECT p, CAST(SUM(f) AS BIGINT) AS c FROM occ GROUP BY p),
+seeds AS (
+    SELECT p, c FROM pcnt WHERE length(p) = 1
+    UNION ALL
+    SELECT p, c FROM (SELECT p, c FROM pcnt
+                      WHERE length(p) >= 2 AND c >= {_BPE_MIN_FREQ}
+                      ORDER BY c DESC, p LIMIT {_UNI_SEEDK})
+),
+wl AS (SELECT list({{w: w, f: f}} ORDER BY w) AS wl FROM wf),
+iv0 AS (SELECT list({{p: p, c: c}} ORDER BY p) AS inv FROM seeds),
+em AS (
+    SELECT 0 AS k, inv FROM iv0
+    UNION ALL
+    SELECT k + 1,
+           list_transform(inv, z -> {{p: z.p,
+               c: CAST(COALESCE(list_sum(list_transform(
+                       list_filter(usage, u -> u.p = z.p), u -> u.f)), 0)
+                  AS BIGINT)}})
+    FROM (
+        SELECT k, inv,
+               flatten(list_transform(wl.wl, wr ->
+                   list_transform({_uni_best_expr('wr.w')}.segs,
+                                  s -> {{p: s, f: wr.f}}))) AS usage
+        FROM (SELECT k, inv,
+                     CAST(list_sum(list_transform(inv, z -> z.c)) AS BIGINT)
+                         AS total
+              FROM em WHERE k < {_UNI_ROUNDS}), wl
+    )
+)"""
+
+_UNI_TRAIN_SQL = f"""
+WITH RECURSIVE {_UNI_TRAINER_CTES}
+SELECT CAST(row_number() OVER (ORDER BY u.c DESC, u.p) AS INTEGER) AS rank,
+       u.p AS piece, CAST(u.c AS BIGINT) AS freq
+FROM (SELECT unnest(inv) AS u FROM em WHERE k = {_UNI_ROUNDS})
+WHERE u.c > 0
+ORDER BY rank
+"""
+
+
+@register(
+    "unigram_vocab_train",
+    _UNI_TRAIN_SQL,
+    "Unigram-LM trainer: substring-seeded hard-EM == recursive-CTE replay",
+)
+def q_unigram_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 16 (VERDICT r15 #2): the Unigram-LM subword trainer
+    (operators/unigram.py — Kudo 2018, the SentencePiece unigram
+    model), the third classical trainer next to BPE and WordPiece and
+    the one a modern LLM data pipeline actually tokenizes with.  The
+    piece inventory seeds from every substring occurrence of the
+    word-frequency table (alphabet always kept; multi-char pieces
+    min_freq-gated and top-K-capped), then hard (Viterbi) EM
+    re-estimates integer usage counts: the E-step segments each word by
+    EXACT ENUMERATION over cut-point bitmasks (the ``[a-z]{{2,8}}``
+    word contract bounds a word at 2^7 segmentations), the M-step
+    re-counts.  Hard EM is what makes the trainer oracle-replayable:
+    soft EM's forward-backward float sums are order-sensitive across
+    engines, while here every cross-engine comparison is a single
+    correctly-rounded double division/product in identical operand
+    order (the WordPiece determinism contract, extended to a fold).
+
+    The DuckDB oracle replays the ENTIRE trainer as a recursive CTE
+    whose state carries the (piece, count) inventory, re-deriving the
+    same seeding, the same per-word argmax (same masks, same
+    tie-break), and the same integer re-counts — every output rank,
+    piece, and count must match bit-exactly.
+
+    Scale shape: seeding is one substring-explode hash aggregate over
+    the word table; each EM round is one Arrow-batched usage map + one
+    map-side-combined aggregate + an inventory-sized collect (the
+    model, not a token table).  The bounded fixture takes the fused
+    single-task probe path (ONE narrow Spark action cold — the
+    bpe_train_auto shape); test_unigram.py pins auto == distributed ==
+    local."""
+    from datalakehouse_spark.operators.bpe import word_frequencies
+    from datalakehouse_spark.operators.unigram import unigram_train_auto
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.orderBy("doc_id")
+        .limit(_BPE_TRAIN_DOCS)
+        .where(F.col("text").rlike("^[ -~]*$"))
+    )
+    wf = (
+        word_frequencies(sample, min_len=_UNI_WMIN, max_len=_UNI_WMAX)
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(_BPE_WORDS)
+    )
+    out, _ = unigram_train_auto(
+        spark,
+        wf,
+        rounds=_UNI_ROUNDS,
+        max_piece_len=_UNI_MAXP,
+        min_freq=_BPE_MIN_FREQ,
+        seed_k=_UNI_SEEDK,
+    )
+    return out
+
+
+_UNI_APPLY_SQL = f"""
+WITH RECURSIVE {_UNI_TRAINER_CTES},
+finv AS (
+    SELECT list_filter(inv, z -> z.c > 0) AS inv,
+           CAST(list_sum(list_transform(inv, z -> z.c)) AS BIGINT) AS total
+    FROM em WHERE k = {_UNI_ROUNDS}
+),
+td AS (
+    SELECT doc_id, lower(text) AS t
+    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_BPE_APPLY_DOCS})
+    WHERE regexp_matches(text, '^[ -~]*$')
+),
+tw AS (
+    SELECT doc_id,
+           list_filter(regexp_extract_all(t, '[a-z]+'),
+                       w -> length(w) BETWEEN {_UNI_WMIN} AND {_UNI_WMAX})
+               AS words
+    FROM td
+),
+uw AS (SELECT DISTINCT unnest(words) AS w FROM tw),
+ac AS (SELECT DISTINCT unnest([substr(w, i, 1)
+                               FOR i IN range(1, length(w) + 1)]) AS ch
+       FROM uw),
+mc AS (SELECT list(ch ORDER BY ch) AS chs FROM ac),
+rim AS (
+    SELECT list_concat(f.inv,
+               list_transform(
+                   list_filter(mc.chs,
+                       ch -> len(list_filter(f.inv, z -> z.p = ch)) = 0),
+                   ch -> {{p: ch, c: CAST(0 AS BIGINT)}})) AS inv,
+           f.total AS total
+    FROM finv f, mc
+),
+wtok AS (SELECT w, {_uni_best_expr('w')}.np AS nt FROM uw, rim)
+SELECT tw.doc_id,
+       CAST(len(tw.words) AS INTEGER) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(tw.words, w -> length(w))), 0)
+            AS INTEGER) AS n_chars,
+       CAST(COALESCE(s.tok_sum, 0) AS INTEGER) AS n_tokens
+FROM tw
+LEFT JOIN (
+    SELECT doc_id, SUM(nt) AS tok_sum
+    FROM (SELECT doc_id, unnest(words) AS w FROM tw) dw
+    JOIN wtok USING (w) GROUP BY doc_id
+) s USING (doc_id)
+ORDER BY tw.doc_id
+"""
+
+
+@register(
+    "unigram_tokenize_stats",
+    _UNI_APPLY_SQL,
+    "Unigram-LM inference: exact-argmax segmentation under trained probs == CTE replay",
+)
+def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 16: the Unigram-LM RUNTIME — segment each word by the
+    exact enumeration argmax under the trained piece probabilities
+    (the runtime twin of Viterbi decoding; the word-length contract
+    makes enumeration exact AND oracle-expressible) and report
+    per-document compression over the 60-doc sample (the last 20
+    unseen by the trainer).  Characters the trainer never saw join the
+    runtime inventory at probability 0.0 (the UNK-closure — every word
+    stays segmentable; all-zero-score words resolve to fewest-pieces
+    by the tie-break); zero-usage trained pieces are DROPPED at
+    runtime (the trained artifact is the positive-count table the
+    train entry outputs).
+
+    The oracle re-derives the same final inventory with the trainer
+    CTE, closes it over the apply corpus's alphabet, and re-runs the
+    same argmax per DISTINCT word (joined back to occurrences).
+
+    The entry retrains its own inventory at build (ONE narrow Spark
+    action — the fused probe, the wordpiece_tokenize_stats posture:
+    every bench timing is a cold build, no cross-entry memo).  Scale
+    shape: tokenization is a pure map stage (mapInPandas, the
+    vocabulary-sized inventory in the closure) with per-batch word
+    memoization."""
+    from datalakehouse_spark.operators.bpe import word_frequencies
+    from datalakehouse_spark.operators.unigram import (
+        unigram_tokenize_stats,
+        unigram_train_auto,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.orderBy("doc_id")
+        .limit(_BPE_TRAIN_DOCS)
+        .where(F.col("text").rlike("^[ -~]*$"))
+    )
+    wf = (
+        word_frequencies(sample, min_len=_UNI_WMIN, max_len=_UNI_WMAX)
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(_BPE_WORDS)
+    )
+    _, ranked = unigram_train_auto(
+        spark,
+        wf,
+        rounds=_UNI_ROUNDS,
+        max_piece_len=_UNI_MAXP,
+        min_freq=_BPE_MIN_FREQ,
+        seed_k=_UNI_SEEDK,
+    )
+    apply_docs = (
+        docs.orderBy("doc_id")
+        .limit(_BPE_APPLY_DOCS)
+        .where(F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+    return unigram_tokenize_stats(
+        apply_docs, ranked, min_len=_UNI_WMIN, max_len=_UNI_WMAX
+    ).orderBy("doc_id")

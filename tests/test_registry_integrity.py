@@ -98,6 +98,7 @@ def test_eager_build_class_is_exact(spark):
         _e4._PQ_INDEX_CACHE.clear()
         _e4._IVFPQ_INDEX_CACHE.clear()
         _e6._BPE_CACHE.clear()
+        _e6._ND_STAGE_CACHE.clear()
         # the bucketed-join entry memoizes through the session catalog
         # (tableExists) — drop its tables so the build is cold here too
         for t in spark.catalog.listTables():
