@@ -166,6 +166,9 @@ EAGER_BUILD_ENTRIES = frozenset(
         # unmemoized like the WordPiece pair)
         "unigram_vocab_train",
         "unigram_tokenize_stats",
+        # round 16: the unigram vocab through the versioned-artifact
+        # path (trains + commits v1/v2 + collects the pinned v1)
+        "unigram_vocab_apply_versioned",
     }
 )
 
@@ -734,66 +737,22 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Driver coverage rotation (round 14, tools/rotation_helper.py with the
+#: Driver coverage rotation (round 16, tools/rotation_helper.py with the
 #: round's code-changed entries as argv — reproducible from the
 #: provenance constants below, enforced by test_registry_integrity):
-#: the new BPE entries and kernel-changed decode entries lead the
-#: ~50-entry driver window, then the aging tail by last-green-round
-#: ASCENDING — the 46-entry r8 cohort (VERDICT r13 #2, the stalest
-#: evidence) fills the rest of the window.
-_DRIVER_ROTATION_CHANGED = ['bpe_vocab_train', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned', 'streaming_incremental_dedup', 'wordpiece_vocab_train', 'wordpiece_tokenize_stats', 'streaming_near_dup_ingest', 'near_dup_pairs', 'minhash_signatures']
-_DRIVER_ROTATION_ASOF = 14
+#: the new unigram/versioned/near-dup-split entries lead the ~50-entry
+#: driver window, then the aging tail by last-green-round ASCENDING —
+#: the 13-entry r10-stale cohort (VERDICT r15 #1) fills positions 7-19.
+_DRIVER_ROTATION_CHANGED = ['unigram_vocab_train', 'unigram_tokenize_stats', 'unigram_vocab_apply_versioned', 'wordpiece_vocab_apply_versioned', 'streaming_near_dup_build', 'streaming_near_dup_ingest', 'wordpiece_tokenize_stats']
+_DRIVER_ROTATION_ASOF = 15
 _DRIVER_PRIORITY = [
-    "bpe_vocab_train",
-    "bpe_tokenize_stats",
-    "bpe_vocab_apply_versioned",
-    "streaming_incremental_dedup",
-    "wordpiece_vocab_train",
-    "wordpiece_tokenize_stats",
+    "unigram_vocab_train",
+    "unigram_tokenize_stats",
+    "unigram_vocab_apply_versioned",
+    "wordpiece_vocab_apply_versioned",
+    "streaming_near_dup_build",
     "streaming_near_dup_ingest",
-    "near_dup_pairs",
-    "minhash_signatures",
-    "gini_coefficient",
-    "kmeans_inertia_sweep",
-    "repeat_purchase_intervals",
-    "semantic_dedup",
-    "incremental_dedup_ingest",
-    "embedding_drift",
-    "serving_page_seek",
-    "asof_join_orders",
-    "sessionize_counts",
-    "running_windows",
-    "cube_type_user",
-    "streaming_windowed_append",
-    "pivot_daily_types",
-    "set_intersect",
-    "set_except",
-    "json_extract_props",
-    "leadlag_gaps",
-    "stateful_running_totals",
-    "streaming_dedup",
-    "streaming_session_windows",
-    "streaming_stream_join",
-    "schema_evolution_read",
-    "compaction_partition_sweep",
-    "doc_chunks",
-    "repetition_quality",
-    "tfidf_top_terms",
-    "sequence_packing",
-    "ann_recall_accounting",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue",
-    "q22_idle_balance",
-    "streaming_static_enrich",
-    "csv_ingest_roundtrip",
-    "orc_ingest_roundtrip",
-    "graph_pagerank",
-    "funnel_conversion",
-    "cohort_retention",
-    "profile_table",
+    "wordpiece_tokenize_stats",
     "weighted_sample_counts",
     "max_concurrency",
     "ingest_drift_psi",
@@ -986,6 +945,54 @@ _DRIVER_PRIORITY = [
     "ico_image_decode",
     "pnm_tga_decode",
     "qoi_pcx_decode",
+    "serving_page_seek",
+    "minhash_signatures",
+    "near_dup_pairs",
+    "asof_join_orders",
+    "sessionize_counts",
+    "running_windows",
+    "cube_type_user",
+    "streaming_windowed_append",
+    "pivot_daily_types",
+    "set_intersect",
+    "set_except",
+    "json_extract_props",
+    "leadlag_gaps",
+    "stateful_running_totals",
+    "streaming_dedup",
+    "streaming_session_windows",
+    "streaming_stream_join",
+    "schema_evolution_read",
+    "compaction_partition_sweep",
+    "doc_chunks",
+    "repetition_quality",
+    "tfidf_top_terms",
+    "sequence_packing",
+    "ann_recall_accounting",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q22_idle_balance",
+    "streaming_static_enrich",
+    "csv_ingest_roundtrip",
+    "orc_ingest_roundtrip",
+    "graph_pagerank",
+    "funnel_conversion",
+    "cohort_retention",
+    "profile_table",
+    "gini_coefficient",
+    "kmeans_inertia_sweep",
+    "repeat_purchase_intervals",
+    "semantic_dedup",
+    "incremental_dedup_ingest",
+    "embedding_drift",
+    "bpe_vocab_train",
+    "bpe_tokenize_stats",
+    "bpe_vocab_apply_versioned",
+    "streaming_incremental_dedup",
+    "wordpiece_vocab_train",
 ]
 
 

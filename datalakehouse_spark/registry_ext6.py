@@ -4595,7 +4595,18 @@ def q_unigram_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_UNI_APPLY_SQL = f"""
+def _uni_apply_sql(doc_limit: int, doc_offset: int = 0,
+                   versioned: bool = False) -> str:
+    """The unigram RUNTIME oracle, parameterized over the doc slice:
+    re-derive the final inventory with the trainer CTE, close it over
+    the slice's alphabet, re-run the enumeration argmax per DISTINCT
+    word, join back to occurrences.  ``versioned`` adds the pinned
+    ``vocab_version = 1`` column (the versioned-artifact entry)."""
+    offset = f" OFFSET {doc_offset}" if doc_offset else ""
+    version_col = (
+        "\n       CAST(1 AS INTEGER) AS vocab_version," if versioned else ""
+    )
+    return f"""
 WITH RECURSIVE {_UNI_TRAINER_CTES},
 finv AS (
     SELECT list_filter(inv, z -> z.c > 0) AS inv,
@@ -4604,7 +4615,8 @@ finv AS (
 ),
 td AS (
     SELECT doc_id, lower(text) AS t
-    FROM (SELECT * FROM documents ORDER BY doc_id LIMIT {_BPE_APPLY_DOCS})
+    FROM (SELECT * FROM documents ORDER BY doc_id
+          LIMIT {doc_limit}{offset})
     WHERE regexp_matches(text, '^[ -~]*$')
 ),
 tw AS (
@@ -4629,7 +4641,7 @@ rim AS (
     FROM finv f, mc
 ),
 wtok AS (SELECT w, {_uni_best_expr('w')}.np AS nt FROM uw, rim)
-SELECT tw.doc_id,
+SELECT tw.doc_id,{version_col}
        CAST(len(tw.words) AS INTEGER) AS n_words,
        CAST(COALESCE(list_sum(list_transform(tw.words, w -> length(w))), 0)
             AS INTEGER) AS n_chars,
@@ -4646,7 +4658,7 @@ ORDER BY tw.doc_id
 
 @register(
     "unigram_tokenize_stats",
-    _UNI_APPLY_SQL,
+    _uni_apply_sql(_BPE_APPLY_DOCS),
     "Unigram-LM inference: exact-argmax segmentation under trained probs == CTE replay",
 )
 def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4707,3 +4719,94 @@ def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_tokenize_stats(
         apply_docs, ranked, min_len=_UNI_WMIN, max_len=_UNI_WMAX
     ).orderBy("doc_id")
+
+
+@register(
+    "unigram_vocab_apply_versioned",
+    _uni_apply_sql(_BPE_VERSIONED_DOCS, doc_offset=_BPE_APPLY_DOCS,
+                   versioned=True),
+    "Unigram vocab pinned as a versioned artifact: tokenize with v1 while v2 exists",
+)
+def q_unigram_vocab_apply_versioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Round 16: the versioned-artifact persistence contract for the
+    Unigram-LM inventory, completing the trainer × versioned-artifact
+    matrix (BPE r15, WordPiece r16, unigram here — all three vocabulary
+    kinds a production pipeline pins).  The trained ``(rank, piece,
+    freq)`` table commits as version 1, a LATER inventory lands as
+    version 2, and the tokenizer reads the PINNED v1 over docs 61..90
+    (a slice unseen by the trainer and by ``unigram_tokenize_stats``).
+
+    The v2 payload bites HARDER here than in the merge-trainer twins: a
+    leaked extra piece with a large count changes ``total`` and hence
+    EVERY piece probability — any leak re-scores every segmentation,
+    not just words containing the new piece.  The length assert
+    backstops the pin either way.
+
+    Scale shape: the inventory artifact is vocabulary-sized (one tiny
+    parquet commit per version); tokenization stays a pure map stage."""
+    from pyspark.sql import Window
+
+    from datalakehouse_spark.operators.bpe import word_frequencies
+    from datalakehouse_spark.operators.unigram import (
+        UNI_SCHEMA,
+        unigram_tokenize_stats,
+        unigram_train_auto,
+    )
+    from datalakehouse_spark.scratch import fresh_scratch
+    from datalakehouse_spark.versioned import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.orderBy("doc_id")
+        .limit(_BPE_TRAIN_DOCS)
+        .where(F.col("text").rlike("^[ -~]*$"))
+    )
+    wf = (
+        word_frequencies(sample, min_len=_UNI_WMIN, max_len=_UNI_WMAX)
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(_BPE_WORDS)
+    )
+    _, ranked = unigram_train_auto(
+        spark,
+        wf,
+        rounds=_UNI_ROUNDS,
+        max_piece_len=_UNI_MAXP,
+        min_freq=_BPE_MIN_FREQ,
+        seed_k=_UNI_SEEDK,
+    )
+    rows = [(i + 1, p, c) for i, (p, c) in enumerate(ranked)]
+    vt = VersionedTable(spark, fresh_scratch("uni_vocab_versioned"))
+    vt.create(spark.createDataFrame(rows, UNI_SCHEMA))
+    # v2: a new high-count piece — leakage would shift total and every
+    # probability, re-scoring every word's segmentation
+    pieces = {p for p, _ in ranked}
+    leak = next(
+        c for c in ("th", "he", "in", "er", "an", "re") if c not in pieces
+    )
+    vt.append(
+        spark.createDataFrame([(len(rows) + 1, leak, 10_000)], UNI_SCHEMA)
+    )
+    pinned = sorted(vt.read(version=1).collect(), key=lambda r: r["rank"])
+    assert len(pinned) == len(rows), "version pin leaked a later commit"
+    pinned_inv = [(r["piece"], int(r["freq"])) for r in pinned]
+
+    head = docs.orderBy("doc_id").limit(_BPE_APPLY_DOCS + _BPE_VERSIONED_DOCS)
+    sliced = (
+        head.withColumn(
+            "_rn", F.row_number().over(Window.orderBy("doc_id"))
+        )
+        .where(F.col("_rn") > _BPE_APPLY_DOCS)
+        .where(F.col("text").rlike("^[ -~]*$"))
+        .select("doc_id", "text")
+        .repartition(4)
+    )
+    return (
+        unigram_tokenize_stats(
+            sliced, pinned_inv, min_len=_UNI_WMIN, max_len=_UNI_WMAX
+        )
+        .withColumn("vocab_version", F.lit(1))
+        .select("doc_id", "vocab_version", "n_words", "n_chars", "n_tokens")
+        .orderBy("doc_id")
+    )

@@ -126,6 +126,29 @@ def test_near_dup_drain_totals_are_slice_invariant(spark, tmp_path, n_slices):
     )
 
 
+def test_near_dup_staged_serve_is_reusable(spark, tmp_path):
+    """The round-16 build/serve split contract: one
+    near_dup_index_stage, TWO drains from it into fresh roots — both
+    must produce the one-shot totals (the staged inputs are read-only;
+    all mutable state lives under the per-drain root)."""
+    from datalakehouse_spark.operators.dedup import (
+        near_dup_index_stage,
+        streaming_near_dup_drain_staged,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    pred = F.col("doc_id") % 4 == 3
+    hist_path, src = near_dup_index_stage(
+        spark, docs, str(tmp_path / "stage"), pred, n_slices=3
+    )
+    want = [tuple(r) for r in _near_dup_one_shot(spark, docs, pred).collect()]
+    for i in range(2):
+        got = streaming_near_dup_drain_staged(
+            spark, hist_path, src, str(tmp_path / f"drain{i}")
+        ).collect()
+        assert [tuple(r) for r in got] == want, f"drain {i} diverged"
+
+
 def test_near_dup_session_index_stays_duplicate_free(spark, tmp_path):
     """ADVICE r15: bucket keys recurring across micro-batches (and keys
     already in the historical index) must not re-append — the session
