@@ -310,7 +310,16 @@ def bpe_tokenize_stats(
     pre-merge symbol count and ``n_tokens`` the post-merge count.
     Arrow-batched ``mapInPandas``; the merge list rides the closure
     (bounded by the merge budget).  Genuinely sequential per word —
-    the honest Python tier — but embarrassingly parallel over rows."""
+    the honest Python tier — but embarrassingly parallel over rows.
+
+    Two bit-exact fast paths (round 16): a per-task DISTINCT-WORD memo
+    (word frequencies are Zipfian — most replays repeat), and a
+    per-word merge PREFILTER: symbols are always contiguous slices of
+    the original word (merging concatenates neighbors, never reorders),
+    so a merge ``(l, r)`` can only ever fire when ``l + r`` occurs in
+    the word — the rank fold skips the rest.  Neither changes a single
+    output: the memo caches the identical count and the prefilter drops
+    only merges whose greedy pass provably matches nothing."""
     import re as _re
 
     pairs = [(left, right) for left, right, *_ in merges]
@@ -323,6 +332,14 @@ def bpe_tokenize_stats(
         import pandas as _pd
 
         rx = _re.compile(pattern)
+        memo: dict[str, int] = {}
+
+        def ntok(w: str) -> int:
+            if w not in memo:
+                applicable = [p for p in pairs if p[0] + p[1] in w]
+                memo[w] = len(apply_merges(list(w), applicable))
+            return memo[w]
+
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -332,9 +349,7 @@ def bpe_tokenize_stats(
                     if lo <= len(w) <= hi
                 ]
                 n_chars = sum(len(w) for w in words)
-                n_tokens = sum(
-                    len(apply_merges(list(w), pairs)) for w in words
-                )
+                n_tokens = sum(ntok(w) for w in words)
                 rows.append((doc_id, len(words), n_chars, n_tokens))
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "n_words", "n_chars", "n_tokens"]

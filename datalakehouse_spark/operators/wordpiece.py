@@ -272,7 +272,9 @@ def wordpiece_tokenize_stats(
     ``n_tokens`` counted by greedy longest-match.  Arrow-batched
     ``mapInPandas``; the piece set rides the closure (bounded by the
     merge budget).  Embarrassingly parallel over rows — the same
-    honest-Python tier as ``bpe.bpe_tokenize_stats``."""
+    honest-Python tier as ``bpe.bpe_tokenize_stats``, with the same
+    bit-exact per-task distinct-word memo (round 16): Zipfian word
+    frequencies mean most longest-match walks repeat verbatim."""
     import re as _re
 
     from datalakehouse_spark.operators.bpe import WORD_PATTERN
@@ -289,6 +291,13 @@ def wordpiece_tokenize_stats(
         import pandas as _pd
 
         rx = _re.compile(pattern)
+        memo: dict[str, int] = {}
+
+        def ntok(w: str) -> int:
+            if w not in memo:
+                memo[w] = len(longest_match_tokenize(w, pc, mp))
+            return memo[w]
+
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -298,9 +307,7 @@ def wordpiece_tokenize_stats(
                     if lo <= len(w) <= hi
                 ]
                 n_chars = sum(len(w) for w in words)
-                n_tokens = sum(
-                    len(longest_match_tokenize(w, pc, mp)) for w in words
-                )
+                n_tokens = sum(ntok(w) for w in words)
                 rows.append((doc_id, len(words), n_chars, n_tokens))
             yield _pd.DataFrame(
                 rows, columns=["doc_id", "n_words", "n_chars", "n_tokens"]

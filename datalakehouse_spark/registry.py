@@ -740,10 +740,11 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Driver coverage rotation (round 16, tools/rotation_helper.py with the
 #: round's code-changed entries as argv — reproducible from the
 #: provenance constants below, enforced by test_registry_integrity):
-#: the new unigram/versioned/near-dup-split entries lead the ~50-entry
+#: the new unigram/versioned/near-dup-split entries plus the two
+#: entries riding the round-16 BPE-runtime memo lead the ~50-entry
 #: driver window, then the aging tail by last-green-round ASCENDING —
-#: the 13-entry r10-stale cohort (VERDICT r15 #1) fills positions 7-19.
-_DRIVER_ROTATION_CHANGED = ['unigram_vocab_train', 'unigram_tokenize_stats', 'unigram_vocab_apply_versioned', 'wordpiece_vocab_apply_versioned', 'streaming_near_dup_build', 'streaming_near_dup_ingest', 'wordpiece_tokenize_stats']
+#: the 13-entry r10-stale cohort (VERDICT r15 #1) fills positions 10-22.
+_DRIVER_ROTATION_CHANGED = ['unigram_vocab_train', 'unigram_tokenize_stats', 'unigram_vocab_apply_versioned', 'wordpiece_vocab_apply_versioned', 'streaming_near_dup_build', 'streaming_near_dup_ingest', 'wordpiece_tokenize_stats', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned']
 _DRIVER_ROTATION_ASOF = 15
 _DRIVER_PRIORITY = [
     "unigram_vocab_train",
@@ -753,6 +754,8 @@ _DRIVER_PRIORITY = [
     "streaming_near_dup_build",
     "streaming_near_dup_ingest",
     "wordpiece_tokenize_stats",
+    "bpe_tokenize_stats",
+    "bpe_vocab_apply_versioned",
     "weighted_sample_counts",
     "max_concurrency",
     "ingest_drift_psi",
@@ -989,8 +992,6 @@ _DRIVER_PRIORITY = [
     "incremental_dedup_ingest",
     "embedding_drift",
     "bpe_vocab_train",
-    "bpe_tokenize_stats",
-    "bpe_vocab_apply_versioned",
     "streaming_incremental_dedup",
     "wordpiece_vocab_train",
 ]

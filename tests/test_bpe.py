@@ -51,6 +51,32 @@ def test_apply_merges_greedy_left_to_right():
     assert apply_merges([], [("a", "b")]) == []
 
 
+def test_merge_prefilter_is_bit_exact():
+    """The round-16 runtime fast path drops merges whose ``l + r``
+    never occurs in the word (symbols are contiguous slices of the
+    original word, so such a merge can never find an adjacent pair).
+    Property: the filtered replay equals the full replay, for
+    ARBITRARY merge tables — not just trained ones."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sym = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(alphabet="abcd", min_size=1, max_size=12),
+        st.lists(st.tuples(sym, sym), min_size=0, max_size=8),
+    )
+    def check(word, pairs):
+        full = apply_merges(list(word), pairs)
+        filtered = apply_merges(
+            list(word), [p for p in pairs if p[0] + p[1] in word]
+        )
+        assert full == filtered
+
+    check()
+
+
 def test_trainer_matches_reference_and_checkpoint_invariance(spark):
     freqs = [
         ("banana", 10),
