@@ -124,6 +124,43 @@ def dedup_exact_normalized(
     return keyed.join(keep, on=id_col, how="left_semi").drop("_norm")
 
 
+def shingle_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """One corpus scan -> ``(id, sh)``: the tokenize+shingle pass every
+    MinHash consumer shares.  Null-text docs carry no signal for dedup —
+    dropped instead of emitting NULL signatures that would bucket
+    together."""
+    return _spread(df.where(F.col(text_col).isNotNull())).select(
+        F.col(id_col), word_shingles(text_col, k).alias("sh")
+    )
+
+
+def minhash_from_shingles(
+    sh_df: DataFrame, id_col: str = "doc_id", n_perm: int = N_PERM_DEFAULT
+) -> DataFrame:
+    """Signatures from an already-MATERIALIZED :func:`shingle_frame`
+    (a checkpoint/cached frame) — explode -> md5 -> K partial-MIN
+    aggregates; the groupBy(id) shuffle carries one row per
+    (doc, shingle) with map-side MIN combining, so network bytes are
+    n_docs × K longs regardless of document length.
+
+    Only for materialized inputs: on a LAZY plan the staged
+    array projection + explode loses the fused-generator whole-stage
+    pipeline of :func:`minhash_signatures_df` (measured ~4x slower at
+    sf0.1) — call that instead when starting from text."""
+    exploded = sh_df.select(
+        F.col(id_col), F.explode("sh").alias("_shingle")
+    ).withColumn("_h", md5_hash60("_shingle") % F.lit(MERSENNE_P))
+    aggs = []
+    for i in range(n_perm):
+        a, b = _perm_consts(i)
+        aggs.append(
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh{i}")
+        )
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures_df(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_perm: int = N_PERM_DEFAULT
 ) -> DataFrame:
@@ -131,7 +168,10 @@ def minhash_signatures_df(
 
     Everything codegen'd; the groupBy(id) shuffle carries one row per
     (doc, shingle) with map-side MIN combining, so network bytes are
-    n_docs × K longs regardless of document length.
+    n_docs × K longs regardless of document length.  The generator
+    expression stays FUSED (explode directly over the shingle
+    transform): staging the array in its own projection breaks the
+    whole-stage pipeline (see :func:`minhash_from_shingles`).
     """
     # null-text docs carry no signal for dedup — drop instead of
     # emitting NULL signatures that would bucket together
@@ -267,15 +307,9 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    pairs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-) -> DataFrame:
-    """Exact k-shingle Jaccard for candidate pairs (verify stage)."""
-    sh = _spread(df).select(F.col(id_col), word_shingles(text_col, k).alias("sh"))
+def _jaccard_on_shingles(sh: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard of candidate pairs against a prepared
+    :func:`shingle_frame`-shaped ``(id, sh)`` frame."""
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
@@ -286,6 +320,18 @@ def jaccard_pairs(
         "id_b",
         F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
     )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs (verify stage)."""
+    sh = _spread(df).select(F.col(id_col), word_shingles(text_col, k).alias("sh"))
+    return _jaccard_on_shingles(sh, pairs, id_col)
 
 
 def near_dup_pairs(
@@ -304,11 +350,32 @@ def near_dup_pairs(
     pipeline dies at 100 TB.  Over-cap buckets are salted into bounded
     sub-joins (recall == uncapped, no straggler task); pass
     ``hot_bucket="drop"`` to bound total work instead, or
-    ``max_bucket_size=None`` to disable the guard."""
-    cands = lsh_candidate_pairs(
-        df, text_col, id_col, max_bucket_size=max_bucket_size, hot_bucket=hot_bucket
+    ``max_bucket_size=None`` to disable the guard.
+
+    Round 16 (guide §1.2, §8): the tokenize+shingle corpus pass is
+    computed ONCE and materialized (:func:`shingle_frame` +
+    ``localCheckpoint``); signatures derive from it and BOTH verify
+    legs read it, where the previous form re-tokenized the corpus for
+    the candidate stage and once per verify leg — three scans of the
+    heaviest projection down to one.  The checkpoint is (id, shingles):
+    the same bytes the verify stage must hold anyway, spilled to local
+    disk when it outgrows storage memory."""
+    sh = shingle_frame(df, text_col, id_col).localCheckpoint(eager=True)
+    sigs = minhash_from_shingles(sh, id_col)
+    bands = lsh_band_buckets(sigs, id_col)
+    lhs, rhs, join_cols = _bucketed_pair_sides(
+        bands, ["band", "key"], id_col, max_bucket_size, hot_bucket
     )
-    return jaccard_pairs(df, cands, text_col, id_col).where(F.col("jaccard") >= threshold)
+    cands = (
+        lhs.select(F.col(id_col).alias("id_a"), *join_cols)
+        .join(rhs.select(F.col(id_col).alias("id_b"), *join_cols), join_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_on_shingles(sh, cands, id_col).where(
+        F.col("jaccard") >= threshold
+    )
 
 
 MIN_LONG = -(1 << 63)
@@ -920,32 +987,29 @@ def prefix_digest(text_col: Column | str, n_tokens: int = 5) -> Column:
 
 def _restage_ascending(batch: DataFrame, src: str, n_slices: int) -> None:
     """Fixture plumbing for the streaming-ingest twins: write ``batch``
-    as ``n_slices`` single-file ASCENDING doc_id ranges with strictly
-    increasing mtimes (stamped only on each slice's new files), so the
-    file source's (mtime, path) ordering replays arrival == ascending
-    doc_id — the property that makes first-arrival coincide with
-    min(doc_id) and the drain's totals batch-split invariant.  The
-    ntile window runs over the bounded fixture slice only; production
-    streams arrive already micro-batched."""
+    as ``n_slices`` ASCENDING doc_id ranges with strictly increasing
+    mtimes, so the file source's (mtime, path) ordering replays arrival
+    == ascending doc_id — the property that makes first-arrival coincide
+    with min(doc_id) and the drain's totals batch-split invariant.
+
+    Round 16 (guide §2.4): ONE range-partitioned write job replaces the
+    previous global ntile window (a single-task sort) plus ``n_slices``
+    sequential ``coalesce(1)`` write jobs.  Any ascending disjoint
+    split satisfies the invariance contract, so the exact slice
+    boundaries (ntile quantiles vs range-sampler boundaries) are free
+    to differ; part files of one job sort by partition index, so the
+    mtime stamp walks the ranges in doc_id order.  Production streams
+    arrive already micro-batched."""
     import os as _os
 
-    from pyspark.sql import Window
-
-    sliced = batch.withColumn(
-        "__slice", F.ntile(n_slices).over(Window.orderBy("doc_id"))
-    )
-    stamped: set[str] = set()
-    for i in range(1, n_slices + 1):
-        sliced.where(F.col("__slice") == i).drop("__slice").coalesce(
-            1
-        ).write.mode("append").parquet(src)
-        for name in sorted(_os.listdir(src)):
-            if name.endswith(".parquet") and name not in stamped:
-                stamped.add(name)
-                _os.utime(
-                    _os.path.join(src, name),
-                    (1_700_000_000 + i, 1_700_000_000 + i),
-                )
+    batch.repartitionByRange(max(n_slices, 1), "doc_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    files = sorted(n for n in _os.listdir(src) if n.endswith(".parquet"))
+    for i, name in enumerate(files, start=1):
+        _os.utime(
+            _os.path.join(src, name), (1_700_000_000 + i, 1_700_000_000 + i)
+        )
 
 
 def streaming_incremental_dedup_drain(
@@ -1009,6 +1073,12 @@ def streaming_incremental_dedup_drain(
             marked = marked.withColumn(
                 "__in_session", F.lit(None).cast("int")
             )
+        # Classified batch computed once per trigger: stats and the
+        # survivor-digest commit are separate write actions, and each
+        # would otherwise re-run the keep-first aggregate and both
+        # index joins (guide §1.2 — remove repeated passes first).
+        # Batch-sized, MEMORY_AND_DISK-backed, freed with the batch.
+        marked = marked.localCheckpoint(eager=True)
         in_c = F.col("__in_corpus").isNotNull()
         in_s = F.col("__in_session").isNotNull()
         first = (F.col("doc_id") == F.col("__keep_id")) & ~in_s
@@ -1140,7 +1210,16 @@ def streaming_near_dup_drain_staged(
     stats_vt = VersionedTable(spark, root + "/stats")
 
     def apply_batch(bdf: DataFrame, _bid: int) -> None:
-        buckets = lsh_band_buckets(minhash_signatures_df(bdf))
+        # One signature pass per trigger (guide §1.2/§2.4): the bucket
+        # frame fans out into four consumers (historical probe, session
+        # probe, intra-batch min, arrivals commit) split across TWO
+        # write actions, so without materialization the minhash
+        # pipeline — shingle explode, md5, 12-way MIN aggregate —
+        # re-executes per action.  The frame is n_docs_batch × n_bands
+        # rows of (id, band, key): checkpoint-size at any batch scale.
+        buckets = lsh_band_buckets(minhash_signatures_df(bdf)).localCheckpoint(
+            eager=True
+        )
         hit_corpus = (
             buckets.join(hist, ["band", "key"], "left_semi")
             .select("doc_id")

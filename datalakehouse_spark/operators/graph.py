@@ -51,10 +51,16 @@ def pagerank(
     )
     degree = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     base = float(1.0 - damping)
-    ranks = nodes.select(
-        F.col(id_col).alias("nid"), F.lit(1.0).alias("rank")
-    ).localCheckpoint(eager=True)
-    for _ in range(iters):
+    ranks = nodes.select(F.col(id_col).alias("nid"), F.lit(1.0).alias("rank"))
+    # Round 16 (guide §1.2): iterations chain LAZILY — each rank frame
+    # feeds exactly the next round once, so the chained plan evaluates
+    # every round exactly once in ONE job, where the previous
+    # per-round eager localCheckpoint paid a full job (and its
+    # scheduling latency) per iteration.  Lineage still cannot grow
+    # unboundedly: a checkpoint every _CKPT_EVERY rounds caps plan
+    # depth for large ``iters`` (the 100 TB many-iteration posture).
+    _CKPT_EVERY = 4
+    for i in range(iters):
         contrib = (
             edges.join(ranks, edges.s == ranks.nid)
             .join(degree, "s")
@@ -73,6 +79,7 @@ def pagerank(
                     + F.lit(float(damping)) * F.coalesce(F.col("csum"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % _CKPT_EVERY == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(F.col("nid").alias(id_col), "rank")

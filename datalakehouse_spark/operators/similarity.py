@@ -60,7 +60,7 @@ def knn_brute_force(
     No shuffle; at 100 TB this is a full scan, which is exactly what the
     exact baseline costs — use ivf_search to prune.
     """
-    q = F.array(*[F.lit(float(x)).cast("double") for x in query_vec])
+    q = _darray_lit(query_vec)
     scored = embeddings.select(
         F.col(id_col),
         F.round(cosine(_dvec(vec_col), q), 9).alias("cosine_sim"),
@@ -89,13 +89,43 @@ def centroids_by_label(
     )
 
 
+def _dlit_sql(x: float) -> str:
+    import math
+
+    x = float(x)
+    if math.isfinite(x):
+        # repr is shortest-round-trip: the parsed double is bit-identical
+        return repr(x) + "D"
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+
+
+def _darray_lit(vals: list[float]) -> Column:
+    """``array<double>`` literal via ONE ``F.expr`` parse.  ``F.lit``
+    of a Python list makes a py4j round trip per element — measured
+    ~0.3 s per 16x16 nested literal, the dominant DRIVER cost of every
+    literal-centroid assignment expression (round 16, guide §1.2:
+    per-task work includes the driver building the plan)."""
+    return F.expr("array(" + ",".join(_dlit_sql(x) for x in vals) + ")")
+
+
+def _darray2_lit(rows: list[list[float]]) -> Column:
+    """``array<array<double>>`` literal via one ``F.expr`` parse."""
+    return F.expr(
+        "array("
+        + ",".join("array(" + ",".join(_dlit_sql(x) for x in c) + ")" for c in rows)
+        + ")"
+    )
+
+
 def _sq_dist_to_literal(v: Column, centroid: list[float]) -> Column:
     """Sequential-fold squared L2 distance to a literal centroid —
     deterministic accumulation order, O(dim) per row.  The centroid is
     ONE array literal node (not dim Literal nodes): with k centroids
     per assignment expression, per-element literals made Catalyst
     analysis time the dominant k-means cost at small scale."""
-    c = F.lit([float(x) for x in centroid])
+    c = _darray_lit(centroid)
     return F.aggregate(
         F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -116,8 +146,9 @@ def _argmin_cluster(v: Column, cent_rows: list[tuple[int, list[float]]]) -> Colu
     break toward the lower id — bit-identical to the struct-least form
     (and the DuckDB oracle's ``list_position`` twin).
     """
-    cents = F.lit([[float(x) for x in c] for _, c in cent_rows])
-    ids = F.lit([int(cid) for cid, _ in cent_rows])
+    cents = _darray2_lit([c for _, c in cent_rows])
+    # plain int literals: array<int>, the type F.lit inferred before
+    ids = F.expr("array(" + ",".join(str(int(cid)) for cid, _ in cent_rows) + ")")
     dists = F.transform(
         cents,
         lambda c: F.aggregate(
@@ -258,7 +289,7 @@ def kmeans_elbow_sweep(
     # every k, then one grouped aggregate over the k tag
     structs = []
     for k in ks:
-        cent_arr = F.lit([[float(x) for x in c] for _, c in cents[k]])
+        cent_arr = _darray2_lit([c for _, c in cents[k]])
         dists = F.transform(
             cent_arr,
             lambda c: F.aggregate(
@@ -498,7 +529,7 @@ def hyperplane_lsh_bucket(
     planes = _plane_weights(n_planes, dim)
     bucket = F.lit(0)
     for p, w in enumerate(planes):
-        wcol = F.array(*[F.lit(x) for x in w])
+        wcol = _darray_lit(w)
         bit = F.when(dot(v, wcol) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket.cast("int")
@@ -724,7 +755,7 @@ def pq_adc_topk(
         )
     adc = None
     for s, tab in enumerate(tables):
-        term = F.element_at(F.lit(tab), F.col(f"code_{s}") + 1)
+        term = F.element_at(_darray_lit(tab), F.col(f"code_{s}") + 1)
         adc = term if adc is None else adc + term
     out = encoded.select(F.col(id_col), F.round(adc, 9).alias("adc_dist"))
     if exclude_id is not None:

@@ -135,6 +135,17 @@ EAGER_BUILD_ENTRIES = frozenset(
         "skyline_2d",
         # SemDeDup: the k-means build collects k x dim centroids
         "semantic_dedup",
+        # round 16 (optimization): the LSH pipeline materializes its
+        # single shared tokenize+shingle pass (operators/dedup.py
+        # near_dup_pairs) so candidates and both verify legs read one
+        # frame instead of re-tokenizing the corpus three times
+        "near_dup_pairs",
+        # round 16 (optimization): the span-digest explode feeds the
+        # duplicated-digest aggregate AND its join-back — materialized
+        # once per entry instead of re-tokenizing per consumer
+        "dup_span_coverage",
+        "dup_span_excision_stats",
+        "dup_span_excision_apply",
         # single-scan decontamination: the doc-level flag frame is
         # checkpointed eagerly so the corpus-sized gram cache can be
         # released before the entry returns (leak-free, ADVICE r8)

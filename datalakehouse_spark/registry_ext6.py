@@ -118,9 +118,14 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(_ngram_hashes(tokens("text"), _SPAN_N)).alias("h"),
     )
+    # Round 16 (guide §1.2): the digest-grain aggregate feeds TWO
+    # consumers whose partial aggregates differ (so Catalyst cannot
+    # reuse the exchange — see below); materializing it runs the
+    # explode+md5 corpus pass ONCE and both consumers read the stored
+    # frame.  Size is the reduced (digest, doc) grain, disk-spillable.
     per_doc = grams.groupBy("h", "doc_id", "source").agg(
         F.count(F.lit(1)).alias("n_occ")
-    )
+    ).localCheckpoint(eager=True)
     dup_digests = (
         per_doc.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -736,11 +741,14 @@ def q_dup_span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    # Round 16 (guide §1.2): the span stream feeds the duplicated-digest
+    # aggregate AND the join-back; materialize it once instead of
+    # re-running the tokenize+md5 explode per consumer.
     spans = t.select(
         "doc_id",
         "source",
         F.posexplode(_ngram_hashes(F.col("toks"), _SPAN_N)).alias("p", "h"),
-    )
+    ).localCheckpoint(eager=True)
     dup = (
         spans.select("h", "doc_id")
         .distinct()
@@ -2311,9 +2319,11 @@ def q_dup_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    # Round 16 (guide §1.2): materialized once — the span stream feeds
+    # both the duplicated-digest aggregate and the coverage join-back.
     spans = t.select(
         "doc_id", F.posexplode(_ngram_hashes(F.col("toks"), _SPAN_N)).alias("p", "h")
-    )
+    ).localCheckpoint(eager=True)
     dup = (
         spans.select("h", "doc_id")
         .distinct()

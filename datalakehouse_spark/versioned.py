@@ -577,22 +577,6 @@ class VersionedTable:
         if cur == 0:
             return self.create(source, branch)
         prev = self._load_manifest(cur)["files"]
-        if self.partition_by:
-            touched_vals = {
-                tuple(_canon_value(r[k]) for k in self.partition_by)
-                for r in source.select(*self.partition_by).distinct().collect()
-            }
-
-            def _touched(entry: dict) -> bool:
-                return (
-                    tuple(entry["partition"].get(k) for k in self.partition_by)
-                    in touched_vals
-                )
-
-            kept_files = [e for e in prev if not _touched(e)]
-            touched_files = [e for e in prev if _touched(e)]
-        else:
-            kept_files, touched_files = [], prev
         # The upserted key set must be recoverable so a later THREE-WAY
         # merge_branch can do per-key conflict detection at ANY key
         # cardinality (no driver collect, no cap, typed joins — no
@@ -615,20 +599,45 @@ class VersionedTable:
         # manifest file list, so expire keeps them exactly as long as
         # the manifest survives, and merges past an expired manifest
         # already refuse loudly (_truncated).
-        if touched_files:
-            target = self._read_files(touched_files)
+        if prev:
+            anchor = self._read_files(prev)
             # 0-row union keeps the OLD merged-union type coercion
             # (wider of source/target), so splitting the write into two
             # file sets cannot narrow or reorder the schema
-            src_typed = target.limit(0).unionByName(
-                source.select(*target.columns)
+            src_typed = anchor.limit(0).unionByName(
+                source.select(*anchor.columns)
             )
         else:
-            target = None
             src_typed = source
         files_src = self._write_new_files(src_typed)
 
-        if target is not None and files_src:
+        # Touched partitions come from the just-written files' OWN
+        # manifest entries — a zero-job metadata probe (round 16, guide
+        # §1.2/§5): the previous distinct+collect over `source` was a
+        # second full evaluation of an arbitrary lazy plan (the MV
+        # entries re-ran their whole delta rollup for it).  The entry
+        # partition values are decoded from the hive directory names
+        # Spark wrote from the source's own values — the same canonical
+        # string space `_touched` already compares in.
+        if self.partition_by:
+            touched_vals = {
+                tuple(e["partition"].get(k) for k in self.partition_by)
+                for e in files_src
+            }
+
+            def _touched(entry: dict) -> bool:
+                return (
+                    tuple(entry["partition"].get(k) for k in self.partition_by)
+                    in touched_vals
+                )
+
+            kept_files = [e for e in prev if not _touched(e)]
+            touched_files = [e for e in prev if _touched(e)]
+        else:
+            kept_files, touched_files = [], prev
+
+        if touched_files and files_src:
+            target = self._read_files(touched_files)
             # left_anti dedups its build side internally — no distinct
             # pass needed on the key scan
             kept_rows = target.join(
