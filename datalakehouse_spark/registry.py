@@ -140,6 +140,7 @@ EAGER_BUILD_ENTRIES = frozenset(
         # near_dup_pairs) so candidates and both verify legs read one
         # frame instead of re-tokenizing the corpus three times
         "near_dup_pairs",
+        "near_dup_decontamination",  # same shared-shingle checkpoint
         # round 16 (optimization): the span-digest explode feeds the
         # duplicated-digest aggregate AND its join-back — materialized
         # once per entry instead of re-tokenizing per consumer
@@ -751,11 +752,16 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Driver coverage rotation (round 16, tools/rotation_helper.py with the
 #: round's code-changed entries as argv — reproducible from the
 #: provenance constants below, enforced by test_registry_integrity):
-#: the new unigram/versioned/near-dup-split entries plus the two
-#: entries riding the round-16 BPE-runtime memo lead the ~50-entry
-#: driver window, then the aging tail by last-green-round ASCENDING —
-#: the 13-entry r10-stale cohort (VERDICT r15 #1) fills positions 10-22.
-_DRIVER_ROTATION_CHANGED = ['unigram_vocab_train', 'unigram_tokenize_stats', 'unigram_vocab_apply_versioned', 'wordpiece_vocab_apply_versioned', 'streaming_near_dup_build', 'streaming_near_dup_ingest', 'wordpiece_tokenize_stats', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned']
+#: the build-phase additions (unigram/versioned/near-dup-split + the
+#: BPE-runtime memo riders) AND every entry whose execution path the
+#: round-16 OPTIMIZATION pass restructured (shared shingle checkpoint,
+#: lazy pagerank chain, merge_upsert write-first reorder, one-parse
+#: literal centroids, suffix levenshtein, span-digest checkpoints,
+#: restage rewrite) lead the ~50-entry driver window — their old driver
+#: rows no longer describe the running code — then the aging tail by
+#: last-green-round ASCENDING, which keeps the remaining r10-stale
+#: cohort (VERDICT r15 #1) inside the window.
+_DRIVER_ROTATION_CHANGED = ['unigram_vocab_train', 'unigram_tokenize_stats', 'unigram_vocab_apply_versioned', 'wordpiece_vocab_apply_versioned', 'streaming_near_dup_build', 'streaming_near_dup_ingest', 'wordpiece_tokenize_stats', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned', 'near_dup_pairs', 'triangle_count', 'dedup_canonical', 'dedup_clusters', 'dup_graph_degrees', 'graph_pagerank', 'lsh_recall_accounting', 'fuzzy_dup_candidates', 'dup_span_coverage', 'dup_span_excision_stats', 'dup_span_excision_apply', 'incremental_mv_maintenance', 'streaming_incremental_mv', 'streaming_incremental_dedup', 'merge_upsert_risk', 'time_travel_read', 'pq_build_stats', 'pq_search', 'ivf_pq_search', 'kmeans_inertia_sweep', 'semantic_dedup', 'quantized_knn', 'ann_lsh_search', 'ann_multiprobe_search', 'knn_brute_force', 'hybrid_rrf_fusion', 'ivf_build_stats', 'ivf_search', 'ivf_search_indexed']
 _DRIVER_ROTATION_ASOF = 15
 _DRIVER_PRIORITY = [
     "unigram_vocab_train",
@@ -767,30 +773,52 @@ _DRIVER_PRIORITY = [
     "wordpiece_tokenize_stats",
     "bpe_tokenize_stats",
     "bpe_vocab_apply_versioned",
+    "near_dup_pairs",
+    "triangle_count",
+    "dedup_canonical",
+    "dedup_clusters",
+    "dup_graph_degrees",
+    "graph_pagerank",
+    "lsh_recall_accounting",
+    "fuzzy_dup_candidates",
+    "dup_span_coverage",
+    "dup_span_excision_stats",
+    "dup_span_excision_apply",
+    "incremental_mv_maintenance",
+    "streaming_incremental_mv",
+    "streaming_incremental_dedup",
+    "merge_upsert_risk",
+    "time_travel_read",
+    "pq_build_stats",
+    "pq_search",
+    "ivf_pq_search",
+    "kmeans_inertia_sweep",
+    "semantic_dedup",
+    "quantized_knn",
+    "ann_lsh_search",
+    "ann_multiprobe_search",
+    "knn_brute_force",
+    "hybrid_rrf_fusion",
+    "ivf_build_stats",
+    "ivf_search",
+    "ivf_search_indexed",
     "weighted_sample_counts",
     "max_concurrency",
     "ingest_drift_psi",
-    "dup_span_coverage",
     "domain_mixture_weights",
     "mixture_downsample_plan",
     "split_leakage_audit",
     "near_dup_decontamination",
-    "dup_span_excision_stats",
     "bm25_topk",
-    "hybrid_rrf_fusion",
     "quality_threshold_sweep",
     "cross_source_dup_matrix",
     "simhash_docs",
     "simhash_near_dup_pairs",
-    "ivf_build_stats",
-    "ivf_search",
-    "merge_upsert_risk",
     "approx_stats",
     "corpus_prep_pipeline",
     "ntile_percent_rank",
     "char_ngram_jaccard",
     "embedding_near_dup",
-    "ann_lsh_search",
     "explode_wordcount_topk",
     "value_histogram",
     "monthly_revenue",
@@ -809,7 +837,6 @@ _DRIVER_PRIORITY = [
     "unpivot_daily",
     "hourly_heatmap",
     "null_semantics_agg",
-    "time_travel_read",
     "version_incremental_read",
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -823,13 +850,10 @@ _DRIVER_PRIORITY = [
     "coordinate_parse_swap",
     "null_safe_join",
     "event_sequences",
-    "quantized_knn",
     "versioned_branch_evolution",
     "filebus_kafka_ingest",
-    "dup_span_excision_apply",
     "knn_batch_queries",
     "zorder_key_accounting",
-    "ivf_search_indexed",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_value",
@@ -837,14 +861,9 @@ _DRIVER_PRIORITY = [
     "q16_supplier_counts",
     "q20_surplus_suppliers",
     "q21_sole_blame",
-    "incremental_mv_maintenance",
     "chunk_dedup_stats",
-    "streaming_incremental_mv",
     "rolling_time_window",
     "stats_moments",
-    "pq_build_stats",
-    "pq_search",
-    "ivf_pq_search",
     "pq_recall_accounting",
     "trip_distance_daily",
     "speeding_segments",
@@ -862,7 +881,6 @@ _DRIVER_PRIORITY = [
     "mad_outliers",
     "shingle_novelty_daily",
     "distribution_rebalance",
-    "fuzzy_dup_candidates",
     "hierarchy_rollup",
     "debounce_events",
     "purchase_attribution",
@@ -891,9 +909,7 @@ _DRIVER_PRIORITY = [
     "weekly_autocorrelation",
     "benford_first_digit",
     "revenue_reconciliation",
-    "lsh_recall_accounting",
     "ab_test_ttest",
-    "triangle_count",
     "chi_square_independence",
     "association_rules",
     "trend_slopes",
@@ -936,7 +952,6 @@ _DRIVER_PRIORITY = [
     "doc_fingerprints",
     "dedup_exact",
     "dedup_exact_normalized",
-    "knn_brute_force",
     "embedding_norms_by_label",
     "multimodal_payloads",
     "correlated_avg_filter",
@@ -944,14 +959,10 @@ _DRIVER_PRIORITY = [
     "groupby_having",
     "grouping_sets_sql",
     "string_predicates",
-    "ann_multiprobe_search",
     "media_frame_sample",
-    "dedup_clusters",
-    "dedup_canonical",
     "decontamination_report",
     "ltv_deciles_pareto",
     "skyline_2d",
-    "dup_graph_degrees",
     "tiff_image_decode",
     "cross_format_image_dedup",
     "bmp16_image_decode",
@@ -961,7 +972,6 @@ _DRIVER_PRIORITY = [
     "qoi_pcx_decode",
     "serving_page_seek",
     "minhash_signatures",
-    "near_dup_pairs",
     "asof_join_orders",
     "sessionize_counts",
     "running_windows",
@@ -992,18 +1002,14 @@ _DRIVER_PRIORITY = [
     "streaming_static_enrich",
     "csv_ingest_roundtrip",
     "orc_ingest_roundtrip",
-    "graph_pagerank",
     "funnel_conversion",
     "cohort_retention",
     "profile_table",
     "gini_coefficient",
-    "kmeans_inertia_sweep",
     "repeat_purchase_intervals",
-    "semantic_dedup",
     "incremental_dedup_ingest",
     "embedding_drift",
     "bpe_vocab_train",
-    "streaming_incremental_dedup",
     "wordpiece_vocab_train",
 ]
 

@@ -475,6 +475,7 @@ LIMIT 5
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalakehouse_spark.operators.similarity import (
+        _darray_lit,
         _dvec,
         cosine,
         hyperplane_lsh_bucket,
@@ -483,7 +484,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     b = emb.withColumn("bucket", hyperplane_lsh_bucket("embedding"))
     qrow = b.where(F.col("vec_id") == 0).select("bucket", "embedding").first()
-    qvec = F.array(*[F.lit(float(x)).cast("double") for x in qrow.embedding])
+    qvec = _darray_lit(qrow.embedding)
     return (
         b.where((F.col("bucket") == qrow.bucket) & (F.col("vec_id") != 0))
         .select(
@@ -509,6 +510,7 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerates the same XOR flips.  Cost: 9/256 of the corpus instead
     of 1/256 — still a bucket-pruned scan, never a full one."""
     from datalakehouse_spark.operators.similarity import (
+        _darray_lit,
         _dvec,
         cosine,
         hamming_ball_probes,
@@ -519,7 +521,7 @@ def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.withColumn("bucket", hyperplane_lsh_bucket("embedding"))
     qrow = b.where(F.col("vec_id") == 0).select("bucket", "embedding").first()
     probes = hamming_ball_probes(qrow.bucket, n_planes=8, radius=1)
-    qvec = F.array(*[F.lit(float(x)).cast("double") for x in qrow.embedding])
+    qvec = _darray_lit(qrow.embedding)
     return (
         b.where(F.col("bucket").isin(probes) & (F.col("vec_id") != 0))
         .select(
@@ -1800,7 +1802,7 @@ def q_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "scale", F.transform("q", lambda x: x.cast("bigint")).alias("q")
     )
     qrow = staged.where(F.col("vec_id") == 0).select("scale", "q").first()
-    qvec = F.array(*[F.lit(int(x)).cast("bigint") for x in qrow.q])
+    qvec = F.expr("array(" + ",".join(f"{int(x)}L" for x in qrow.q) + ")")
     zero = F.lit(0).cast("bigint")
     q_dot = F.aggregate(
         F.zip_with("q", qvec, lambda a, b: a * b), zero, lambda acc, v: acc + v

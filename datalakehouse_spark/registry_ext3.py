@@ -374,6 +374,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from datalakehouse_spark.operators.similarity import (
+        _darray_lit,
         _dvec,
         cosine,
         hamming_ball_probes,
@@ -385,7 +386,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.withColumn("bucket", hyperplane_lsh_bucket("embedding"))
     qrow = b.where(F.col("vec_id") == 0).select("bucket", "embedding").first()
     corpus = b.where(F.col("vec_id") != 0)
-    qvec = F.array(*[F.lit(float(x)).cast("double") for x in qrow.embedding])
+    qvec = _darray_lit(qrow.embedding)
 
     def _top5(df: DataFrame) -> DataFrame:
         return (

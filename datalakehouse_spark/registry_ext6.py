@@ -606,7 +606,11 @@ def q_near_dup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     is_bench = F.col("doc_id") % 50 == 0
-    sigs = D.minhash_signatures_df(docs)
+    # Round 16 (guide §1.2, the near_dup_pairs shape): one materialized
+    # tokenize+shingle pass feeds the signature stage AND both Jaccard
+    # verify legs — previously the corpus was re-tokenized per consumer.
+    sh = D.shingle_frame(docs).localCheckpoint(eager=True)
+    sigs = D.minhash_from_shingles(sh)
     band_size = D.BAND_SIZE_DEFAULT
     n_bands = D.N_PERM_DEFAULT // band_size
     bands = sigs.select(
@@ -641,7 +645,7 @@ def q_near_dup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     flagged = (
-        D.jaccard_pairs(docs, cand)
+        D._jaccard_on_shingles(sh, cand, "doc_id")
         .where(F.col("jaccard") >= _NEAR_DECON_T)
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
