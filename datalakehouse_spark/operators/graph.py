@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 #: and 15 fractional digits exceed double precision in this range.
 _DEC = "decimal(35,15)"
 
+#: lineage-cap cadence for the lazily-chained PageRank loop: checkpoint
+#: every Nth round so plan depth stays bounded for large ``iters``.
+#: Module-level (not a function local) so the cadence-equivalence test
+#: can monkeypatch it directly instead of recompiling edited source
+#: text (ADVICE r16).  Checkpoint cadence must never change VALUES —
+#: that invariant is what tests/test_r16_optimizations.py pins.
+_CKPT_EVERY = 4
+
 
 def pagerank(
     nodes: DataFrame,
@@ -57,9 +65,9 @@ def pagerank(
     # every round exactly once in ONE job, where the previous
     # per-round eager localCheckpoint paid a full job (and its
     # scheduling latency) per iteration.  Lineage still cannot grow
-    # unboundedly: a checkpoint every _CKPT_EVERY rounds caps plan
-    # depth for large ``iters`` (the 100 TB many-iteration posture).
-    _CKPT_EVERY = 4
+    # unboundedly: a checkpoint every ``_CKPT_EVERY`` rounds (module
+    # constant) caps plan depth for large ``iters`` (the 100 TB
+    # many-iteration posture).
     for i in range(iters):
         contrib = (
             edges.join(ranks, edges.s == ranks.nid)

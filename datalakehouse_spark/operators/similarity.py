@@ -147,7 +147,12 @@ def _argmin_cluster(v: Column, cent_rows: list[tuple[int, list[float]]]) -> Colu
     (and the DuckDB oracle's ``list_position`` twin).
     """
     cents = _darray2_lit([c for _, c in cent_rows])
-    # plain int literals: array<int>, the type F.lit inferred before
+    # plain int literals parse as array<int> — a DELIBERATE narrowing
+    # from the array<bigint> F.lit used to infer for a Python int list
+    # (cluster ids are small non-negative indices, k <= a few hundred);
+    # every consumer compares/casts the id, none relies on the wider
+    # element type (ADVICE r16: the prior comment misstated F.lit's
+    # inference)
     ids = F.expr("array(" + ",".join(str(int(cid)) for cid, _ in cent_rows) + ")")
     dists = F.transform(
         cents,

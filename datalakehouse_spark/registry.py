@@ -49,7 +49,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: Entries ALLOWED to run Spark jobs at BUILD time (when ``fn`` is
 #: called, before the driver acts on the returned DataFrame).  Every
 #: other entry must be a pure lazy plan — no collect/count/write at
-#: build.  The eager class is legitimate in exactly three shapes (see
+#: build.  The eager class is legitimate in exactly four shapes (see
 #: docs/SCALE.md "Eager-build entry class"):
 #:   * **materializing surfaces** — DML/ingest/maintenance/versioning
 #:     entries whose OUTPUT is a table state change (merge, roundtrips,
@@ -58,7 +58,15 @@ REGISTRY: dict[str, QuerySpec] = {}
 #:     collects, all bounded (k×dim centroids, one probe vector);
 #:   * **iterative / diagnostic algorithms** — pointer-jumping dedup,
 #:     pagerank, triangle count, recall ledgers; loop counts and sample
-#:     caps are constants, never corpus-proportional.
+#:     caps are constants, never corpus-proportional;
+#:   * **shared-scan materializations** (round 16, ADVICE r16) — a
+#:     corpus-proportional intermediate computed once and materialized
+#:     at build because several downstream legs of the SAME entry read
+#:     it (the LSH shingle frame, the span-digest explode).  Unlike the
+#:     first three shapes the materialized bytes scale with the corpus;
+#:     the contract is that they are bounded by what one consumer must
+#:     hold anyway (disk-spillable), exist only for the entry's
+#:     lifetime, and never persist across runs.
 #: ``tests/test_registry_integrity.py`` pins this set BOTH ways with a
 #: job-group scan: a lazy entry that starts running jobs fails, and a
 #: listed entry that stops being eager must be removed.

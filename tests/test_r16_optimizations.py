@@ -152,27 +152,9 @@ def test_pagerank_checkpoint_cadence_matches_eager(spark, monkeypatch):
         }
 
     got = run()
-    import re
-
-    src = open(G.__file__).read()
-    m = re.search(r"_CKPT_EVERY = (\d+)", src)
-    assert m and m.group(1) == "4", "cadence constant moved; update this test"
-    # monkeypatch the cadence to 1 (eager per-round) via a local copy
-    orig = G.pagerank
-
-    def eager(*a, **k):
-        # re-run with every-round checkpointing by patching range? simplest:
-        # temporarily recompile the function with _CKPT_EVERY = 1
-        import types
-
-        code = src.replace("_CKPT_EVERY = 4", "_CKPT_EVERY = 1")
-        mod = types.ModuleType("graph_eager")
-        exec(compile(code, G.__file__, "exec"), mod.__dict__)
-        return mod.pagerank(*a, **k)
-
-    want = {
-        (r["id"], r["rank"])
-        for r in eager(nodes, pairs, id_col="id", iters=6).collect()
-    }
+    assert G._CKPT_EVERY == 4, "production cadence changed; re-check scale posture"
+    # re-run with a checkpoint after EVERY round (ADVICE r16: the
+    # cadence is a module constant now, monkeypatch it directly)
+    monkeypatch.setattr(G, "_CKPT_EVERY", 1)
+    want = run()
     assert got == want
-    assert orig is G.pagerank

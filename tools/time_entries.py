@@ -59,7 +59,8 @@ def main() -> None:
     ap.add_argument("names", nargs="*")
     ap.add_argument("--top", type=int, default=0)
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--plans", default=None, help="dump explain to plans/r16/<name>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="dump explain to plans/<dir>/<name>_<TAG>.txt")
+    ap.add_argument("--plans-dir", default="r17", help="subdirectory of plans/ for --plans dumps")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-warmup", action="store_true")
     args = ap.parse_args()
@@ -84,7 +85,7 @@ def main() -> None:
                 print(f"WARMUP FAIL {name}: {exc}", file=sys.stderr)
 
     if args.plans:
-        os.makedirs(os.path.join(REPO_ROOT, "plans", "r16"), exist_ok=True)
+        os.makedirs(os.path.join(REPO_ROOT, "plans", args.plans_dir), exist_ok=True)
 
     results: dict[str, float] = {}
     for name in names:
@@ -120,7 +121,7 @@ def main() -> None:
                 with contextlib.redirect_stdout(buf):
                     df.explain("formatted")
                 plan = buf.getvalue()
-            with open(os.path.join(REPO_ROOT, "plans", "r16", f"{name}_{args.plans}.txt"), "w") as f:
+            with open(os.path.join(REPO_ROOT, "plans", args.plans_dir, f"{name}_{args.plans}.txt"), "w") as f:
                 f.write(plan)
     print(json.dumps({n: round(v, 3) for n, v in results.items()}))
 
