@@ -194,6 +194,7 @@ def _bucketed_pair_sides(
     id_col: str,
     max_bucket_size: int | None,
     hot_bucket: str,
+    materialize_rows: bool = False,
 ) -> tuple[DataFrame, DataFrame, list[str]]:
     """Prepare (left, right, join_cols) for a within-bucket self-join
     with hot-bucket handling.
@@ -219,13 +220,30 @@ def _bucketed_pair_sides(
     no second evaluation of the signature pipeline (a groupBy+join-back
     formulation recomputed the minhash stage per join side: measured
     2x at sf0.1).
+
+    ``materialize_rows`` (round 17, guide §1.2): when the caller's
+    ``rows`` carries an expensive upstream pipeline (the SimHash vote
+    aggregate, the MinHash signature aggregate), the counted bucket
+    frame is materialized ONCE so both self-join legs read it — the
+    physical planner otherwise re-executes the whole upstream per leg
+    (exchange reuse does not fire across the diverging salt
+    projections; measured: the r17 before-plan of
+    simhash_near_dup_pairs runs scan→explode→64-vote aggregate→window
+    twice).  Callers that pass True run a materialization job at
+    plan-build time and must be in ``registry.EAGER_BUILD_ENTRIES``.
     """
+    from datalakehouse_spark.materialize import materialize
+
     if max_bucket_size is None:
+        if materialize_rows:
+            rows = materialize(rows)
         return rows, rows, list(bucket_cols)
     from pyspark.sql import Window
 
     w = Window.partitionBy(*bucket_cols)
     counted = rows.withColumn("_bs", F.count(F.lit(1)).over(w))
+    if materialize_rows:
+        counted = materialize(counted)
     if hot_bucket == "drop":
         kept = counted.where(F.col("_bs") <= max_bucket_size).drop("_bs")
         return kept, kept, list(bucket_cols)
@@ -360,11 +378,18 @@ def near_dup_pairs(
     heaviest projection down to one.  The checkpoint is (id, shingles):
     the same bytes the verify stage must hold anyway, spilled to local
     disk when it outgrows storage memory."""
-    sh = shingle_frame(df, text_col, id_col).localCheckpoint(eager=True)
+    from datalakehouse_spark.materialize import materialize
+
+    sh = materialize(shingle_frame(df, text_col, id_col))
     sigs = minhash_from_shingles(sh, id_col)
     bands = lsh_band_buckets(sigs, id_col)
+    # Round 17: the counted band frame is materialized too — both
+    # candidate legs otherwise re-run the 12-way MIN aggregate + band
+    # explode + window from the shingle checkpoint (one evaluation
+    # each); see _bucketed_pair_sides(materialize_rows=...).
     lhs, rhs, join_cols = _bucketed_pair_sides(
-        bands, ["band", "key"], id_col, max_bucket_size, hot_bucket
+        bands, ["band", "key"], id_col, max_bucket_size, hot_bucket,
+        materialize_rows=True,
     )
     cands = (
         lhs.select(F.col(id_col).alias("id_a"), *join_cols)
@@ -425,17 +450,24 @@ def simhash_df(
 
     def _bit(j: int) -> Column:
         src = F.col("_h_lo") if j < 32 else F.col("_h_hi")
-        return F.shiftright(src, j % 32) % 2 == 1
+        return F.shiftright(src, j % 32).bitwiseAND(F.lit(1))
 
+    # Round 17 (guide §1.2 per-task work): the vote is counted as a
+    # plain bit SUM per position plus one token count — votes_j =
+    # sum(±1) = 2*sum(bit_j) - n, so "votes_j > 0" is exactly
+    # "2*sum(bit_j) > n".  This removes 64 CASE WHEN branches per input
+    # row from the hot aggregate (the widest per-row expression in the
+    # corpus tier); values are bit-identical by the algebra above.
     votes = tok.groupBy(id_col).agg(
-        *[F.sum(F.when(_bit(j), 1).otherwise(-1)).alias(f"v{j}") for j in range(n_bits)]
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(_bit(j)).alias(f"s{j}") for j in range(n_bits)],
     )
     sig = None
     for j in range(n_bits):
         bitval = MIN_LONG if j == 63 else (1 << j)
-        term = F.when(F.col(f"v{j}") > 0, F.lit(bitval).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        term = F.when(
+            F.col(f"s{j}") * 2 > F.col("_n"), F.lit(bitval).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
         sig = term if sig is None else sig + term
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
@@ -495,8 +527,15 @@ def simhash_near_dup_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.block", "bk.key")
+    # Round 17 (guide §1.2): materialize the counted bucket frame so
+    # both self-join legs read ONE evaluation of the vote aggregate —
+    # the before-plan ran scan→token explode→64-sum aggregate→window
+    # TWICE (no exchange reuse across the diverging salt projections).
+    # This makes the entry an eager-build (shared-scan materialization
+    # shape, registry.EAGER_BUILD_ENTRIES).
     lhs, rhs, join_cols = _bucketed_pair_sides(
-        blocks, ["block", "key"], id_col, max_bucket_size, hot_bucket
+        blocks, ["block", "key"], id_col, max_bucket_size, hot_bucket,
+        materialize_rows=True,
     )
     a = lhs.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), *join_cols
@@ -655,11 +694,16 @@ def connected_components(
     # checkpoint every propagation round — and every convergence probe —
     # would re-execute that whole pipeline (measured 3.4x the total cost
     # at 16x corpus in tools/scale_smoke.py)
-    edges = (
+    from datalakehouse_spark.materialize import materialize
+
+    edges = materialize(
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .unionByName(pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
-        .localCheckpoint(eager=True)
     )
+    # loop-internal label checkpoints below stay bare localCheckpoint:
+    # node-sized, and the iteration contract (truncate lineage every
+    # round) is what the loop is built on — the materialize() policy
+    # covers the one-shot corpus-sized frames
     labels = nodes.select(
         F.col(id_col).alias("nid"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
@@ -952,10 +996,13 @@ def decontamination_flags(
         F.col(id_col),
         bench_pred.alias("is_bench"),
         F.explode(_ngram_hashes(tokens(text_col), ngram)).alias("h"),
-        # MEMORY_ONLY so an oversized gram frame stays LRU-evictable
-        # (digests are deterministic, so a post-eviction recompute is
-        # bit-identical); released in the finally below
-    ).persist(StorageLevel.MEMORY_ONLY)
+        # MEMORY_AND_DISK (round 17, VERDICT r16 #5): eviction of an
+        # oversized gram frame under MEMORY_ONLY silently RECOMPUTED
+        # the heaviest projection (tokenize+explode) for the second
+        # consumer; disk-backed blocks keep the one-pass contract while
+        # remaining recomputable (digests are deterministic).  Released
+        # in the finally below.
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         bench_grams = grams.where(F.col("is_bench")).select("h").distinct()
         out = (
@@ -1078,7 +1125,9 @@ def streaming_incremental_dedup_drain(
         # would otherwise re-run the keep-first aggregate and both
         # index joins (guide §1.2 — remove repeated passes first).
         # Batch-sized, MEMORY_AND_DISK-backed, freed with the batch.
-        marked = marked.localCheckpoint(eager=True)
+        from datalakehouse_spark.materialize import materialize
+
+        marked = materialize(marked)
         in_c = F.col("__in_corpus").isNotNull()
         in_s = F.col("__in_session").isNotNull()
         first = (F.col("doc_id") == F.col("__keep_id")) & ~in_s
@@ -1217,9 +1266,9 @@ def streaming_near_dup_drain_staged(
         # pipeline — shingle explode, md5, 12-way MIN aggregate —
         # re-executes per action.  The frame is n_docs_batch × n_bands
         # rows of (id, band, key): checkpoint-size at any batch scale.
-        buckets = lsh_band_buckets(minhash_signatures_df(bdf)).localCheckpoint(
-            eager=True
-        )
+        from datalakehouse_spark.materialize import materialize
+
+        buckets = materialize(lsh_band_buckets(minhash_signatures_df(bdf)))
         hit_corpus = (
             buckets.join(hist, ["band", "key"], "left_semi")
             .select("doc_id")

@@ -50,12 +50,13 @@ def pagerank(
     of rank(u)/degree(u).  Isolated nodes keep the base rank.  Returns
     ``(id, rank)``.
     """
-    edges = (
+    from datalakehouse_spark.materialize import materialize
+
+    edges = materialize(
         pairs.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .unionByName(
             pairs.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
         )
-        .localCheckpoint(eager=True)
     )
     degree = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     base = float(1.0 - damping)

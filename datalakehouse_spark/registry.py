@@ -149,6 +149,11 @@ EAGER_BUILD_ENTRIES = frozenset(
         # frame instead of re-tokenizing the corpus three times
         "near_dup_pairs",
         "near_dup_decontamination",  # same shared-shingle checkpoint
+        # round 17: the SimHash pair join materializes its counted
+        # bucket frame once so both self-join legs read ONE evaluation
+        # of the 64-bit vote aggregate (the before-plan ran the whole
+        # scan→explode→aggregate→window pipeline twice)
+        "simhash_near_dup_pairs",
         # round 16 (optimization): the span-digest explode feeds the
         # duplicated-digest aggregate AND its join-back — materialized
         # once per entry instead of re-tokenizing per consumer

@@ -3706,7 +3706,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = D.near_dup_pairs(docs).select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     )
-    e = e.localCheckpoint()  # the LSH pipeline must not re-execute per join leg
+    from datalakehouse_spark.materialize import materialize
+
+    e = materialize(e)  # the LSH pipeline must not re-execute per join leg
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.a") == F.col("e1.b"))
@@ -3897,8 +3899,10 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         # four consumers (total count, item counts, both pair-join legs)
         # — materialize the sessionize+distinct subtree once instead of
         # re-executing it per leg (round-7 uncached-fan-out sweep)
-        .localCheckpoint()
     )
+    from datalakehouse_spark.materialize import materialize
+
+    baskets = materialize(baskets)
     total = baskets.select("user_id", "session_no").distinct().count()
     item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     a, b = baskets.alias("a"), baskets.alias("b")
@@ -4135,7 +4139,9 @@ def q_dup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalakehouse_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    e = D.near_dup_pairs(docs).localCheckpoint()
+    from datalakehouse_spark.materialize import materialize
+
+    e = materialize(D.near_dup_pairs(docs))
     deg = (
         e.select(F.col("id_a").alias("v"))
         .unionAll(e.select(F.col("id_b").alias("v")))

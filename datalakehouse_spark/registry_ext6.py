@@ -123,9 +123,13 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse the exchange — see below); materializing it runs the
     # explode+md5 corpus pass ONCE and both consumers read the stored
     # frame.  Size is the reduced (digest, doc) grain, disk-spillable.
-    per_doc = grams.groupBy("h", "doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_occ")
-    ).localCheckpoint(eager=True)
+    from datalakehouse_spark.materialize import materialize
+
+    per_doc = materialize(
+        grams.groupBy("h", "doc_id", "source").agg(
+            F.count(F.lit(1)).alias("n_occ")
+        )
+    )
     dup_digests = (
         per_doc.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -609,7 +613,9 @@ def q_near_dup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round 16 (guide §1.2, the near_dup_pairs shape): one materialized
     # tokenize+shingle pass feeds the signature stage AND both Jaccard
     # verify legs — previously the corpus was re-tokenized per consumer.
-    sh = D.shingle_frame(docs).localCheckpoint(eager=True)
+    from datalakehouse_spark.materialize import materialize
+
+    sh = materialize(D.shingle_frame(docs))
     sigs = D.minhash_from_shingles(sh)
     band_size = D.BAND_SIZE_DEFAULT
     n_bands = D.N_PERM_DEFAULT // band_size
@@ -748,11 +754,15 @@ def q_dup_span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round 16 (guide §1.2): the span stream feeds the duplicated-digest
     # aggregate AND the join-back; materialize it once instead of
     # re-running the tokenize+md5 explode per consumer.
-    spans = t.select(
-        "doc_id",
-        "source",
-        F.posexplode(_ngram_hashes(F.col("toks"), _SPAN_N)).alias("p", "h"),
-    ).localCheckpoint(eager=True)
+    from datalakehouse_spark.materialize import materialize
+
+    spans = materialize(
+        t.select(
+            "doc_id",
+            "source",
+            F.posexplode(_ngram_hashes(F.col("toks"), _SPAN_N)).alias("p", "h"),
+        )
+    )
     dup = (
         spans.select("h", "doc_id")
         .distinct()
@@ -2325,9 +2335,14 @@ def q_dup_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select("doc_id", "source", tokens("text").alias("toks"))
     # Round 16 (guide §1.2): materialized once — the span stream feeds
     # both the duplicated-digest aggregate and the coverage join-back.
-    spans = t.select(
-        "doc_id", F.posexplode(_ngram_hashes(F.col("toks"), _SPAN_N)).alias("p", "h")
-    ).localCheckpoint(eager=True)
+    from datalakehouse_spark.materialize import materialize
+
+    spans = materialize(
+        t.select(
+            "doc_id",
+            F.posexplode(_ngram_hashes(F.col("toks"), _SPAN_N)).alias("p", "h"),
+        )
+    )
     dup = (
         spans.select("h", "doc_id")
         .distinct()
