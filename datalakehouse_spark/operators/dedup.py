@@ -1059,6 +1059,30 @@ def _restage_ascending(batch: DataFrame, src: str, n_slices: int) -> None:
         )
 
 
+def _commit_pair(vt_a, df_a, vt_b, df_b) -> None:
+    """Commit two INDEPENDENT per-trigger frames to their own
+    VersionedTables concurrently (guide §2.6 — overlap independent
+    jobs): the stats commit and the index commit share no state (two
+    table paths, two manifests, both reading the already-materialized
+    batch frame), so their write jobs can back-fill each other's task
+    tails instead of running serially.  Each table's own commit
+    sequence is unchanged — this overlaps jobs, not commits within a
+    table.  Exceptions propagate (a failed commit fails the trigger,
+    exactly as before)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(vt, df):
+        if vt.refs().get(vt.DEFAULT_BRANCH):
+            vt.append(df)
+        else:
+            vt.create(df)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_one, vt_a, df_a), pool.submit(_one, vt_b, df_b)]
+        for f in futs:
+            f.result()
+
+
 def streaming_incremental_dedup_drain(
     spark,
     digests: DataFrame,
@@ -1138,12 +1162,7 @@ def streaming_incremental_dedup_drain(
             F.sum((~in_c & first).cast("long")).alias("n_ingested"),
         )
         survivors = marked.where(~in_c & first).select("digest").distinct()
-        if stats_vt.refs().get("main"):
-            stats_vt.append(stats)
-            seen_vt.append(survivors)
-        else:
-            stats_vt.create(stats)
-            seen_vt.create(survivors)
+        _commit_pair(stats_vt, stats, seen_vt, survivors)
 
     stream = (
         spark.readStream.schema(batch.schema)
@@ -1326,12 +1345,7 @@ def streaming_near_dup_drain_staged(
         )
         if seen is not None:
             arrivals = arrivals.join(seen, ["band", "key"], "left_anti")
-        if stats_vt.refs().get("main"):
-            stats_vt.append(stats)
-            seen_vt.append(arrivals)
-        else:
-            stats_vt.create(stats)
-            seen_vt.create(arrivals)
+        _commit_pair(stats_vt, stats, seen_vt, arrivals)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)

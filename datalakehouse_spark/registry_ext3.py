@@ -1022,6 +1022,13 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     forms keep the oracle bit-for-bit."""
     ev = load_table(spark, sf_dir, "events")
 
+    # Round 17 negative result (kept for the record): folding the three
+    # per-column profiles into ONE multi-COUNT(DISTINCT) aggregate +
+    # unpivot cuts 3 scans to 1 but plans an Expand (3× rows into the
+    # distinct shuffle) — paired A/B measured 0.41 → 1.72 s min-of-5
+    # (ambient control improved in the same window).  The three
+    # codegen'd scans are the faster shape at this fact size; revisit
+    # only past the point where scan cost dominates the Expand.
     def prof(col: str):
         return ev.agg(
             F.lit(col).alias("column_name"),

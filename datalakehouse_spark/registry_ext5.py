@@ -126,6 +126,11 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     s_us = F.unix_micros(F.col("ts"))
     e_us = s_us + (F.lit(60) + (F.col("value") * 10).cast("bigint")) * F.lit(1_000_000)
+    # round 17 negative result: exploding each event into its ±1 rows
+    # in ONE scan (array-of-structs Generate) halves the scan count but
+    # measured 1.21 → 2.24 s min-of-5 paired — the Generate breaks the
+    # scan's whole-stage pipeline while the two columnar scans are
+    # nearly free; kept the unionAll form
     iv = ev.select(s_us.alias("s_us"), e_us.alias("e_us"))
     deltas = iv.select(F.col("s_us").alias("t_us"), F.lit(1).alias("d")).unionAll(
         iv.select(F.col("e_us").alias("t_us"), F.lit(-1).alias("d"))
@@ -895,6 +900,12 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
     )
+    # round 17 negative result: carrying med through the MAD aggregate
+    # (min over a single-valued group) to cut the 4th scan measured
+    # 0.69 → 4.77 s min-of-5 paired — mixing the TypedImperative
+    # percentile with a plain min forces the whole aggregate down the
+    # slow ObjectHashAggregate path for every row; kept the two-stat
+    # broadcast-join form
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
     )
@@ -994,6 +1005,10 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingle"),
     )
     # hash before the distinct so the shuffle key is an 8-byte bigint
+    # (round 17 negative result: a window MIN over h instead of the
+    # groupBy+join-back halves the scans but measured 1.61 → 2.52 s
+    # min-of-5 paired — the sort-based window loses to two codegen'd
+    # hash aggregates at this scale; kept the join form)
     sh = raw.select("day", md5_hash60("shingle").alias("h")).distinct()
     first_seen = sh.groupBy("h").agg(F.min("day").alias("first_day"))
     per_day = (
@@ -2019,6 +2034,12 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalakehouse_spark.operators import textstats as TS
 
     docs = load_table(spark, sf_dir, "documents")
+    # Round 17 negative result (kept for the record): dropping the
+    # doc_id self-join (lang rides the langid_df scan) + a window for
+    # the totals cut the plan from 4 scans to 1 but measured 1.02 →
+    # 1.55 s min-of-5 in a paired A/B (control improved) — the extra
+    # scans are cheap columnar reads while the window + single fat
+    # scan serialize the interpreted langid lambdas on one pass.
     pred = TS.langid_df(docs).select("doc_id", "lang_pred")
     joined = docs.select("doc_id", "lang").join(pred, "doc_id").select(
         "lang", "lang_pred"

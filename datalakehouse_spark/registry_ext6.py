@@ -887,7 +887,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score, n_terms_hit) for every document matching at
     least one _BM25_QUERY term — the shared scoring core of
-    ``bm25_topk`` and ``hybrid_rrf_fusion``."""
+    ``bm25_topk`` and ``hybrid_rrf_fusion``.
+
+    Round 17 negative result (kept for the record): computing per-term
+    tf as higher-order ``size(filter(toks, = term))`` columns in one
+    projection (2 scans, no joins, one scalar broadcast) measured
+    0.93 → 4.93 s min-of-5 in a paired A/B (ambient control improved in
+    the same window) — higher-order lambdas evaluate INTERPRETED per
+    array element, ~|toks|×|q| lambda calls per doc, while the
+    explode → isin filter → hash-aggregate path below is whole-stage
+    codegen'd end to end.  The 4-scan shape is the fast one here; the
+    scans are cheap columnar reads and only matching postings shuffle."""
     from datalakehouse_spark.operators.textstats import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1210,6 +1220,12 @@ def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # round 17 negative result: generating the a<b pairs from a sorted
+    # collect_set per (kind, digest) — one evaluation of the union, no
+    # self-join — measured 0.76 → 1.12 s min-of-5 paired (control
+    # improved): the nested higher-order pair comprehension runs
+    # interpreted while the self-equi-join stays codegen'd; kept the
+    # join form
     a = s.select("kind", "h", F.col("source").alias("source_a"))
     b = s.select("kind", "h", F.col("source").alias("source_b"))
     return (

@@ -174,13 +174,24 @@ class VersionedTable:
         parent: int,
         branch: str = DEFAULT_BRANCH,
         extra: dict | None = None,
+        schema_json: str | None = None,
     ) -> int:
         """Write the manifest for the next version and advance the
         branch ref; the manifest rename is the atomic commit point.
         Version numbers are table-global; ``parent`` pointers form the
         commit DAG the branches live on.  ``extra`` carries operation
         metadata (merge_upsert key sets, merge parents) the three-way
-        ``merge_branch`` consumes."""
+        ``merge_branch`` consumes.
+
+        ``schema_json`` (round 17, guide §5 driver work): the version's
+        uniform read-back schema, recorded so ``read()`` can skip
+        parquet schema inference — which costs a Spark job per read on
+        multi-file versions (measured: one ~0.3–0.4 s job per
+        ``_read_files`` in the MV/streaming commit machinery, several
+        per trigger).  Only set when every file in ``files`` is known
+        to carry this schema (same rule Iceberg's manifest schema
+        follows); absent → readers fall back to inference, which keeps
+        schema-evolution commits behaving exactly as before."""
         version = self._latest_version() + 1
         os.makedirs(self.log_dir, exist_ok=True)
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -190,6 +201,7 @@ class VersionedTable:
             "branch": branch,
             "operation": operation,
             "files": files,
+            **({"schema": schema_json} if schema_json else {}),
             **(extra or {}),
         }
         with open(tmp, "w") as fh:
@@ -503,11 +515,42 @@ class VersionedTable:
 
     # -- write path ---------------------------------------------------------
 
+    def _readback_schema_json(self, df: DataFrame) -> str:
+        """The schema a hive read-back of ``df``'s files reports: data
+        columns in ``df`` order with partition columns moved to the
+        end (partition discovery appends them last, in ``partition_by``
+        order), and every level nullable (the parquet reader's
+        convention — recording the writer's nullability would tighten
+        the read schema and could change downstream plans)."""
+        from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+        def _null(dt):
+            if isinstance(dt, StructType):
+                return StructType(
+                    [
+                        StructField(f.name, _null(f.dataType), True, f.metadata)
+                        for f in dt.fields
+                    ]
+                )
+            if isinstance(dt, ArrayType):
+                return ArrayType(_null(dt.elementType), True)
+            if isinstance(dt, MapType):
+                return MapType(_null(dt.keyType), _null(dt.valueType), True)
+            return dt
+
+        data = [f for f in df.schema.fields if f.name not in self.partition_by]
+        tail = [df.schema[c] for c in self.partition_by]
+        return StructType(
+            [StructField(f.name, _null(f.dataType), True) for f in data + tail]
+        ).json()
+
     def _write_new_files(self, df: DataFrame) -> list[dict]:
         """Write df's rows as NEW immutable data files; return their
         manifest entries.  Files are staged then moved under data/ with
         commit-unique names (Spark part-file names already embed a job
-        uuid; the stage prefix adds belt-and-braces uniqueness)."""
+        uuid; the stage prefix adds belt-and-braces uniqueness).
+        Side effect: stashes the write's read-back schema on
+        ``self._last_write_schema`` for commit-time recording."""
         stage = os.path.join(self.path, f"_stage-{uuid.uuid4().hex[:8]}")
         if self.partition_by:
             # a rewrite scoped to the NULL partition reads back its
@@ -520,6 +563,7 @@ class VersionedTable:
             for c in self.partition_by:
                 if isinstance(df.schema[c].dataType, NullType):
                     df = df.withColumn(c, F.col(c).cast("string"))
+        self._last_write_schema = self._readback_schema_json(df)
         w = df.write.mode("overwrite")
         if self.partition_by:
             # one data file per partition value per commit (small-files
@@ -555,15 +599,31 @@ class VersionedTable:
 
     def create(self, df: DataFrame, branch: str = DEFAULT_BRANCH) -> int:
         """First commit (or full replacement as a new version)."""
+        files = self._write_new_files(df)
         return self._commit(
-            "create", self._write_new_files(df), self.current_version(branch), branch
+            "create",
+            files,
+            self.current_version(branch),
+            branch,
+            schema_json=self._last_write_schema,
         )
 
     def append(self, df: DataFrame, branch: str = DEFAULT_BRANCH) -> int:
         cur = self.current_version(branch)
-        prev = self._load_manifest(cur)["files"] if cur else []
+        prev_manifest = self._load_manifest(cur) if cur else {}
+        prev = prev_manifest.get("files", [])
+        new_files = self._write_new_files(df)
+        # the combined version's schema is uniform only when the parent
+        # recorded the same one (schema-evolution appends fall back to
+        # inference, exactly the old behavior)
+        prev_schema = prev_manifest.get("schema")
+        uniform = (
+            self._last_write_schema
+            if (not prev or prev_schema == self._last_write_schema)
+            else None
+        )
         return self._commit(
-            "append", prev + self._write_new_files(df), cur, branch
+            "append", prev + new_files, cur, branch, schema_json=uniform
         )
 
     def merge_upsert(
@@ -576,7 +636,9 @@ class VersionedTable:
         cur = self.current_version(branch)
         if cur == 0:
             return self.create(source, branch)
-        prev = self._load_manifest(cur)["files"]
+        prev_manifest = self._load_manifest(cur)
+        prev = prev_manifest["files"]
+        prev_schema = prev_manifest.get("schema")
         # The upserted key set must be recoverable so a later THREE-WAY
         # merge_branch can do per-key conflict detection at ANY key
         # cardinality (no driver collect, no cap, typed joins — no
@@ -600,7 +662,7 @@ class VersionedTable:
         # the manifest survives, and merges past an expired manifest
         # already refuse loudly (_truncated).
         if prev:
-            anchor = self._read_files(prev)
+            anchor = self._read_files(prev, schema_json=prev_schema)
             # 0-row union keeps the OLD merged-union type coercion
             # (wider of source/target), so splitting the write into two
             # file sets cannot narrow or reorder the schema
@@ -610,6 +672,7 @@ class VersionedTable:
         else:
             src_typed = source
         files_src = self._write_new_files(src_typed)
+        src_schema = self._last_write_schema
 
         # Touched partitions come from the just-written files' OWN
         # manifest entries — a zero-job metadata probe (round 16, guide
@@ -637,22 +700,33 @@ class VersionedTable:
             kept_files, touched_files = [], prev
 
         if touched_files and files_src:
-            target = self._read_files(touched_files)
+            target = self._read_files(touched_files, schema_json=prev_schema)
             # left_anti dedups its build side internally — no distinct
             # pass needed on the key scan
             kept_rows = target.join(
-                self._read_files(files_src).select(*keys), list(keys), "left_anti"
+                self._read_files(files_src, schema_json=src_schema).select(*keys),
+                list(keys),
+                "left_anti",
             )
             files_kept = self._write_new_files(
                 kept_rows.unionByName(src_typed.limit(0))
             )
         else:
             files_kept = []
+        # the new file groups (src + rewritten-kept) carry the
+        # anchor-coerced schema; old files survive only via kept_files,
+        # so the version is uniform unless carried-over files were
+        # written under a different (or unrecorded, pre-round-17)
+        # schema
+        uniform = (
+            src_schema if not kept_files or prev_schema == src_schema else None
+        )
         return self._commit(
             "merge_upsert",
             kept_files + files_src + files_kept,
             cur,
             branch,
+            schema_json=uniform,
             extra={
                 "merge_keys": {
                     "columns": list(keys),
@@ -691,23 +765,40 @@ class VersionedTable:
         else:
             kept_files, touched_files = [], prev
         new_files: list[dict] = []
+        new_schema = None
         if touched_files:
             remainder = self._read_files(touched_files).where(~pred_true)
             new_files = self._write_new_files(remainder)
-        return self._commit("delete", kept_files + new_files, cur, branch)
+            new_schema = self._last_write_schema
+        prev_schema = self._load_manifest(cur).get("schema")
+        uniform = (
+            new_schema
+            if new_files and (not kept_files or prev_schema == new_schema)
+            else (prev_schema if not new_files else None)
+        )
+        return self._commit(
+            "delete", kept_files + new_files, cur, branch, schema_json=uniform
+        )
 
     def rollback(self, version: int, branch: str = DEFAULT_BRANCH) -> int:
         """Re-point the table at an older version's file list (Iceberg
         rollback semantics: a NEW commit, history is never rewritten)."""
-        files = self._load_manifest(version)["files"]
+        target = self._load_manifest(version)
         return self._commit(
-            f"rollback_to_v{version}", files, self.current_version(branch), branch
+            f"rollback_to_v{version}",
+            target["files"],
+            self.current_version(branch),
+            branch,
+            schema_json=target.get("schema"),
         )
 
     # -- read path ----------------------------------------------------------
 
     def _read_files(
-        self, entries: list[dict], merge_schema: bool = False
+        self,
+        entries: list[dict],
+        merge_schema: bool = False,
+        schema_json: str | None = None,
     ) -> DataFrame:
         if not entries:
             raise ValueError("empty file list (empty table version)")
@@ -715,6 +806,13 @@ class VersionedTable:
         r = self.spark.read.option("basePath", self.data_dir)
         if merge_schema:
             r = r.option("mergeSchema", "true")
+        elif schema_json:
+            # manifest-recorded schema (round 17): skips parquet schema
+            # inference and its per-read Spark job; only ever passed
+            # when every file in the version carries this exact schema
+            from pyspark.sql.types import StructType
+
+            r = r.schema(StructType.fromJson(json.loads(schema_json)))
         return r.parquet(*paths)
 
     def read(
@@ -733,7 +831,8 @@ class VersionedTable:
         evolved schemas (add-column evolution): files from older
         commits surface NULL for columns added later."""
         v = self.current_version(ref) if version is None else version
-        entries = self._load_manifest(v)["files"]
+        manifest = self._load_manifest(v)
+        entries = manifest["files"]
         if partition_filter:
             allowed = {
                 k: {_canon_value(x) for x in vs}
@@ -744,7 +843,9 @@ class VersionedTable:
                 for e in entries
                 if all(e["partition"].get(k) in vs for k, vs in allowed.items())
             ]
-        return self._read_files(entries, merge_schema=merge_schema)
+        return self._read_files(
+            entries, merge_schema=merge_schema, schema_json=manifest.get("schema")
+        )
 
     def incremental_read(self, from_version: int, to_version: int) -> DataFrame:
         """Rows in files ADDED between two versions (Iceberg incremental
@@ -754,12 +855,9 @@ class VersionedTable:
         upsert's rewritten files surface as their partition's full new
         contents, which is also what Iceberg's changelog emits for COW)."""
         before = {e["path"] for e in self._load_manifest(from_version)["files"]}
-        added = [
-            e
-            for e in self._load_manifest(to_version)["files"]
-            if e["path"] not in before
-        ]
-        return self._read_files(added)
+        to_manifest = self._load_manifest(to_version)
+        added = [e for e in to_manifest["files"] if e["path"] not in before]
+        return self._read_files(added, schema_json=to_manifest.get("schema"))
 
     # -- maintenance --------------------------------------------------------
 
