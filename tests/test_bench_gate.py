@@ -91,6 +91,32 @@ def test_baseline_ratchet_never_loosens():
     assert out["waived"] == []
 
 
+def test_baseline_ratchet_tighten_only_freezes_untouched_entries():
+    """ADVICE r16: with a tighten_only set, an UNTOUCHED entry's
+    reference must not move on a lucky fast run (and still never
+    loosens); touched entries ratchet normally; new entries enter at
+    their measured median either way."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from refresh_bench_baseline import ratchet
+
+    old = {"sf": 0.1, "queries": {"touched": 2.0, "untouched": 1.0}}
+    run = {
+        "sf": 0.1,
+        "queries": {"touched": 1.4, "untouched": 0.6, "fresh": 0.9},
+    }
+    out = ratchet(old, run, tighten_only={"touched"})
+    assert out["queries"]["touched"] == 1.4  # changed entry tightens
+    assert out["queries"]["untouched"] == 1.0  # lucky minimum ignored
+    assert out["queries"]["fresh"] == 0.9  # new entry enters as measured
+    assert out["tighten_only"] == ["touched"]
+    # a SLOW run still cannot loosen a tighten_only entry
+    slow = {"sf": 0.1, "queries": {"touched": 9.0, "untouched": 9.0}}
+    out2 = ratchet(old, slow, tighten_only={"touched"})
+    assert out2["queries"] == {"touched": 2.0, "untouched": 1.0}
+
+
 def test_baseline_ratchet_waiver_is_explicit_and_recorded():
     import sys
 

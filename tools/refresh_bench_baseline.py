@@ -64,12 +64,24 @@ BASELINE_PATH = os.path.join(REPO, "BENCH_BASELINE.json")
 
 
 def ratchet(
-    old: dict | None, new_run: dict, waivers: set[str] | None = None
+    old: dict | None,
+    new_run: dict,
+    waivers: set[str] | None = None,
+    tighten_only: set[str] | None = None,
 ) -> dict:
     """Pure ratchet: per-entry min(old_ref, new_median) except waived
     entries, which take the new median; provenance records waivers.
     Raises when scale factors differ (cross-sf references are
-    meaningless)."""
+    meaningless).
+
+    ``tighten_only`` (round 17, ADVICE r16): when given, only entries
+    in the set may TIGHTEN — everything else keeps its previous
+    reference verbatim, even if this run happened to post a lucky
+    minimum.  Untouched entries tightening on one fortunate run made
+    the perf gate prone to spurious regressions in later rounds; code
+    cannot have made them faster, so their references must not move.
+    New entries (no previous reference) still enter at their measured
+    median regardless."""
     waivers = waivers or set()
     old_q = (old or {}).get("queries", {})
     if old and old.get("sf") != new_run.get("sf"):
@@ -80,13 +92,25 @@ def ratchet(
     for name, t in new_run["queries"].items():
         if name in waivers or name not in old_q:
             queries[name] = t
+        elif tighten_only is not None and name not in tighten_only:
+            queries[name] = old_q[name]
         else:
             queries[name] = min(old_q[name], t)
     return {
         "sf": new_run.get("sf"),
         "queries": queries,
-        "source": "ratcheted refresh: per-entry min(previous reference, new median)",
+        "source": "ratcheted refresh: per-entry min(previous reference, new median)"
+        + (
+            "; tightening restricted to the round's code-changed entry set"
+            if tighten_only is not None
+            else ""
+        ),
         "waived": sorted(waivers & set(new_run["queries"])),
+        **(
+            {"tighten_only": sorted(tighten_only)}
+            if tighten_only is not None
+            else {}
+        ),
     }
 
 
@@ -178,6 +202,12 @@ def main() -> None:
         "without it the rebase refuses, so host recalibration cannot "
         "silently absorb an entry-specific regression",
     )
+    ap.add_argument(
+        "--changed-only", action="store_true",
+        help="restrict tightening to the registry's _DRIVER_ROTATION_CHANGED "
+        "set (this round's code-changed entries) — ADVICE r16: untouched "
+        "entries must not ratchet tighter on one lucky minimum",
+    )
     ap.add_argument("--note", default="")
     args = ap.parse_args()
 
@@ -230,7 +260,15 @@ def main() -> None:
     if len(args.run_json) != 1:
         raise SystemExit("ratchet mode takes exactly one run file")
     new_run = _read_run(args.run_json[0])
-    out = ratchet(old, new_run, set(args.waive))
+    tighten_only = None
+    if args.changed_only:
+        import sys
+
+        sys.path.insert(0, REPO)
+        from datalakehouse_spark.registry import _DRIVER_ROTATION_CHANGED
+
+        tighten_only = set(_DRIVER_ROTATION_CHANGED)
+    out = ratchet(old, new_run, set(args.waive), tighten_only=tighten_only)
     if args.note:
         out["note"] = args.note
     tightened = sum(
