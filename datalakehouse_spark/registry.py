@@ -774,59 +774,35 @@ def q_retention_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: rows no longer describe the running code — then the aging tail by
 #: last-green-round ASCENDING, which keeps the remaining r10-stale
 #: cohort (VERDICT r15 #1) inside the window.
-_DRIVER_ROTATION_CHANGED = ['unigram_vocab_train', 'unigram_tokenize_stats', 'unigram_vocab_apply_versioned', 'wordpiece_vocab_apply_versioned', 'streaming_near_dup_build', 'streaming_near_dup_ingest', 'wordpiece_tokenize_stats', 'bpe_tokenize_stats', 'bpe_vocab_apply_versioned', 'near_dup_pairs', 'triangle_count', 'dedup_canonical', 'dedup_clusters', 'dup_graph_degrees', 'graph_pagerank', 'lsh_recall_accounting', 'fuzzy_dup_candidates', 'dup_span_coverage', 'dup_span_excision_stats', 'dup_span_excision_apply', 'incremental_mv_maintenance', 'streaming_incremental_mv', 'streaming_incremental_dedup', 'merge_upsert_risk', 'time_travel_read', 'pq_build_stats', 'pq_search', 'ivf_pq_search', 'kmeans_inertia_sweep', 'semantic_dedup', 'quantized_knn', 'ann_lsh_search', 'ann_multiprobe_search', 'knn_brute_force', 'hybrid_rrf_fusion', 'ivf_build_stats', 'ivf_search', 'ivf_search_indexed']
-_DRIVER_ROTATION_ASOF = 15
+_DRIVER_ROTATION_CHANGED = ['simhash_docs', 'simhash_near_dup_pairs', 'near_dup_pairs', 'dedup_clusters', 'dedup_canonical', 'dup_graph_degrees', 'triangle_count', 'graph_pagerank', 'lsh_recall_accounting', 'near_dup_decontamination', 'dup_span_coverage', 'dup_span_excision_stats', 'dup_span_excision_apply', 'association_rules', 'decontamination_report', 'merge_upsert_risk', 'time_travel_read', 'version_incremental_read', 'versioned_branch_evolution', 'incremental_mv_maintenance', 'streaming_incremental_mv', 'streaming_incremental_dedup', 'streaming_near_dup_ingest', 'bpe_vocab_apply_versioned', 'wordpiece_vocab_apply_versioned', 'unigram_vocab_apply_versioned']
+_DRIVER_ROTATION_ASOF = 16
 _DRIVER_PRIORITY = [
-    "unigram_vocab_train",
-    "unigram_tokenize_stats",
-    "unigram_vocab_apply_versioned",
-    "wordpiece_vocab_apply_versioned",
-    "streaming_near_dup_build",
-    "streaming_near_dup_ingest",
-    "wordpiece_tokenize_stats",
-    "bpe_tokenize_stats",
-    "bpe_vocab_apply_versioned",
+    "simhash_docs",
+    "simhash_near_dup_pairs",
     "near_dup_pairs",
-    "triangle_count",
-    "dedup_canonical",
     "dedup_clusters",
+    "dedup_canonical",
     "dup_graph_degrees",
+    "triangle_count",
     "graph_pagerank",
     "lsh_recall_accounting",
-    "fuzzy_dup_candidates",
+    "near_dup_decontamination",
     "dup_span_coverage",
     "dup_span_excision_stats",
     "dup_span_excision_apply",
+    "association_rules",
+    "decontamination_report",
+    "merge_upsert_risk",
+    "time_travel_read",
+    "version_incremental_read",
+    "versioned_branch_evolution",
     "incremental_mv_maintenance",
     "streaming_incremental_mv",
     "streaming_incremental_dedup",
-    "merge_upsert_risk",
-    "time_travel_read",
-    "pq_build_stats",
-    "pq_search",
-    "ivf_pq_search",
-    "kmeans_inertia_sweep",
-    "semantic_dedup",
-    "quantized_knn",
-    "ann_lsh_search",
-    "ann_multiprobe_search",
-    "knn_brute_force",
-    "hybrid_rrf_fusion",
-    "ivf_build_stats",
-    "ivf_search",
-    "ivf_search_indexed",
-    "weighted_sample_counts",
-    "max_concurrency",
-    "ingest_drift_psi",
-    "domain_mixture_weights",
-    "mixture_downsample_plan",
-    "split_leakage_audit",
-    "near_dup_decontamination",
-    "bm25_topk",
-    "quality_threshold_sweep",
-    "cross_source_dup_matrix",
-    "simhash_docs",
-    "simhash_near_dup_pairs",
+    "streaming_near_dup_ingest",
+    "bpe_vocab_apply_versioned",
+    "wordpiece_vocab_apply_versioned",
+    "unigram_vocab_apply_versioned",
     "approx_stats",
     "corpus_prep_pipeline",
     "ntile_percent_rank",
@@ -850,7 +826,6 @@ _DRIVER_PRIORITY = [
     "unpivot_daily",
     "hourly_heatmap",
     "null_semantics_agg",
-    "version_incremental_read",
     "q6_forecast_revenue",
     "q10_returned_items",
     "q14_promo_effect",
@@ -863,7 +838,6 @@ _DRIVER_PRIORITY = [
     "coordinate_parse_swap",
     "null_safe_join",
     "event_sequences",
-    "versioned_branch_evolution",
     "filebus_kafka_ingest",
     "knn_batch_queries",
     "zorder_key_accounting",
@@ -924,7 +898,6 @@ _DRIVER_PRIORITY = [
     "revenue_reconciliation",
     "ab_test_ttest",
     "chi_square_independence",
-    "association_rules",
     "trend_slopes",
     "cusum_changepoint",
     "zipf_token_ranks",
@@ -973,7 +946,6 @@ _DRIVER_PRIORITY = [
     "grouping_sets_sql",
     "string_predicates",
     "media_frame_sample",
-    "decontamination_report",
     "ltv_deciles_pareto",
     "skyline_2d",
     "tiff_image_decode",
@@ -1024,6 +996,34 @@ _DRIVER_PRIORITY = [
     "embedding_drift",
     "bpe_vocab_train",
     "wordpiece_vocab_train",
+    "knn_brute_force",
+    "ivf_build_stats",
+    "ivf_search",
+    "ann_lsh_search",
+    "ann_multiprobe_search",
+    "quantized_knn",
+    "ivf_search_indexed",
+    "weighted_sample_counts",
+    "pq_build_stats",
+    "pq_search",
+    "ivf_pq_search",
+    "max_concurrency",
+    "fuzzy_dup_candidates",
+    "kmeans_inertia_sweep",
+    "semantic_dedup",
+    "ingest_drift_psi",
+    "domain_mixture_weights",
+    "mixture_downsample_plan",
+    "split_leakage_audit",
+    "bm25_topk",
+    "hybrid_rrf_fusion",
+    "quality_threshold_sweep",
+    "cross_source_dup_matrix",
+    "bpe_tokenize_stats",
+    "wordpiece_tokenize_stats",
+    "streaming_near_dup_build",
+    "unigram_vocab_train",
+    "unigram_tokenize_stats",
 ]
 
 
